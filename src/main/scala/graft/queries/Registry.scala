@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One named query: the Spark implementation plus (when SQL-expressible)
+  * the equivalent DuckDB SQL the driver replays as the correctness oracle.
+  *
+  * Column names MUST match between `fn`'s output and `oracle` (the driver
+  * sorts columns by name before hashing). Output types are kept to
+  * {string, long, double, date, timestamp} so the two engines' physical
+  * schemas line up.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  /** Exact money aggregation: both Spark and DuckDB sum in DECIMAL(18,2)
+    * (order-independent, bit-exact) then cast back to double so the final
+    * schema is plain `double` in both engines. Avoids last-ulp mismatches
+    * from double summation order.
+    */
+  def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+}
+
+/** Central query registry — SparkEntry derives both maps from here. */
+object Registry {
+  def all: Seq[Q] =
+    Analytics.all ++ Parity.all ++ AuditMerge.all ++ Extensions.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
