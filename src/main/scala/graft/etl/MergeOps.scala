@@ -1,0 +1,47 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** U2 — upsert/merge refresh (`/root/reference/src/log_handler.py:99-128`):
+  * published rows that are unchanged stay, everything else is replaced by
+  * the incoming snapshot; output schema is harmonized to all-string and
+  * sorted by the (stringified) id — faithful to the reference's
+  * stringify-then-concat-then-sort.
+  *
+  * Scale posture: `unchangedIds` is usually a large fraction of the
+  * table, so it is NOT broadcast — the semi/anti joins are shuffle joins
+  * on the PK and AQE may downgrade them to broadcast only when the id set
+  * is provably small.
+  */
+object MergeOps {
+
+  private val Sfx = "_b"
+
+  /** J2 — ids whose audit columns are unchanged between snapshots.
+    * Null-sensitive on purpose: `!(a =!= b)` is null when either side is
+    * null, and `filter` drops null predicates — so a null in an audit
+    * column means "changed" (log_handler.py:102-104, P22 semantics).
+    */
+  def unchangedIds(a: DataFrame, b: DataFrame, idCol: String,
+      auditCols: Seq[String]): DataFrame = {
+    val bRen = b.toDF(b.columns.map(c => if (c == idCol) c else c + Sfx).toIndexedSeq: _*)
+    a.join(bRen, Seq(idCol), "inner")
+      .filter(auditCols.map(c => !(col(c) =!= col(c + Sfx))).reduce(_ && _))
+      .select(col(idCol))
+      .distinct() // A1
+  }
+
+  /** U2 — the full merge: semi (J3) ∪ anti (J4), stringified (P20),
+    * sorted by id (O2).
+    */
+  def tableUpdated(a: DataFrame, b: DataFrame, idCol: String,
+      auditCols: Seq[String]): DataFrame = {
+    val unchanged = unchangedIds(a, b, idCol, auditCols)
+    val kept = a.join(unchanged, Seq(idCol), "left_semi")
+    val newOrModified = b.join(unchanged, Seq(idCol), "left_anti")
+    CleanOps.castAllToString(kept)
+      .unionByName(CleanOps.castAllToString(newOrModified)) // U1
+      .orderBy(col(idCol))
+  }
+}
