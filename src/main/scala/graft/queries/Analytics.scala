@@ -43,5 +43,141 @@ object Analytics {
       ORDER BY l_returnflag, l_linestatus
     """.stripMargin.trim))
 
-  def all: Seq[Q] = Seq(q1Pricing)
+  /** TPC-H Q3-flavored: selective dimension filter → two-way join →
+    * grouped revenue → top-10. The customer filter is pushed to the scan;
+    * the filtered customer side is broadcast.
+    */
+  val q3Revenue = Q(
+    "q3_revenue_topk",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY l_orderkey
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """.trim))
+
+  /** TPC-H Q5-flavored star join: 5-way join with two broadcast
+    * dimensions (nation, region) and co-located fact keys.
+    */
+  val q5Region = Q(
+    "q5_region_volume",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name
+    """.trim))
+
+  /** Window ranking: top-3 orders per customer (row_number with a unique
+    * tiebreak — one shuffle on the partition key).
+    */
+  val w1Rank = Q(
+    "w1_window_topk_per_key",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn
+    """.trim))
+
+  /** Running (prefix) sum per key — decimal accumulation so the window
+    * sum is order-exact in both engines regardless of their internal
+    * window-frame evaluation strategy.
+    */
+  val w2Running = Q(
+    "w2_window_running_sum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            .as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+    """.trim))
+
+  /** Aggregate function breadth: min/max/exact distinct on one pass. */
+  val q6Stats = Q(
+    "q6_agg_stats",
+    (s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      l.groupBy(col("l_returnflag"))
+        .agg(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.trim))
+
+  def all: Seq[Q] = Seq(q1Pricing, q3Revenue, q5Region, w1Rank, w2Running, q6Stats)
 }
