@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (north-star
+  * extension surface, SURVEY.md §7.5).
+  *
+  * Design notes for 100 TB:
+  *  - exact dedup is a hash-groupBy: one shuffle on a 128-bit content
+  *    hash, map-side partial agg keeps it small;
+  *  - MinHash/LSH: signatures are computed scan-side (no shuffle), then
+  *    candidate generation shuffles once on the band key — the classic
+  *    shingle → minhash → band → bucket-join pipeline. Only bucket
+  *    collisions are joined; the O(n²) comparison never materializes;
+  *  - n-gram Jaccard is bucketed (here by `lang`) so the pairwise join is
+  *    per-bucket; at scale the bucket would be an LSH band, not a label;
+  *  - all hashing is md5-derived (not Spark's murmur `hash`) so results
+  *    are portable across engines and stable across Spark versions.
+  */
+object Dedup {
+
+  /** Prime > 2^32 for the universal-hash family h_i(x) = (a_i x + b_i) mod p. */
+  val HashPrime: Long = 4294967311L
+  val SeedsA: Seq[Long] = Seq(1579L, 2477L, 3359L, 4283L, 5419L, 6367L, 7499L, 8599L)
+  val SeedsB: Seq[Long] = Seq(9851L, 8699L, 7547L, 6421L, 5323L, 4211L, 3167L, 2081L)
+
+  /** Whitespace-collapsed, trimmed, lowercased text. */
+  def normText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Portable 32-bit hash: first 8 hex digits of md5 as an unsigned long. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact dedup: group by content hash, keep the smallest id.
+    * One shuffle; at 100 TB this is the cheapest possible dedup.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(normText(col(textCol))).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Adds `__words` / `__shingles` / `__hashes` columns (k-word shingles
+    * and their 32-bit hashes); drops docs with fewer than k words.
+    */
+  def withShingleHashes(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
+    val sh = (0 until k).map(j => s"__words[i+$j]").mkString(", ")
+    df.withColumn("__words", split(normText(col(textCol)), " "))
+      .filter(size(col("__words")) >= k)
+      .withColumn("__shingles",
+        expr(s"transform(sequence(0, size(__words)-$k), i -> concat_ws(' ', $sh))"))
+      .withColumn("__hashes",
+        expr("transform(__shingles, s -> cast(conv(substr(md5(s),1,8),16,10) AS bigint))"))
+  }
+
+  /** MinHash signature as an array column over `__hashes`. */
+  private def signatureExpr: String = {
+    val mins = SeedsA.zip(SeedsB).map { case (a, b) =>
+      s"array_min(transform(__hashes, h -> ($a * h + $b) % $HashPrime))"
+    }
+    s"array(${mins.mkString(", ")})"
+  }
+
+  /** (id, band) rows: the signature cut into bands of `rowsPerBand`
+    * hashes; docs sharing any band key are near-dup candidates.
+    */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      rowsPerBand: Int = 2): DataFrame = {
+    val nBands = SeedsA.length / rowsPerBand
+    val bandExprs = (0 until nBands).map { j =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"cast(__sig[${j * rowsPerBand + r}] as string)").mkString(", '_', ")
+      s"concat('$j:', $parts)"
+    }
+    withShingleHashes(df, textCol)
+      .withColumn("__sig", expr(signatureExpr))
+      .select(col(idCol), explode(expr(s"array(${bandExprs.mkString(", ")})")).as("band"))
+  }
+
+  /** LSH candidate pairs: self-join on the band key, ordered ids,
+    * distinct. The join key is the band, so the shuffle is on bucket
+    * membership — never the full cross product.
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bands = minhashBands(df, idCol, textCol)
+    val a = bands.select(col(idCol).as("doc_a"), col("band"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"))
+    a.join(b, col("band") === col("band_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash fingerprint per document: per-bit majority vote over
+    * the word hashes. Computed scan-side, no shuffle.
+    */
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__words", split(normText(col(textCol)), " "))
+      .filter(size(col("__words")) >= 1)
+      .withColumn("__whashes",
+        expr("transform(__words, w -> cast(conv(substr(md5(w),1,8),16,10) AS bigint))"))
+      .withColumn("simhash",
+        expr("""aggregate(sequence(0, 31), 0L, (acc, b) ->
+                 acc + IF(2 * size(filter(__whashes, h -> shiftright(h, b) % 2 = 1)) > size(__whashes),
+                          shiftleft(1L, b), 0L))"""))
+      .select(col(idCol), col("simhash"))
+
+  /** Bucketed pairwise n-gram Jaccard similarity: pairs within the same
+    * bucket whose distinct-shingle Jaccard ≥ threshold. The bucket keeps
+    * the self-join from going quadratic globally.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      bucketCol: String, threshold: Double, k: Int = 3): DataFrame = {
+    val sets = withShingleHashes(df, textCol, k)
+      .withColumn("__set", array_distinct(col("__shingles")))
+      .select(col(idCol), col(bucketCol), col("__set"))
+    val a = sets.select(col(idCol).as("doc_a"), col(bucketCol).as("__bk"), col("__set").as("__sa"))
+    val b = sets.select(col(idCol).as("doc_b"), col(bucketCol).as("__bk2"), col("__set").as("__sb"))
+    a.join(b, col("__bk") === col("__bk2") && col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("__sa")) + size(col("__sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}
