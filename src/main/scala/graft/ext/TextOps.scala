@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §7.5):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All built-in expressions — scan-side, shuffle-free, codegen-friendly
+  * except the higher-order filters (acceptable: they run once per doc,
+  * not per token pair).
+  */
+object TextOps {
+
+  val StopEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "no")
+  val StopDe: Seq[String] = Seq("der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von")
+
+  def words(c: Column): Column = split(Dedup.normText(c), " ")
+
+  def stopwordHits(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(stops)))
+
+  /** N-gram/stopword-heuristic language ID: argmax of per-language
+    * stopword hit counts (tie order en > es > de, fixed).
+    */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    df.withColumn("hits_en", stopwordHits(ws, StopEn).cast("long"))
+      .withColumn("hits_es", stopwordHits(ws, StopEs).cast("long"))
+      .withColumn("hits_de", stopwordHits(ws, StopDe).cast("long"))
+      .withColumn("lang_pred",
+        when(col("hits_en") >= col("hits_es") && col("hits_en") >= col("hits_de"), "en")
+          .when(col("hits_es") >= col("hits_de"), "es")
+          .otherwise("de"))
+  }
+
+  /** Heuristic quality score from length / punctuation / stopword
+    * ratios. Deterministic arithmetic (single divisions, fixed op
+    * order), rounded once at the end.
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    df.withColumn("n_chars_raw", length(t).cast("long"))
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(lower(t), "[^a-z]", "")).cast("long"))
+      .withColumn("punct_ratio",
+        length(regexp_replace(t, "[a-zA-Z0-9 ]", "")).cast("double") / col("n_chars_raw"))
+      .withColumn("avg_word_len", col("n_alpha").cast("double") / col("n_words"))
+      .withColumn("stop_ratio",
+        stopwordHits(ws, StopEn).cast("double") / col("n_words"))
+      .withColumn("quality",
+        round(least(col("avg_word_len") / 8.0, lit(1.0)) * 0.4
+          + least(col("stop_ratio") * 5.0, lit(1.0)) * 0.4
+          + (lit(1.0) - col("punct_ratio")) * 0.2, 9))
+  }
+
+  /** Whitespace tokens and a BPE-ish regex token count (letter runs,
+    * digit runs, single non-alphanumerics).
+    */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(split(trim(col(textCol)), "\\s+")).cast("long"))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
+
+  /** Rolling polynomial fingerprint over word hashes:
+    * h ← (31·h + hash32(word)) mod 1e9+7, left fold from 0.
+    */
+  def withFingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__w", words(col(textCol)))
+      .withColumn("fingerprint",
+        expr("""aggregate(transform(__w, w -> cast(conv(substr(md5(w),1,8),16,10) AS bigint)),
+                 0L, (acc, h) -> (acc * 31 + h) % 1000000007L)"""))
+      .drop("__w")
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused cosine similarity over two numeric array columns.
+  *
+  * A custom Catalyst expression (preference (b) of the build brief): one
+  * pass computes dot product and both norms with whole-stage codegen —
+  * the higher-order-function formulation (zip_with + aggregate ×3) is
+  * CodegenFallback and walks the arrays three times. At 100 TB the ANN
+  * scan is compute-bound on exactly this kernel.
+  *
+  * Accumulation order is ascending index, matching the sequential fold
+  * of the reference/oracle formulation, so results are bit-identical.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isNumericArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isNumericArray(left.dataType) && isNumericArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xe = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val ye = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xe * ye; na += xe * xe; nb += ye * ye
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, dot, na, nb) =
+        (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("dot"),
+          ctx.freshName("na"), ctx.freshName("nb"))
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double x = (double) $a.$lGet($i);
+          double y = (double) $b.$rGet($i);
+          $dot += x * y; $na += x * x; $nb += y * y;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Registers `graft_cosine(a, b)` for SQL/expr use in this session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+}

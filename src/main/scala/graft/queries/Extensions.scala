@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.etl.Tables
-import graft.ext.Dedup
+import graft.ext.{Dedup, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -114,5 +114,158 @@ object Extensions {
       ORDER BY doc_a, doc_b
     """.trim))
 
-  def all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupJaccard)
+  // ---- similarity search -------------------------------------------------
+
+  /** DuckDB cosine over list columns — sequential left-fold sums, same
+    * op order as the codegen'd CosineSimilarity kernel, rounded to 9dp
+    * in both engines.
+    */
+  private def sqlCos(a: String, b: String): String =
+    s"""round(
+       list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE)) /
+       (sqrt(list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE))) *
+        sqrt(list_sum(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE)))), 9)"""
+
+  private def sqlBucket(v: String, bits: Int): String =
+    (1 to bits).map(i => s"(CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  val annBrute = Q(
+    "ann_cosine_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      p AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "cv")} AS sim
+            FROM q, c WHERE query_id <> neighbor_id)
+      SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM p) WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
+  val annLsh = Q(
+    "ann_lsh_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5, bits = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${sqlBucket("embedding", 4)} AS qb
+                 FROM embeddings WHERE vec_id % 100 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, ${sqlBucket("embedding", 4)} AS cb
+            FROM embeddings),
+      p AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "cv")} AS sim
+            FROM q JOIN c ON qb = cb AND query_id <> neighbor_id)
+      SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM p) WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
+  // ---- text analysis -----------------------------------------------------
+
+  private def sqlList(xs: Seq[String]): String = xs.mkString("['", "', '", "']")
+  private def sqlHits(stops: Seq[String]): String =
+    s"len(list_filter(w, x -> list_contains(${sqlList(stops)}, x)))::BIGINT"
+
+  val textLangid = Q(
+    "text_langid",
+    (s, dir) =>
+      TextOps.withLangId(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("hits_en"), col("hits_es"),
+          col("hits_de"), col("lang_pred"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH n AS (SELECT doc_id, lang, $NormW AS w FROM documents)
+      SELECT doc_id, lang,
+             ${sqlHits(TextOps.StopEn)} AS hits_en,
+             ${sqlHits(TextOps.StopEs)} AS hits_es,
+             ${sqlHits(TextOps.StopDe)} AS hits_de,
+             CASE WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+                  WHEN hits_es >= hits_de THEN 'es' ELSE 'de' END AS lang_pred
+      FROM n ORDER BY doc_id
+    """.trim))
+
+  val textQuality = Q(
+    "text_quality",
+    (s, dir) =>
+      TextOps.withQuality(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_chars_raw"), col("n_words"), col("n_alpha"),
+          col("punct_ratio"), col("avg_word_len"), col("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH n AS (SELECT doc_id, text, $NormW AS w FROM documents),
+      m AS (SELECT doc_id,
+              length(text)::BIGINT AS n_chars_raw,
+              len(w)::BIGINT AS n_words,
+              length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::BIGINT AS n_alpha,
+              length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+              length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(w) AS avg_word_len,
+              ${sqlHits(TextOps.StopEn)}::DOUBLE / len(w) AS stop_ratio
+            FROM n)
+      SELECT doc_id, n_chars_raw, n_words, n_alpha, punct_ratio, avg_word_len, stop_ratio,
+             round(least(avg_word_len / 8.0, 1.0) * 0.4
+                   + least(stop_ratio * 5.0, 1.0) * 0.4
+                   + (1.0 - punct_ratio) * 0.2, 9) AS quality
+      FROM m ORDER BY doc_id
+    """.trim))
+
+  val textTokens = Q(
+    "text_tokens",
+    (s, dir) =>
+      TextOps.withTokenCounts(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
+        .orderBy(col("doc_id")),
+    Some(raw"""
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws_tokens,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS bpe_tokens
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  val textFingerprint = Q(
+    "text_fingerprint",
+    (s, dir) =>
+      TextOps.withFingerprint(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH n AS (SELECT doc_id, $NormW AS w FROM documents),
+      h AS (SELECT doc_id, list_transform(w, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM n)
+      SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT, hs), (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      FROM h ORDER BY doc_id
+    """.trim))
+
+  // ---- multimodal --------------------------------------------------------
+
+  val mediaMeta = Q(
+    "media_meta",
+    (s, dir) => {
+      val media = graft.ext.Multimodal.toMediaTable(Tables(s, dir, "documents"))
+      media.select(col("doc_id"),
+          length(col("media")).cast("long").as("byte_len"),
+          upper(substring(hex(col("media")), 1, 16)).as("header_hex"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+             upper(substr(hex(encode(text)), 1, 16)) AS header_hex
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  def all: Seq[Q] = Seq(
+    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard,
+    annBrute, annLsh,
+    textLangid, textQuality, textTokens, textFingerprint,
+    mediaMeta)
 }

@@ -1,0 +1,84 @@
+package graft
+
+import graft.ext.{Multimodal, Similarity, TextOps}
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.functions._
+
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("codegen'd cosine expression equals the HOF formulation bit-for-bit") {
+    VectorExpressions.register(spark)
+    val both = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(expr("graft_cosine(a.embedding, b.embedding)").as("cg"),
+        Similarity.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)
+      || (r.getDouble(0).isNaN && r.getDouble(1).isNaN)))
+  }
+
+  test("brute-force top-k ranks by cosine with id tiebreak") {
+    val got = Similarity.bruteForceTopK(spark, vecs, vecs.filter($"vec_id" === 1),
+      "vec_id", "embedding", k = 3).collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(got.head.getAs[Double]("sim") > 0.99)
+  }
+
+  test("sign-LSH bucketing only scores same-bucket candidates") {
+    val lv = Seq(
+      (1L, Array(1.0f, 0.2f, 0.3f)),
+      (2L, Array(0.9f, 0.1f, 0.2f)),  // same sign pattern as 1
+      (4L, Array(-1.0f, -0.1f, 0.2f)) // different bucket
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(spark, lv, lv.filter($"vec_id" === 1),
+      "vec_id", "embedding", k = 3, bits = 3)
+    val ids = got.select("neighbor_id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+
+  test("langid heuristic: stopword-rich english beats spanish/german") {
+    val df = Seq(
+      (1L, "the cat and the dog sat in the garden for a while"),
+      (2L, "el perro y la casa de que un gato en la calle"),
+      (3L, "der hund und die katze ist ein tier mit den leuten")
+    ).toDF("doc_id", "text")
+    val got = TextOps.withLangId(df, "text").select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "de")
+  }
+
+  test("quality / tokens / fingerprint are deterministic and sane") {
+    val df = Seq((1L, "the quick brown fox! 123 jumps."))
+      .toDF("doc_id", "text")
+    val q = TextOps.withQuality(df, "text").collect()(0)
+    assert(q.getAs[Long]("n_words") == 6L)
+    val quality = q.getAs[Double]("quality")
+    assert(quality > 0.0 && quality <= 1.0)
+    val t = TextOps.withTokenCounts(df, "text").collect()(0)
+    assert(t.getAs[Long]("ws_tokens") == 6L)
+    assert(t.getAs[Long]("bpe_tokens") == 8L) // 5 words + '!' + '123' + '.'
+    val f1 = TextOps.withFingerprint(df, "text").collect()(0).getAs[Long]("fingerprint")
+    val f2 = TextOps.withFingerprint(df, "text").collect()(0).getAs[Long]("fingerprint")
+    assert(f1 == f2 && f1 >= 0L && f1 < 1000000007L)
+  }
+
+  test("multimodal: media table schema + batch feature extraction stub") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.toMediaTable(docs)
+    assert(media.schema("media").dataType.typeName == "binary")
+    assert(media.schema("meta").dataType.typeName == "struct")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).byte_len == 11L)
+    assert(feats(1L).avg_byte > 0.0)
+    assert(feats(2L).byte_len == 0L && feats(2L).avg_byte == 0.0)
+    assert(feats(1L).header_md5.length == 32)
+  }
+}
