@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.etl.AuditOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming variants of the engine's operators (SURVEY.md
+  * §7.5 — the one place streaming state enters; the reference itself is
+  * strictly batch full-refresh).
+  *
+  * All functions are plan builders: callers attach readStream sources and
+  * writeStream sinks. Everything composes with watermarks so state is
+  * bounded at scale.
+  */
+object StreamingOps {
+
+  /** Streaming change feed: a stream of incoming rows joined against the
+    * published snapshot (stream-static inner join — no state beyond the
+    * broadcast/static side) producing audit-log rows as they arrive.
+    * Streaming twin of AuditOps.authlog.
+    */
+  def changeFeed(updates: DataFrame, published: DataFrame, idCol: String,
+      targetCols: Seq[String], fuenteLog: String, runId: String): DataFrame = {
+    val pubRen = published.toDF(published.columns.map(_ + AuditOps.Suffix).toIndexedSeq: _*)
+    val joined = updates.join(pubRen,
+      updates(idCol) === pubRen(idCol + AuditOps.Suffix), "inner")
+    val swapped = targetCols // stream side is the "new" value ⇒ modeled side is previous
+    joined
+      .filter(AuditOps.changePredicate(swapped))
+      .select(
+        Seq(lit(runId).as("id_log"), col(idCol).cast("string").as("entity_id"),
+          lit("Modificado").as("tipo_cambio"), lit(fuenteLog).as("fuente_log")) ++
+          targetCols.flatMap(c => Seq(col(c), col(c + AuditOps.Suffix))): _*)
+  }
+
+  /** Watermarked sliding-window event rates (count + sum per event type). */
+  def eventRates(events: DataFrame, tsCol: String, typeCol: String,
+      valueCol: String, windowDur: String, slideDur: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur, slideDur), col(typeCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(typeCol),
+        col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup: watermarked dropDuplicates on the id — the
+    * streaming twin of Dedup.exact (state bounded by the watermark).
+    */
+  def streamingDedup(stream: DataFrame, tsCol: String, idCols: Seq[String],
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.etl.CatalogOps
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class CatalogStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("catalog: entity filter on {layer}_{entity}.{ext} names + top-1 latest") {
+    val meta = Seq(
+      ("f1", "raw_creditos.csv", "file", "2024-01-01 10:00:00"),
+      ("f2", "raw_creditos.csv", "file", "2024-03-01 10:00:00"),
+      ("f3", "raw_radicados.csv", "file", "2024-02-01 10:00:00"),
+      ("f4", "notes.txt", "file", "2024-04-01 10:00:00")
+    ).toDF("id", "name", "mimeType", "ct")
+      .withColumn("createdTime", to_timestamp(col("ct")))
+    val creditos = CatalogOps.filterByEntity(meta, "creditos")
+    assert(creditos.count() == 2)
+    val top = CatalogOps.latest(creditos).collect()(0)
+    assert(top.getAs[String]("id") == "f2") // newest wins (O1)
+  }
+
+  test("catalog: listFiles over a real directory") {
+    val dir = java.nio.file.Files.createTempDirectory("cat_")
+    java.nio.file.Files.write(dir.resolve("raw_creditos.csv"), "x".getBytes)
+    java.nio.file.Files.write(dir.resolve("raw_radicados.csv"), "y".getBytes)
+    val meta = CatalogOps.listFiles(spark, dir.toString)
+    assert(meta.count() == 2)
+    assert(CatalogOps.filterByName(meta, "raw_creditos.csv").count() == 1)
+  }
+
+  test("streaming change feed: stream-static join emits audit rows per batch") {
+    implicit val ctx = spark.sqlContext
+    val published = Seq((1L, "A", 100L), (2L, "B", 200L)).toDF("id", "v1", "v2")
+    val stream = MemoryStream[(Long, String, Long)]
+    val feed = StreamingOps.changeFeed(
+      stream.toDF().toDF("id", "v1", "v2"), published, "id", Seq("v1", "v2"),
+      fuenteLog = "stream/test", runId = "run-s")
+    val q = feed.writeStream.format("memory").queryName("feed").outputMode("append").start()
+    stream.addData((1L, "A", 100L), (2L, "B_mod", 200L), (9L, "X", 1L))
+    q.processAllAvailable()
+    val got = spark.table("feed").collect()
+    q.stop()
+    assert(got.length == 1) // only id=2 changed; id=9 unmatched; id=1 unchanged
+    assert(got(0).getAs[String]("entity_id") == "2")
+    assert(got(0).getAs[String]("v1") == "B_mod" && got(0).getAs[String]("v1_modeled") == "B")
+  }
+
+  test("streaming windowed rates with watermark") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val rates = StreamingOps.eventRates(
+      stream.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", "10 minutes", "10 minutes", "5 minutes")
+    val q = rates.writeStream.format("memory").queryName("rates").outputMode("complete").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData(
+      (ts("2024-01-01 00:01:00"), "click", 1.0),
+      (ts("2024-01-01 00:02:00"), "click", 2.0),
+      (ts("2024-01-01 00:11:00"), "view", 5.0))
+    q.processAllAvailable()
+    val got = spark.table("rates").collect()
+    q.stop()
+    assert(got.length == 2)
+    val click = got.find(_.getAs[String]("event_type") == "click").get
+    assert(click.getAs[Long]("n_events") == 2L && click.getAs[Double]("total_value") == 3.0)
+  }
+
+  test("streaming dedup within watermark") {
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val dd = StreamingOps.streamingDedup(
+      stream.toDF().toDF("ts", "doc_id", "text"), "ts", Seq("doc_id"), "10 minutes")
+    val q = dd.writeStream.format("memory").queryName("dd").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData(
+      (ts("2024-01-01 00:01:00"), 1L, "a"),
+      (ts("2024-01-01 00:02:00"), 1L, "a dup"),
+      (ts("2024-01-01 00:03:00"), 2L, "b"))
+    q.processAllAvailable()
+    val got = spark.table("dd").collect()
+    q.stop()
+    assert(got.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
+  }
+}

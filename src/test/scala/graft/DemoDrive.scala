@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone drive of the library's public surface (not a test suite):
+  * reference-shaped latin1 CSV → CsvSource → Pipelines → show, plus
+  * catalog ops. Run: sbt "Test/runMain graft.DemoDrive"
+  */
+object DemoDrive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val lines = Seq(
+      "JUNK TITLE",
+      "Crédito;TasaInterés;FechaSolicitud;FechaGiro;FechaInicio;FechaLegalización;FechaIngreso;Fecha Acta Aprobación;VencimientoCuota;Monto;Saldo;Nota;Nota",
+      "1;950847 %;01/01/2023;13-02-2023;21.01.2023;11/02/2023 08:30;02/01/2023;03/01/2023;01/06/2023;1234,56;100,5;a;b",
+      "2; 9.5% ;15/03/2023;;;;;;;20648000;0;x;y")
+    val f = java.nio.file.Files.createTempFile("drive_", ".csv")
+    java.nio.file.Files.write(f,
+      lines.mkString("\n").getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
+    val raw = graft.sources.CsvSource.readReferenceCsv(spark, f.toString)
+    val cleaned = graft.etl.Pipelines.transform("creditos", "raw", raw)
+    cleaned.select("Crédito", "TasaInterés", "FechaGiro", "tiempo_solicitud_giro",
+      "tiempo_de_espera", "Monto").show(false)
+    val meta = graft.etl.CatalogOps.listFiles(spark, f.getParent.toString)
+    println("catalog latest: " +
+      graft.etl.CatalogOps.latest(meta).collect().head.getAs[String]("name"))
+    spark.stop()
+  }
+}
