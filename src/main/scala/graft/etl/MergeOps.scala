@@ -35,8 +35,14 @@ object MergeOps {
   /** U2 — the full merge: semi (J3) ∪ anti (J4), stringified (P20),
     * sorted by id (O2).
     */
+  private val log = org.apache.log4j.Logger.getLogger(getClass)
+
   def tableUpdated(a: DataFrame, b: DataFrame, idCol: String,
       auditCols: Seq[String]): DataFrame = {
+    // Q3 — dimension-mismatch warning (log_handler.py:45-46)
+    if (a.columns.length != b.columns.length)
+      log.warn(s"merge: snapshots have different widths " +
+        s"(${a.columns.length} vs ${b.columns.length})")
     val unchanged = unchangedIds(a, b, idCol, auditCols)
     val kept = a.join(unchanged, Seq(idCol), "left_semi")
     val newOrModified = b.join(unchanged, Seq(idCol), "left_anti")

@@ -179,5 +179,57 @@ object Analytics {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.trim))
 
-  def all: Seq[Q] = Seq(q1Pricing, q3Revenue, q5Region, w1Rank, w2Running, q6Stats)
+  /** Rollup (hierarchical subtotals) — beyond the reference's surface;
+    * Spark gets it free via Expand, one shuffle.
+    */
+  val q7Rollup = Q(
+    "q7_rollup",
+    (s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      l.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """.trim))
+
+  /** Sessionization via gap detection: lag + conditional sum over the
+    * per-user window — one shuffle on user_id, linear in events.
+    */
+  val q8Sessions = Q(
+    "q8_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withGap = ev.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+      withGap
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      s AS (SELECT user_id,
+              CASE WHEN prev_ts IS NULL
+                        OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+            FROM g)
+      SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+      FROM s GROUP BY user_id ORDER BY user_id
+    """.trim))
+
+  def all: Seq[Q] = Seq(q1Pricing, q3Revenue, q5Region, w1Rank, w2Running, q6Stats,
+    q7Rollup, q8Sessions)
 }

@@ -296,5 +296,15 @@ object Parity {
       FROM events ORDER BY event_id
     """.trim))
 
-  def all: Seq[Q] = Seq(p01, p02, p03, p04, p06, p07, p08, p09, p10, p11, p12, p13, p15)
+  /** P21 — column rename (log_handler.py:113). */
+  val p21 = Q(
+    "p21_rename",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"))
+        .withColumnRenamed("ts", "Fecha Radicacion")
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, ts AS "Fecha Radicacion" FROM events ORDER BY event_id"""))
+
+  def all: Seq[Q] = Seq(p01, p02, p03, p04, p06, p07, p08, p09, p10, p11, p12, p13, p15, p21)
 }

@@ -56,8 +56,16 @@ object CsvSource {
     } finally br.close()
   }
 
+  private val log = org.apache.log4j.Logger.getLogger(getClass)
+
   def readReferenceCsv(spark: SparkSession, path: String, sep: String = ";",
       encoding: String = "latin1", skipLines: Int = 1): DataFrame = {
+    // Q4 — size guard (gdrive_handler.py:235-239 warns past 10 MB)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getFileStatus(p).getLen
+    if (bytes > 10L * 1024 * 1024)
+      log.warn(f"$path is ${bytes / 1048576.0}%.1f MB (> 10 MB guard)")
     val names = dedupeHeaders(readHeader(spark, path, sep, encoding, skipLines))
     val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
     val drop = skipLines + 1
