@@ -40,18 +40,24 @@ object Dedup {
     df.groupBy(md5(normText(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Adds `__words` / `__shingles` / `__hashes` columns (k-word shingles
-    * and their 32-bit hashes); drops docs with fewer than k words.
+  /** Adds `__words` / `__shingles` columns (k-word shingles); drops docs
+    * with fewer than k words.
     */
-  def withShingleHashes(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
+  def withShingles(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
     val sh = (0 until k).map(j => s"__words[i+$j]").mkString(", ")
     df.withColumn("__words", split(normText(col(textCol)), " "))
       .filter(size(col("__words")) >= k)
       .withColumn("__shingles",
         expr(s"transform(sequence(0, size(__words)-$k), i -> concat_ws(' ', $sh))"))
+  }
+
+  /** withShingles plus portable 32-bit shingle hashes (`__hashes`) — the
+    * md5-derived family the MinHash signatures are built on.
+    */
+  def withShingleHashes(df: DataFrame, textCol: String, k: Int = 3): DataFrame =
+    withShingles(df, textCol, k)
       .withColumn("__hashes",
         expr("transform(__shingles, s -> cast(conv(substr(md5(s),1,8),16,10) AS bigint))"))
-  }
 
   /** MinHash signature as an array column over `__hashes`. */
   private def signatureExpr: String = {
@@ -117,17 +123,21 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       bucketCol: String, threshold: Double, k: Int = 3): DataFrame = {
-    val sets = withShingleHashes(df, textCol, k)
-      .withColumn("__set", array_distinct(col("__shingles")))
-      .select(col(idCol), col(bucketCol), col("__set"))
-    val sizes = sets.select(col(idCol), size(col("__set")).as("__n"))
-    val postings = sets.select(col(idCol), col(bucketCol).as("__bk"),
-      explode(col("__set")).as("__sh"))
-    val a = postings.select(col(idCol).as("doc_a"), col("__bk"), col("__sh"))
+    // Postings carry xxhash64(shingle), not the string: the join key is
+    // engine-internal (the oracle's math is over the same *sets*, and a
+    // 64-bit collision is ~1e-8 at corpus scale), and a fixed-width key
+    // shrinks the shuffle and hash table. No md5: that cost belongs to
+    // MinHash signatures only.
+    val postings = withShingles(df, textCol, k)
+      .select(col(idCol), col(bucketCol).as("__bk"),
+        explode(array_distinct(col("__shingles"))).as("__sh"))
+      .select(col(idCol), col("__bk"), xxhash64(col("__sh")).as("__h"))
+    val sizes = postings.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = postings.select(col(idCol).as("doc_a"), col("__bk"), col("__h"))
     val b = postings.select(col(idCol).as("doc_b"), col("__bk").as("__bk2"),
-      col("__sh").as("__sh2"))
+      col("__h").as("__h2"))
     val inter = a.join(b,
-        col("__bk") === col("__bk2") && col("__sh") === col("__sh2") &&
+        col("__bk") === col("__bk2") && col("__h") === col("__h2") &&
           col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).cast("int").as("inter"))

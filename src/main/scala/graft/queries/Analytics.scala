@@ -230,6 +230,68 @@ object Analytics {
       FROM s GROUP BY user_id ORDER BY user_id
     """.trim))
 
+  /** As-of join (most recent prior matching event) composed from
+    * built-ins — an IGNORE NULLS last() over a trailing window frame —
+    * rather than a custom operator (preference (a) of the build brief:
+    * the window formulation shuffles once on the partition key and
+    * needs no new physical operator).
+    */
+  val j5Asof = Q(
+    "j5_asof_last_prior",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_signup_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, ts, last_signup_ts FROM (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_ts
+        FROM events)
+      WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """.trim))
+
+  /** Exact percentiles (linear interpolation — same definition as
+    * quantile_cont).
+    */
+  val q9Percentiles = Q(
+    "q9_percentiles",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS median_price,
+             quantile_cont(l_extendedprice, 0.9) AS p90_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.trim))
+
+  /** HLL++ approximate distinct — sketch differs per engine, so the
+    * driver records the weaker rows-only check (no oracle by design).
+    */
+  val q10Approx = Q(
+    "q10_approx_distinct",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .orderBy(col("l_returnflag")),
+    None)
+
   def all: Seq[Q] = Seq(q1Pricing, q3Revenue, q5Region, w1Rank, w2Running, q6Stats,
-    q7Rollup, q8Sessions)
+    q7Rollup, q8Sessions, j5Asof, q9Percentiles, q10Approx)
 }
