@@ -12,6 +12,7 @@ object DemoDrive {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val lines = Seq(
@@ -29,6 +30,10 @@ object DemoDrive {
     val meta = graft.etl.CatalogOps.listFiles(spark, f.getParent.toString)
     println("catalog latest: " +
       graft.etl.CatalogOps.latest(meta).collect().head.getAs[String]("name"))
+    // spark.sql.extensions path (static conf — needs this fresh context)
+    println("graft_cosine via extensions: " + spark
+      .sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+      .collect().head.getDouble(0))
     spark.stop()
   }
 }
