@@ -171,6 +171,35 @@ object Extensions {
       ORDER BY query_id, rank
     """.trim))
 
+  val annIvf = Q(
+    "ann_ivf_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
+          emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0),
+      corp_a AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t)
+        WHERE rn = 1),
+      q_a AS (SELECT * FROM corp_a WHERE vec_id % 100 = 0),
+      p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${sqlCos("q.embedding", "c.embedding")} AS sim
+            FROM q_a q JOIN corp_a c ON q.cid = c.cid AND q.vec_id <> c.vec_id)
+      SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM p) WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
   // ---- text analysis -----------------------------------------------------
 
   private def sqlList(xs: Seq[String]): String = xs.mkString("['", "', '", "']")
@@ -265,7 +294,7 @@ object Extensions {
 
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard,
-    annBrute, annLsh,
+    annBrute, annLsh, annIvf,
     textLangid, textQuality, textTokens, textFingerprint,
     mediaMeta)
 }

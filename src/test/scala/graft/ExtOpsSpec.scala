@@ -43,6 +43,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(ids == Set(2L))
   }
 
+  test("IVF: same-list neighbors found, other-cluster vectors not scanned") {
+    val vs = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f)),
+      (2L, Array(0.95f, 0.05f, 0.0f)),
+      (3L, Array(0.0f, 0.1f, 1.0f)),
+      (4L, Array(0.05f, 0.0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((10L, Array(1.0f, 0.0f, 0.0f)), (20L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("cid", "cv")
+    val got = Similarity.ivfTopK(spark, vs, vs.filter($"vec_id" === 1), cents,
+      "vec_id", "embedding", "cid", "cv", k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got == Set(2L)) // 3 and 4 live in the other centroid's list
+  }
+
   test("langid heuristic: stopword-rich english beats spanish/german") {
     val df = Seq(
       (1L, "the cat and the dog sat in the garden for a while"),

@@ -1,0 +1,74 @@
+package graft
+
+import graft.etl.CleanOps
+import graft.ext.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** SURVEY.md §5.2 — property coverage of the strict=False contract:
+  * arbitrary junk through the cleaning operators must never throw, only
+  * null out; well-formed inputs must round-trip. ScalaCheck generators
+  * are sampled with fixed seeds (no scalatestplus bridge in the offline
+  * cache), so failures are reproducible.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val junk: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr, Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf('0', '1', '9', '/', '-', '.', '%', ',', ' ')).map(_.mkString))
+
+  test("cleaning ops never throw on arbitrary input (null-on-failure)") {
+    val xs = samples(junk, 300) :+ ""
+    val out = xs.toDF("raw").select(
+      CleanOps.percentToRate($"raw").as("a"),
+      CleanOps.normalizeDate($"raw").as("b"),
+      CleanOps.commaDecimal($"raw").as("c"),
+      CleanOps.parseDatetimeMinutes($"raw").as("d"))
+    assert(out.count() == xs.length) // forces evaluation of every row
+  }
+
+  test("well-formed dates round-trip through normalizeDate for all separators") {
+    val cases = for {
+      (d, i) <- samples(Gen.choose(1, 28), 25).zipWithIndex
+      m = samples(Gen.choose(1, 12), 25)(i)
+      y = samples(Gen.choose(1950, 2049), 25)(i)
+      s <- Seq("/", "-", ".")
+    } yield (f"$d%02d$s$m%02d$s$y%04d", f"$y%04d-$m%02d-$d%02d")
+    val got = cases.map(_._1).toDF("raw")
+      .select(CleanOps.normalizeDate($"raw").cast("string")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, e) => assert(g == e) }
+  }
+
+  test("percent strings parse exactly: strip/trim/divide") {
+    val ns = samples(Gen.choose(0, 99999999), 100)
+    val got = ns.map(n => s"  $n %").toDF("raw")
+      .select(CleanOps.percentToRate($"raw")).as[Double].collect()
+    got.zip(ns).foreach { case (g, n) => assert(g == n / 1e7) }
+  }
+
+  test("normText collapses arbitrary whitespace to canonical form") {
+    val wordLists = samples(Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty)), 50)
+    val df = wordLists.map(ws => (ws.mkString("  ") + "  ", ws.mkString(" ").toLowerCase))
+      .toDF("messy", "clean")
+    val bad = df.filter(Dedup.normText($"messy") =!= lower($"clean")).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint is stable under leading/trailing whitespace") {
+    val texts = samples(Gen.listOfN(6, Gen.alphaStr.suchThat(_.nonEmpty)), 50)
+      .map(_.mkString(" "))
+    val df = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong * 2, t), (i.toLong * 2 + 1, s"  $t  "))
+    }.toDF("doc_id", "text")
+    val fps = TextOps.withFingerprint(df, "text")
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    texts.indices.foreach { i =>
+      assert(fps(i.toLong * 2) == fps(i.toLong * 2 + 1))
+    }
+  }
+}

@@ -1,0 +1,21 @@
+package graft
+
+import graft.etl.SkewOps
+import org.apache.spark.sql.functions._
+
+class SkewOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregate equals direct groupBy on a skewed key") {
+    // 10k rows on one hot key + a long tail
+    val hot = (1 to 10000).map(i => ("hot", i.toLong, 1.0))
+    val tail = (1 to 100).map(i => (s"k$i", i.toLong, 2.0))
+    val df = (hot ++ tail).toDF("key", "id", "v")
+    val salted = SkewOps.saltedSumCount(df, Seq("key"), "v", "id", buckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = df.groupBy("key").agg(sum("v"), count(lit(1)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == direct)
+    assert(salted("hot") == ((10000.0, 10000L)))
+  }
+}
