@@ -29,7 +29,7 @@ object Q {
 /** Central query registry — SparkEntry derives both maps from here. */
 object Registry {
   def all: Seq[Q] =
-    Analytics.all ++ Parity.all ++ AuditMerge.all ++ Extensions.all
+    Analytics.all ++ Parity.all ++ AuditMerge.all ++ Extensions.all ++ Breadth.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
