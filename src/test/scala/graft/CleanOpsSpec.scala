@@ -117,4 +117,26 @@ class CleanOpsSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getString(3) == "true")
     assert(DictionaryOps.primaryKey(dict) == "id")
   }
+
+  test("full reference dictionaries: PKs, audit sets, duplicate logical names") {
+    import graft.etl.Dictionaries
+    assert(DictionaryOps.primaryKey(Dictionaries.creditos) == "Crédito")
+    assert(DictionaryOps.primaryKey(Dictionaries.radicados) == "Radicado")
+    assert(DictionaryOps.auditColumns(Dictionaries.radicados) == Seq("Procedencia"))
+    val auditCreditos = DictionaryOps.auditColumns(Dictionaries.creditos)
+    assert(auditCreditos.contains("FechaGiro") && auditCreditos.contains("TasaInterés")
+      && auditCreditos.size == 9)
+    // the duplicated logical names that force physical header renaming
+    assert(Dictionaries.creditos.count(_.name == "FormaPago") == 2)
+    assert(Dictionaries.creditos.count(_.name == "Periodicidad") == 2)
+    assert(Dictionaries.creditos.size == 47 && Dictionaries.radicados.size == 14)
+    // the whole creditos dictionary drives a cast pass without error
+    val df = Seq(("C1", "9.5", "11/01/2023", "true", "5"))
+      .toDF("Crédito", "Monto", "FechaGiro", "Tipo70 / 30", "Plazo")
+    val cast = DictionaryOps.castByDictionary(df, Dictionaries.creditos)
+    assert(cast.schema("Monto").dataType == DoubleType)
+    assert(cast.schema("FechaGiro").dataType == TimestampNTZType)
+    assert(cast.schema("Tipo70 / 30").dataType == StringType) // Bool→String quirk
+    assert(cast.schema("Plazo").dataType == LongType)
+  }
 }
