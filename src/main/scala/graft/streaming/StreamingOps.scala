@@ -53,4 +53,44 @@ object StreamingOps {
     stream
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: per-user
+    * state carries the open session; a session is emitted when a later
+    * event arrives past the gap. State is bounded by the number of live
+    * keys (at scale, add an event-time timeout + watermark to reap
+    * abandoned sessions). The batch twin is the q8_sessionize
+    * gap-detection window; this variant emits sessions incrementally.
+    */
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[Event],
+      gapMs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def fn(user: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+          case Some(s) =>
+            closed ::= SessionOut(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach(state.update)
+      closed.reverseIterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -68,6 +68,26 @@ class CatalogStreamingSpec extends SparkSpec {
     assert(click.getAs[Long]("n_events") == 2L && click.getAs[Double]("total_value") == 3.0)
   }
 
+  test("stateful sessionization with flatMapGroupsWithState") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StreamingOps.{Event, SessionOut}
+    val stream = MemoryStream[Event]
+    val sessions = StreamingOps.sessionizeStateful(stream.toDS(), gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    def ev(u: Long, s: String) = Event(u, java.sql.Timestamp.valueOf(s))
+    // two bursts for user 1 separated by > 30 min: first closes when the
+    // second arrives
+    stream.addData(ev(1L, "2024-01-01 00:00:00"), ev(1L, "2024-01-01 00:10:00"))
+    q.processAllAvailable()
+    stream.addData(ev(1L, "2024-01-01 02:00:00"))
+    q.processAllAvailable()
+    val got = spark.table("sess").as[SessionOut].collect()
+    q.stop()
+    assert(got.length == 1)
+    assert(got(0).user_id == 1L && got(0).n_events == 2)
+    assert(got(0).session_end.toString.startsWith("2024-01-01 00:10"))
+  }
+
   test("streaming dedup within watermark") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long, String)]

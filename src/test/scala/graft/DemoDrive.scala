@@ -34,6 +34,19 @@ object DemoDrive {
     println("graft_cosine via extensions: " + spark
       .sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))")
       .collect().head.getDouble(0))
+    // full orchestrator: catalog → extract → transform → load
+    val rawDir = java.nio.file.Files.createTempDirectory("raw_")
+    val modDir = java.nio.file.Files.createTempDirectory("mod_")
+    java.nio.file.Files.write(rawDir.resolve("raw_radicados.csv"),
+      ("JUNK\nRadicado;Fecha Radicacion;Procedencia;Detalle;Naturaleza;Medio;Expediente;Destino;Rpta;Opciones\n" +
+        "100;15/03/2024 14:30;PEPE;asunto;N;WEB;E1;PROFESIONAL-GGC-JUAN PEREZ;0;\n")
+        .getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
+    val res = graft.etl.EtlRunner.run(spark, rawDir.toString, modDir.toString,
+      "radicados", java.sql.Date.valueOf("2026-08-12"),
+      graft.etl.Dictionaries.radicados, auditCols = Seq("Rpta"))
+    println(s"etl run: ${res.rows} rows → ${res.modeledPath}")
+    spark.read.parquet(res.modeledPath)
+      .select("Radicado", "grupo_destino", "Rpta").show(false)
     spark.stop()
   }
 }
