@@ -28,8 +28,12 @@ object Q {
 
 /** Central query registry — SparkEntry derives both maps from here. */
 object Registry {
-  def all: Seq[Q] =
-    Analytics.all ++ Parity.all ++ AuditMerge.all ++ Extensions.all ++ Breadth.all
+  def all: Seq[Q] = {
+    val qs = Analytics.all ++ Parity.all ++ AuditMerge.all ++ Extensions.all ++ Breadth.all
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names would shadow silently: ${dups.mkString(", ")}")
+    qs
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
