@@ -144,6 +144,62 @@ object Breadth {
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """.trim))
 
+  /** Deterministic array aggregation: collect distinct then sort (plain
+    * collect_list order is partition-dependent; sorted sets are not).
+    */
+  val t3ArrayAgg = Q(
+    "t3_array_agg",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          sort_array(collect_set(col("l_shipdate").cast("date"))).as("ship_dates_sample"))
+        .select(col("l_returnflag"), col("statuses"),
+          slice(col("ship_dates_sample"), 1, 5).as("first_ship_dates"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             list_sort(list(DISTINCT CAST(l_shipdate AS DATE)))[1:5] AS first_ship_dates
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.trim))
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a join). */
+  val q13Subquery = Q(
+    "q13_correlated_subquery",
+    (s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+        WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                              FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey
+      """)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey
+    """.trim))
+
+  /** Recursive CTE (Spark 4.1 WITH RECURSIVE) joined against a table. */
+  val q14Recursive = Q(
+    "q14_recursive_cte",
+    (s, dir) => {
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""
+        WITH RECURSIVE r(k) AS (
+          SELECT 0 UNION ALL SELECT k + 1 FROM r WHERE k < 24)
+        SELECT k, n_name FROM r JOIN nation_v ON n_nationkey = k ORDER BY k
+      """)
+    },
+    Some("""
+      WITH RECURSIVE r(k) AS (
+        SELECT 0 UNION ALL SELECT k + 1 FROM r WHERE k < 24)
+      SELECT k, n_name FROM r JOIN nation ON n_nationkey = k ORDER BY k
+    """.trim))
+
   def all: Seq[Q] = Seq(p25Json, t1Strings, t2DateParts, u3Intersect, u4Except,
-    q12GroupingSets, q11Pivot)
+    q12GroupingSets, q11Pivot, t3ArrayAgg, q13Subquery, q14Recursive)
 }
