@@ -33,4 +33,18 @@ object Sinks {
       .option("header", "true")
       .option("sep", sep)
       .csv(path)
+
+  /** Bucketed catalog table: rows are hash-bucketed on the join key at
+    * write time, so equi-joins between tables bucketed the same way scan
+    * co-located buckets and skip the shuffle entirely — the 100 TB
+    * answer for repeated large-fact joins (vs paying the exchange per
+    * query).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -49,6 +49,24 @@ class ShapeSinksSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("id", "name") && back.count() == 1)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val o = (1L to 200L).map(k => (k, s"o$k")).toDF("k", "ov")
+    val l = (1L to 600L).map(i => (i % 200 + 1, s"l$i")).toDF("k", "lv")
+    graft.sources.Sinks.writeBucketed(o, "b_orders", Seq("k"), 4)
+    graft.sources.Sinks.writeBucketed(l, "b_lines", Seq("k"), 4)
+    // force the large-table path (broadcast would mask the bucketing win
+    // at this toy size)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lines"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"))
+      assert(joined.count() == 600)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("GraftExtensions injection builds a working cosine expression") {
     // spark.sql.extensions is a *static* conf read at SparkContext
     // creation, so the SQL-config path can't be exercised on this
