@@ -29,7 +29,11 @@ object Dedup {
   def normText(c: Column): Column =
     regexp_replace(trim(lower(c)), "\\s+", " ")
 
-  /** Portable 32-bit hash: first 8 hex digits of md5 as an unsigned long. */
+  /** Portable 32-bit hash: first 8 hex digits of md5 as an unsigned long.
+    * Built-in-only reference formulation; the hot paths use the
+    * codegen'd `graft_hash32` (same values, no hex round-trip — see
+    * [[graft.functions.Md5Hash32]] and the equality test in ExtOpsSpec).
+    */
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
@@ -54,10 +58,11 @@ object Dedup {
   /** withShingles plus portable 32-bit shingle hashes (`__hashes`) — the
     * md5-derived family the MinHash signatures are built on.
     */
-  def withShingleHashes(df: DataFrame, textCol: String, k: Int = 3): DataFrame =
+  def withShingleHashes(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     withShingles(df, textCol, k)
-      .withColumn("__hashes",
-        expr("transform(__shingles, s -> cast(conv(substr(md5(s),1,8),16,10) AS bigint))"))
+      .withColumn("__hashes", expr("transform(__shingles, s -> graft_hash32(s))"))
+  }
 
   /** MinHash signature as an array column over `__hashes`. */
   private def signatureExpr: String = {
@@ -99,16 +104,17 @@ object Dedup {
   /** 32-bit SimHash fingerprint per document: per-bit majority vote over
     * the word hashes. Computed scan-side, no shuffle.
     */
-  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     df.withColumn("__words", split(normText(col(textCol)), " "))
       .filter(size(col("__words")) >= 1)
-      .withColumn("__whashes",
-        expr("transform(__words, w -> cast(conv(substr(md5(w),1,8),16,10) AS bigint))"))
+      .withColumn("__whashes", expr("transform(__words, w -> graft_hash32(w))"))
       .withColumn("simhash",
         expr("""aggregate(sequence(0, 31), 0L, (acc, b) ->
                  acc + IF(2 * size(filter(__whashes, h -> shiftright(h, b) % 2 = 1)) > size(__whashes),
                           shiftleft(1L, b), 0L))"""))
       .select(col(idCol), col("simhash"))
+  }
 
   /** Bucketed pairwise n-gram Jaccard similarity: pairs within the same
     * bucket whose distinct-shingle Jaccard ≥ threshold.

@@ -67,10 +67,12 @@ object TextOps {
   /** Rolling polynomial fingerprint over word hashes:
     * h ← (31·h + hash32(word)) mod 1e9+7, left fold from 0.
     */
-  def withFingerprint(df: DataFrame, textCol: String): DataFrame =
+  def withFingerprint(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     df.withColumn("__w", words(col(textCol)))
       .withColumn("fingerprint",
-        expr("""aggregate(transform(__w, w -> cast(conv(substr(md5(w),1,8),16,10) AS bigint)),
+        expr("""aggregate(transform(__w, w -> graft_hash32(w)),
                  0L, (acc, h) -> (acc * 31 + h) % 1000000007L)"""))
       .drop("__w")
+  }
 }

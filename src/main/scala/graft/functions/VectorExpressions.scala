@@ -78,9 +78,57 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Portable 32-bit content hash: the unsigned value of the first 4 md5
+  * bytes — semantically identical to
+  * `conv(substr(md5(x),1,8),16,10)::long` (and DuckDB's
+  * `('0x'||substr(md5(x),1,8))::BIGINT`) but computed in one pass with
+  * no hex-string round-trip. The md5→substr→conv chain costs three
+  * string allocations per value; on shingle-explosion workloads (MinHash,
+  * SimHash, fingerprints) that is the hot loop.
+  */
+case class Md5Hash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hash32 expects string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Hash32.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash32.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Hash32 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 bytes as an unsigned 32-bit value in a long. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val b = md.digest(s.getBytes)
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+}
+
 object VectorExpressions {
-  /** Registers `graft_cosine(a, b)` for SQL/expr use in this session. */
-  def register(spark: SparkSession): Unit =
+  /** Registers `graft_cosine` / `graft_hash32` for SQL/expr use in this
+    * session (idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash32", exprs => Md5Hash32(exprs.head), "scala_udf")
+  }
 }

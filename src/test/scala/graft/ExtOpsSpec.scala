@@ -24,6 +24,15 @@ class ExtOpsSpec extends SparkSpec {
       || (r.getDouble(0).isNaN && r.getDouble(1).isNaN)))
   }
 
+  test("graft_hash32 equals the built-in md5/conv formulation") {
+    VectorExpressions.register(spark)
+    val ss = (1 to 200).map(i => s"shingle $i ${"x" * (i % 7)} é$i")
+    val bad = ss.toDF("s")
+      .filter(expr("graft_hash32(s)") =!= graft.ext.Dedup.hash32(col("s")))
+      .count()
+    assert(bad == 0)
+  }
+
   test("brute-force top-k ranks by cosine with id tiebreak") {
     val got = Similarity.bruteForceTopK(spark, vecs, vecs.filter($"vec_id" === 1),
       "vec_id", "embedding", k = 3).collect()
