@@ -200,6 +200,23 @@ object Breadth {
       SELECT k, n_name FROM r JOIN nation ON n_nationkey = k ORDER BY k
     """.trim))
 
+  /** Custom typed Aggregator: bounded per-group top-k (O(k) partial
+    * state — no window shuffle of the full data).
+    */
+  val t4TopkAgg = Q(
+    "t4_topk_aggregator",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.TopKAggregator.topKIds(3)(
+          col("l_extendedprice"), col("l_orderkey")).as("top_order_ids"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             (list(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey ASC))[1:3] AS top_order_ids
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.trim))
+
   def all: Seq[Q] = Seq(p25Json, t1Strings, t2DateParts, u3Intersect, u4Except,
-    q12GroupingSets, q11Pivot, t3ArrayAgg, q13Subquery, q14Recursive)
+    q12GroupingSets, q11Pivot, t3ArrayAgg, q13Subquery, q14Recursive, t4TopkAgg)
 }

@@ -24,6 +24,20 @@ class ExtOpsSpec extends SparkSpec {
       || (r.getDouble(0).isNaN && r.getDouble(1).isNaN)))
   }
 
+  test("TopKAggregator matches window-based top-k incl. score ties") {
+    import graft.functions.TopKAggregator
+    val df = Seq(
+      ("a", 10.0, 1L), ("a", 30.0, 2L), ("a", 20.0, 3L), ("a", 30.0, 0L), ("a", 5.0, 9L),
+      ("b", 1.0, 7L)
+    ).toDF("g", "score", "id")
+    val got = df.groupBy($"g")
+      .agg(TopKAggregator.topKIds(3)($"score", $"id").as("ids"))
+      .orderBy($"g").collect()
+    // ties on 30.0 break by smaller id: 0 before 2
+    assert(got(0).getSeq[Long](1) == Seq(0L, 2L, 3L))
+    assert(got(1).getSeq[Long](1) == Seq(7L))
+  }
+
   test("graft_hash32 equals the built-in md5/conv formulation") {
     VectorExpressions.register(spark)
     val ss = (1 to 200).map(i => s"shingle $i ${"x" * (i % 7)} é$i")
