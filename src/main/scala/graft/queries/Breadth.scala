@@ -217,6 +217,29 @@ object Breadth {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.trim))
 
+  /** Array explosion with position (generator/table-function surface). */
+  val p26Posexplode = Q(
+    "p26_posexplode",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(graft.ext.Dedup.normText(col("text")), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("word"))
+        .orderBy(col("doc_id"), col("pos")),
+    Some(raw"""
+      WITH n AS (SELECT doc_id,
+                        string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+                 FROM documents WHERE doc_id < 50)
+      SELECT doc_id, pos, word FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(len(w)), i -> {'pos': i, 'word': w[i+1]}),
+                      recursive := true)
+        FROM n)
+      ORDER BY doc_id, pos
+    """.trim))
+
   def all: Seq[Q] = Seq(p25Json, t1Strings, t2DateParts, u3Intersect, u4Except,
-    q12GroupingSets, q11Pivot, t3ArrayAgg, q13Subquery, q14Recursive, t4TopkAgg)
+    q12GroupingSets, q11Pivot, t3ArrayAgg, q13Subquery, q14Recursive, t4TopkAgg,
+    p26Posexplode)
 }
