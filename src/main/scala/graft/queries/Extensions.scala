@@ -200,6 +200,44 @@ object Extensions {
       ORDER BY query_id, rank
     """.trim))
 
+  /** Embedding-cosine near-dup pairs: sign-LSH bucketed candidate
+    * generation then cosine ≥ threshold. Runs over an augmented corpus
+    * with planted scaled copies (scaling preserves direction: cosine ≈ 1
+    * and the sign bucket is identical, so recall of true near-dups is
+    * exercised).
+    */
+  val dedupEmbedding = Q(
+    "dedup_embedding_pairs",
+    (s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val aug = emb.unionByName(emb.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> x * cast(1.01 as float))").as("embedding")))
+      val withBucket = aug.withColumn("__b", Similarity.signBucket(col("embedding"), 6))
+      val a = withBucket.select(col("vec_id").as("doc_a"), col("embedding").as("__ea"), col("__b"))
+      val b = withBucket.select(col("vec_id").as("doc_b"), col("embedding").as("__eb"),
+        col("__b").as("__b2"))
+      a.join(b, col("__b") === col("__b2") && col("doc_a") < col("doc_b"))
+        .withColumn("sim", round(expr("graft_cosine(__ea, __eb)"), 9))
+        .filter(col("sim") >= 0.999)
+        .select(col("doc_a"), col("doc_b"), col("sim"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.01::FLOAT)
+        FROM embeddings),
+      wb AS (SELECT vec_id, embedding, ${sqlBucket("embedding", 6)} AS b FROM aug)
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             ${sqlCos("a.embedding", "b.embedding")} AS sim
+      FROM wb a JOIN wb b ON a.b = b.b AND a.vec_id < b.vec_id
+      WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.999
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   // ---- text analysis -----------------------------------------------------
 
   private def sqlList(xs: Seq[String]): String = xs.mkString("['", "', '", "']")
@@ -293,7 +331,7 @@ object Extensions {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard,
+    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding,
     annBrute, annLsh, annIvf,
     textLangid, textQuality, textTokens, textFingerprint,
     mediaMeta)
