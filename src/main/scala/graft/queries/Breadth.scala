@@ -239,7 +239,33 @@ object Breadth {
       ORDER BY doc_id, pos
     """.trim))
 
+  /** Map-typed column ops: construct, keys/values, scalar extraction.
+    * The map itself stays internal (its physical parquet/python shapes
+    * differ per engine); outputs are arrays and scalars.
+    */
+  val t5Maps = Q(
+    "t5_map_funcs",
+    (s, dir) => {
+      val m = map(lit("type"), col("event_type"), lit("uid"), col("user_id").cast("string"))
+      Tables(s, dir, "events")
+        .select(col("event_id"), m.as("__m"))
+        .select(col("event_id"),
+          map_keys(col("__m")).as("mkeys"),
+          map_values(col("__m")).as("mvals"),
+          element_at(col("__m"), "uid").as("uid_val"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             map_keys(m) AS mkeys, map_values(m) AS mvals,
+             m['uid'][1] AS uid_val
+      FROM (SELECT event_id,
+                   map(['type', 'uid'], [event_type, user_id::VARCHAR]) AS m
+            FROM events)
+      ORDER BY event_id
+    """.trim))
+
   def all: Seq[Q] = Seq(p25Json, t1Strings, t2DateParts, u3Intersect, u4Except,
     q12GroupingSets, q11Pivot, t3ArrayAgg, q13Subquery, q14Recursive, t4TopkAgg,
-    p26Posexplode)
+    p26Posexplode, t5Maps)
 }
