@@ -146,6 +146,9 @@ object Breadth {
 
   /** Deterministic array aggregation: collect distinct then sort (plain
     * collect_list order is partition-dependent; sorted sets are not).
+    * Final projection flattens arrays to csv strings: the driver's
+    * pandas-side compare cannot sort array cells (r01 `err`), and the
+    * flatten also pins element order into the hashed value.
     */
   val t3ArrayAgg = Q(
     "t3_array_agg",
@@ -154,13 +157,16 @@ object Breadth {
         .groupBy(col("l_returnflag"))
         .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
           sort_array(collect_set(col("l_shipdate").cast("date"))).as("ship_dates_sample"))
-        .select(col("l_returnflag"), col("statuses"),
-          slice(col("ship_dates_sample"), 1, 5).as("first_ship_dates"))
+        .select(col("l_returnflag"),
+          array_join(col("statuses"), ",").as("statuses"),
+          array_join(transform(slice(col("ship_dates_sample"), 1, 5),
+            d => d.cast("string")), ",").as("first_ship_dates"))
         .orderBy(col("l_returnflag")),
     Some("""
       SELECT l_returnflag,
-             list_sort(list(DISTINCT l_linestatus)) AS statuses,
-             list_sort(list(DISTINCT CAST(l_shipdate AS DATE)))[1:5] AS first_ship_dates
+             array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+             array_to_string(list_transform(list_sort(list(DISTINCT CAST(l_shipdate AS DATE)))[1:5],
+                                            d -> strftime(d, '%Y-%m-%d')), ',') AS first_ship_dates
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.trim))
 
@@ -209,11 +215,16 @@ object Breadth {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(graft.functions.TopKAggregator.topKIds(3)(
-          col("l_extendedprice"), col("l_orderkey")).as("top_order_ids"))
+          col("l_extendedprice"), col("l_orderkey")).as("ids"))
+        .select(col("l_returnflag"),
+          array_join(transform(col("ids"), i => i.cast("string")), ",")
+            .as("top_order_ids"))
         .orderBy(col("l_returnflag")),
     Some("""
       SELECT l_returnflag,
-             (list(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey ASC))[1:3] AS top_order_ids
+             array_to_string(list_transform(
+               (list(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey ASC))[1:3],
+               i -> i::VARCHAR), ',') AS top_order_ids
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.trim))
 
@@ -241,7 +252,8 @@ object Breadth {
 
   /** Map-typed column ops: construct, keys/values, scalar extraction.
     * The map itself stays internal (its physical parquet/python shapes
-    * differ per engine); outputs are arrays and scalars.
+    * differ per engine); outputs are csv-flattened strings and scalars
+    * so the driver's pandas compare can sort them.
     */
   val t5Maps = Q(
     "t5_map_funcs",
@@ -250,14 +262,16 @@ object Breadth {
       Tables(s, dir, "events")
         .select(col("event_id"), m.as("__m"))
         .select(col("event_id"),
-          map_keys(col("__m")).as("mkeys"),
-          map_values(col("__m")).as("mvals"),
+          array_join(map_keys(col("__m")), ",").as("mkeys"),
+          array_join(map_values(col("__m")), ",", "<null>").as("mvals"),
           element_at(col("__m"), "uid").as("uid_val"))
         .orderBy(col("event_id"))
     },
     Some("""
       SELECT event_id,
-             map_keys(m) AS mkeys, map_values(m) AS mvals,
+             array_to_string(map_keys(m), ',') AS mkeys,
+             array_to_string(list_transform(map_values(m),
+                                            v -> coalesce(v, '<null>')), ',') AS mvals,
              m['uid'][1] AS uid_val
       FROM (SELECT event_id,
                    map(['type', 'uid'], [event_type, user_id::VARCHAR]) AS m
