@@ -1,0 +1,291 @@
+package graft.queries
+
+import graft.etl.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-2 breadth slice: grouping-set completion (CUBE), reshaping
+  * (unpivot), analytic windows (lead/lag/ntile, value-range frames),
+  * scalar sweeps (regex, array, math), EXISTS subqueries, a non-equi
+  * band join, and an oracle-checked salted aggregation.
+  *
+  * Determinism rules follow round 1: decimal-accumulated money sums cast
+  * back to double, transcendental results rounded once to 9dp, arrays
+  * flattened to csv strings, every query ends in an ORDER BY with a
+  * unique tiebreak. No `round(money, 1)`: half-way cases there resolve
+  * differently between Spark's BigDecimal(HALF_UP on the decimal string)
+  * and DuckDB's double-arithmetic rounding.
+  */
+object Breadth2 {
+
+  /** CUBE over the two lineitem status dims — completes the grouping
+    * family next to q7_rollup / q12_grouping_sets. One shuffle; the
+    * grouping expansion is map-side.
+    */
+  val q15Cube = Q(
+    "q15_cube",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Q.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """.trim))
+
+  /** Wide→long reshape of the four lineitem measures (melt/unpivot).
+    * Narrow scan (6 cols) with the key filter pushed to parquet.
+    */
+  val p27Unpivot = Q(
+    "p27_unpivot",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+    Some("""
+      SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, measure, value FROM (
+        UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+                 FROM lineitem WHERE l_orderkey < 1000)
+        ON l_quantity, l_extendedprice, l_discount, l_tax INTO NAME measure VALUE value)
+      ORDER BY l_orderkey, l_linenumber, measure
+    """.trim))
+
+  /** Analytic navigation windows: lag/lead/row_number/ntile/first over a
+    * per-customer order history (single hash-partitioned sort, unique
+    * tiebreak in the window order for deterministic ntile).
+    */
+  val w3LeadLag = Q(
+    "w3_lead_lag",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          row_number().over(w).cast("long").as("rn"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("o_orderdate")).over(w).cast("date").as("first_dt"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             lag(o_totalprice) OVER w AS prev_price,
+             lead(o_totalprice) OVER w AS next_price,
+             (row_number() OVER w)::BIGINT AS rn,
+             (ntile(4) OVER w)::BIGINT AS quartile,
+             CAST(first_value(o_orderdate) OVER w AS DATE) AS first_dt
+      FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_orderkey
+    """.trim))
+
+  /** Value-range window frame: per-customer trailing-30-day spend. The
+    * frame is keyed on a day number (value-based RANGE, not ROWS), so
+    * tie order cannot affect the sum; money accumulates in decimal.
+    */
+  val w4RangeFrame = Q(
+    "w4_range_frame",
+    (s, dir) => {
+      val dayNo = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(dayNo).rangeBetween(-30, 0)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("rolling_30d"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+      FROM orders ORDER BY o_orderkey
+    """.trim))
+
+  /** Regex scalar sweep: extract / extract-all / replace-all / match /
+    * split_part. Patterns stay in the Java∩RE2 common subset.
+    */
+  val t6Regex = Q(
+    "t6_regex_funcs",
+    (s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+          when(col("c_mktsegment").rlike("^B"), 1L).otherwise(0L).as("starts_b"),
+          array_join(regexp_extract_all(col("c_name"), lit("[0-9]{2}"), lit(0)), ",").as("pairs"),
+          split_part(col("c_name"), lit("#"), lit(1)).as("head"))
+        .orderBy(col("c_custkey")),
+    Some(raw"""
+      SELECT c_custkey,
+             regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+             regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+             (CASE WHEN regexp_matches(c_mktsegment, '^B') THEN 1 ELSE 0 END)::BIGINT AS starts_b,
+             array_to_string(regexp_extract_all(c_name, '[0-9]{2}'), ',') AS pairs,
+             split_part(c_name, '#', 1) AS head
+      FROM customer ORDER BY c_custkey
+    """.trim))
+
+  /** Array scalar sweep: construction (sequence), set ops sorted for
+    * determinism, fold, membership — flattened to csv for the compare.
+    * Spark `sequence(a,b)` is inclusive; the DuckDB twin uses
+    * exclusive-stop `range(a,b+1)`.
+    */
+  val t7Arrays = Q(
+    "t7_array_funcs",
+    (s, dir) => {
+      val k = col("n_nationkey").cast("long")
+      val a = sequence(lit(1L), lit(1L) + k % 4)
+      val b = sequence(k % 3, k % 3 + lit(2L))
+      val asStr = (c: org.apache.spark.sql.Column) =>
+        array_join(transform(c, x => x.cast("string")), ",")
+      Tables(s, dir, "nation")
+        .select(k.as("n_nationkey"),
+          asStr(sort_array(array_intersect(a, b))).as("inter"),
+          asStr(sort_array(array_union(a, b))).as("uni"),
+          asStr(sort_array(array_except(a, b))).as("minus"),
+          size(a).cast("long").as("alen"),
+          aggregate(a, lit(0L), (acc, x) => acc + x).as("asum"),
+          array_max(a).as("amax"),
+          array_contains(a, 2L).cast("long").as("has2"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""
+      SELECT n_nationkey::BIGINT AS n_nationkey,
+             coalesce(array_to_string(list_transform(list_sort(list_intersect(a, b)), x -> x::VARCHAR), ','), '') AS inter,
+             array_to_string(list_transform(list_sort(list_distinct(list_concat(a, b))), x -> x::VARCHAR), ',') AS uni,
+             coalesce(array_to_string(list_transform(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))), x -> x::VARCHAR), ','), '') AS minus,
+             len(a)::BIGINT AS alen,
+             list_sum(a)::BIGINT AS asum,
+             list_max(a)::BIGINT AS amax,
+             list_contains(a, 2)::BIGINT AS has2
+      FROM (SELECT n_nationkey,
+                   range(1, 2 + n_nationkey % 4) AS a,
+                   range(n_nationkey % 3, n_nationkey % 3 + 3) AS b
+            FROM nation)
+      ORDER BY n_nationkey
+    """.trim))
+
+  /** Math scalar sweep. Transcendentals (sqrt/ln/exp/pow) are rounded
+    * once to 9dp — last-ulp libm differences between JVM and C vanish,
+    * values remain meaningful.
+    */
+  val t8Math = Q(
+    "t8_math_funcs",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 5000)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          floor(col("l_extendedprice")).cast("long").as("fl"),
+          ceil(col("l_extendedprice")).cast("long").as("ce"),
+          abs(col("l_discount") - 0.05).as("ab"),
+          round(sqrt(col("l_quantity")), 9).as("sq"),
+          round(log(col("l_quantity") + 1), 9).as("lg"),
+          round(pow(col("l_discount"), 2), 9).as("p2"),
+          round(exp(col("l_discount")), 9).as("ex"),
+          signum(col("l_discount") - 0.05).cast("long").as("sg"),
+          (col("l_orderkey") % 7).as("md"),
+          greatest(col("l_tax"), col("l_discount")).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("ls"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+             floor(l_extendedprice)::BIGINT AS fl,
+             ceil(l_extendedprice)::BIGINT AS ce,
+             abs(l_discount - 0.05) AS ab,
+             round(sqrt(l_quantity), 9) AS sq,
+             round(ln(l_quantity + 1), 9) AS lg,
+             round(pow(l_discount, 2), 9) AS p2,
+             round(exp(l_discount), 9) AS ex,
+             sign(l_discount - 0.05)::BIGINT AS sg,
+             (l_orderkey % 7)::BIGINT AS md,
+             greatest(l_tax, l_discount) AS gr,
+             least(l_tax, l_discount) AS ls
+      FROM lineitem WHERE l_orderkey < 5000
+      ORDER BY l_orderkey, l_linenumber
+    """.trim))
+
+  /** EXISTS / NOT EXISTS subqueries — Catalyst decorrelates into
+    * left-semi and left-anti joins (same shape either engine plans).
+    */
+  val q16Exists = Q(
+    "q16_exists_subquery",
+    (s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v2")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v2 o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders_v2 o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey
+      """)
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      ORDER BY c_custkey
+    """.trim))
+
+  /** Non-equi band join: parts classified into size bands via a
+    * broadcast range join (BroadcastNestedLoopJoin over a 4-row dim —
+    * the 100 TB-safe plan for small interval dimensions).
+    */
+  val j6BandJoin = Q(
+    "j6_range_band_join",
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq((0, 10, "S"), (10, 25, "M"), (25, 50, "L"), (50, 100, "XL"))
+        .toDF("lo", "hi", "label")
+      val part = Tables(s, dir, "part")
+      part.join(broadcast(bands),
+          part("p_size") >= bands("lo") && part("p_size") < bands("hi"))
+        .select(col("p_partkey"), col("p_size").cast("long").as("p_size"), col("label"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      SELECT p_partkey, p_size::BIGINT AS p_size, label
+      FROM part JOIN (VALUES (0, 10, 'S'), (10, 25, 'M'), (25, 50, 'L'), (50, 100, 'XL'))
+                     b(lo, hi, label)
+             ON p_size >= lo AND p_size < hi
+      ORDER BY p_partkey
+    """.trim))
+
+  /** Skew-safe salted aggregation, oracle-checked equal to the direct
+    * group-by (sum/count are decomposable; accumulation in decimal makes
+    * the two-stage sum bit-equal to the one-stage oracle).
+    */
+  val q18Salted = Q(
+    "q18_salted_agg",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("qty_dec", col("l_quantity").cast(DecimalType(18, 2)))
+      graft.etl.SkewOps.saltedSumCount(li, Seq("l_returnflag"), "qty_dec", "l_orderkey")
+        .select(col("l_returnflag"),
+          col("sum_qty_dec").cast("double").as("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.trim))
+
+  def all: Seq[Q] = Seq(q15Cube, p27Unpivot, w3LeadLag, w4RangeFrame, t6Regex,
+    t7Arrays, t8Math, q16Exists, j6BandJoin, q18Salted)
+}

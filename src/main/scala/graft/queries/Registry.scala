@@ -29,7 +29,8 @@ object Q {
 /** Central query registry — SparkEntry derives both maps from here. */
 object Registry {
   def all: Seq[Q] = {
-    val qs = Analytics.all ++ Parity.all ++ AuditMerge.all ++ Extensions.all ++ Breadth.all
+    val qs = Analytics.all ++ Parity.all ++ AuditMerge.all ++ Extensions.all ++
+      Breadth.all ++ Breadth2.all
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names would shadow silently: ${dups.mkString(", ")}")
     qs
