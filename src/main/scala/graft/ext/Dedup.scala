@@ -101,6 +101,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected candidate-pair graph:
+    * hash-min label propagation to a fixpoint. Each round every vertex
+    * takes the min label among itself and its neighbors — one shuffled
+    * join + aggregate per round, lineage cut by localCheckpoint.
+    *
+    * Rounds needed = graph diameter. LSH dedup graphs are near-cliques
+    * (docs sharing a band all pair up), so 1-2 rounds converge; for
+    * adversarially long path graphs the large-star/small-star variant
+    * (2 rounds per effective doubling) would replace this loop — same
+    * join/agg building blocks, noted here for the 100 TB path.
+    *
+    * Returns (id, cluster_id = component-min id) for every vertex that
+    * appears in `edges`; isolated vertices are the caller's left join.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = e.join(labels, e("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("__nbr_min"))
+      val updated = labels.alias("l")
+        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.cluster_id"), coalesce(col("__nbr_min"), col("l.cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = updated.alias("u")
+        .join(labels.alias("o"), col("u.id") === col("o.id"))
+        .filter(col("u.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster assignment for a whole corpus: every doc labeled with the
+    * min doc_id of its near-dup component (itself when isolated). The
+    * canonical survivor of each cluster is the row with
+    * `doc_id == cluster_id`.
+    */
+  def clusterAssignment(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+    docs.select(col(idCol))
+      .join(comp, docs(idCol) === comp("id"), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
   /** 32-bit SimHash fingerprint per document: per-bit majority vote over
     * the word hashes. Computed scan-side, no shuffle.
     */

@@ -48,20 +48,18 @@ object Extensions {
       FROM aug GROUP BY 1 ORDER BY content_hash
     """.trim))
 
-  val dedupMinhash = Q(
-    "dedup_minhash_pairs",
-    (s, dir) =>
-      Dedup.minhashCandidatePairs(augmentedDocs(s, dir, perturb = true), "doc_id", "text")
-        .orderBy(col("doc_a"), col("doc_b")),
-    Some {
-      val sigs = Dedup.SeedsA.zip(Dedup.SeedsB).map { case (a, b) =>
-        s"list_min(list_transform(hs, h -> ($a * h + $b) % ${Dedup.HashPrime}))"
-      }.mkString(",\n               ")
-      val bands = (0 until 4).map { j =>
-        s"'$j:' || sig[${2 * j + 1}]::VARCHAR || '_' || sig[${2 * j + 2}]::VARCHAR"
-      }.mkString(",\n               ")
-      s"""
-      WITH ${augCte(perturb = true)},
+  /** DuckDB CTE chain reproducing Dedup.minhashCandidatePairs over the
+    * perturbed augmented corpus; ends with a `pairs` CTE (doc_a < doc_b,
+    * distinct). Shared by the pair query and the cluster query.
+    */
+  private def minhashPairsCtes: String = {
+    val sigs = Dedup.SeedsA.zip(Dedup.SeedsB).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % ${Dedup.HashPrime}))"
+    }.mkString(",\n               ")
+    val bands = (0 until 4).map { j =>
+      s"'$j:' || sig[${2 * j + 1}]::VARCHAR || '_' || sig[${2 * j + 2}]::VARCHAR"
+    }.mkString(",\n               ")
+    s"""${augCte(perturb = true)},
       norm AS (SELECT doc_id, $NormW AS w FROM aug),
       sh AS (SELECT doc_id, w FROM norm WHERE len(w) >= 3),
       hs AS (SELECT doc_id,
@@ -69,12 +67,44 @@ object Extensions {
                  i -> ('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 8))::BIGINT) AS hs
              FROM sh),
       sig AS (SELECT doc_id, [$sigs] AS sig FROM hs),
-      bands AS (SELECT doc_id, unnest([$bands]) AS band FROM sig)
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-      ORDER BY doc_a, doc_b
-    """.trim
-    })
+      bands AS (SELECT doc_id, unnest([$bands]) AS band FROM sig),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)"""
+  }
+
+  val dedupMinhash = Q(
+    "dedup_minhash_pairs",
+    (s, dir) =>
+      Dedup.minhashCandidatePairs(augmentedDocs(s, dir, perturb = true), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $minhashPairsCtes
+      SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+    """.trim))
+
+  /** Near-dup cluster assignment: connected components over the minhash
+    * candidate graph (hash-min propagation in Spark; transitive-closure
+    * reachability in the DuckDB oracle). Every doc gets the min doc_id
+    * of its component; isolated docs label themselves.
+    */
+  val dedupClusters = Q(
+    "dedup_clusters",
+    (s, dir) => {
+      val docs = augmentedDocs(s, dir, perturb = true)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      Dedup.clusterAssignment(docs, pairs, "doc_id").orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (SELECT s, d FROM edges
+                      UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      comp AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY s)
+      SELECT a.doc_id, coalesce(least(c.mn, a.doc_id), a.doc_id) AS cluster_id
+      FROM aug a LEFT JOIN comp c USING (doc_id)
+      ORDER BY doc_id
+    """.trim))
 
   val dedupSimhash = Q(
     "dedup_simhash",
@@ -331,7 +361,7 @@ object Extensions {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding,
+    dedupExact, dedupMinhash, dedupClusters, dedupSimhash, dedupJaccard, dedupEmbedding,
     annBrute, annLsh, annIvf,
     textLangid, textQuality, textTokens, textFingerprint,
     mediaMeta)

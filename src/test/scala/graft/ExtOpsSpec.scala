@@ -119,4 +119,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(feats(2L).byte_len == 0L && feats(2L).avg_byte == 0.0)
     assert(feats(1L).header_md5.length == 32)
   }
+
+  test("connected components: known graph, path + triangle + isolates") {
+    // path 1-2-3-4 (diameter 3 forces >1 propagation round), triangle
+    // 10-11-12, isolated edgeless docs 20, 21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("doc_a", "doc_b")
+    val docs = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L)).toDF("doc_id")
+    val got = graft.ext.Dedup.clusterAssignment(docs, edges, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("cluster assignment: one canonical survivor per cluster") {
+    val edges = Seq((5L, 6L), (6L, 7L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val docs = (5L to 9L).toDF("doc_id")
+    val clusters = graft.ext.Dedup.clusterAssignment(docs, edges, "doc_id").cache()
+    try {
+      val survivors = clusters.filter($"doc_id" === $"cluster_id")
+      // one survivor per distinct cluster, and it's the cluster min
+      assert(survivors.count() == clusters.select($"cluster_id").distinct().count())
+      val mins = clusters.groupBy($"cluster_id").agg(min($"doc_id").as("mn"))
+        .filter($"cluster_id" =!= $"mn").count()
+      assert(mins == 0)
+    } finally clusters.unpersist()
+  }
 }
