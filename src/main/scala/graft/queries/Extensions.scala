@@ -360,9 +360,35 @@ object Extensions {
       FROM documents ORDER BY doc_id
     """.trim))
 
+  /** Frame sampling over the binary media column: every 128-byte stride
+    * keeps its first 64 bytes (Multimodal.sampleFrames — scan-side byte
+    * slicing, one row per frame). DuckDB has no blob substring, so the
+    * oracle slices the VARCHAR — byte==char because the corpus is pure
+    * ASCII at every SF (asserted in ExtOpsSpec); frame md5s then agree.
+    */
+  val mediaFrames = Q(
+    "media_frames",
+    (s, dir) => {
+      val media = graft.ext.Multimodal.toMediaTable(Tables(s, dir, "documents"))
+      graft.ext.Multimodal.sampleFrames(media)
+        .select(col("doc_id"), col("frame_no"),
+          md5(col("frame")).as("frame_md5"),
+          length(col("frame")).cast("long").as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+    Some("""
+      WITH f AS (SELECT doc_id, text,
+                        unnest(range((length(text) + 127) // 128)) AS frame_no
+                 FROM documents WHERE length(text) > 0)
+      SELECT doc_id, frame_no,
+             md5(substring(text, (frame_no * 128 + 1)::INT, 64)) AS frame_md5,
+             length(substring(text, (frame_no * 128 + 1)::INT, 64))::BIGINT AS frame_len
+      FROM f ORDER BY doc_id, frame_no
+    """.trim))
+
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupSimhash, dedupJaccard, dedupEmbedding,
     annBrute, annLsh, annIvf,
     textLangid, textQuality, textTokens, textFingerprint,
-    mediaMeta)
+    mediaMeta, mediaFrames)
 }

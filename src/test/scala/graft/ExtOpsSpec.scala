@@ -120,6 +120,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(feats(1L).header_md5.length == 32)
   }
 
+  test("multimodal: frame sampling, resize, decode-to-vector shapes") {
+    val media = Seq(
+      (1L, ("a" * 300).getBytes("UTF-8")),   // 300 bytes → frames at 0,128,256
+      (2L, "short".getBytes("UTF-8")),        // 5 bytes → 1 frame of 5
+      (3L, Array.emptyByteArray)              // empty → no frames
+    ).toDF("doc_id", "media")
+    val frames = graft.ext.Multimodal.sampleFrames(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Array[Byte]](2)).toMap
+    assert(frames.keySet == Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    assert(frames((1L, 0L)).length == 64 && frames((1L, 2L)).length == 44)
+    assert(frames((2L, 0L)).length == 5)
+
+    val resized = graft.ext.Multimodal.resizeBatch(spark, media, 8).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(resized.values.forall(_.media.length == 8))
+    assert(resized(2L).media.take(5).toSeq == "short".getBytes("UTF-8").toSeq)
+    assert(resized(2L).media.drop(5).forall(_ == 0))
+
+    val vecs = graft.ext.Multimodal.decodeToVectors(spark, media, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toIndexedSeq).toMap
+    assert(vecs.values.forall(_.length == 4))
+    val n1 = math.sqrt(vecs(1L).map(v => v.toDouble * v).sum)
+    assert(math.abs(n1 - 1.0) < 1e-5)       // L2-normalized
+    assert(vecs(3L).forall(_ == 0f))        // empty payload → zero vector
+  }
+
+  test("media frames oracle assumption: corpus is pure ASCII") {
+    // media_frames' DuckDB oracle slices VARCHAR where Spark slices
+    // bytes; equality needs byte==char. Guard the corpus property here.
+    val docs = graft.etl.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val nonAscii = docs.filter(length(col("text")) =!= org.apache.spark.sql.functions
+      .octet_length(col("text"))).count()
+    assert(nonAscii == 0)
+  }
+
   test("connected components: known graph, path + triangle + isolates") {
     // path 1-2-3-4 (diameter 3 forces >1 propagation round), triangle
     // 10-11-12, isolated edgeless docs 20, 21
