@@ -117,8 +117,11 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
-    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair list once BEFORE symmetrizing — the union
+    // would otherwise evaluate the (expensive) upstream candidate
+    // pipeline twice, once per direction
+    val p = edges.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint()
+    val e = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = e.select(col("src").as("id")).distinct()
@@ -129,18 +132,18 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = e.join(labels, e("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("__nbr_min"))
+      // carry a changed-flag through the checkpoint so convergence
+      // detection is a filter over materialized rows, not another join
       val updated = labels.alias("l")
         .join(nbrMin, col("l.id") === nbrMin("src"), "left")
         .select(col("l.id").as("id"),
           least(col("l.cluster_id"), coalesce(col("__nbr_min"), col("l.cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("__nbr_min"), col("l.cluster_id")) < col("l.cluster_id"))
+            .as("__chg"))
         .localCheckpoint()
-      val changed = updated.alias("u")
-        .join(labels.alias("o"), col("u.id") === col("o.id"))
-        .filter(col("u.cluster_id") =!= col("o.cluster_id"))
-        .count()
-      labels = updated
-      converged = changed == 0
+      converged = updated.filter(col("__chg")).isEmpty
+      labels = updated.drop("__chg")
       i += 1
     }
     labels

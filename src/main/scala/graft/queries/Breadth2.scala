@@ -286,6 +286,152 @@ object Breadth2 {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.trim))
 
+  /** LATERAL correlated subquery with per-row ORDER BY + LIMIT: top-2
+    * orders per customer. Catalyst plans the lateral as a ranked window
+    * under the hood — the declared shape stays per-row.
+    */
+  val q19Lateral = Q(
+    "q19_lateral_topk",
+    (s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_l")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_l")
+      s.sql("""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_l c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_l o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
+      """)
+    },
+    Some("""
+      SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c_custkey, t.o_totalprice DESC, t.o_orderkey
+    """.trim))
+
+  /** Time-series gap fill: per-user minute grid (sequence + explode)
+    * over the observed span, minute sums joined on, gaps forward-filled
+    * with last-non-null over an ordered window. The grid generation is
+    * scan-side; one shuffle for the minute aggregation, one window sort.
+    */
+  val q20Resample = Q(
+    "q20_resample_ffill",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").filter(col("user_id") < 5)
+      val bounds = ev.groupBy(col("user_id"))
+        .agg(date_trunc("minute", min(col("ts"))).as("t0"),
+          date_trunc("minute", max(col("ts"))).as("t1"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("interval 1 minute"))).as("m"))
+      val agg = ev.groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
+        .agg(sum(col("value").cast(DecimalType(18, 3))).cast("double").as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grid.join(agg, Seq("user_id", "m"), "left")
+        .select(col("user_id"), col("m"),
+          coalesce(col("v"), last(col("v"), ignoreNulls = true).over(w)).as("v_filled"))
+        .orderBy(col("user_id"), col("m"))
+    },
+    Some("""
+      WITH b AS (SELECT user_id, date_trunc('minute', min(ts)) AS t0,
+                        date_trunc('minute', max(ts)) AS t1
+                 FROM events WHERE user_id < 5 GROUP BY user_id),
+      grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS m FROM b),
+      agg AS (SELECT user_id, date_trunc('minute', ts) AS m,
+                     CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS v
+              FROM events WHERE user_id < 5 GROUP BY 1, 2)
+      SELECT g.user_id, g.m,
+             coalesce(a.v, last_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS v_filled
+      FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.m = a.m
+      ORDER BY g.user_id, g.m
+    """.trim))
+
+  /** Data-profiling histogram: fixed-width bins with under/overflow
+    * buckets via explicit floor arithmetic (identical in both engines —
+    * no reliance on engine-specific width_bucket edge semantics).
+    */
+  val q21Histogram = Q(
+    "q21_value_histogram",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .select(when(col("value") <= 0, 0L)
+          .when(col("value") >= 100, 11L)
+          .otherwise(lit(1L) + floor(col("value") / 10)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")),
+    Some("""
+      SELECT (CASE WHEN value <= 0 THEN 0 WHEN value >= 100 THEN 11
+              ELSE 1 + floor(value / 10) END)::BIGINT AS bucket, count(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** Deterministic systematic sampling: keep rows whose portable
+    * md5-derived key hash falls in 1/20 of hash space. Unlike
+    * rand()-based sampling this is reproducible across engines, runs,
+    * and partitionings — the only sampling that can be oracle-checked,
+    * and the scale-safe way to cut a stable dev slice of 100 TB.
+    */
+  val q22Sample = Q(
+    "q22_systematic_sample",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(graft.ext.Dedup.hash32(col("o_orderkey").cast("string")) % 20 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderpriority
+      FROM orders
+      WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 20 = 0
+      ORDER BY o_orderkey
+    """.trim))
+
+  /** One-pass column profiler: null count, distinct count, min/max per
+    * column in a single scan (multi-distinct plans one Expand, not one
+    * scan per column), then stack() to long form. Min/max stringified
+    * only for string/long/typed-date columns — double reprs diverge
+    * between engines.
+    */
+  val q23Profile = Q(
+    "q23_column_profile",
+    (s, dir) => {
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      val o = Tables(s, dir, "orders")
+      val aggs = cols.flatMap(c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max")))
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      one.select(expr(s"stack(${cols.size}, " +
+          cols.map(c => s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+            .mkString(", ") +
+          ") AS (col_name, n_nulls, n_distinct, min_s, max_s)"))
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      SELECT 'o_orderstatus' AS col_name, count(*) - count(o_orderstatus) AS n_nulls,
+             count(DISTINCT o_orderstatus) AS n_distinct,
+             min(o_orderstatus)::VARCHAR AS min_s, max(o_orderstatus)::VARCHAR AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority),
+             min(o_orderpriority)::VARCHAR, max(o_orderpriority)::VARCHAR
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+             min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+      FROM orders
+      ORDER BY col_name
+    """.trim))
+
   def all: Seq[Q] = Seq(q15Cube, p27Unpivot, w3LeadLag, w4RangeFrame, t6Regex,
-    t7Arrays, t8Math, q16Exists, j6BandJoin, q18Salted)
+    t7Arrays, t8Math, q16Exists, j6BandJoin, q18Salted, q19Lateral, q20Resample,
+    q21Histogram, q22Sample, q23Profile)
 }

@@ -118,6 +118,66 @@ class Breadth2Spec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("q19 lateral top-2 equals window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.etl.Tables(spark, sf, "orders")
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val expected = o.withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+      .select($"o_custkey".as("c_custkey"), $"o_orderkey", $"o_totalprice")
+      .orderBy($"c_custkey", $"o_totalprice".desc, $"o_orderkey")
+      .as[(Long, Long, Double)].collect().toSeq
+    val got = Breadth2.q19Lateral.fn(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    // lateral only yields customers that have orders; both sides agree
+    assert(got == expected)
+  }
+
+  test("q20 resample: contiguous minute grid, ffill leaves no gaps after first obs") {
+    val out = Breadth2.q20Resample.fn(spark, sf).cache()
+    try {
+      // per user: row count == minutes between min and max (inclusive)
+      val spans = out.groupBy($"user_id")
+        .agg(count(lit(1)).as("rows"),
+          (unix_timestamp(max($"m")) - unix_timestamp(min($"m"))).as("secs"))
+        .collect()
+      spans.foreach(r => assert(r.getLong(1) == r.getLong(2) / 60 + 1))
+      // after the first non-null, v_filled never goes null again
+      val badGaps = out.filter($"v_filled".isNull)
+        .join(out.filter($"v_filled".isNotNull).groupBy($"user_id")
+          .agg(min($"m").as("first_obs")), Seq("user_id"))
+        .filter($"m" > $"first_obs").count()
+      assert(badGaps == 0)
+    } finally out.unpersist()
+  }
+
+  test("q21 histogram: buckets cover all rows, ids in range") {
+    val out = Breadth2.q21Histogram.fn(spark, sf).as[(Long, Long)].collect()
+    assert(out.map(_._2).sum == graft.etl.Tables(spark, sf, "events").count())
+    assert(out.forall { case (b, _) => b >= 0L && b <= 11L })
+  }
+
+  test("q22 systematic sample: deterministic, plausible rate, stable subset") {
+    val once = Breadth2.q22Sample.fn(spark, sf).select($"o_orderkey").as[Long].collect().toSeq
+    val again = Breadth2.q22Sample.fn(spark, sf).select($"o_orderkey").as[Long].collect().toSeq
+    assert(once == again)
+    val total = graft.etl.Tables(spark, sf, "orders").count()
+    val rate = once.size.toDouble / total
+    assert(rate > 0.02 && rate < 0.08, s"rate $rate")  // 1/20 ± sampling noise
+  }
+
+  test("q23 profile: matches direct per-column aggregates") {
+    val o = graft.etl.Tables(spark, sf, "orders")
+    val got = Breadth2.q23Profile.fn(spark, sf)
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("o_custkey")._2 == 0)
+    assert(got("o_custkey")._3 == o.select($"o_custkey").distinct().count())
+    assert(got("o_orderstatus")._4 == "F")  // min of {F,O,P}
+    assert(got("o_orderstatus")._5 == "P")
+    assert(got.keySet == Set("o_orderstatus", "o_orderpriority", "o_custkey"))
+  }
+
   test("q16 exists: equals explicit semi/anti join composition") {
     val c = graft.etl.Tables(spark, sf, "customer")
     val o = graft.etl.Tables(spark, sf, "orders")
