@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Md5Hash32}
+import graft.functions.{CosineSimilarity, Md5Hash32, MinHashSig, ShingleHashes, SimHash32}
 
 /** Session extension wiring for the engine's custom expressions, for use
   * via `spark.sql.extensions=graft.GraftExtensions` (production path) —
@@ -12,6 +12,7 @@ import graft.functions.{CosineSimilarity, Md5Hash32}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
@@ -20,5 +21,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash32"),
       new ExpressionInfo(classOf[Md5Hash32].getName, "graft_hash32"),
       (exprs: Seq[Expression]) => Md5Hash32(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes32"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes32"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), intArg(exprs(1)), hash64 = false)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes64"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes64"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), intArg(exprs(1)), hash64 = true)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
   }
 }

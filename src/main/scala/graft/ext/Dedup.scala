@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Prime > 2^32 for the universal-hash family h_i(x) = (a_i x + b_i) mod p. */
-  val HashPrime: Long = 4294967311L
-  val SeedsA: Seq[Long] = Seq(1579L, 2477L, 3359L, 4283L, 5419L, 6367L, 7499L, 8599L)
-  val SeedsB: Seq[Long] = Seq(9851L, 8699L, 7547L, 6421L, 5323L, 4211L, 3167L, 2081L)
+  /** Prime > 2^32 for the universal-hash family h_i(x) = (a_i x + b_i)
+    * mod p. Single source of truth is [[graft.functions.MinHashSig]] —
+    * the fused expression and the DuckDB oracle generator must agree.
+    */
+  val HashPrime: Long = graft.functions.MinHashSig.HashPrime
+  val SeedsA: Seq[Long] = graft.functions.MinHashSig.SeedsA.toSeq
+  val SeedsB: Seq[Long] = graft.functions.MinHashSig.SeedsB.toSeq
 
   /** Whitespace-collapsed, trimmed, lowercased text. */
   def normText(c: Column): Column =
@@ -44,28 +47,39 @@ object Dedup {
     df.groupBy(md5(normText(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Adds the `__words` column and drops docs with fewer than k words —
+    * the shared scan-side stem of every shingle-based op.
+    */
+  def withWords(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.withColumn("__words", split(normText(col(textCol)), " "))
+      .filter(size(col("__words")) >= k)
+
   /** Adds `__words` / `__shingles` columns (k-word shingles); drops docs
-    * with fewer than k words.
+    * with fewer than k words. Reference HOF formulation — the hot paths
+    * use [[graft.functions.ShingleHashes]] (same values, one codegen'd
+    * pass, no shingle-string column; equality held by ExtOpsSpec).
     */
   def withShingles(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
     val sh = (0 until k).map(j => s"__words[i+$j]").mkString(", ")
-    df.withColumn("__words", split(normText(col(textCol)), " "))
-      .filter(size(col("__words")) >= k)
+    withWords(df, textCol, k)
       .withColumn("__shingles",
         expr(s"transform(sequence(0, size(__words)-$k), i -> concat_ws(' ', $sh))"))
   }
 
-  /** withShingles plus portable 32-bit shingle hashes (`__hashes`) — the
-    * md5-derived family the MinHash signatures are built on.
+  /** withWords plus portable 32-bit shingle hashes (`__hashes`) — the
+    * md5-derived family the MinHash signatures are built on, fused into
+    * one codegen'd pass.
     */
   def withShingleHashes(df: DataFrame, textCol: String, k: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
-    withShingles(df, textCol, k)
-      .withColumn("__hashes", expr("transform(__shingles, s -> graft_hash32(s))"))
+    withWords(df, textCol, k)
+      .withColumn("__hashes", expr(s"graft_shingle_hashes32(__words, $k)"))
   }
 
-  /** MinHash signature as an array column over `__hashes`. */
-  private def signatureExpr: String = {
+  /** MinHash signature over `__hashes` — reference HOF formulation, kept
+    * for the equality test against the fused `graft_minhash_sig`.
+    */
+  private[graft] def signatureExprReference: String = {
     val mins = SeedsA.zip(SeedsB).map { case (a, b) =>
       s"array_min(transform(__hashes, h -> ($a * h + $b) % $HashPrime))"
     }
@@ -84,7 +98,7 @@ object Dedup {
       s"concat('$j:', $parts)"
     }
     withShingleHashes(df, textCol)
-      .withColumn("__sig", expr(signatureExpr))
+      .withColumn("__sig", expr("graft_minhash_sig(__hashes)"))
       .select(col(idCol), explode(expr(s"array(${bandExprs.mkString(", ")})")).as("band"))
   }
 
@@ -162,17 +176,15 @@ object Dedup {
   }
 
   /** 32-bit SimHash fingerprint per document: per-bit majority vote over
-    * the word hashes. Computed scan-side, no shuffle.
+    * the word hashes. Computed scan-side, no shuffle; word hashing and
+    * the 32-bit tally are fused codegen'd passes (the HOF reference —
+    * 32 filter() rounds — is pinned equal in ExtOpsSpec).
     */
   def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
-    df.withColumn("__words", split(normText(col(textCol)), " "))
-      .filter(size(col("__words")) >= 1)
-      .withColumn("__whashes", expr("transform(__words, w -> graft_hash32(w))"))
-      .withColumn("simhash",
-        expr("""aggregate(sequence(0, 31), 0L, (acc, b) ->
-                 acc + IF(2 * size(filter(__whashes, h -> shiftright(h, b) % 2 = 1)) > size(__whashes),
-                          shiftleft(1L, b), 0L))"""))
+    withWords(df, textCol, 1)
+      .withColumn("__whashes", expr("graft_shingle_hashes32(__words, 1)"))
+      .withColumn("simhash", expr("graft_simhash32(__whashes)"))
       .select(col(idCol), col("simhash"))
   }
 
@@ -194,11 +206,13 @@ object Dedup {
     // engine-internal (the oracle's math is over the same *sets*, and a
     // 64-bit collision is ~1e-8 at corpus scale), and a fixed-width key
     // shrinks the shuffle and hash table. No md5: that cost belongs to
-    // MinHash signatures only.
-    val postings = withShingles(df, textCol, k)
+    // MinHash signatures only. Shingling + hashing is the fused
+    // expression (same values as xxhash64 over the shingle strings —
+    // the strings are never materialized).
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val postings = withWords(df, textCol, k)
       .select(col(idCol), col(bucketCol).as("__bk"),
-        explode(array_distinct(col("__shingles"))).as("__sh"))
-      .select(col(idCol), col("__bk"), xxhash64(col("__sh")).as("__h"))
+        explode(array_distinct(expr(s"graft_shingle_hashes64(__words, $k)"))).as("__h"))
     val sizes = postings.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val a = postings.select(col(idCol).as("doc_a"), col("__bk"), col("__h"))
     val b = postings.select(col(idCol).as("doc_b"), col("__bk").as("__bk2"),

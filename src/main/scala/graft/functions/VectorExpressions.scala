@@ -121,14 +121,195 @@ object Md5Hash32 {
   }
 }
 
+/** k-word shingle hashes in one codegen'd pass: words array → array of
+  * hashes of the space-joined k-grams. Replaces a CodegenFallback HOF
+  * stack (transform(sequence) building shingle strings, then a second
+  * transform hashing them) with a single loop that never materializes
+  * the shingle-string column. `hash64 = false` → portable md5-32
+  * ([[Md5Hash32.compute]], the MinHash family); `true` → Spark's
+  * xxhash64 (seed 42, bit-identical to the builtin) for engine-internal
+  * join keys.
+  */
+case class ShingleHashes(child: Expression, k: Int, hash64: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects array<string> and k>=1, got " +
+        s"${child.dataType.catalogString} / k=$k")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashes.compute(v.asInstanceOf[ArrayData], k, hash64)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashes.compute($c, $k, $hash64)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val Sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(words: ArrayData, k: Int, hash64: Boolean): ArrayData = {
+    val n = words.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      val s = org.apache.spark.unsafe.types.UTF8String.concatWs(Sep, parts: _*)
+      out(i) =
+        if (hash64)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        else Md5Hash32.compute(s)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** MinHash signature in one codegen'd pass: shingle-hash array → the
+  * 8-lane minima of the universal-hash family (a_i h + b_i) mod p. The
+  * HOF formulation walks the array once per lane (8 CodegenFallback
+  * transform+array_min rounds); this loops once, all lanes in registers.
+  * Values are bit-identical (same seeds, same prime — the DuckDB oracle
+  * is generated from the same constants).
+  */
+case class MinHashSig(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSig.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashSig.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val HashPrime: Long = 4294967311L
+  val SeedsA: Array[Long] = Array(1579L, 2477L, 3359L, 4283L, 5419L, 6367L, 7499L, 8599L)
+  val SeedsB: Array[Long] = Array(9851L, 8699L, 7547L, 6421L, 5323L, 4211L, 3167L, 2081L)
+
+  /** Null on an empty input (the HOF array_min of an empty array is
+    * null); callers filter size >= k upstream.
+    */
+  def compute(hashes: ArrayData): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return null
+    val lanes = SeedsA.length
+    val mins = Array.fill(lanes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var s = 0
+      while (s < lanes) {
+        val v = (SeedsA(s) * h + SeedsB(s)) % HashPrime
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/** 32-bit SimHash in one codegen'd pass: word-hash array → per-bit
+  * majority fingerprint. The HOF formulation filters the array once per
+  * bit (32 CodegenFallback rounds); this tallies all 32 bit-counts in
+  * one loop. Bit-identical to `aggregate(sequence(0,31), ...)` over the
+  * same hashes.
+  */
+case class SimHash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash32 expects array<bigint>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash32.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash32.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+  def compute(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (2 * counts(b) > n) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+}
+
 object VectorExpressions {
-  /** Registers `graft_cosine` / `graft_hash32` for SQL/expr use in this
+  /** Registers the graft_* expression family for SQL/expr use in this
     * session (idempotent).
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "graft_hash32", exprs => Md5Hash32(exprs.head), "scala_udf")
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_hashes32",
+      exprs => ShingleHashes(exprs(0), intArg(exprs(1)), hash64 = false), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_hashes64",
+      exprs => ShingleHashes(exprs(0), intArg(exprs(1)), hash64 = true), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash32", exprs => SimHash32(exprs.head), "scala_udf")
   }
 }

@@ -120,6 +120,36 @@ class ExtOpsSpec extends SparkSpec {
     assert(feats(1L).header_md5.length == 32)
   }
 
+  test("fused shingle/minhash/simhash expressions equal HOF references") {
+    VectorExpressions.register(spark)
+    val docs = graft.etl.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // shingle hashes (md5-32): fused vs transform(shingles, graft_hash32)
+    val sh = graft.ext.Dedup.withShingles(docs, "text", 3)
+      .withColumn("ref", expr("transform(__shingles, s -> graft_hash32(s))"))
+      .withColumn("fused", expr("graft_shingle_hashes32(__words, 3)"))
+    assert(sh.filter(expr("ref <> fused")).isEmpty)
+    // shingle hashes (xxhash64): fused vs xxhash64 over the strings
+    val sh64 = graft.ext.Dedup.withShingles(docs, "text", 3)
+      .withColumn("ref", expr("transform(__shingles, s -> xxhash64(s))"))
+      .withColumn("fused", expr("graft_shingle_hashes64(__words, 3)"))
+    assert(sh64.filter(expr("ref <> fused")).isEmpty)
+    // minhash signature: fused vs 8-lane HOF array_min formulation
+    val sig = graft.ext.Dedup.withShingleHashes(docs, "text", 3)
+      .withColumn("ref", expr(graft.ext.Dedup.signatureExprReference))
+      .withColumn("fused", expr("graft_minhash_sig(__hashes)"))
+    assert(sig.filter(expr("ref <> fused")).isEmpty)
+    // simhash: fused vs 32-round filter/aggregate formulation
+    val sim = graft.ext.Dedup.withWords(docs, "text", 1)
+      .withColumn("__whashes", expr("graft_shingle_hashes32(__words, 1)"))
+      .withColumn("ref",
+        expr("""aggregate(sequence(0, 31), 0L, (acc, b) ->
+                 acc + IF(2 * size(filter(__whashes, h -> shiftright(h, b) % 2 = 1)) > size(__whashes),
+                          shiftleft(1L, b), 0L))"""))
+      .withColumn("fused", expr("graft_simhash32(__whashes)"))
+    assert(sim.filter(expr("ref <> fused")).isEmpty)
+  }
+
   test("multimodal: frame sampling, resize, decode-to-vector shapes") {
     val media = Seq(
       (1L, ("a" * 300).getBytes("UTF-8")),   // 300 bytes → frames at 0,128,256
