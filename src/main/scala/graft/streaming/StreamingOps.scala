@@ -54,6 +54,24 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream interval join: match each left event to right events
+    * for the same key within [0, maxDelay] after it. Both sides carry
+    * watermarks and the join condition bounds the event-time range in
+    * both directions, so state eviction is provable on BOTH sides —
+    * the requirement for unbounded-input stream-stream joins at scale.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, maxDelay: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"))
+    val r = right.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $maxDelay"))
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -48,6 +48,29 @@ class CatalogStreamingSpec extends SparkSpec {
     assert(got(0).getAs[String]("v1") == "B_mod" && got(0).getAs[String]("v1_modeled") == "B")
   }
 
+  test("stream-stream interval join matches within the delay bound only") {
+    implicit val ctx = spark.sqlContext
+    val l = MemoryStream[(Long, java.sql.Timestamp)]
+    val r = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingOps.streamStreamJoin(
+      l.toDF().toDF("k", "ts"), r.toDF().toDF("k", "ts"),
+      "k", "ts", maxDelay = "5 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    l.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+    r.addData(
+      (1L, ts("2024-01-01 00:03:00")),  // same key, within 5 min → match
+      (1L, ts("2024-01-01 00:09:00")),  // same key, too late → no match
+      (2L, ts("2023-12-31 23:59:00")),  // same key, before left → no match
+      (3L, ts("2024-01-01 00:01:00"))) // unseen key → no match
+    q.processAllAvailable()
+    val got = spark.table("ssj").collect()
+    q.stop()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("l_key") == 1L)
+    assert(got(0).getAs[java.sql.Timestamp]("r_ts") == ts("2024-01-01 00:03:00"))
+  }
+
   test("streaming windowed rates with watermark") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
