@@ -431,7 +431,72 @@ object Breadth2 {
       ORDER BY col_name
     """.trim))
 
+  /** Ranking family over a tied sort key (o_orderstatus has 3 values →
+    * real ties): rank/dense_rank stay deterministic under ties because
+    * they depend on the sort VALUE; percent_rank/cume_dist are exact
+    * integer ratios, bit-equal across engines.
+    */
+  val w5RankFamily = Q(
+    "w5_rank_family",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderstatus"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             (rank() OVER w)::BIGINT AS rnk,
+             (dense_rank() OVER w)::BIGINT AS drnk,
+             percent_rank() OVER w AS prnk,
+             cume_dist() OVER w AS cd
+      FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus)
+      ORDER BY o_orderkey
+    """.trim))
+
+  /** Conditional scalar family: nullif / coalesce / if / CASE chains. */
+  val t9Conditional = Q(
+    "t9_conditional_funcs",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 5000)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), col("l_linestatus")).as("flag_or_status"),
+          when(col("l_quantity") > 25, "big").otherwise("small").as("size_class"),
+          when(col("l_discount") === 0, lit(null).cast("string"))
+            .when(col("l_discount") < 0.05, "low")
+            .otherwise("high").as("discount_band"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+             coalesce(nullif(l_returnflag, 'N'), l_linestatus) AS flag_or_status,
+             CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS size_class,
+             CASE WHEN l_discount = 0 THEN NULL
+                  WHEN l_discount < 0.05 THEN 'low'
+                  ELSE 'high' END AS discount_band
+      FROM lineitem WHERE l_orderkey < 5000
+      ORDER BY l_orderkey, l_linenumber
+    """.trim))
+
+  /** Cross join of the two small dims (the only join shape not yet in
+    * the inventory; both sides tiny → broadcast nested loop).
+    */
+  val j7Cross = Q(
+    "j7_cross_join",
+    (s, dir) =>
+      Tables(s, dir, "region").crossJoin(Tables(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name")),
+    Some("""
+      SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name
+    """.trim))
+
   def all: Seq[Q] = Seq(q15Cube, p27Unpivot, w3LeadLag, w4RangeFrame, t6Regex,
     t7Arrays, t8Math, q16Exists, j6BandJoin, q18Salted, q19Lateral, q20Resample,
-    q21Histogram, q22Sample, q23Profile)
+    q21Histogram, q22Sample, q23Profile, w5RankFamily, t9Conditional, j7Cross)
 }
