@@ -1,0 +1,61 @@
+package graft
+
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+
+/** Plan-level assertions for the scale features that only show up in
+  * physical plans: partition pruning (static + dynamic) over partitioned
+  * parquet and scan-level filter/column pushdown. These are the
+  * mechanisms that turn a 100 TB table into a per-query few-GB read.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val partedDir = {
+    val dir = java.nio.file.Files.createTempDirectory("parted_").toString + "/li"
+    val li = graft.etl.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    Sinks.writeParquet(li, dir, partitionBy = Seq("l_returnflag"))
+    dir
+  }
+
+  test("static partition pruning: filter on the partition key prunes directories") {
+    val q = spark.read.parquet(partedDir).filter($"l_returnflag" === "A")
+    val scan = q.queryExecution.executedPlan.toString
+    // pruned scan reads 1 of 3 partition directories
+    val counted = q.queryExecution.optimizedPlan.stats
+    assert(q.count() ==
+      graft.etl.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+        .filter($"l_returnflag" === "A").count())
+    assert(scan.contains("PartitionFilters") || scan.contains("l_returnflag"))
+    assert(counted.sizeInBytes > 0)
+  }
+
+  test("dynamic partition pruning: selective dim filter prunes the fact scan") {
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // DPP inserts the pruning subquery only for a *selective* filter on a
+    // real source relation (a bare LocalRelation does not qualify)
+    val dimDir = java.nio.file.Files.createTempDirectory("dim_").toString + "/d"
+    Seq(("A", "keep"), ("N", "drop"), ("R", "drop")).toDF("flag", "label")
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(partedDir)
+    val dim = spark.read.parquet(dimDir).filter($"label" === "keep")
+    val q = fact.join(dim, fact("l_returnflag") === dim("flag"))
+      .select($"l_orderkey", $"label")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      plan.take(800))
+    assert(q.count() > 0)
+  }
+
+  test("scan pushdown: predicate and projection reach the parquet reader") {
+    val q = graft.etl.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .filter($"l_orderkey" < 100)
+      .select($"l_orderkey", $"l_quantity")
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"),
+      formatted.take(1200))
+    assert(formatted.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      formatted.take(1200))
+  }
+}
