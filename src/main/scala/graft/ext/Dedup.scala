@@ -138,11 +138,15 @@ object Dedup {
     val e = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = e.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+    // fold round 1 into initialization: every vertex of the symmetric
+    // edge list appears as src, so one groupBy yields both the vertex
+    // set and its first-hop min label (saves a distinct + one round)
+    var labels = e.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+      .select(col("src").as("id"), col("cluster_id"))
       .localCheckpoint()
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIter) {
       val nbrMin = e.join(labels, e("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("__nbr_min"))
