@@ -386,9 +386,58 @@ object Extensions {
       FROM f ORDER BY doc_id, frame_no
     """.trim))
 
+  /** Capstone training-data pipeline: quality-score the (augmented)
+    * corpus, assign near-dup clusters, keep only each cluster's
+    * canonical doc, apply quality/length thresholds, and count tokens —
+    * the end-to-end corpus-cleaning composition every stage of which is
+    * an oracle-checked operator above. One minhash scan, one band
+    * shuffle, the CC rounds, and a semi join; quality/token scoring
+    * stays scan-side.
+    */
+  val pipelineCorpusClean = Q(
+    "pipeline_corpus_clean",
+    (s, dir) => {
+      val docs = augmentedDocs(s, dir, perturb = true)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      val canonical = Dedup.clusterAssignment(docs, pairs, "doc_id")
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+      val scored = TextOps.withTokenCounts(TextOps.withQuality(docs, "text"), "text")
+      scored.join(canonical, Seq("doc_id"), "left_semi")
+        .filter(col("quality") >= 0.5 && col("n_words") >= 10)
+        .select(col("doc_id"), col("n_words"), col("quality"), col("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (SELECT s, d FROM edges
+                      UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      comp AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY s),
+      canon AS (SELECT a.doc_id FROM aug a LEFT JOIN comp c USING (doc_id)
+                WHERE coalesce(least(c.mn, a.doc_id), a.doc_id) = a.doc_id),
+      nq AS (SELECT doc_id, text, $NormW AS w FROM aug),
+      m AS (SELECT doc_id, text,
+              len(w)::BIGINT AS n_words,
+              length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(w) AS avg_word_len,
+              length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+              ${sqlHits(TextOps.StopEn)}::DOUBLE / len(w) AS stop_ratio
+            FROM nq),
+      sc AS (SELECT doc_id, n_words,
+               round(least(avg_word_len / 8.0, 1.0) * 0.4
+                     + least(stop_ratio * 5.0, 1.0) * 0.4
+                     + (1.0 - punct_ratio) * 0.2, 9) AS quality,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS bpe_tokens
+             FROM m)
+      SELECT sc.doc_id, sc.n_words, sc.quality, sc.bpe_tokens
+      FROM sc JOIN canon USING (doc_id)
+      WHERE sc.quality >= 0.5 AND sc.n_words >= 10
+      ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupSimhash, dedupJaccard, dedupEmbedding,
     annBrute, annLsh, annIvf,
     textLangid, textQuality, textTokens, textFingerprint,
-    mediaMeta, mediaFrames)
+    mediaMeta, mediaFrames, pipelineCorpusClean)
 }
