@@ -71,4 +71,29 @@ class PropertySpec extends SparkSpec {
       assert(fps(i.toLong * 2) == fps(i.toLong * 2 + 1))
     }
   }
+
+  test("fused shingle expressions equal HOF references on arbitrary unicode text") {
+    graft.functions.VectorExpressions.register(spark)
+    val unicodey: Gen[String] = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("ñ", "ü", "ß", "中", "🎉", "a", " ", "\t", "é"))
+        .map(_.mkString),
+      Gen.const(""), Gen.const("   "), Gen.const("one two three four"))
+    val texts = samples(unicodey, 200)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sh = graft.ext.Dedup.withShingles(df, "text", 2)
+      .withColumn("ref32", expr("transform(__shingles, s -> graft_hash32(s))"))
+      .withColumn("fused32", expr("graft_shingle_hashes32(__words, 2)"))
+      .withColumn("ref64", expr("transform(__shingles, s -> xxhash64(s))"))
+      .withColumn("fused64", expr("graft_shingle_hashes64(__words, 2)"))
+    assert(sh.filter(expr("ref32 <> fused32 OR ref64 <> fused64")).isEmpty)
+    val sim = graft.ext.Dedup.withWords(df, "text", 1)
+      .withColumn("__whashes", expr("graft_shingle_hashes32(__words, 1)"))
+      .withColumn("ref",
+        expr("""aggregate(sequence(0, 31), 0L, (acc, b) ->
+                 acc + IF(2 * size(filter(__whashes, h -> shiftright(h, b) % 2 = 1)) > size(__whashes),
+                          shiftleft(1L, b), 0L))"""))
+      .withColumn("fused", expr("graft_simhash32(__whashes)"))
+    assert(sim.filter(expr("ref <> fused")).isEmpty)
+  }
 }
