@@ -47,6 +47,37 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("runtime bloom-filter pruning: selective join side filters the probe scan") {
+    // Spark 4 injects a bloom filter from the selective build side into
+    // the probe scan (row-level runtime filtering — the shuffle-join
+    // analogue of dynamic partition pruning). Thresholds lowered so the
+    // tiny test tables qualify.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val li = graft.etl.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      val o = graft.etl.Tables(spark, "/root/testdata/sf0.001", "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val q = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select($"l_orderkey", $"l_quantity")
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        plan.take(1000))
+      assert(q.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("scan pushdown: predicate and projection reach the parquet reader") {
     val q = graft.etl.Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .filter($"l_orderkey" < 100)
