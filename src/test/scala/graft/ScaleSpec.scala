@@ -78,6 +78,19 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("registry-wide plan hygiene: no cartesian products, no rand()") {
+    val sf = "/root/testdata/sf0.001"
+    val crossOk = Set("j7_cross_join")
+    graft.queries.Registry.all.foreach { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      if (!crossOk(q.name))
+        assert(!plan.contains("CartesianProduct"),
+          s"${q.name} plans a cartesian product:\n${plan.take(600)}")
+      assert(!plan.contains("rand("),
+        s"${q.name} is nondeterministic (rand):\n${plan.take(600)}")
+    }
+  }
+
   test("scan pushdown: predicate and projection reach the parquet reader") {
     val q = graft.etl.Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .filter($"l_orderkey" < 100)
