@@ -496,7 +496,52 @@ object Breadth2 {
       ORDER BY r_name, n_name
     """.trim))
 
+  /** Null-safe equality (`<=>` ↔ IS NOT DISTINCT FROM): compares the
+    * possibly-null discount band against a possibly-null reference —
+    * nulls compare equal to each other, never silently drop.
+    */
+  val t10NullSafeEq = Q(
+    "t10_null_safe_eq",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 5000)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("flag_n"))
+        .withColumn("same_as_null", (col("flag_n") <=> lit(null)).cast("long"))
+        .withColumn("same_as_a", (col("flag_n") <=> lit("A")).cast("long"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+             nullif(l_returnflag, 'N') AS flag_n,
+             (nullif(l_returnflag, 'N') IS NOT DISTINCT FROM NULL)::BIGINT AS same_as_null,
+             (nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'A')::BIGINT AS same_as_a
+      FROM lineitem WHERE l_orderkey < 5000
+      ORDER BY l_orderkey, l_linenumber
+    """.trim))
+
+  /** Deterministic pagination: ORDER BY with LIMIT + OFFSET (page 3 of
+    * 50). A global sort feeding a skip — fine for dashboards; a 100 TB
+    * export would keyset-paginate on the sort key instead (WHERE key >
+    * last_seen ORDER BY key LIMIT n), which this query's unique sort key
+    * enables.
+    */
+  val q24LimitOffset = Q(
+    "q24_limit_offset",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(100).limit(50)
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM (
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 100)
+      ORDER BY o_orderkey
+    """.trim))
+
   def all: Seq[Q] = Seq(q15Cube, p27Unpivot, w3LeadLag, w4RangeFrame, t6Regex,
     t7Arrays, t8Math, q16Exists, j6BandJoin, q18Salted, q19Lateral, q20Resample,
-    q21Histogram, q22Sample, q23Profile, w5RankFamily, t9Conditional, j7Cross)
+    q21Histogram, q22Sample, q23Profile, w5RankFamily, t9Conditional, j7Cross,
+    t10NullSafeEq, q24LimitOffset)
 }
