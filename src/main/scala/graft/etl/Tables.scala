@@ -15,17 +15,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 cannot read
-      // natively; read the raw int64 nanos and truncate to micros — the
-      // same conversion DuckDB applies, so oracle values line up.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
-    }
-  }
+  // Per-(session, dir, table) logical-plan cache: repeated reads of the
+  // same path would otherwise re-list the directory and re-read parquet
+  // footers on every query — the single-node stand-in for a metastore's
+  // cached table metadata. DataFrames are immutable, so sharing the
+  // relation across queries is safe; data is NOT cached, only the
+  // resolved scan.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, name), {
+      if (name == "events") {
+        // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 cannot read
+        // natively; read the raw int64 nanos and truncate to micros — the
+        // same conversion DuckDB applies, so oracle values line up.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$sfDir/$name.parquet")
+          .withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      } else {
+        spark.read.parquet(s"$sfDir/$name.parquet")
+      }
+    })
 }
