@@ -71,6 +71,34 @@ class CatalogStreamingSpec extends SparkSpec {
     assert(got(0).getAs[java.sql.Timestamp]("r_ts") == ts("2024-01-01 00:03:00"))
   }
 
+  test("file-source streaming e2e: jsonl directory → parquet sink with checkpoint") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("fstream_")
+    val (in, out, chk) = (s"$root/in", s"$root/out", s"$root/chk")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    writeBatch("b0.jsonl", Seq(
+      """{"doc_id": 1, "text": "hello world"}""",
+      """{"doc_id": 2, "text": "second doc"}"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).json(in)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val q = stream.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a second file lands later; the checkpoint makes ingestion incremental
+    writeBatch("b1.jsonl", Seq("""{"doc_id": 3, "text": "third"}"""))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_chars")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 11L), (2L, 10L), (3L, 5L)))
+  }
+
   test("streaming windowed rates with watermark") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
