@@ -540,8 +540,26 @@ object Breadth2 {
       ORDER BY o_orderkey
     """.trim))
 
+  /** Keyset pagination — the scale-safe page fetch q24's comment
+    * promises: resume from the last-seen unique key, no OFFSET skip-scan.
+    * At 100 TB the predicate prunes row groups via the parquet min/max
+    * index instead of sorting everything before the page.
+    */
+  val q25Keyset = Q(
+    "q25_keyset_page",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") > 1000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .limit(50),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 50
+    """.trim))
+
   def all: Seq[Q] = Seq(q15Cube, p27Unpivot, w3LeadLag, w4RangeFrame, t6Regex,
     t7Arrays, t8Math, q16Exists, j6BandJoin, q18Salted, q19Lateral, q20Resample,
     q21Histogram, q22Sample, q23Profile, w5RankFamily, t9Conditional, j7Cross,
-    t10NullSafeEq, q24LimitOffset)
+    t10NullSafeEq, q24LimitOffset, q25Keyset)
 }

@@ -72,6 +72,47 @@ object StreamingOps {
         col("r_ts") <= col("l_ts") + expr(s"interval $maxDelay"))
   }
 
+  final case class ProfileIn(user_id: Long, value: Double)
+  final case class ProfileOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Running per-user profile via `transformWithState` (Spark 4's
+    * successor to flatMapGroupsWithState): typed ValueState per key,
+    * one updated row emitted per key per micro-batch. Requires the
+    * RocksDB state store provider — state lives off-heap and scales past
+    * executor memory, which is the point of the new API at 100 TB.
+    */
+  class ProfileProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, ProfileIn, ProfileOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("profile",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ProfileIn],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ProfileOut] = {
+      val (n0, v0) = if (state.exists()) state.get() else (0L, 0.0)
+      var n = n0; var v = v0
+      rows.foreach { r => n += 1; v += r.value }
+      state.update((n, v))
+      Iterator.single(ProfileOut(key, n, v))
+    }
+  }
+
+  /** Wires ProfileProcessor over a (user_id, value) stream. */
+  def runningProfile(stream: org.apache.spark.sql.Dataset[ProfileIn])
+      : org.apache.spark.sql.Dataset[ProfileOut] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -99,6 +99,34 @@ class CatalogStreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 11L), (2L, 10L), (3L, 5L)))
   }
 
+  test("transformWithState running profile with RocksDB state store") {
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[StreamingOps.ProfileIn]
+      val out = StreamingOps.runningProfile(stream.toDS())
+      val q = out.writeStream.format("memory").queryName("profiles")
+        .outputMode("update").start()
+      stream.addData(StreamingOps.ProfileIn(1L, 2.0), StreamingOps.ProfileIn(1L, 3.0),
+        StreamingOps.ProfileIn(2L, 10.0))
+      q.processAllAvailable()
+      stream.addData(StreamingOps.ProfileIn(1L, 5.0))
+      q.processAllAvailable()
+      q.stop()
+      // update mode: latest row per key reflects accumulated state
+      val last = spark.table("profiles").groupBy($"user_id")
+        .agg(max($"n_events").as("n"), max($"total_value").as("v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(last(1L) == ((3L, 10.0)))
+      assert(last(2L) == ((1L, 10.0)))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming windowed rates with watermark") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
