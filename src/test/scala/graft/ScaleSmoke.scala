@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10× scale smoke: replicates the sf0.1 tables (re-keyed per
+  * replica so keys stay unique), writes them to a temp dir, and runs the
+  * heaviest registered queries unchanged against it. Validates that the
+  * plans (shuffle partitioning, broadcast choices, iterative CC) hold an
+  * order of magnitude past the graded benchmark, approximating sf1.
+  * Run: sbt "Test/runMain graft.ScaleSmoke [replicas]"
+  *
+  * Observed at replicas=10 (≈sf1: 6M lineitem, 100k docs, local[32]):
+  * scans/aggs/joins/windows scale ~linearly (q1 1.3s, p04 join 1.3s,
+  * merge 5.4s, minhash 5.1s, range-frame window 0.2s); CC clusters 8.8s
+  * over 1.2M candidate pairs. ngram-jaccard's 46s is output-cardinality
+  * growth, not a plan defect: replication puts every doc in a ~20-member
+  * duplicate clique, and a pair-listing op on k-cliques emits O(k²)
+  * rows (981k real pairs vs 60k at sf0.1) — on real corpora duplicate
+  * multiplicity, not corpus size, drives that term; the cluster op is
+  * the scale-safe consumer shape.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val src = "/root/testdata/sf0.1"
+    val dir = java.nio.file.Files.createTempDirectory("scale_smoke_").toString
+
+    def replicate(name: String, keyCols: Seq[String], keyStride: Long): Unit = {
+      val base = graft.etl.Tables(spark, src, name)
+      val out = (0 until replicas).map { r =>
+        keyCols.foldLeft(base)((df, k) =>
+          df.withColumn(k, col(k) + lit(r * keyStride)))
+      }.reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    // keep join keys consistent across tables: same stride for orderkey
+    replicate("lineitem", Seq("l_orderkey"), 100000000L)
+    replicate("orders", Seq("o_orderkey"), 100000000L)
+    replicate("documents", Seq("doc_id"), 10000000L)
+    // small dims copied as-is
+    Seq("nation", "region", "customer", "supplier", "part", "events", "embeddings")
+      .foreach(n => graft.etl.Tables(spark, src, n)
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet"))
+
+    val heavy = Seq("q1_pricing_summary", "p04_datediff_days", "u2_merge_upsert",
+      "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_clusters",
+      "pipeline_corpus_clean", "w4_range_frame")
+    heavy.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%12d rows")
+    }
+    spark.stop()
+  }
+}
