@@ -558,8 +558,48 @@ object Breadth2 {
       WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 50
     """.trim))
 
+  /** Struct construction + JSON serialization: both engines emit compact
+    * `{"k":v}` with declared key order. Long field coalesced — Spark's
+    * to_json drops null fields while DuckDB emits "k":null, so nulls
+    * must not reach the serializer.
+    */
+  val p29StructJson = Q(
+    "p29_struct_json",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          to_json(struct(col("event_type").as("etype"),
+            coalesce(col("user_id"), lit(-1L)).as("uid"))).as("js"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             to_json(struct_pack(etype := event_type,
+                                 uid := coalesce(user_id, -1)))::VARCHAR AS js
+      FROM events ORDER BY event_id
+    """.trim))
+
+  /** Map-entry explode: one (key, value) row per map entry — the
+    * generator shape over map columns (complement of t5's scalar ops).
+    */
+  val p28ExplodeMap = Q(
+    "p28_explode_map",
+    (s, dir) =>
+      Tables(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          map(lit("type"), col("event_type"),
+            lit("uid"), col("user_id").cast("string")).as("__m"))
+        .select(col("event_id"), explode(col("__m")).as(Seq("k", "v")))
+        .orderBy(col("event_id"), col("k")),
+    Some("""
+      SELECT event_id, unnest(map_keys(m)) AS k, unnest(map_values(m)) AS v
+      FROM (SELECT event_id, map(['type','uid'], [event_type, user_id::VARCHAR]) AS m
+            FROM events WHERE event_id < 2000)
+      ORDER BY event_id, k
+    """.trim))
+
   def all: Seq[Q] = Seq(q15Cube, p27Unpivot, w3LeadLag, w4RangeFrame, t6Regex,
     t7Arrays, t8Math, q16Exists, j6BandJoin, q18Salted, q19Lateral, q20Resample,
     q21Histogram, q22Sample, q23Profile, w5RankFamily, t9Conditional, j7Cross,
-    t10NullSafeEq, q24LimitOffset, q25Keyset)
+    t10NullSafeEq, q24LimitOffset, q25Keyset, p29StructJson, p28ExplodeMap)
 }
