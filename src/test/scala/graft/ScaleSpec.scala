@@ -91,6 +91,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("parquet schema evolution: mergeSchema unions batch schemas, old rows null-fill") {
+    // a 100 TB table accretes columns over time; readers must see the
+    // union schema with null-fill for pre-evolution files
+    val dir = java.nio.file.Files.createTempDirectory("evolve_").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/batch=0")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$dir/batch=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("batch", "id", "score", "v"))
+    val rows = merged.orderBy($"id")
+      .select($"id", $"score").collect()
+    assert(rows(0).isNullAt(1))           // old batch null-fills the new column
+    assert(rows(1).getDouble(1) == 9.5)
+  }
+
   test("scan pushdown: predicate and projection reach the parquet reader") {
     val q = graft.etl.Tables(spark, "/root/testdata/sf0.001", "lineitem")
       .filter($"l_orderkey" < 100)
