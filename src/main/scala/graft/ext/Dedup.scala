@@ -133,11 +133,13 @@ object Dedup {
       maxIter: Int = 25): DataFrame = {
     // materialize the pair list once BEFORE symmetrizing — the union
     // would otherwise evaluate the (expensive) upstream candidate
-    // pipeline twice, once per direction
+    // pipeline twice, once per direction. The symmetrized view needs no
+    // distinct or checkpoint of its own: ordered pairs (a<b by
+    // convention) cannot collide with their swaps, duplicate edges
+    // cannot change a min-aggregate, and re-deriving the union from the
+    // materialized pairs is cheaper than another shuffle + write.
     val p = edges.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint()
     val e = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
     // fold round 1 into initialization: every vertex of the symmetric
     // edge list appears as src, so one groupBy yields both the vertex
     // set and its first-hop min label (saves a distinct + one round)
