@@ -15,6 +15,13 @@ object TextOps {
   val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "no")
   val StopDe: Seq[String] = Seq("der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von")
 
+  /** Characteristic character trigrams per language (with word-boundary
+    * spaces), for the n-gram language-ID variant.
+    */
+  val TriEn: Seq[String] = Seq(" th", "the", "he ", "ing", " an")
+  val TriEs: Seq[String] = Seq(" de", " la", "os ", " qu", "ión")
+  val TriDe: Seq[String] = Seq("sch", " ei", "ein", "ung", " zu")
+
   def words(c: Column): Column = split(Dedup.normText(c), " ")
 
   def stopwordHits(ws: Column, stops: Seq[String]): Column =
@@ -31,6 +38,31 @@ object TextOps {
       .withColumn("lang_pred",
         when(col("hits_en") >= col("hits_es") && col("hits_en") >= col("hits_de"), "en")
           .when(col("hits_es") >= col("hits_de"), "es")
+          .otherwise("de"))
+  }
+
+  /** Substring occurrence count via length differencing — identical
+    * arithmetic in any engine with replace(): occurrences of `pat` =
+    * (len(t) - len(replace(t, pat, ''))) / len(pat).
+    */
+  def substrCount(t: Column, pat: String): Column =
+    (length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(pat), ""))) / pat.length
+
+  /** Character-trigram language ID: sum of characteristic-trigram
+    * occurrence counts per language over the normalized text (leading/
+    * trailing space added so boundary trigrams fire at the edges),
+    * argmax with the same fixed tie order as the stopword variant.
+    */
+  def withLangIdTrigram(df: DataFrame, textCol: String): DataFrame = {
+    val t = concat(lit(" "), Dedup.normText(col(textCol)), lit(" "))
+    def score(tris: Seq[String]): Column =
+      tris.map(substrCount(t, _)).reduce(_ + _).cast("long")
+    df.withColumn("tri_en", score(TriEn))
+      .withColumn("tri_es", score(TriEs))
+      .withColumn("tri_de", score(TriDe))
+      .withColumn("lang_pred_tri",
+        when(col("tri_en") >= col("tri_es") && col("tri_en") >= col("tri_de"), "en")
+          .when(col("tri_es") >= col("tri_de"), "es")
           .otherwise("de"))
   }
 

@@ -292,6 +292,37 @@ object Extensions {
       FROM n ORDER BY doc_id
     """.trim))
 
+  /** Character-trigram language ID (the n-gram heuristic variant of
+    * text_langid). Occurrence counts via length differencing — the same
+    * arithmetic in both engines; counts are exact multiples of 3 so the
+    * double division is exact before the cast.
+    */
+  val textLangidTrigram = Q(
+    "text_langid_trigram",
+    (s, dir) =>
+      TextOps.withLangIdTrigram(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("tri_en"), col("tri_es"),
+          col("tri_de"), col("lang_pred_tri"))
+        .orderBy(col("doc_id")),
+    Some {
+      def score(tris: Seq[String]): String = tris.map { p =>
+        val esc = p.replace("'", "''")
+        s"(length(t) - length(replace(t, '$esc', ''))) / ${p.length}"
+      }.mkString("(", " + ", ")::BIGINT")
+      raw"""
+      WITH n AS (SELECT doc_id, lang,
+                        ' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g') || ' ' AS t
+                 FROM documents)
+      SELECT doc_id, lang,
+             ${score(TextOps.TriEn)} AS tri_en,
+             ${score(TextOps.TriEs)} AS tri_es,
+             ${score(TextOps.TriDe)} AS tri_de,
+             CASE WHEN tri_en >= tri_es AND tri_en >= tri_de THEN 'en'
+                  WHEN tri_es >= tri_de THEN 'es' ELSE 'de' END AS lang_pred_tri
+      FROM n ORDER BY doc_id
+    """.trim
+    })
+
   val textQuality = Q(
     "text_quality",
     (s, dir) =>
@@ -438,6 +469,6 @@ object Extensions {
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupSimhash, dedupJaccard, dedupEmbedding,
     annBrute, annLsh, annIvf,
-    textLangid, textQuality, textTokens, textFingerprint,
+    textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint,
     mediaMeta, mediaFrames, pipelineCorpusClean)
 }

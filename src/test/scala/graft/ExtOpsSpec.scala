@@ -92,6 +92,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "de")
   }
 
+  test("trigram langid: characteristic character n-grams pick the language") {
+    val df = Seq(
+      (1L, "the weather is changing and the morning brings another thing"),
+      (2L, "la situación de los niños que vienen de la región"),
+      (3L, "die entscheidung zu einer schnellen lösung ist eine übung")
+    ).toDF("doc_id", "text")
+    val got = TextOps.withLangIdTrigram(df, "text").select("doc_id", "lang_pred_tri")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "de")
+  }
+
   test("quality / tokens / fingerprint are deterministic and sane") {
     val df = Seq((1L, "the quick brown fox! 123 jumps."))
       .toDF("doc_id", "text")
