@@ -260,6 +260,34 @@ object Analytics {
       ORDER BY event_id
     """.trim))
 
+  /** Forward as-of: for each purchase, the NEXT error event's ts for the
+    * same user (first-non-null over the following frame) — completes the
+    * as-of pair with j5's backward variant, same one-shuffle window shape.
+    */
+  val j8AsofNext = Q(
+    "j8_asof_next_after",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      ev.withColumn("next_error_ts",
+          first(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("next_error_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, ts, next_error_ts FROM (
+        SELECT event_id, user_id, ts, event_type,
+               first_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_error_ts
+        FROM events)
+      WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """.trim))
+
   /** Exact percentiles (linear interpolation — same definition as
     * quantile_cont).
     */
@@ -293,5 +321,5 @@ object Analytics {
     None)
 
   def all: Seq[Q] = Seq(q1Pricing, q3Revenue, q5Region, w1Rank, w2Running, q6Stats,
-    q7Rollup, q8Sessions, j5Asof, q9Percentiles, q10Approx)
+    q7Rollup, q8Sessions, j5Asof, j8AsofNext, q9Percentiles, q10Approx)
 }
