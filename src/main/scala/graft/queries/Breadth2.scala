@@ -598,8 +598,32 @@ object Breadth2 {
       ORDER BY event_id, k
     """.trim))
 
+  /** Spark 4 VARIANT ingestion: parse_json into the open variant type,
+    * then typed path extraction — the schema-on-read path for
+    * semi-structured columns (vs p25's string-function extraction). The
+    * variant stays internal; extracted scalars are compared.
+    */
+  val p30Variant = Q(
+    "p30_variant_extract",
+    (s, dir) => {
+      Tables(s, dir, "events").createOrReplaceTempView("events_var")
+      s.sql("""
+        SELECT event_id,
+               variant_get(parse_json(props), '$.k', 'string') AS k_str,
+               variant_get(parse_json(props), '$.k', 'long') AS k_num
+        FROM events_var ORDER BY event_id
+      """)
+    },
+    Some("""
+      SELECT event_id,
+             json_extract_string(props, '$.k') AS k_str,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+      FROM events ORDER BY event_id
+    """.trim))
+
   def all: Seq[Q] = Seq(q15Cube, p27Unpivot, w3LeadLag, w4RangeFrame, t6Regex,
     t7Arrays, t8Math, q16Exists, j6BandJoin, q18Salted, q19Lateral, q20Resample,
     q21Histogram, q22Sample, q23Profile, w5RankFamily, t9Conditional, j7Cross,
-    t10NullSafeEq, q24LimitOffset, q25Keyset, p29StructJson, p28ExplodeMap)
+    t10NullSafeEq, q24LimitOffset, q25Keyset, p29StructJson, p28ExplodeMap,
+    p30Variant)
 }
