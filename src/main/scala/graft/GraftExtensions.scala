@@ -13,6 +13,7 @@ import graft.functions.{CosineSimilarity, Md5Hash32, MinHashSig, ShingleHashes, 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
+    ext.injectOptimizerRule(_ => graft.plans.Md5Hash32Rewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

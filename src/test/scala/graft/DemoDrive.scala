@@ -34,6 +34,13 @@ object DemoDrive {
     println("graft_cosine via extensions: " + spark
       .sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))")
       .collect().head.getDouble(0))
+    // injected optimizer rule: the portable md5 chain over a real scan
+    // must rewrite to the fused Md5Hash32 kernel
+    val ruled = graft.etl.Tables(spark, "/root/testdata/sf0.001", "customer")
+      .selectExpr("cast(conv(substring(md5(c_name), 1, 8), 16, 10) as bigint) AS h")
+    require(ruled.queryExecution.optimizedPlan.toString.toLowerCase.contains("md5hash32"),
+      "Md5Hash32Rewrite not active via spark.sql.extensions")
+    println("md5 rewrite via extensions: OK (" + ruled.count() + " rows hashed)")
     // full orchestrator: catalog → extract → transform → load
     val rawDir = java.nio.file.Files.createTempDirectory("raw_")
     val modDir = java.nio.file.Files.createTempDirectory("mod_")
