@@ -621,9 +621,35 @@ object Breadth2 {
       FROM events ORDER BY event_id
     """.trim))
 
+  /** GROUP BY ... HAVING over an aggregate predicate (post-aggregation
+    * filter — Catalyst plans it as Filter over Aggregate, identical to
+    * the DataFrame .filter form, declared here through the SQL clause).
+    */
+  val q26Having = Q(
+    "q26_having",
+    (s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_h")
+      s.sql("""
+        SELECT o_custkey, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders_h
+        GROUP BY o_custkey
+        HAVING count(*) >= 20 AND sum(CAST(o_totalprice AS DECIMAL(18,2))) > 100000
+        ORDER BY o_custkey
+      """)
+    },
+    Some("""
+      SELECT o_custkey, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(*) >= 20 AND sum(CAST(o_totalprice AS DECIMAL(18,2))) > 100000
+      ORDER BY o_custkey
+    """.trim))
+
   def all: Seq[Q] = Seq(q15Cube, p27Unpivot, w3LeadLag, w4RangeFrame, t6Regex,
     t7Arrays, t8Math, q16Exists, j6BandJoin, q18Salted, q19Lateral, q20Resample,
     q21Histogram, q22Sample, q23Profile, w5RankFamily, t9Conditional, j7Cross,
     t10NullSafeEq, q24LimitOffset, q25Keyset, p29StructJson, p28ExplodeMap,
-    p30Variant)
+    p30Variant, q26Having)
 }
