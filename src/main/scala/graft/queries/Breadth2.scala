@@ -647,9 +647,52 @@ object Breadth2 {
       ORDER BY o_custkey
     """.trim))
 
+  /** Data-quality: primary-key uniqueness audit. The input is the
+    * published snapshot unioned with a re-ingested slice (the classic
+    * double-load incident); output lists the violated keys with their
+    * multiplicities — empty on clean data.
+    */
+  val dq1PkViolations = Q(
+    "dq1_pk_violations",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"))
+      o.unionByName(o.filter(col("o_orderkey") % 1000 === 0))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, count(*) AS n_copies
+      FROM (SELECT o_orderkey FROM orders
+            UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 = 0)
+      GROUP BY o_orderkey HAVING count(*) > 1
+      ORDER BY o_orderkey
+    """.trim))
+
+  /** Data-quality: referential-integrity audit — fact keys without a
+    * parent dim row (orphans synthesized by hiding a slice of orders),
+    * found with the scale-shape anti join and aggregated per orphan key.
+    */
+  val dq2Orphans = Q(
+    "dq2_referential_orphans",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val visible = Tables(s, dir, "orders").filter(col("o_orderkey") % 97 =!= 0)
+      li.join(visible, li("l_orderkey") === visible("o_orderkey"), "left_anti")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_orphan_rows"))
+        .orderBy(col("l_orderkey"))
+    },
+    Some("""
+      SELECT l_orderkey, count(*) AS n_orphan_rows
+      FROM lineitem
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_orderkey = l_orderkey AND o_orderkey % 97 <> 0)
+      GROUP BY l_orderkey ORDER BY l_orderkey
+    """.trim))
+
   def all: Seq[Q] = Seq(q15Cube, p27Unpivot, w3LeadLag, w4RangeFrame, t6Regex,
     t7Arrays, t8Math, q16Exists, j6BandJoin, q18Salted, q19Lateral, q20Resample,
     q21Histogram, q22Sample, q23Profile, w5RankFamily, t9Conditional, j7Cross,
     t10NullSafeEq, q24LimitOffset, q25Keyset, p29StructJson, p28ExplodeMap,
-    p30Variant, q26Having)
+    p30Variant, q26Having, dq1PkViolations, dq2Orphans)
 }
