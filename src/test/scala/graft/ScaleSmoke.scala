@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   * rows (981k real pairs vs 60k at sf0.1) — on real corpora duplicate
   * multiplicity, not corpus size, drives that term; the cluster op is
   * the scale-safe consumer shape.
+  *
+  * At replicas=20 (≈sf2: 12M lineitem, 200k docs): q1 1.5s, p04 join
+  * 2.2s, range-frame window 0.4s (all ~linear); merge 11s (linear);
+  * minhash pairs 15s emitting 4.9M candidates and clusters 17s over
+  * them — again pair-output growth (40-member cliques), with the CC
+  * rounds themselves staying flat at 2-3 iterations.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -53,9 +59,12 @@ object ScaleSmoke {
       .foreach(n => graft.etl.Tables(spark, src, n)
         .write.mode("overwrite").parquet(s"$dir/$n.parquet"))
 
-    val heavy = Seq("q1_pricing_summary", "p04_datediff_days", "u2_merge_upsert",
-      "dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_clusters",
-      "pipeline_corpus_clean", "w4_range_frame")
+    // jaccard excluded above replicas=10: its PAIR OUTPUT is O(k²) in
+    // duplicate-clique size (see header) and replication inflates k
+    val heavy = (Seq("q1_pricing_summary", "p04_datediff_days", "u2_merge_upsert",
+      "dedup_minhash_pairs", "dedup_clusters",
+      "pipeline_corpus_clean", "w4_range_frame") ++
+      (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     heavy.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
