@@ -72,6 +72,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components equal brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val nVerts = 30 + trial * 20
+      val nEdges = nVerts / 2 + trial * 15
+      val edges = (0 until nEdges).map { _ =>
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong)
+      }.filter { case (a, b) => a != b }
+      // brute-force union-find
+      val parent = Array.tabulate(nVerts)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra) = rb
+      }
+      val expected = (0 until nVerts).map { v =>
+        v.toLong -> (0 until nVerts).filter(u => find(u) == find(v)).min.toLong
+      }.toMap
+      val docs = (0L until nVerts.toLong).toDF("doc_id")
+      val got = graft.ext.Dedup.clusterAssignment(
+          docs, edges.toDF("doc_a", "doc_b"), "doc_id")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: nVerts=$nVerts nEdges=${edges.size}")
+    }
+  }
+
   test("fused shingle expressions equal HOF references on arbitrary unicode text") {
     graft.functions.VectorExpressions.register(spark)
     val unicodey: Gen[String] = Gen.oneOf(
