@@ -12,6 +12,10 @@ class Breadth2Spec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("driver contract: entry returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q15 cube: grand total row equals table count") {
     val out = Breadth2.q15Cube.fn(spark, sf)
     val total = out.filter($"l_returnflag".isNull && $"l_linestatus".isNull)
