@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.etl.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-3 breadth: the classic TPC-H decision-support patterns not yet
+  * covered by §2's inventory — correlated scalar aggregates, HAVING-driven
+  * semi joins, sole-survivor exists/not-exists composition, and
+  * scalar-subquery-over-aggregate. Every aggregate threshold that feeds a
+  * comparison is computed exactly (DECIMAL sum, then one double division)
+  * so Spark's and DuckDB's float summation order can never flip a
+  * borderline row (see the determinism notes in Q.moneySum).
+  */
+object Breadth3 {
+
+  private def revenue = // l_extendedprice * (1 - l_discount), exact
+    sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2))).cast("double")
+
+  /** TPC-H Q17 pattern — small-quantity lineitems of selected brands,
+    * judged against a per-part average. The correlated scalar subquery
+    * becomes a per-partkey aggregate joined back (Catalyst's own
+    * de-correlation shape, made explicit); at 100 TB the threshold table
+    * is |parts-of-brand| rows and broadcasts, and the avg is computed
+    * only for those parts (semi-joined first), never for the full part
+    * space the oracle's correlated form nominally touches.
+    */
+  val q27SmallQty = Q(
+    "q27_small_qty_loss",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#23", "Brand#34"))
+        .select(col("p_partkey"), col("p_brand"))
+      val brandKeys = p.select(col("p_partkey").as("bk"))
+      val thresholds = li
+        .join(broadcast(brandKeys), li("l_partkey") === col("bk"), "left_semi")
+        .groupBy(col("l_partkey").as("t_partkey"))
+        .agg(((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))) * 0.5).as("qty_cutoff"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(broadcast(thresholds), li("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_cutoff"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"), revenue.as("small_rev"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand, count(*) AS n_small,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS small_rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p_brand IN ('Brand#23', 'Brand#34')
+        AND l_quantity < (SELECT 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY p_brand ORDER BY p_brand
+    """.trim))
+
+  /** TPC-H Q18 pattern — large-volume orders: HAVING over a lineitem
+    * aggregate gates a customer×orders join, top-100 by price. The
+    * HAVING result is small and broadcasts as a semi join; the qty sum
+    * rides along via an inner join on the same key (one aggregate, both
+    * uses).
+    */
+  val q28BigOrders = Q(
+    "q28_big_orders",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 300.0)
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      FROM orders o
+      JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0) b
+        ON o.o_orderkey = b.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """.trim))
+
+  /** TPC-H Q21 pattern — the sole supplier shipping on an order's last
+    * day, for multi-supplier orders (exists + not-exists composition).
+    * Spark side computes it with two aggregates over one lineitem scan
+    * shape — per-order max shipdate + distinct-supplier counts — instead
+    * of two correlated self-joins; the oracle keeps the EXISTS / NOT
+    * EXISTS form, so the compare also pins the two formulations equal.
+    */
+  val q29SoleLate = Q(
+    "q29_sole_late_supplier",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val perOrder = li.groupBy(col("l_orderkey").as("k"))
+        .agg(max(col("l_shipdate")).as("mx"),
+          countDistinct(col("l_suppkey")).as("nsupp"))
+        .filter(col("nsupp") > 1)
+      val late = li.join(perOrder,
+          li("l_orderkey") === col("k") && li("l_shipdate") === col("mx"))
+      val sole = late.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("nlate"),
+          first(col("l_suppkey")).as("the_supp"))
+        .filter(col("nlate") === 1)
+      val sup = Tables(s, dir, "supplier")
+      sole.join(sup, col("the_supp") === sup("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(countDistinct(col("l_orderkey")).as("n_waiting"))
+        .orderBy(col("n_waiting").desc, col("s_suppkey"))
+    },
+    Some("""
+      WITH lmax AS (SELECT l_orderkey, max(l_shipdate) AS mx FROM lineitem GROUP BY 1)
+      SELECT s_suppkey, s_name, count(DISTINCT l.l_orderkey) AS n_waiting
+      FROM lineitem l
+      JOIN lmax ON l.l_orderkey = lmax.l_orderkey AND l.l_shipdate = lmax.mx
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l.l_orderkey
+                          AND l3.l_suppkey <> l.l_suppkey AND l3.l_shipdate = lmax.mx)
+      GROUP BY s_suppkey, s_name
+      ORDER BY n_waiting DESC, s_suppkey
+    """.trim))
+
+  /** TPC-H Q22 pattern — well-funded customers gone quiet: above-average
+    * balance (exact-sum threshold, broadcast scalar) with no order in the
+    * final period (anti join against a date-pruned orders scan).
+    */
+  val q30Inactive = Q(
+    "q30_inactive_high_balance",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val thresh = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      val recent = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.join(broadcast(thresh))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                         FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      ORDER BY c_custkey
+    """.trim))
+
+  /** TPC-H Q15 pattern — the top-revenue supplier(s): an aggregate reused
+    * both as join input and under a scalar max. The revenue table is
+    * |suppliers| rows, so the max and the filter-join both broadcast.
+    */
+  val q31TopSupplier = Q(
+    "q31_top_supplier",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val rev = li.groupBy(col("l_suppkey")).agg(revenue.as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      val sup = Tables(s, dir, "supplier")
+      rev.join(broadcast(mx)).filter(col("total_rev") === col("mx"))
+        .join(sup, col("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+        FROM lineitem GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_rev
+      FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+      WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      ORDER BY s_suppkey
+    """.trim))
+
+  def all: Seq[Q] = Seq(q27SmallQty, q28BigOrders, q29SoleLate, q30Inactive, q31TopSupplier)
+}
