@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join as a first-class operator: logical node + planner strategy
+  * + physical operator (build-brief preference (c) — exercised here
+  * because an as-of join genuinely has no single built-in operator; the
+  * window composition in j5/j8 is the preference-(a) alternative and the
+  * two are pinned equal in AsOfJoinSpec).
+  *
+  * Semantics: for every left row, attach the right row with the
+  * greatest `rightTime` ≤/< `leftTime` (backward; default strict `<`) or
+  * the least `rightTime` ≥/> `leftTime` (forward), within the same join
+  * key group. Unmatched left rows keep nulls on the right — i.e. a left
+  * as-of join, the shape every feature-attribution pipeline wants.
+  *
+  * Physical plan for 100 TB: both sides hash-shuffle ONCE on the join
+  * keys (ClusteredDistribution — AQE still coalesces/skew-splits the
+  * exchanges), then each partition builds an index of the right side
+  * keyed by join key with a time-sorted run per key, and streams the
+  * left side through binary searches. Right groups must fit in executor
+  * memory per key-partition — the same contract as a shuffled hash
+  * join's build side; the left side streams unbuffered.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    forward: Boolean,
+    strict: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoinPlan =>
+      AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
+        j.forward, j.strict, planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    forward: Boolean,
+    strict: Boolean,
+    left: SparkPlan,
+    right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // Co-partition both sides on the join keys; EnsureRequirements inserts
+  // the (at most) two exchanges, and reuses existing compatible ones.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of time columns must agree in type: ${leftTime.dataType} vs ${rightTime.dataType}")
+    val timeType = leftTime.dataType
+    val fwd = forward
+    val strictCmp = strict
+    val rightWidth = right.output.size
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val ord = TypeUtils.getInterpretedOrdering(timeType)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rightOut)
+      // key -> time-sorted (time, row) run. Right rows with a null key
+      // or null time can never be as-of matches (SQL comparison
+      // semantics), so they are dropped at build.
+      val index = new java.util.HashMap[InternalRow, scala.collection.mutable.ArrayBuffer[(Any, InternalRow)]]()
+      rIter.foreach { row =>
+        val k = rKeyProj(row)
+        val t = rTimeProj(row)
+        if (!k.anyNull && !t.isNullAt(0)) {
+          var buf = index.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[(Any, InternalRow)]
+            index.put(k.copy(), buf)
+          }
+          buf += ((t.get(0, timeType), row.copy()))
+        }
+      }
+      val byTime = Ordering.fromLessThan[(Any, InternalRow)]((a, b) => ord.compare(a._1, b._1) < 0)
+      index.values().forEach { buf => buf.sortInPlace()(byTime); () }
+
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+
+      def search(buf: scala.collection.mutable.ArrayBuffer[(Any, InternalRow)], lt: Any): InternalRow = {
+        // backward: rightmost index with t < lt (strict) or t <= lt;
+        // forward:  leftmost  index with t > lt (strict) or t >= lt.
+        var lo = 0
+        var hi = buf.length // exclusive
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          val c = ord.compare(buf(mid)._1, lt)
+          val takeLeft =
+            if (fwd) c > 0 || (!strictCmp && c == 0)
+            else !(c < 0 || (!strictCmp && c == 0))
+          if (fwd) { if (takeLeft) hi = mid else lo = mid + 1 }
+          else { if (takeLeft) hi = mid else lo = mid + 1 }
+        }
+        // lo = first index NOT satisfying the backward predicate, or the
+        // first index satisfying the forward predicate.
+        if (fwd) { if (lo < buf.length) buf(lo)._2 else null }
+        else { if (lo > 0) buf(lo - 1)._2 else null }
+      }
+
+      lIter.map { lrow =>
+        val k = lKeyProj(lrow)
+        val t = lTimeProj(lrow)
+        var m: InternalRow = null
+        if (!k.anyNull && !t.isNullAt(0)) {
+          val buf = index.get(k)
+          if (buf != null) m = search(buf, t.get(0, timeType))
+        }
+        joined(lrow, if (m == null) nullRight else m)
+      }
+    }
+  }
+}
+
+/** Public builder API for the as-of join. */
+object AsOfJoin {
+
+  /** Ensures the planner strategy is installed in this session
+    * (idempotent). Also wired via GraftExtensions for the
+    * `spark.sql.extensions` production path.
+    */
+  def install(spark: SparkSession): Unit = {
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraStrategies.contains(AsOfJoinStrategy))
+      em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** Left as-of join `left` with `right` on equal `keys`, matching the
+    * latest prior (backward, default) or earliest later (forward) right
+    * row by time. Output = left columns ++ right columns (nullable);
+    * name-collide columns on the right should be renamed by the caller
+    * first, as with any join.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      forward: Boolean = false, strict: Boolean = true): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size, "key lists must align")
+    val spark = left.sparkSession
+    install(spark)
+    val lplan = left.queryExecution.analyzed
+    val rplan0 = right.queryExecution.analyzed
+    // Self-join hygiene: if the two sides share attribute ids (both
+    // derive from the same scan), re-alias the right side so output
+    // attributes stay unambiguous — the same dedup Dataset.join performs.
+    val rplan =
+      if (lplan.outputSet.intersect(rplan0.outputSet).isEmpty) rplan0
+      else Project(rplan0.output.map(a => Alias(a, a.name)()), rplan0)
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(a => a.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found among ${plan.output.map(_.name).mkString(", ")}"))
+    val lk = leftKeys.map(resolve(lplan, _))
+    val rk = rightKeys.map(resolve(rplan, _))
+    // Keys are matched by hashed binary layout, so types must agree
+    // exactly (add explicit casts upstream, as with bucketed joins).
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key type mismatch: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}")
+    }
+    val plan = AsOfJoinPlan(
+      lplan, rplan, lk, rk,
+      resolve(lplan, leftTimeCol), resolve(rplan, rightTimeCol),
+      forward, strict)
+    org.apache.spark.sql.graft.PlanDf.ofRows(spark, plan)
+  }
+}

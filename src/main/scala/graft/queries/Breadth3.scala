@@ -189,5 +189,36 @@ object Breadth3 {
       ORDER BY s_suppkey
     """.trim))
 
-  def all: Seq[Q] = Seq(q27SmallQty, q28BigOrders, q29SoleLate, q30Inactive, q31TopSupplier)
+  /** j9 — the as-of join as a FIRST-CLASS OPERATOR: custom logical plan
+    * + planner strategy + physical exec (graft.plans.AsOfJoin), not the
+    * j5/j8 window sugar. One hash shuffle per side on the join key, then
+    * per-partition time-indexed binary search. The oracle states the
+    * semantics independently as a correlated max over strictly-prior
+    * signups.
+    */
+  val j9AsofCustom = Q(
+    "j9_asof_custom_operator",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+      graft.plans.AsOfJoin.asofJoin(purchases, signups,
+          Seq("user_id"), Seq("r_user_id"), "ts", "r_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("r_ts").as("last_signup_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, ts,
+             (SELECT max(e2.ts) FROM events e2
+              WHERE e2.user_id = e.user_id AND e2.event_type = 'signup'
+                AND e2.ts < e.ts) AS last_signup_ts
+      FROM events e WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """.trim))
+
+  def all: Seq[Q] = Seq(q27SmallQty, q28BigOrders, q29SoleLate, q30Inactive,
+    q31TopSupplier, j9AsofCustom)
 }
