@@ -49,4 +49,20 @@ object CatalogOps {
     */
   def latest(meta: DataFrame): DataFrame =
     meta.orderBy(col("createdTime").desc, col("name")).limit(1)
+
+  /** Registers the parquet tables in the session catalog and computes
+    * table + column statistics — the stats-priming step a cluster
+    * deployment runs once per ingest so the cost-based optimizer can
+    * estimate row counts, NDVs and selectivities (join reorder, build
+    * side and broadcast decisions). At 100 TB this is
+    * `ANALYZE TABLE ... FOR ALL COLUMNS` over external tables in place;
+    * here the testdata is re-saved as managed tables because the
+    * in-memory catalog cannot attach stats to a bare path.
+    */
+  def primeStatistics(spark: SparkSession, sfDir: String,
+      tables: Seq[String], prefix: String = "graft_"): Unit =
+    tables.foreach { t =>
+      Tables(spark, sfDir, t).write.mode("overwrite").saveAsTable(s"$prefix$t")
+      spark.sql(s"ANALYZE TABLE $prefix$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
 }
