@@ -99,19 +99,24 @@ object Breadth3 {
   val q29SoleLate = Q(
     "q29_sole_late_supplier",
     (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val li = Tables(s, dir, "lineitem")
-      val perOrder = li.groupBy(col("l_orderkey").as("k"))
-        .agg(max(col("l_shipdate")).as("mx"),
-          countDistinct(col("l_suppkey")).as("nsupp"))
-        .filter(col("nsupp") > 1)
-      val late = li.join(perOrder,
-          li("l_orderkey") === col("k") && li("l_shipdate") === col("mx"))
-      val sole = late.groupBy(col("l_orderkey"))
+      // One shuffle total: the per-order max shipdate and distinct
+      // supplier set both come from a window over l_orderkey, and the
+      // following groupBy reuses that partitioning (no re-exchange —
+      // asserted against the plan in Breadth2Spec's hygiene sweep).
+      // Orders are small groups, so collect_set stays tiny per window.
+      val w = Window.partitionBy(col("l_orderkey"))
+      val sole = li
+        .withColumn("mx", max(col("l_shipdate")).over(w))
+        .withColumn("supps", size(array_distinct(collect_list(col("l_suppkey")).over(w))))
+        .filter(col("supps") > 1 && col("l_shipdate") === col("mx"))
+        .groupBy(col("l_orderkey"))
         .agg(countDistinct(col("l_suppkey")).as("nlate"),
           first(col("l_suppkey")).as("the_supp"))
         .filter(col("nlate") === 1)
       val sup = Tables(s, dir, "supplier")
-      sole.join(sup, col("the_supp") === sup("s_suppkey"))
+      sole.join(broadcast(sup), col("the_supp") === sup("s_suppkey"))
         .groupBy(col("s_suppkey"), col("s_name"))
         .agg(countDistinct(col("l_orderkey")).as("n_waiting"))
         .orderBy(col("n_waiting").desc, col("s_suppkey"))
