@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * minhash pairs 15s emitting 4.9M candidates and clusters 17s over
   * them — again pair-output growth (40-member cliques), with the CC
   * rounds themselves staying flat at 2-3 iterations.
+  *
+  * Round-3 additions at replicas=10 (2M events, 6M lineitem): the
+  * custom as-of join 1.1s for 200k matched purchases (one shuffle per
+  * side, per-key binary search — flat per row); sole-late-supplier
+  * 8.0s (single window shuffle over 6M rows; window sort is the
+  * constant, rows the linear term); post-shuffle_hash dedup numbers
+  * unchanged in shape (clusters 10.8s / pipeline 9.9s at 1.2M pairs,
+  * jaccard still output-cardinality-bound on replicated cliques).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -54,8 +62,19 @@ object ScaleSmoke {
     replicate("lineitem", Seq("l_orderkey"), 100000000L)
     replicate("orders", Seq("o_orderkey"), 100000000L)
     replicate("documents", Seq("doc_id"), 10000000L)
+    // events: replicate on the RAW nanos schema (ts stays int64 so the
+    // Tables nanos shim applies identically to the replica dir); new
+    // users per replica — at scale the user population grows, group
+    // sizes don't
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    (0 until replicas).map { r =>
+      ev.withColumn("event_id", col("event_id") + lit(r * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(r * 10000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     // small dims copied as-is
-    Seq("nation", "region", "customer", "supplier", "part", "events", "embeddings")
+    Seq("nation", "region", "customer", "supplier", "part", "embeddings")
       .foreach(n => graft.etl.Tables(spark, src, n)
         .write.mode("overwrite").parquet(s"$dir/$n.parquet"))
 
@@ -63,7 +82,8 @@ object ScaleSmoke {
     // duplicate-clique size (see header) and replication inflates k
     val heavy = (Seq("q1_pricing_summary", "p04_datediff_days", "u2_merge_upsert",
       "dedup_minhash_pairs", "dedup_clusters",
-      "pipeline_corpus_clean", "w4_range_frame") ++
+      "pipeline_corpus_clean", "w4_range_frame",
+      "j9_asof_custom_operator", "q29_sole_late_supplier") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     heavy.foreach { name =>
       val t0 = System.nanoTime()
