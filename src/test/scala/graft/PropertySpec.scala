@@ -98,6 +98,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join equals brute-force per-row scan on random data") {
+    val rnd = new scala.util.Random(7)
+    (0 until 2).foreach { trial =>
+      val nKeys = 5
+      val lefts = (0 until 120).map(i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong))
+      val rights = (0 until 80).map(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, i.toLong))
+      for (fwd <- Seq(false, true); strict <- Seq(true, false)) {
+        val expected = lefts.map { case (id, k, t) =>
+          val cands = rights.filter { case (rk, rt, _) =>
+            rk == k && (if (fwd) (if (strict) rt > t else rt >= t)
+                        else (if (strict) rt < t else rt <= t))
+          }
+          id -> (if (cands.isEmpty) None
+                 else Some(if (fwd) cands.map(_._2).min else cands.map(_._2).max))
+        }.toMap
+        val got = graft.plans.AsOfJoin.asofJoin(
+            lefts.toDF("id", "k", "t"),
+            rights.toDF("rk", "rt", "payload"),
+            Seq("k"), Seq("rk"), "t", "rt", forward = fwd, strict = strict)
+          .select($"id", $"rt")
+          .as[(Long, Option[Long])].collect().toMap
+        assert(got == expected, s"trial=$trial fwd=$fwd strict=$strict")
+      }
+    }
+  }
+
   test("fused shingle expressions equal HOF references on arbitrary unicode text") {
     graft.functions.VectorExpressions.register(spark)
     val unicodey: Gen[String] = Gen.oneOf(
