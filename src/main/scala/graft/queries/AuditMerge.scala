@@ -195,6 +195,69 @@ object AuditMerge {
       ORDER BY o_orderkey
     """.trim))
 
+  /** U5 — SCD type-2 history build from the two snapshots: one full
+    * outer join classifies every key (insert/delete/update/unchanged),
+    * then a generator emits the closed-out and/or current version rows —
+    * one pass, no per-branch re-join (the UNION ALL the oracle spells
+    * out would re-execute the join per branch). The null-sensitive
+    * change predicate matches the merge family's unchanged-ids
+    * semantics.
+    */
+  val u05 = Q(
+    "u5_scd2_history",
+    (s, dir) => {
+      val a = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("ka"), col("o_orderstatus").as("sa"),
+          col("o_orderpriority").as("pa"))
+      val b = snapshotB(s, dir, forMerge = true)
+        .select(col("o_orderkey").as("kb"), col("o_orderstatus").as("sb"),
+          col("o_orderpriority").as("pb"))
+      val hist = lit("1995-01-01 00:00:00").cast("timestamp")
+      val run = lit("2026-08-12 00:00:00").cast("timestamp")
+      val unchanged =
+        coalesce(!(col("sa") =!= col("sb")) && !(col("pa") =!= col("pb")), lit(false))
+      val cls = when(col("ka").isNull, "insert").when(col("kb").isNull, "delete")
+        .when(unchanged, "unchanged").otherwise("update")
+      val oldRow = struct(col("sa").as("st"), hist.as("vf"),
+        when(col("cls").isin("update", "delete"), run).as("vt"),
+        when(col("cls") === "unchanged", 1L).otherwise(0L).as("cur"))
+      val newRow = struct(col("sb").as("st"), run.as("vf"),
+        lit(null).cast("timestamp").as("vt"), lit(1L).as("cur"))
+      a.join(b, col("ka") === col("kb"), "full_outer")
+        .withColumn("cls", cls)
+        .select(coalesce(col("ka"), col("kb")).as("o_orderkey"),
+          explode(array(
+            when(col("ka").isNotNull, oldRow),
+            when(col("cls").isin("insert", "update"), newRow))).as("r"))
+        .filter(col("r").isNotNull)
+        .select(col("o_orderkey"), col("r.st").as("o_orderstatus"),
+          col("r.vf").as("valid_from"), col("r.vt").as("valid_to"),
+          col("r.cur").as("is_current"))
+        .orderBy(col("o_orderkey"), col("is_current"), col("valid_from"))
+    },
+    Some(s"""
+      WITH $SnapBMerge,
+      j AS (SELECT a.o_orderkey AS ka, a.o_orderstatus AS sa, a.o_orderpriority AS pa,
+                   b.o_orderkey AS kb, b.o_orderstatus AS sb, b.o_orderpriority AS pb
+            FROM orders a FULL JOIN snap_b b ON a.o_orderkey = b.o_orderkey),
+      c AS (SELECT *, CASE WHEN ka IS NULL THEN 'insert'
+                           WHEN kb IS NULL THEN 'delete'
+                           WHEN coalesce(NOT (sa <> sb) AND NOT (pa <> pb), false)
+                                THEN 'unchanged'
+                           ELSE 'update' END AS cls
+            FROM j)
+      SELECT coalesce(ka, kb) AS o_orderkey, sa AS o_orderstatus,
+             TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+             CASE WHEN cls IN ('update', 'delete')
+                  THEN TIMESTAMP '2026-08-12 00:00:00' END AS valid_to,
+             (CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS is_current
+      FROM c WHERE ka IS NOT NULL
+      UNION ALL
+      SELECT coalesce(ka, kb), sb, TIMESTAMP '2026-08-12 00:00:00', NULL, 1::BIGINT
+      FROM c WHERE cls IN ('insert', 'update')
+      ORDER BY o_orderkey, is_current, valid_from
+    """.trim))
+
   /** O1 — top-1 by recency with a unique tiebreak (the reference's
     * newest-file pick, extraction_layer.py:33-36, as TakeOrderedAndProject).
     */
@@ -207,5 +270,5 @@ object AuditMerge {
         .select(col("event_id"), col("ts")),
     Some("SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 1"))
 
-  def all: Seq[Q] = Seq(j01, j02, a01, j03, j04, u01, o01)
+  def all: Seq[Q] = Seq(j01, j02, a01, j03, j04, u01, u05, o01)
 }
