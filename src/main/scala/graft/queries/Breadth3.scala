@@ -224,6 +224,43 @@ object Breadth3 {
       ORDER BY event_id
     """.trim))
 
+  /** U6/U7 — the multiset set-ops (ALL variants keep multiplicities:
+    * min for intersect, difference for except), completing u3/u4's
+    * distinct variants. Planned as aggregate-count joins by Catalyst —
+    * one shuffle per side, no row-by-row matching.
+    */
+  private def multisetSides(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables(s, dir, "lineitem")
+    (li.filter(col("l_linenumber") <= 3).select(col("l_partkey"), col("l_quantity")),
+      li.filter(col("l_linenumber") >= 2).select(col("l_partkey"), col("l_quantity")))
+  }
+
+  val u6IntersectAll = Q(
+    "u6_intersect_all",
+    (s, dir) => {
+      val (a, b) = multisetSides(s, dir)
+      a.intersectAll(b).orderBy(col("l_partkey"), col("l_quantity"))
+    },
+    Some("""
+      SELECT l_partkey, l_quantity FROM lineitem WHERE l_linenumber <= 3
+      INTERSECT ALL
+      SELECT l_partkey, l_quantity FROM lineitem WHERE l_linenumber >= 2
+      ORDER BY l_partkey, l_quantity
+    """.trim))
+
+  val u7ExceptAll = Q(
+    "u7_except_all",
+    (s, dir) => {
+      val (a, b) = multisetSides(s, dir)
+      a.exceptAll(b).orderBy(col("l_partkey"), col("l_quantity"))
+    },
+    Some("""
+      SELECT l_partkey, l_quantity FROM lineitem WHERE l_linenumber <= 3
+      EXCEPT ALL
+      SELECT l_partkey, l_quantity FROM lineitem WHERE l_linenumber >= 2
+      ORDER BY l_partkey, l_quantity
+    """.trim))
+
   def all: Seq[Q] = Seq(q27SmallQty, q28BigOrders, q29SoleLate, q30Inactive,
-    q31TopSupplier, j9AsofCustom)
+    q31TopSupplier, j9AsofCustom, u6IntersectAll, u7ExceptAll)
 }
