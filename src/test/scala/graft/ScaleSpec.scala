@@ -91,6 +91,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H-pattern queries broadcast their dimension/aggregate sides") {
+    // the explicit broadcast() hints must survive planning: the brand
+    // parts + thresholds (q27), the HAVING aggregate (q28), the scalar
+    // max (q31) and the stats threshold (q30) are all small sides
+    val sf = "/root/testdata/sf0.001"
+    Seq("q27_small_qty_loss", "q28_big_orders", "q30_inactive_high_balance",
+        "q31_top_supplier").foreach { name =>
+      val plan = graft.queries.Registry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name lost its broadcast:\n${plan.take(800)}")
+    }
+    // the custom as-of join plans exactly one AsOfJoinExec and no Window
+    val asofPlan = graft.queries.Registry.queries("j9_asof_custom_operator")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(asofPlan.contains("AsOfJoin") && !asofPlan.contains("Window"),
+      asofPlan.take(800))
+  }
+
   test("parquet schema evolution: mergeSchema unions batch schemas, old rows null-fill") {
     // a 100 TB table accretes columns over time; readers must see the
     // union schema with null-fill for pre-evolution files
