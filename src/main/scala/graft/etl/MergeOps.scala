@@ -43,7 +43,13 @@ object MergeOps {
     if (a.columns.length != b.columns.length)
       log.warn(s"merge: snapshots have different widths " +
         s"(${a.columns.length} vs ${b.columns.length})")
-    val unchanged = unchangedIds(a, b, idCol, auditCols)
+    // The unchanged-id set feeds both the semi and the anti join, and
+    // Catalyst does not reuse the subtree (fresh exprIds per reference →
+    // no ReuseExchange): without materialization the A⋈B change-detect
+    // join executes once per consumer. One id-only localCheckpoint —
+    // the standard shape for a reused subplan at scale (ids are ~8 B/row
+    // even when the table is 100 TB).
+    val unchanged = unchangedIds(a, b, idCol, auditCols).localCheckpoint()
     val kept = a.join(unchanged, Seq(idCol), "left_semi")
     val newOrModified = b.join(unchanged, Seq(idCol), "left_anti")
     CleanOps.castAllToString(kept)

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only scratch profiler for decomposing a slow query's stages.
   * Not part of the registry or test suite; edit freely between runs.
@@ -18,19 +17,13 @@ object ScratchProfile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    def pass(label: String, aqe: Boolean): Unit = {
-      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
-      val t0 = System.nanoTime()
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      }
-      println(f"$label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    }
-    pass("pass1 aqe=on", aqe = true)
-    pass("pass2 aqe=off", aqe = false)
-    pass("pass3 aqe=on", aqe = true)
-    pass("pass4 aqe=off", aqe = false)
+    val q = SparkEntry.queries("u2_merge_upsert")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    println("HAS_REUSED_EXCHANGE=" + plan.contains("ReusedExchange"))
+    q.count()
+    val planAfter = q.queryExecution.executedPlan.toString
+    println("AFTER_AQE_REUSED=" + planAfter.contains("ReusedExchange"))
+    println(planAfter.split("\n").filter(l => l.contains("Exchange") || l.contains("Join")).mkString("\n"))
     spark.stop()
   }
 }
