@@ -61,15 +61,20 @@ object StreamingOps {
     * the requirement for unbounded-input stream-stream joins at scale.
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, maxDelay: String, watermark: String): DataFrame = {
+      tsCol: String, maxDelay: String, watermark: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark)
       .select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"))
     val r = right.withWatermark(tsCol, watermark)
       .select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"))
+    // leftOuter emits the null-padded row only once the watermark passes
+    // the join window's close (l_ts + maxDelay) — bounded state AND a
+    // guaranteed emission for every left event, matched or not.
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"interval $maxDelay"))
+        col("r_ts") <= col("l_ts") + expr(s"interval $maxDelay"),
+      joinType)
   }
 
   final case class ProfileIn(user_id: Long, value: Double)

@@ -71,6 +71,38 @@ class CatalogStreamingSpec extends SparkSpec {
     assert(got(0).getAs[java.sql.Timestamp]("r_ts") == ts("2024-01-01 00:03:00"))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows emit nulls after watermark") {
+    implicit val ctx = spark.sqlContext
+    val l = MemoryStream[(Long, java.sql.Timestamp)]
+    val r = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingOps.streamStreamJoin(
+      l.toDF().toDF("k", "ts"), r.toDF().toDF("k", "ts"),
+      "k", "ts", maxDelay = "5 minutes", watermark = "10 minutes",
+      joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssjlo").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    l.addData((1L, ts("2024-01-01 00:00:00")), (5L, ts("2024-01-01 00:00:00")))
+    r.addData((1L, ts("2024-01-01 00:03:00")))
+    q.processAllAvailable()
+    // push the watermark far past k=5's join-window close so its
+    // null-padded row must flush
+    l.addData((9L, ts("2024-01-01 01:00:00")))
+    r.addData((9L, ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    // one more watermark advance: outer results flush one batch later
+    l.addData((10L, ts("2024-01-01 02:00:00")))
+    r.addData((10L, ts("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    val got = spark.table("ssjlo").collect()
+    q.stop()
+    val matched = got.filter(row => !row.isNullAt(row.fieldIndex("r_ts")))
+    val unmatched = got.filter(row => row.isNullAt(row.fieldIndex("r_ts")))
+    assert(matched.exists(row => row.getAs[Long]("l_key") == 1L &&
+      row.getAs[java.sql.Timestamp]("r_ts") == ts("2024-01-01 00:03:00")))
+    assert(unmatched.exists(row => row.getAs[Long]("l_key") == 5L),
+      s"expected a null-padded row for k=5, got: ${got.mkString("; ")}")
+  }
+
   test("file-source streaming e2e: jsonl directory → parquet sink with checkpoint") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("fstream_")
