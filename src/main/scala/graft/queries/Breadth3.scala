@@ -261,6 +261,46 @@ object Breadth3 {
       ORDER BY l_partkey, l_quantity
     """.trim))
 
+  /** j10 — binned range join: the scale path for interval joins (j6's
+    * BroadcastNestedLoopJoin is right only while the interval side
+    * broadcasts). Each of 200 overlapping bands is replicated to the
+    * fixed-width bins it covers (bin width ≥ max interval length, so
+    * ≤ 2 replicas each), probes compute their bin scan-side, and the
+    * join becomes a plain EQUI join on the bin — shuffle-partitionable
+    * on any cluster size — with the exact containment predicate as a
+    * post-filter. O(|probe| + |intervals| + |matches|), never
+    * |probe|×|intervals|. The oracle states the semantics as the naive
+    * theta join; the plan test asserts no nested-loop operator remains.
+    */
+  val j10BinnedRange = Q(
+    "j10_binned_range_join",
+    (s, dir) => {
+      val W = 8.0 // ≥ max band length (3 + 4), so each band spans ≤ 2 bins
+      val bands = s.range(200).select(col("id").as("band_id"),
+          ((col("id") % 50) + (col("id") % 7) * 0.5).as("lo"))
+        .withColumn("hi", col("lo") + lit(3) + (col("band_id") % 5))
+      val binned = bands.withColumn("bin",
+        explode(sequence(floor(col("lo") / W).cast("long"),
+          floor(col("hi") / W).cast("long"))))
+      val li = Tables(s, dir, "lineitem").select(col("l_quantity"))
+        .withColumn("bin", floor(col("l_quantity") / W).cast("long"))
+      li.join(binned, "bin")
+        .filter(col("lo") <= col("l_quantity") && col("l_quantity") < col("hi"))
+        .groupBy(col("band_id")).agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("band_id"))
+    },
+    Some("""
+      WITH bands AS (
+        SELECT i AS band_id,
+               (i % 50) + (i % 7) * 0.5 AS lo,
+               (i % 50) + (i % 7) * 0.5 + 3 + (i % 5) AS hi
+        FROM range(200) t(i))
+      SELECT band_id, count(*) AS n_rows
+      FROM lineitem l JOIN bands b
+        ON b.lo <= l.l_quantity AND l.l_quantity < b.hi
+      GROUP BY band_id ORDER BY band_id
+    """.trim))
+
   def all: Seq[Q] = Seq(q27SmallQty, q28BigOrders, q29SoleLate, q30Inactive,
-    q31TopSupplier, j9AsofCustom, u6IntersectAll, u7ExceptAll)
+    q31TopSupplier, j9AsofCustom, u6IntersectAll, u7ExceptAll, j10BinnedRange)
 }

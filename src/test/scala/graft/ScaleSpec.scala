@@ -108,6 +108,10 @@ class ScaleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(asofPlan.contains("AsOfJoin") && !asofPlan.contains("Window"),
       asofPlan.take(800))
+    // the binned range join is an EQUI join — no nested-loop operator
+    val binnedPlan = graft.queries.Registry.queries("j10_binned_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!binnedPlan.contains("BroadcastNestedLoopJoin"), binnedPlan.take(800))
   }
 
   test("parquet schema evolution: mergeSchema unions batch schemas, old rows null-fill") {
