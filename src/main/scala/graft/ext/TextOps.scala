@@ -107,4 +107,29 @@ object TextOps {
                  0L, (acc, h) -> (acc * 31 + h) % 1000000007L)"""))
       .drop("__w")
   }
+
+  /** TF-IDF keyword extraction: top-k terms per document. Two shuffled
+    * aggregates (term frequency per (doc, term), document frequency per
+    * term), the corpus size as a broadcast scalar, and a per-doc window
+    * top-k. Ranking is on integers only (tf desc, term asc) so ordering
+    * can never hinge on a float ulp; the tfidf score itself is rounded
+    * once to 9 dp (the engine-portable transcendental contract). The
+    * df join key is the term — hot stopword terms are exactly the skew
+    * AQE's skew-join handling splits at scale.
+    */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df_docs") + 1)), 9))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("rn"), col("term"), col("tf"), col("df_docs"), col("tfidf"))
+  }
 }

@@ -466,9 +466,32 @@ object Extensions {
       ORDER BY doc_id
     """.trim))
 
+  /** TF-IDF keyword extraction, top-3 terms per doc. Integer-only
+    * ranking (tf desc, term asc); the score rounds once to 9 dp.
+    */
+  val textTfidf = Q(
+    "text_tfidf",
+    (s, dir) =>
+      graft.ext.TextOps.tfIdfTopK(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rn")),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, $NormW AS w FROM documents),
+      t AS (SELECT doc_id, unnest(w) AS term FROM norm),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+               round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (dfq.df_docs + 1)), 9) AS tfidf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, tf.term) AS rn
+             FROM tf JOIN dfq USING (term) CROSS JOIN n)
+      SELECT doc_id, rn, term, tf, df_docs, tfidf FROM sc WHERE rn <= 3
+      ORDER BY doc_id, rn
+    """.trim))
+
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupSimhash, dedupJaccard, dedupEmbedding,
     annBrute, annLsh, annIvf,
-    textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint,
+    textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
     mediaMeta, mediaFrames, pipelineCorpusClean)
 }
