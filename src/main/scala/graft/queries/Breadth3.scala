@@ -301,6 +301,35 @@ object Breadth3 {
       GROUP BY band_id ORDER BY band_id
     """.trim))
 
+  /** q33 — stratified systematic sample: per-stratum rates (downsample
+    * the dominant language, keep the tails) with the same content-hash
+    * selection as q22 — deterministic across runs, engines and
+    * repartitionings, which is what makes a stable dev slice of a
+    * 100 TB corpus possible. The rate table is a literal CASE so the
+    * filter runs scan-side; no join, no shuffle.
+    */
+  val q33Stratified = Q(
+    "q33_stratified_sample",
+    (s, dir) => {
+      val rate = when(col("lang") === "en", 10)
+        .when(col("lang").isin("es", "de"), 50)
+        .otherwise(80)
+      Tables(s, dir, "documents")
+        .filter(graft.ext.Dedup.hash32(col("doc_id").cast("string")) % 100 < rate)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 <
+            (CASE WHEN lang = 'en' THEN 10
+                  WHEN lang IN ('es', 'de') THEN 50
+                  ELSE 80 END)
+      ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] = Seq(q27SmallQty, q28BigOrders, q29SoleLate, q30Inactive,
-    q31TopSupplier, j9AsofCustom, u6IntersectAll, u7ExceptAll, j10BinnedRange)
+    q31TopSupplier, j9AsofCustom, u6IntersectAll, u7ExceptAll, j10BinnedRange,
+    q33Stratified)
 }

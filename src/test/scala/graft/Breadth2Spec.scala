@@ -37,6 +37,22 @@ class Breadth2Spec extends SparkSpec {
     assert(qty == first._3)
   }
 
+  test("approx_percentile tracks exact percentiles within its accuracy bound") {
+    // the sketch path for quantiles at 100 TB (exact percentile = full
+    // sort per group); accuracy 1/eps = 10000 → rank error <= n/10000
+    val li = graft.etl.Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    val row = li.agg(
+      org.apache.spark.sql.functions.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("apx"),
+      org.apache.spark.sql.functions.expr(
+        "percentile(l_extendedprice, array(0.5, 0.95))").as("exact")).collect()(0)
+    val apx = row.getSeq[Double](0)
+    val exact = row.getSeq[Double](1)
+    apx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
+    }
+  }
+
   test("w3 lead/lag: matches brute-force neighbor computation") {
     val src = graft.etl.Tables(spark, sf, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
