@@ -41,6 +41,12 @@ object DemoDrive {
     require(ruled.queryExecution.optimizedPlan.toString.toLowerCase.contains("md5hash32"),
       "Md5Hash32Rewrite not active via spark.sql.extensions")
     println("md5 rewrite via extensions: OK (" + ruled.count() + " rows hashed)")
+    // injected planner strategy: present in this fresh session's planner
+    // through the extensions path alone (no install() call has run)
+    require(spark.sessionState.planner.strategies
+        .contains(graft.plans.AsOfJoinStrategy),
+      "AsOfJoinStrategy not active via spark.sql.extensions")
+    println("as-of strategy via extensions: OK")
     // full orchestrator: catalog → extract → transform → load
     val rawDir = java.nio.file.Files.createTempDirectory("raw_")
     val modDir = java.nio.file.Files.createTempDirectory("mod_")
