@@ -329,7 +329,31 @@ object Breadth3 {
       ORDER BY doc_id
     """.trim))
 
+  /** q34 — MERGEABLE distinct-count sketches (DataSketches HLL): build
+    * one sketch per (day, event_type) partition, then union the binary
+    * sketches into a per-type rollup and estimate. This two-level shape
+    * is the 100 TB architecture for distinct counts — the daily sketch
+    * table is tiny, incremental (new day = new rows, no recompute), and
+    * any rollup (weekly, all-time, per-segment) is a sketch union, never
+    * a re-scan of raw events. Estimates are engine-specific, so this is
+    * a rows-only contract like q10 (exactness pinned separately by the
+    * accuracy test in Breadth2Spec).
+    */
+  val q34HllMergeable = Q(
+    "q34_hll_mergeable_sketch",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val daily = ev
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy(col("event_type"))
+    },
+    None)
+
   def all: Seq[Q] = Seq(q27SmallQty, q28BigOrders, q29SoleLate, q30Inactive,
     q31TopSupplier, j9AsofCustom, u6IntersectAll, u7ExceptAll, j10BinnedRange,
-    q33Stratified)
+    q33Stratified, q34HllMergeable)
 }
