@@ -161,25 +161,33 @@ object Dedup {
     // budget it falls back to the shuffled join, which is the correct
     // 100 TB plan. The count is a cheap scan of the checkpointed rows.
     val smallLabels = labels.count() <= 4000000L // ~16 B/row → ≤ 64 MB
+    // Convergence via the monotone-sum invariant: each round takes a
+    // componentwise min, so every label is non-increasing and the label
+    // SUM strictly decreases until the fixpoint — equal sums ⟺ no label
+    // changed. One cheap aggregate over materialized rows per round,
+    // replacing a second (labels ⟕ nbrMin) join just to carry a changed
+    // flag. DECIMAL(38,0) so a 1e9-vertex × 1e18-id corpus cannot wrap.
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val v = l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0)
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 1
     while (!converged && i < maxIter) {
       val lbl = if (smallLabels) broadcast(labels) else labels
-      val nbrMinRaw = e.join(lbl, e("dst") === lbl("id"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("__nbr_min"))
-      val nbrMin = if (smallLabels) broadcast(nbrMinRaw) else nbrMinRaw
-      // carry a changed-flag through the checkpoint so convergence
-      // detection is a filter over materialized rows, not another join
-      val updated = labels.alias("l")
-        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.cluster_id"), coalesce(col("__nbr_min"), col("l.cluster_id")))
-            .as("cluster_id"),
-          (coalesce(col("__nbr_min"), col("l.cluster_id")) < col("l.cluster_id"))
-            .as("__chg"))
+      // new label = min over (own label ∪ neighbors' labels): a union
+      // into ONE shuffled min-aggregate — no join-back needed, since the
+      // union already carries every vertex's current label
+      val updated = labels.unionByName(
+          e.join(lbl, e("dst") === lbl("id"))
+            .select(e("src").as("id"), lbl("cluster_id").as("cluster_id")))
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      converged = updated.filter(col("__chg")).isEmpty
-      labels = updated.drop("__chg")
+      val s = labelSum(updated)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = updated
       i += 1
     }
     labels
