@@ -205,6 +205,27 @@ object Dedup {
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
+  /** Edit-distance verification of LSH candidate pairs — the second
+    * stage of the production near-dup pipeline: LSH proposes candidates
+    * (cheap, recall-oriented), edit distance confirms them (precise,
+    * run ONLY on the candidate set — never on the n² space). The
+    * distance is computed over a normalized prefix: edit distance is
+    * O(len²) per pair, and a bounded prefix keeps the verify stage
+    * linear in candidates at any document length.
+    */
+  def fuzzyVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, prefixLen: Int = 64): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol)
+    val norm = df.select(col(idCol),
+      substring(normText(col(textCol)), 1, prefixLen).as("__p"))
+    pairs
+      .join(norm.select(col(idCol).as("doc_a"), col("__p").as("__pa")), "doc_a")
+      .join(norm.select(col(idCol).as("doc_b"), col("__p").as("__pb")), "doc_b")
+      .withColumn("edit_dist", levenshtein(col("__pa"), col("__pb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist").cast("long").as("edit_dist"))
+  }
+
   /** 32-bit SimHash fingerprint per document: per-bit majority vote over
     * the word hashes. Computed scan-side, no shuffle; word hashing and
     * the 32-bit tally are fused codegen'd passes (the HOF reference —

@@ -82,6 +82,27 @@ object Extensions {
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
     """.trim))
 
+  /** LSH-propose → edit-distance-verify: the production near-dup
+    * pipeline's second stage, run only on candidate pairs (never n²).
+    * Distance over a 64-char normalized prefix (bounded per-pair cost).
+    */
+  val dedupFuzzy = Q(
+    "dedup_fuzzy_verify",
+    (s, dir) =>
+      Dedup.fuzzyVerifiedPairs(augmentedDocs(s, dir, perturb = true),
+          "doc_id", "text", maxDist = 10)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $minhashPairsCtes,
+      np AS (SELECT doc_id,
+               substring(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 64) AS p
+             FROM aug)
+      SELECT doc_a, doc_b, levenshtein(a.p, b.p)::BIGINT AS edit_dist
+      FROM pairs JOIN np a ON a.doc_id = doc_a JOIN np b ON b.doc_id = doc_b
+      WHERE levenshtein(a.p, b.p) <= 10
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   /** Near-dup cluster assignment: connected components over the minhash
     * candidate graph (hash-min propagation in Spark; transitive-closure
     * reachability in the DuckDB oracle). Every doc gets the min doc_id
@@ -491,6 +512,7 @@ object Extensions {
 
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupSimhash, dedupJaccard, dedupEmbedding,
+    dedupFuzzy,
     annBrute, annLsh, annIvf,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
     mediaMeta, mediaFrames, pipelineCorpusClean)
