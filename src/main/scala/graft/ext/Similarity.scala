@@ -47,9 +47,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
-  /** Sign-pattern bucket key over the first `bits` dimensions. */
+  /** Sign-pattern bucket key over the first `bits` dimensions — only
+    * suitable for NEAR-DUPLICATE detection (cosine ≈ 1, where every
+    * coordinate keeps its sign); for genuine neighbor search use the
+    * random-hyperplane tables below.
+    */
   def signBucket(vecCol: Column, bits: Int): Column =
     concat((0 until bits).map(i => when(element_at(vecCol, i + 1) > 0f, "1").otherwise("0")): _*)
+
+  /** Deterministic ±1 hyperplane weight for (table, bit, dim): md5
+    * parity of the coordinate triple. A constant at plan-build time —
+    * both the Spark expression and the DuckDB oracle inline the SAME
+    * signs, so the bucketing is engine-portable by construction.
+    */
+  def hpSign(table: Int, bit: Int, dim: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$table:$bit:$dim".getBytes("UTF-8"))
+    if ((d(0) & 1) == 0) 1 else -1
+  }
+
+  /** Random-hyperplane bucket for one LSH table: `bits` sign bits, each
+    * the sign of a ±1-weighted sum over all `dims` coordinates
+    * (left-to-right addition — the oracle mirrors the exact float order).
+    * P(bit agrees) = 1 − θ/π per Goemans–Williamson, so multiple tables
+    * (OR of collisions) recover recall for moderate-similarity
+    * neighbors.
+    */
+  def hyperplaneBucket(vecCol: Column, table: Int, bits: Int, dims: Int): Column =
+    concat((0 until bits).map { i =>
+      val sum = (0 until dims).map { j =>
+        val e = element_at(vecCol, j + 1).cast("double")
+        if (hpSign(table, i, j) > 0) e else -e
+      }.foldLeft(lit(0.0))(_ + _) // 0.0-seeded left fold = the oracle's order
+      when(sum > 0.0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** DuckDB twin of [[hyperplaneBucket]] — same inlined signs, same
+    * addition order.
+    */
+  def sqlHyperplaneBucket(v: String, table: Int, bits: Int, dims: Int): String =
+    (0 until bits).map { i =>
+      val sum = (0 until dims).map { j =>
+        val t = s"$v[${j + 1}]::DOUBLE"
+        if (hpSign(table, i, j) > 0) s"+ $t" else s"- (${t})"
+      }.mkString(" ")
+      s"(CASE WHEN (0.0 $sum) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
 
   /** IVF (inverted-file) ANN: corpus and queries are coarse-quantized to
     * their nearest centroid (broadcast cross + deterministic rank-1), and
@@ -61,21 +104,24 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
-      centIdCol: String, centVecCol: String, k: Int): DataFrame = {
+      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
     val cent = centroids.select(col(centIdCol).as("__cid"), col(centVecCol).as("__cv"))
-    def assign(df: DataFrame, outId: String, outVec: String): DataFrame = {
+    def assign(df: DataFrame, outId: String, outVec: String, lists: Int): DataFrame = {
       val w = Window.partitionBy(col(outId))
         .orderBy(col("__csim").desc, col("__cid"))
       df.select(col(idCol).as(outId), col(vecCol).as(outVec))
         .crossJoin(broadcast(cent))
         .withColumn("__csim", round(expr(s"graft_cosine($outVec, __cv)"), 9))
         .withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") === 1)
+        .filter(col("__crn") <= lists)
         .select(col(outId), col(outVec), col("__cid").as(s"${outId}_list"))
     }
-    val q = assign(queries, "query_id", "__qv")
-    val c = assign(corpus, "neighbor_id", "__cv2")
+    // corpus rows live in exactly one list; queries probe their nprobe
+    // nearest lists (standard IVF recall knob — scan cost rises linearly
+    // with nprobe, never quadratically)
+    val q = assign(queries, "query_id", "__qv", nprobe)
+    val c = assign(corpus, "neighbor_id", "__cv2", 1)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q),
         col("query_id_list") === col("neighbor_id_list") &&
@@ -86,19 +132,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
-  /** Bucketed ANN: only same-bucket pairs are scored. Misses neighbors
-    * across bucket boundaries (that's the approximation); multi-probe or
-    * repeated tables recover recall at scale.
+  /** Multi-table random-hyperplane LSH top-k: a candidate is any vector
+    * sharing a bucket with the query in AT LEAST ONE of `tables` hash
+    * tables (OR-amplification), then exact cosine ranks the candidates.
+    * Per table only ~corpus/2^bits vectors are scored; tables trade scan
+    * fraction for recall (P(candidate) = 1 − (1 − p^bits)^tables with
+    * p = 1 − θ/π). The per-table buckets explode scan-side and join on
+    * (table, bucket) — one shuffle-free broadcast probe per table's
+    * bucket space, never a cross product.
     */
   def lshTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+      idCol: String, vecCol: String, k: Int, bits: Int = 4, tables: Int = 4,
+      dims: Int = 64): DataFrame = {
     VectorExpressions.register(spark)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      signBucket(col(vecCol), bits).as("__qb"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      signBucket(col(vecCol), bits).as("__cb"))
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          explode(array((0 until tables).map(t =>
+            concat(lit(s"$t:"), hyperplaneBucket(col(vecCol), t, bits, dims))): _*))
+            .as(s"${id}_b"))
+    val q = withBuckets(queries, "query_id", "__qv")
+    val c = withBuckets(corpus, "neighbor_id", "__cv")
+    val cands = c.join(broadcast(q),
+        col("query_id_b") === col("neighbor_id_b") &&
+          col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("__qv")).as("__qv"), first(col("__cv")).as("__cv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("__qb") === col("__cb") && col("query_id") =!= col("neighbor_id"))
+    cands
       .withColumn("sim", round(expr("graft_cosine(__qv, __cv)"), 9))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

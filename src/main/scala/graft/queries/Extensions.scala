@@ -200,21 +200,33 @@ object Extensions {
       ORDER BY query_id, rank
     """.trim))
 
+  private def lshTableCte(t: Int): String =
+    s"""SELECT query_id, neighbor_id
+        FROM (SELECT vec_id AS query_id,
+                     '$t:' || ${Similarity.sqlHyperplaneBucket("embedding", t, 4, 64)} AS qb
+              FROM embeddings WHERE vec_id % 100 = 0) q
+        JOIN (SELECT vec_id AS neighbor_id,
+                     '$t:' || ${Similarity.sqlHyperplaneBucket("embedding", t, 4, 64)} AS cb
+              FROM embeddings) c
+          ON qb = cb AND query_id <> neighbor_id"""
+
   val annLsh = Q(
     "ann_lsh_topk",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
-          "vec_id", "embedding", k = 5, bits = 4)
+          "vec_id", "embedding", k = 5, bits = 4, tables = 4)
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${sqlBucket("embedding", 4)} AS qb
-                 FROM embeddings WHERE vec_id % 100 = 0),
-      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, ${sqlBucket("embedding", 4)} AS cb
-            FROM embeddings),
-      p AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "cv")} AS sim
-            FROM q JOIN c ON qb = cb AND query_id <> neighbor_id)
+      WITH cand AS (
+        SELECT DISTINCT query_id, neighbor_id FROM (
+          ${(0 until 4).map(lshTableCte).mkString("\n          UNION ALL\n          ")}
+        )),
+      p AS (SELECT query_id, neighbor_id, ${sqlCos("q.embedding", "c.embedding")} AS sim
+            FROM cand
+            JOIN embeddings q ON q.vec_id = query_id
+            JOIN embeddings c ON c.vec_id = neighbor_id)
       SELECT query_id, neighbor_id, rank, sim FROM (
         SELECT query_id, neighbor_id, sim,
                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -228,7 +240,7 @@ object Extensions {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
           emb.filter(col("vec_id") % 37 === 0),
-          "vec_id", "embedding", "vec_id", "embedding", k = 5)
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
@@ -240,7 +252,16 @@ object Extensions {
                    ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
           FROM embeddings e, cent t)
         WHERE rn = 1),
-      q_a AS (SELECT * FROM corp_a WHERE vec_id % 100 = 0),
+      q_a AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(
+       list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * t.cv[i+1]::DOUBLE)) /
+       (sqrt(list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE))) *
+        sqrt(list_sum(list_transform(range(len(t.cv)), i -> t.cv[i+1]::DOUBLE * t.cv[i+1]::DOUBLE)))), 9) DESC, t.cid) AS rn
+          FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
+        WHERE rn <= 2),
       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ${sqlCos("q.embedding", "c.embedding")} AS sim
             FROM q_a q JOIN corp_a c ON q.cid = c.cid AND q.vec_id <> c.vec_id)

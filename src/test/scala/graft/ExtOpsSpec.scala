@@ -54,14 +54,14 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.head.getAs[Double]("sim") > 0.99)
   }
 
-  test("sign-LSH bucketing only scores same-bucket candidates") {
+  test("hyperplane LSH: parallel vectors always collide, antipodal never") {
     val lv = Seq(
       (1L, Array(1.0f, 0.2f, 0.3f)),
-      (2L, Array(0.9f, 0.1f, 0.2f)),  // same sign pattern as 1
-      (4L, Array(-1.0f, -0.1f, 0.2f)) // different bucket
+      (2L, Array(2.0f, 0.4f, 0.6f)),   // same direction: every bit agrees
+      (4L, Array(-1.0f, -0.2f, -0.3f)) // antipodal: every bit differs
     ).toDF("vec_id", "embedding")
     val got = Similarity.lshTopK(spark, lv, lv.filter($"vec_id" === 1),
-      "vec_id", "embedding", k = 3, bits = 3)
+      "vec_id", "embedding", k = 3, bits = 3, tables = 4, dims = 3)
     val ids = got.select("neighbor_id").as[Long].collect().toSet
     assert(ids == Set(2L))
   }
@@ -79,6 +79,28 @@ class ExtOpsSpec extends SparkSpec {
       "vec_id", "embedding", "cid", "cv", k = 3)
       .select("neighbor_id").as[Long].collect().toSet
     assert(got == Set(2L)) // 3 and 4 live in the other centroid's list
+  }
+
+  test("ANN recall: LSH and IVF keep most of the exact top-k") {
+    val emb = graft.etl.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val k = 5
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = resultSet(Similarity.bruteForceTopK(spark, emb, queries,
+      "vec_id", "embedding", k))
+    val lsh = resultSet(Similarity.lshTopK(spark, emb, queries,
+      "vec_id", "embedding", k, bits = 4, tables = 6))
+    val ivf = resultSet(Similarity.ivfTopK(spark, emb, queries,
+      emb.filter($"vec_id" % 37 === 0), "vec_id", "embedding",
+      "vec_id", "embedding", k, nprobe = 2))
+    val lshRecall = (exact intersect lsh).size.toDouble / exact.size
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    // floors, not exact pins: the point is the approximation is USEFUL
+    // (scanning ~1/2^bits resp. ~1/|centroids| of the corpus), not lossless
+    println(s"recall@$k lsh=$lshRecall ivf=$ivfRecall")
+    assert(lshRecall >= 0.35, s"LSH recall@$k degraded to $lshRecall")
+    assert(ivfRecall >= 0.4, s"IVF recall@$k degraded to $ivfRecall")
   }
 
   test("langid heuristic: stopword-rich english beats spanish/german") {
