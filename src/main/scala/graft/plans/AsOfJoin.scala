@@ -74,6 +74,12 @@ case class AsOfJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -91,6 +97,8 @@ case class AsOfJoinExec(
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    val outRows = longMetric("numOutputRows")
+    val matched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val ord = TypeUtils.getInterpretedOrdering(timeType)
@@ -148,6 +156,8 @@ case class AsOfJoinExec(
           val buf = index.get(k)
           if (buf != null) m = search(buf, t.get(0, timeType))
         }
+        outRows += 1
+        if (m != null) matched += 1
         joined(lrow, if (m == null) nullRight else m)
       }
     }
