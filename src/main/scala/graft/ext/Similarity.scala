@@ -75,10 +75,17 @@ object Similarity {
     */
   def hyperplaneBucket(vecCol: Column, table: Int, bits: Int, dims: Int): Column =
     concat((0 until bits).map { i =>
-      val sum = (0 until dims).map { j =>
-        val e = element_at(vecCol, j + 1).cast("double")
-        if (hpSign(table, i, j) > 0) e else -e
-      }.foldLeft(lit(0.0))(_ + _) // 0.0-seeded left fold = the oracle's order
+      // ±1.0 weights as an array literal + zip_with/aggregate: x * ±1.0
+      // is an exact negation and the 0.0-seeded ascending fold is the
+      // oracle's addition order, so this is bit-identical to the
+      // unrolled sum — but it codegens as a tiny loop instead of a
+      // dims-term expression tree (the unrolled form cost seconds of
+      // janino compile per query at 64 dims × bits × tables).
+      val weights = array((0 until dims).map(j =>
+        lit(hpSign(table, i, j).toDouble)): _*)
+      val sum = aggregate(
+        zip_with(vecCol, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
       when(sum > 0.0, lit("1")).otherwise(lit("0"))
     }: _*)
 
