@@ -353,7 +353,45 @@ object Breadth3 {
     },
     None)
 
+  /** q35 — the built-in session_window aggregate (one shuffle; Spark
+    * merges overlapping [ts, ts+gap) ranges per key). The oracle states
+    * the same sessions via the gaps-and-islands formulation — a session
+    * breaks when the gap reaches the 30-minute threshold (session
+    * ranges are end-exclusive, so an event at exactly prev+gap starts a
+    * new session), and every session's end is last_event + gap.
+    */
+  val q35SessionWindow = Q(
+    "q35_session_window",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT user_id, ts,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start
+    """.trim))
+
   def all: Seq[Q] = Seq(q27SmallQty, q28BigOrders, q29SoleLate, q30Inactive,
     q31TopSupplier, j9AsofCustom, u6IntersectAll, u7ExceptAll, j10BinnedRange,
-    q33Stratified, q34HllMergeable)
+    q33Stratified, q34HllMergeable, q35SessionWindow)
 }

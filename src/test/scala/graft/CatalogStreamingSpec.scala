@@ -159,6 +159,31 @@ class CatalogStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming session_window: sessions finalize once the watermark passes their end") {
+    implicit val ctx = spark.sqlContext
+    val m = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = m.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"), col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("sess_sw").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    m.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    m.addData((9L, ts("2024-01-01 06:00:00"))) // watermark push
+    q.processAllAvailable()
+    val got = spark.table("sess_sw").collect()
+      .map(row => (row.getAs[Long]("user_id"),
+        row.getAs[java.sql.Timestamp]("start"), row.getAs[Long]("n_events"))).toSet
+    q.stop()
+    // two finalized sessions for user 1: [00:00, 00:10+30) with 2 events,
+    // [01:00, 01:30) with 1; user 9's session is still open
+    assert(got == Set((1L, ts("2024-01-01 00:00:00"), 2L),
+      (1L, ts("2024-01-01 01:00:00"), 1L)), got.toString)
+  }
+
   test("streaming windowed rates with watermark") {
     implicit val ctx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
