@@ -391,7 +391,36 @@ object Breadth3 {
       ORDER BY user_id, session_start
     """.trim))
 
+  /** q36 — sliding-window rates: window(1 hour, slide 30 min) assigns
+    * every event to two buckets (a scan-side generator, then one
+    * shuffled aggregate). The oracle unnests the same two bucket starts
+    * per event; 30-minute buckets align identically from Spark's epoch
+    * and DuckDB's time_bucket origin.
+    */
+  val q36SlidingWindow = Q(
+    "q36_sliding_window_rate",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      ev.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n_events"), col("n_users"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT event_type, user_id,
+               unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                       time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start
+        FROM events)
+      SELECT w_start, event_type, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users
+      FROM b GROUP BY w_start, event_type
+      ORDER BY w_start, event_type
+    """.trim))
+
   def all: Seq[Q] = Seq(q27SmallQty, q28BigOrders, q29SoleLate, q30Inactive,
     q31TopSupplier, j9AsofCustom, u6IntersectAll, u7ExceptAll, j10BinnedRange,
-    q33Stratified, q34HllMergeable, q35SessionWindow)
+    q33Stratified, q34HllMergeable, q35SessionWindow, q36SlidingWindow)
 }
