@@ -239,6 +239,37 @@ object Dedup {
       .select(col(idCol), col("simhash"))
   }
 
+  /** SimHash near-dup pairs by pigeonhole banding: a pair within
+    * Hamming distance d of a 32-bit simhash must agree exactly on at
+    * least one of d+1 bands, so banding the fingerprint into 4 bytes
+    * finds every pair with distance ≤ 3 via an EQUI join on
+    * (band, byte) — the classic crawl-dedup scheme — and bit_count of
+    * the xor verifies the distance exactly. One fingerprint scan, one
+    * shuffle on the band key; candidate volume is collision-bound, the
+    * n² space never materializes.
+    */
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1 // pigeonhole: 32 bits / 4 bands = 8-bit bytes
+    val sh = simhash32(df, idCol, textCol)
+    val bands = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until nBands).map(i =>
+        struct(lit(i).as("b"),
+          shiftright(col("simhash"), i * 8).bitwiseAND(lit(255L)).as("v"))): _*)).as("bd"))
+      .select(col(idCol), col("simhash"), col("bd.b").as("__b"), col("bd.v").as("__v"))
+    val a = bands.select(col(idCol).as("doc_a"), col("simhash").as("__sa"),
+      col("__b"), col("__v"))
+    val b = bands.select(col(idCol).as("doc_b"), col("simhash").as("__sb"),
+      col("__b").as("__b2"), col("__v").as("__v2"))
+    a.join(b.hint("shuffle_hash"),
+        col("__b") === col("__b2") && col("__v") === col("__v2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Bucketed pairwise n-gram Jaccard similarity: pairs within the same
     * bucket whose distinct-shingle Jaccard ≥ threshold.
     *

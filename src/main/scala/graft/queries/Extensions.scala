@@ -143,6 +143,38 @@ object Extensions {
       FROM hs ORDER BY doc_id
     """.trim))
 
+  /** SimHash pigeonhole pairs: hamming ≤ 3 dupes must share one of 4
+    * fingerprint bytes → equi join on (band, byte), exact bit_count(xor)
+    * verify. The classic crawl-dedup scheme over the perturbed corpus.
+    */
+  val dedupSimhashPairs = Q(
+    "dedup_simhash_pairs",
+    (s, dir) =>
+      Dedup.simhashCandidatePairs(augmentedDocs(s, dir, perturb = true),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH ${augCte(perturb = true)},
+      norm AS (SELECT doc_id, $NormW AS w FROM aug),
+      hs AS (SELECT doc_id, list_transform(w, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+             FROM norm WHERE len(w) >= 1),
+      sim AS (SELECT doc_id,
+                CAST(list_sum(list_transform(range(32), b ->
+                  CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+                       THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+              FROM hs),
+      bands AS (SELECT doc_id, simhash, unnest(range(4)) AS b FROM sim),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sa, b.simhash AS sb
+                FROM bands a JOIN bands b
+                  ON a.b = b.b
+                 AND ((a.simhash >> (a.b * 8)) & 255) = ((b.simhash >> (b.b * 8)) & 255)
+                 AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+      FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   val dedupJaccard = Q(
     "dedup_ngram_jaccard",
     (s, dir) =>
@@ -532,8 +564,8 @@ object Extensions {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupClusters, dedupSimhash, dedupJaccard, dedupEmbedding,
-    dedupFuzzy,
+    dedupExact, dedupMinhash, dedupClusters, dedupSimhash, dedupSimhashPairs,
+    dedupJaccard, dedupEmbedding, dedupFuzzy,
     annBrute, annLsh, annIvf,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
     mediaMeta, mediaFrames, pipelineCorpusClean)
