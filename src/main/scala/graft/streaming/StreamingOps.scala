@@ -157,4 +157,111 @@ object StreamingOps {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** One tagged row of either as-of input: `side` is "l" (probe) or "r"
+    * (reference). `v` carries the reference payload (ignored on lefts).
+    */
+  final case class AsOfIn(k: Long, ts: java.sql.Timestamp, side: String, v: Double)
+  final case class AsOfOut(k: Long, l_ts: java.sql.Timestamp,
+      r_ts: Option[java.sql.Timestamp], r_v: Option[Double])
+
+  /** Streaming backward as-of join — the incremental twin of the batch
+    * `plans.AsOfJoinExec` operator: each left row is matched with the
+    * latest right row of the same key with `r_ts <= l_ts` (left outer:
+    * unmatched lefts emit null rights).
+    *
+    * Correctness under out-of-order arrival comes from event-time
+    * timers: a left row is BUFFERED on arrival and only finalized when
+    * the watermark passes its timestamp — at that point no right row
+    * with a smaller timestamp can still arrive (the union's global
+    * watermark is the min over both inputs), so "latest prior right" is
+    * decided. This is the same watermark-finalization contract the
+    * built-in stream-stream interval join uses, applied to a semantics
+    * Spark has no native streaming operator for.
+    *
+    * State per key is bounded: pending lefts drain at watermark, and of
+    * the rights at or below the watermark only the LATEST one is kept
+    * (every future left has `l_ts > wm`, so earlier rights can never be
+    * the match again). RocksDB-backed, so state scales past executor
+    * memory on a real cluster.
+    */
+  class StreamingAsOfProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, AsOfIn, AsOfOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+      TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var rights: ListState[(Long, Double)] = _
+    @transient private var lefts: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      rights = getHandle.getListState[(Long, Double)]("rights",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+      lefts = getHandle.getListState[Long]("lefts", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AsOfIn],
+        timerValues: TimerValues): Iterator[AsOfOut] = {
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        if (e.side == "r") rights.appendValue((t, e.v))
+        else { lefts.appendValue(t); getHandle.registerTimer(t) }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[AsOfOut] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val ls = lefts.get().toArray
+      if (ls.isEmpty) return Iterator.empty
+      val (due, pending) = ls.partition(_ <= wm)
+      if (due.isEmpty) return Iterator.empty
+      val rs = rights.get().toArray.sortBy(_._1)
+      def latestAtOrBefore(t: Long): Option[(Long, Double)] = {
+        // binary search: greatest index with rs(i)._1 <= t
+        var lo = 0; var hi = rs.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (rs(mid)._1 <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        if (ans >= 0) Some(rs(ans)) else None
+      }
+      val out = due.sorted.iterator.map { lt =>
+        latestAtOrBefore(lt) match {
+          case Some((rt, rv)) => AsOfOut(key, new java.sql.Timestamp(lt),
+            Some(new java.sql.Timestamp(rt)), Some(rv))
+          case None => AsOfOut(key, new java.sql.Timestamp(lt), None, None)
+        }
+      }.toVector
+      // Evict: keep only the latest right at/below the watermark (the
+      // only one a future left can still match) plus all rights above it.
+      val cut = latestAtOrBefore(wm).map(_._1).getOrElse(Long.MinValue)
+      val keptRights = rs.filter(_._1 >= cut)
+      rights.clear()
+      if (keptRights.nonEmpty) rights.put(keptRights)
+      lefts.clear()
+      if (pending.nonEmpty) lefts.put(pending)
+      out.iterator
+    }
+  }
+
+  /** Wires StreamingAsOfProcessor over two watermarked streams of
+    * `(k, ts[, v])`. Both inputs are tagged and unioned so one keyed
+    * stateful operator sees the merged event-time order per key.
+    */
+  def streamingAsOf(left: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+      right: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, Double)],
+      delay: String): org.apache.spark.sql.Dataset[AsOfOut] = {
+    import left.sparkSession.implicits._
+    val l = left.toDF("k", "ts").withColumn("side", lit("l"))
+      .withColumn("v", lit(0.0)).withWatermark("ts", delay)
+    val r = right.toDF("k", "ts", "v").withColumn("side", lit("r"))
+      .select(col("k"), col("ts"), col("side"), col("v")).withWatermark("ts", delay)
+    l.unionByName(r).as[AsOfIn]
+      .groupByKey(_.k)
+      .transformWithState(new StreamingAsOfProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }

@@ -240,4 +240,94 @@ class CatalogStreamingSpec extends SparkSpec {
     q.stop()
     assert(got.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("streaming as-of join: lefts finalize at watermark with latest prior right") {
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val l = MemoryStream[(Long, java.sql.Timestamp)]
+      val r = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val out = StreamingOps.streamingAsOf(l.toDS(), r.toDS(), delay = "5 minutes")
+      val q = out.writeStream.format("memory").queryName("sasof")
+        .outputMode("append").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // batch 1: two lefts buffered; rights arrive OUT OF ORDER (00:08
+      // before 00:02) — nothing may emit yet (watermark still behind)
+      l.addData((1L, ts("2024-01-01 00:10:00")), (2L, ts("2024-01-01 00:10:00")))
+      r.addData((1L, ts("2024-01-01 00:08:00"), 8.0))
+      q.processAllAvailable()
+      r.addData((1L, ts("2024-01-01 00:02:00"), 2.0)) // late but pre-watermark
+      q.processAllAvailable()
+      assert(spark.table("sasof").isEmpty,
+        "lefts must not finalize before the watermark passes their ts")
+      // advance the watermark far past both lefts on BOTH inputs (the
+      // union's watermark is the min over the two)
+      l.addData((9L, ts("2024-01-01 01:00:00")))
+      r.addData((9L, ts("2024-01-01 01:00:00"), 0.0))
+      q.processAllAvailable()
+      // one more nudge: timer firing needs the next microbatch after
+      // the watermark update in some planners
+      l.addData((9L, ts("2024-01-01 02:00:00")))
+      r.addData((9L, ts("2024-01-01 02:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sasof").collect()
+        .map(row => (row.getAs[Long]("k"), row.getAs[java.sql.Timestamp]("l_ts"),
+          Option(row.getAs[java.sql.Timestamp]("r_ts")),
+          Option(row.getAs[Any]("r_v")))).toSeq
+      q.stop()
+      // k=1: latest right <= 00:10 is 00:08 (the out-of-order 00:02 must
+      // NOT shadow it); k=2: no right at all → null-padded (left outer)
+      assert(got.exists(g => g._1 == 1L && g._2 == ts("2024-01-01 00:10:00") &&
+        g._3.contains(ts("2024-01-01 00:08:00")) && g._4.contains(8.0)), got.toString)
+      assert(got.exists(g => g._1 == 2L && g._3.isEmpty && g._4.isEmpty), got.toString)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming as-of join: watermark eviction keeps exactly the still-matchable rights") {
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val l = MemoryStream[(Long, java.sql.Timestamp)]
+      val r = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val out = StreamingOps.streamingAsOf(l.toDS(), r.toDS(), delay = "1 minute")
+      val q = out.writeStream.format("memory").queryName("sasof2")
+        .outputMode("append").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // phase 1: rights 00:01 and 00:05; left at 00:06 finalizes once the
+      // watermark passes it, matching 00:05
+      r.addData((7L, ts("2024-01-01 00:01:00"), 1.0), (7L, ts("2024-01-01 00:05:00"), 5.0))
+      l.addData((7L, ts("2024-01-01 00:06:00")))
+      q.processAllAvailable()
+      l.addData((9L, ts("2024-01-01 00:30:00"))); r.addData((9L, ts("2024-01-01 00:30:00"), 0.0))
+      q.processAllAvailable()
+      l.addData((9L, ts("2024-01-01 00:31:00"))); r.addData((9L, ts("2024-01-01 00:31:00"), 0.0))
+      q.processAllAvailable()
+      // phase 2: a NEW left at 00:40 still matches the surviving 00:05
+      // right (eviction must keep the latest right at/below the watermark)
+      l.addData((7L, ts("2024-01-01 00:40:00")))
+      q.processAllAvailable()
+      l.addData((9L, ts("2024-01-01 01:30:00"))); r.addData((9L, ts("2024-01-01 01:30:00"), 0.0))
+      q.processAllAvailable()
+      l.addData((9L, ts("2024-01-01 01:31:00"))); r.addData((9L, ts("2024-01-01 01:31:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sasof2").collect()
+        .map(row => (row.getAs[Long]("k"), row.getAs[java.sql.Timestamp]("l_ts"),
+          Option(row.getAs[java.sql.Timestamp]("r_ts")))).toSeq
+      q.stop()
+      assert(got.exists(g => g._1 == 7L && g._2 == ts("2024-01-01 00:06:00") &&
+        g._3.contains(ts("2024-01-01 00:05:00"))), got.toString)
+      assert(got.exists(g => g._1 == 7L && g._2 == ts("2024-01-01 00:40:00") &&
+        g._3.contains(ts("2024-01-01 00:05:00"))), got.toString)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
