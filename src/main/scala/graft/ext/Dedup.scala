@@ -198,8 +198,94 @@ object Dedup {
     * canonical survivor of each cluster is the row with
     * `doc_id == cluster_id`.
     */
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the long-diameter scale path: hash-min propagation
+    * ([[connectedComponents]]) needs O(diameter) rounds, which on a
+    * chain-shaped near-dup graph (each doc similar only to its
+    * neighbor) is O(n); star contraction converges in O(log n) rounds
+    * regardless of diameter. Each round is two groupBy+join pairs over
+    * the current edge set — pure DataFrame ops, so AQE handles skewed
+    * high-degree hubs.
+    *
+    *  - large-star: every node's STRICTLY LARGER neighbors are rewired
+    *    to the minimum of its closed neighborhood (keeps every node
+    *    attached to a path toward its component min, never grows the
+    *    min).
+    *  - small-star: edges directed larger→smaller; each node's small
+    *    neighbors (and itself) are rewired to their collective min
+    *    (contracts chains onto the local min).
+    *
+    * At the fixpoint the edge set is a union of stars rooted at each
+    * component's min id, and both operations are idempotent.
+    * Convergence is detected by the monotone potential both operations
+    * never increase — the per-node min over the closed neighborhood —
+    * summed as DECIMAL(38,0) (cannot wrap), plus the distinct edge
+    * count; a fixpoint leaves both exactly unchanged.
+    *
+    * Returns one row per vertex of the edge list: (id, cluster_id).
+    */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 40): DataFrame = {
+    var e = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+
+    def sym(d: DataFrame): DataFrame =
+      d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
+    // the convergence potential: Σ over vertices of min(closed nbhd)
+    def potential(d: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = sym(d).groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+        .agg(count(lit(1)), sum(col("m").cast("decimal(38,0)"))).collect()(0)
+      (d.count(), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    var (prevN, prevSum) = potential(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: (v, m(u)) for every neighbor v > u
+      val s = sym(e)
+      val mins = s.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
+      val large = s.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star on larger→smaller edges: (v, m(u)) ∪ (u, m(u))
+      val dir = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins2 = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = dir.join(mins2, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint()
+      val (n, s2) = potential(small)
+      converged = n == prevN && s2.compareTo(prevSum) == 0
+      prevN = n; prevSum = s2
+      e = small
+      i += 1
+    }
+    sym(e).groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("cluster_id"))
+      .select(col("u").as("id"), col("cluster_id"))
+  }
+
   def clusterAssignment(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val comp = connectedComponents(pairs, "doc_a", "doc_b")
+    docs.select(col(idCol))
+      .join(comp, docs(idCol) === comp("id"), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
+  /** [[clusterAssignment]] over the star-contraction components —
+    * identical output contract, O(log n)-round scale path.
+    */
+  def clusterAssignmentStar(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comp = connectedComponentsStar(pairs, "doc_a", "doc_b")
     docs.select(col(idCol))
       .join(comp, docs(idCol) === comp("id"), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))

@@ -127,6 +127,31 @@ object Extensions {
       ORDER BY doc_id
     """.trim))
 
+  /** Same clustering task as dedup_clusters, computed by the
+    * alternating large-star/small-star contraction instead of hash-min
+    * propagation — the O(log n)-round algorithm a long-diameter
+    * candidate graph needs at 100 TB. Same recursive-CTE oracle: both
+    * algorithms must produce the identical component assignment.
+    */
+  val dedupClustersStar = Q(
+    "dedup_clusters_star",
+    (s, dir) => {
+      val docs = augmentedDocs(s, dir, perturb = true)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      Dedup.clusterAssignmentStar(docs, pairs, "doc_id").orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (SELECT s, d FROM edges
+                      UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      comp AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY s)
+      SELECT a.doc_id, coalesce(least(c.mn, a.doc_id), a.doc_id) AS cluster_id
+      FROM aug a LEFT JOIN comp c USING (doc_id)
+      ORDER BY doc_id
+    """.trim))
+
   val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) =>
@@ -564,7 +589,7 @@ object Extensions {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupClusters, dedupSimhash, dedupSimhashPairs,
+    dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupEmbedding, dedupFuzzy,
     annBrute, annLsh, annIvf,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,

@@ -37,6 +37,32 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(1L) ^ m(4L)) > hamming)
   }
 
+  test("star CC: 200-node chain converges to one component in O(log n) rounds") {
+    // diameter 200 — hash-min propagation would need ~200 rounds; the
+    // star contraction must label every node 1 within its default
+    // (log-scale) iteration budget
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsStar(chain, "doc_a", "doc_b", maxIter = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 1L), got.filter(_._2 != 1L).take(5).mkString(","))
+  }
+
+  test("star CC: equals hash-min propagation on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("doc_a", "doc_b")
+      val star = Dedup.connectedComponentsStar(df, "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val prop = Dedup.connectedComponents(df, "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(star == prop, s"trial $trial: ${star.toSet.diff(prop.toSet).take(5)}")
+    }
+  }
+
   test("ngram jaccard: bucketed pairs above threshold only") {
     val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", 0.5)
       .as[(Long, Long, Double)].collect()
