@@ -376,7 +376,7 @@ object Breadth3 {
       WITH g AS (
         SELECT user_id, ts,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                         OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
                     THEN 1 ELSE 0 END AS brk
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
