@@ -107,7 +107,12 @@ object Dedup {
     * membership — never the full cross product.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bands = minhashBands(df, idCol, textCol)
+    // materialize the (id, band) projection once: the self-join's two
+    // sides otherwise re-run the whole shingle+minhash pipeline (their
+    // exchanges differ by projection, so ReuseExchange cannot fire), and
+    // the banded rows are tiny — no text — while the signature
+    // computation is the expensive part
+    val bands = minhashBands(df, idCol, textCol).localCheckpoint()
     val a = bands.select(col(idCol).as("doc_a"), col("band"))
     val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"))
     // Band keys are heavily duplicated (that is the point of LSH), and
@@ -129,9 +134,8 @@ object Dedup {
     *
     * Rounds needed = graph diameter. LSH dedup graphs are near-cliques
     * (docs sharing a band all pair up), so 1-2 rounds converge; for
-    * adversarially long path graphs the large-star/small-star variant
-    * (2 rounds per effective doubling) would replace this loop — same
-    * join/agg building blocks, noted here for the 100 TB path.
+    * adversarially long path graphs use [[connectedComponentsStar]] —
+    * O(log n) rounds regardless of diameter, same building blocks.
     *
     * Returns (id, cluster_id = component-min id) for every vertex that
     * appears in `edges`; isolated vertices are the caller's left join.
@@ -220,8 +224,9 @@ object Dedup {
     * component's min id, and both operations are idempotent.
     * Convergence is detected by the monotone potential both operations
     * never increase — the per-node min over the closed neighborhood —
-    * summed as DECIMAL(38,0) (cannot wrap), plus the distinct edge
-    * count; a fixpoint leaves both exactly unchanged.
+    * summed as DECIMAL(38,0) (cannot wrap), plus the vertex count; a
+    * fixpoint leaves both exactly unchanged, and the potential table of
+    * the converged round is itself the label assignment.
     *
     * Returns one row per vertex of the edge list: (id, cluster_id).
     */
@@ -234,21 +239,26 @@ object Dedup {
 
     def sym(d: DataFrame): DataFrame =
       d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
-    // the convergence potential: Σ over vertices of min(closed nbhd)
-    def potential(d: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = sym(d).groupBy(col("u"))
-        .agg(least(col("u"), min(col("v"))).as("m"))
-        .agg(count(lit(1)), sum(col("m").cast("decimal(38,0)"))).collect()(0)
-      (d.count(), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-    }
 
-    var (prevN, prevSum) = potential(e)
-    var converged = false
+    // Each round starts by materializing the per-vertex closed-
+    // neighborhood min (the large-star m(u) table). That SAME table is
+    // the convergence potential — (vertex count, Σ m as DECIMAL(38,0))
+    // is one cheap aggregate over the checkpointed rows, not an extra
+    // pass over the edges — and at the fixpoint it IS the final label
+    // assignment, so convergence returns it directly.
+    var prev: Option[(Long, java.math.BigDecimal)] = None
     var i = 0
-    while (!converged && i < maxIter) {
-      // large-star: (v, m(u)) for every neighbor v > u
+    while (i <= maxIter) {
       val s = sym(e)
-      val mins = s.groupBy(col("u")).agg(least(col("u"), min(col("v"))).as("m"))
+      val mins = s.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m")).localCheckpoint()
+      val r = mins.agg(count(lit(1)), sum(col("m").cast("decimal(38,0)"))).collect()(0)
+      val stats = (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+      if (prev.contains(stats) || i == maxIter)
+        return mins.select(col("u").as("id"), col("m").as("cluster_id"))
+      prev = Some(stats)
+      // large-star: (v, m(u)) for every neighbor v > u
       val large = s.join(mins, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v")).distinct()
@@ -256,22 +266,16 @@ object Dedup {
       val dir = large.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       val mins2 = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = dir.join(mins2, "u")
+      e = dir.join(mins2, "u")
         .select(explode(array(
           struct(col("v").as("a"), col("m").as("b")),
           struct(col("u").as("a"), col("m").as("b")))).as("e"))
         .select(col("e.a").as("u"), col("e.b").as("v"))
         .where(col("u") =!= col("v")).distinct()
         .localCheckpoint()
-      val (n, s2) = potential(small)
-      converged = n == prevN && s2.compareTo(prevSum) == 0
-      prevN = n; prevSum = s2
-      e = small
       i += 1
     }
-    sym(e).groupBy(col("u"))
-      .agg(least(col("u"), min(col("v"))).as("cluster_id"))
-      .select(col("u").as("id"), col("cluster_id"))
+    throw new IllegalStateException("unreachable")
   }
 
   def clusterAssignment(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
@@ -343,6 +347,10 @@ object Dedup {
         struct(lit(i).as("b"),
           shiftright(col("simhash"), i * 8).bitwiseAND(lit(255L)).as("v"))): _*)).as("bd"))
       .select(col(idCol), col("simhash"), col("bd.b").as("__b"), col("bd.v").as("__v"))
+      // materialized once: both self-join sides read the 4-col banded
+      // rows instead of re-running the simhash kernel (see
+      // minhashCandidatePairs)
+      .localCheckpoint()
     val a = bands.select(col(idCol).as("doc_a"), col("simhash").as("__sa"),
       col("__b"), col("__v"))
     val b = bands.select(col(idCol).as("doc_b"), col("simhash").as("__sb"),
@@ -388,6 +396,9 @@ object Dedup {
       .withColumn("__hs", array_distinct(expr(s"graft_shingle_hashes64(__words, $k)")))
       .select(col(idCol), col(bucketCol).as("__bk"),
         size(col("__hs")).as("__n"), explode(col("__hs")).as("__h"))
+      // materialized once: both self-join sides read fixed-width posting
+      // rows instead of re-running shingling (see minhashCandidatePairs)
+      .localCheckpoint()
     val a = postings.select(col(idCol).as("doc_a"), col("__bk"), col("__n").as("__na"),
       col("__h"))
     val b = postings.select(col(idCol).as("doc_b"), col("__bk").as("__bk2"),
