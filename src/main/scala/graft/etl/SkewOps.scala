@@ -34,4 +34,27 @@ object SkewOps {
       .agg(sum(col("__psum")).as(s"sum_$valueCol"),
         sum(col("__pcnt")).as("n"))
   }
+
+  /** Salted equi join for a skewed probe side: the probe's hot keys
+    * hash across `buckets` sub-partitions, and the build side is
+    * replicated once per bucket (explode over 0..buckets-1), so the join
+    * on (key, salt) spreads a hot key over `buckets` tasks instead of
+    * funnelling it through one. Inner-join semantics are preserved
+    * exactly: each probe row carries ONE salt and meets each matching
+    * build row exactly once (at that salt's replica).
+    *
+    * AQE's skew-join splitting handles this transparently when the
+    * build side fits its stats-based thresholds; explicit salting is
+    * the deterministic fallback for the 100 TB plan when the build side
+    * must also shuffle (too big to broadcast) and a single key
+    * dominates (AQE can only split the PROBE side's partitions — a
+    * sort-merge run of one giant key still serializes its merge).
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      discriminator: String, buckets: Int = 16): DataFrame = {
+    val salted = probe.withColumn("__salt", saltCol(col(discriminator), buckets))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }
