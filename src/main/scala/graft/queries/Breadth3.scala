@@ -175,7 +175,12 @@ object Breadth3 {
     "q31_top_supplier",
     (s, dir) => {
       val li = Tables(s, dir, "lineitem")
+      // materialized once: the revenue table feeds both the scalar max
+      // and the filter-join, and each consumer would otherwise re-run
+      // the full lineitem aggregation (fresh exprIds defeat
+      // ReuseExchange). |suppliers| rows — trivially small.
       val rev = li.groupBy(col("l_suppkey")).agg(revenue.as("total_rev"))
+        .localCheckpoint()
       val mx = rev.agg(max(col("total_rev")).as("mx"))
       val sup = Tables(s, dir, "supplier")
       rev.join(broadcast(mx)).filter(col("total_rev") === col("mx"))

@@ -256,6 +256,79 @@ object Breadth4 {
       ORDER BY revenue
     """.trim))
 
+  /** Percent-of-total (ratio_to_report): each nation's share of global
+    * revenue. Exact decimal sums at both levels (group and grand total
+    * via an unpartitioned window over |nations| rows), ONE double
+    * division per row.
+    */
+  val q43RevenueShare = Q(
+    "q43_revenue_share",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val l = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val rev = l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(vol).as("rev_dec"))
+      rev.select(col("n_name"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("rev_dec").cast("double") /
+            sum(col("rev_dec")).over(Window.partitionBy()).cast("double"))
+            .as("share"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT n_name,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS rev_dec
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+             CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE) AS share
+      FROM rev ORDER BY n_name
+    """.trim))
+
+  /** Running DISTINCT count over a window — a composition neither engine
+    * supports natively (no DISTINCT inside window frames): flag each
+    * (priority, custkey)'s first order via row_number, then running-sum
+    * the flags. Order is total (date, then unique orderkey), so the
+    * running values are deterministic row-by-row.
+    */
+  val q44RunningDistinct = Q(
+    "q44_running_distinct_custs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+      val firstSeen = Window.partitionBy(col("o_orderpriority"), col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.withColumn("__new", when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          sum(col("__new")).over(running).as("n_distinct_custs"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+               CASE WHEN row_number() OVER (PARTITION BY o_orderpriority, o_custkey
+                                            ORDER BY o_orderdate, o_orderkey) = 1
+                    THEN 1 ELSE 0 END AS new_cust
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00')
+      SELECT o_orderkey, o_orderpriority,
+             sum(new_cust) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS n_distinct_custs
+      FROM flagged ORDER BY o_orderkey
+    """.trim))
+
   def all: Seq[Q] = Seq(q37VolumeShipping, q38MarketShare, q39ReturnedItems,
-    q40PriorityExists, q41PromoRevenue, q42DisjunctiveBands)
+    q40PriorityExists, q41PromoRevenue, q42DisjunctiveBands, q43RevenueShare,
+    q44RunningDistinct)
 }

@@ -158,6 +158,39 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Incremental merge sink — the streaming face of the batch merge
+    * pipeline (MergeOps.tableUpdated): each micro-batch is treated as an
+    * incoming snapshot and merged against the LATEST published version,
+    * writing an immutable new version directory `v<batchId>` (no
+    * in-place overwrite: readers of v(n-1) are never disturbed, and a
+    * failed batch simply re-runs — foreachBatch gives at-least-once, and
+    * re-writing the same version directory is idempotent). This is the
+    * checkpointed upsert-into-table architecture on plain parquet, the
+    * pattern table formats package as MERGE INTO.
+    */
+  def mergeSink(stream: DataFrame, published0: DataFrame, idCol: String,
+      auditCols: Seq[String], outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(outDir)
+        val versions =
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root).toSeq.map(_.getPath.getName)
+            .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+        val published =
+          if (versions.isEmpty) published0
+          else spark.read.parquet(s"$outDir/v${versions.max}")
+        graft.etl.MergeOps.tableUpdated(published, batch, idCol, auditCols)
+          .write.mode("overwrite").parquet(s"$outDir/v$batchId")
+      }
+      .start()
+  }
+
   /** One tagged row of either as-of input: `side` is "l" (probe) or "r"
     * (reference). `v` carries the reference payload (ignored on lefts).
     */

@@ -241,6 +241,31 @@ class CatalogStreamingSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("foreachBatch merge sink: each batch merges against the latest version") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("msink_").toString
+    val published0 = Seq(("1", "A", "x"), ("2", "B", "y"), ("3", "C", "z"))
+      .toDF("id", "status", "attr")
+    val stream = MemoryStream[(String, String, String)]
+    val q = StreamingOps.mergeSink(stream.toDF().toDF("id", "status", "attr"),
+      published0, "id", Seq("status", "attr"), s"$root/out", s"$root/chk")
+    // batch 0: id=2 modified, id=9 new, id=1 unchanged (id=3 absent from
+    // the incoming snapshot → dropped, full-snapshot merge semantics)
+    stream.addData(("1", "A", "x"), ("2", "B_mod", "y"), ("9", "N", "n"))
+    q.processAllAvailable()
+    val v0 = spark.read.parquet(s"$root/out/v0")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(v0 == Map("1" -> ("A", "x"), "2" -> ("B_mod", "y"), "9" -> ("N", "n")))
+    // batch 1 merges against v0, not published0: id=9 now unchanged,
+    // id=1 modified
+    stream.addData(("1", "A2", "x"), ("2", "B_mod", "y"), ("9", "N", "n"))
+    q.processAllAvailable()
+    q.stop()
+    val v1 = spark.read.parquet(s"$root/out/v1")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(v1 == Map("1" -> ("A2", "x"), "2" -> ("B_mod", "y"), "9" -> ("N", "n")))
+  }
+
   test("streaming as-of join: lefts finalize at watermark with latest prior right") {
     implicit val ctx = spark.sqlContext
     val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

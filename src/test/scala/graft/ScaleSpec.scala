@@ -112,6 +112,16 @@ class ScaleSpec extends SparkSpec {
     val binnedPlan = graft.queries.Registry.queries("j10_binned_range_join")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!binnedPlan.contains("BroadcastNestedLoopJoin"), binnedPlan.take(800))
+    // q42's OR-of-conjunct bands share the partkey equi conjunct:
+    // Catalyst must extract it and plan a hash join, never a nested loop
+    val bandsPlan = graft.queries.Registry.queries("q42_disjunctive_bands")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(bandsPlan.contains("BroadcastHashJoin") &&
+      !bandsPlan.contains("BroadcastNestedLoopJoin"), bandsPlan.take(800))
+    // q37 joins the nation dim twice under aliases — both stay broadcast
+    val shipPlan = graft.queries.Registry.queries("q37_volume_shipping")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(shipPlan).size >= 2, shipPlan.take(800))
   }
 
   test("parquet schema evolution: mergeSchema unions batch schemas, old rows null-fill") {
