@@ -37,7 +37,8 @@ case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     forward: Boolean,
-    strict: Boolean) extends BinaryNode {
+    strict: Boolean,
+    toleranceNative: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -49,7 +50,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
-        j.forward, j.strict, planLater(j.left), planLater(j.right)) :: Nil
+        j.forward, j.strict, j.toleranceNative,
+        planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -61,6 +63,7 @@ case class AsOfJoinExec(
     rightTime: Expression,
     forward: Boolean,
     strict: Boolean,
+    toleranceNative: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -88,6 +91,18 @@ case class AsOfJoinExec(
     require(leftTime.dataType == rightTime.dataType,
       s"as-of time columns must agree in type: ${leftTime.dataType} vs ${rightTime.dataType}")
     val timeType = leftTime.dataType
+    // Tolerance bounds the match distance in the time type's NATIVE unit
+    // (µs for timestamps, days for dates, raw value for integrals), so
+    // it needs the underlying numeric, not just an ordering.
+    toleranceNative.foreach { t =>
+      require(t >= 0, s"as-of tolerance must be non-negative, got $t")
+      import org.apache.spark.sql.types._
+      require(timeType.isInstanceOf[TimestampType] ||
+        timeType.isInstanceOf[TimestampNTZType] || timeType.isInstanceOf[DateType] ||
+        timeType.isInstanceOf[LongType] || timeType.isInstanceOf[IntegerType],
+        s"as-of tolerance requires an integral-backed time type, got $timeType")
+    }
+    val tol = toleranceNative
     val fwd = forward
     val strictCmp = strict
     val rightWidth = right.output.size
@@ -128,6 +143,11 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
 
+      def toL(v: Any): Long = v match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case other => other.asInstanceOf[Number].longValue()
+      }
       def search(buf: scala.collection.mutable.ArrayBuffer[(Any, InternalRow)], lt: Any): InternalRow = {
         // backward: rightmost index with t < lt (strict) or t <= lt;
         // forward:  leftmost  index with t > lt (strict) or t >= lt.
@@ -144,8 +164,16 @@ case class AsOfJoinExec(
         }
         // lo = first index NOT satisfying the backward predicate, or the
         // first index satisfying the forward predicate.
-        if (fwd) { if (lo < buf.length) buf(lo)._2 else null }
-        else { if (lo > 0) buf(lo - 1)._2 else null }
+        val hit =
+          if (fwd) { if (lo < buf.length) buf(lo) else null }
+          else { if (lo > 0) buf(lo - 1) else null }
+        if (hit == null) null
+        else tol match {
+          case Some(t) =>
+            val d = if (fwd) toL(hit._1) - toL(lt) else toL(lt) - toL(hit._1)
+            if (d <= t) hit._2 else null
+          case None => hit._2
+        }
       }
 
       lIter.map { lrow =>
@@ -182,12 +210,18 @@ object AsOfJoin {
     * row by time. Output = left columns ++ right columns (nullable);
     * name-collide columns on the right should be renamed by the caller
     * first, as with any join.
+    *
+    * `tolerance` (pandas merge_asof / kdb wj-style) bounds how far the
+    * match may sit from the probe time, in the time column's NATIVE unit
+    * (µs for timestamps, days for dates, the raw value for integrals);
+    * a candidate farther than that leaves the left row unmatched.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      forward: Boolean = false, strict: Boolean = true): DataFrame = {
+      forward: Boolean = false, strict: Boolean = true,
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size, "key lists must align")
     val spark = left.sparkSession
     install(spark)
@@ -214,7 +248,7 @@ object AsOfJoin {
     val plan = AsOfJoinPlan(
       lplan, rplan, lk, rk,
       resolve(lplan, leftTimeCol), resolve(rplan, rightTimeCol),
-      forward, strict)
+      forward, strict, tolerance)
     org.apache.spark.sql.graft.PlanDf.ofRows(spark, plan)
   }
 }

@@ -229,6 +229,37 @@ object Breadth3 {
       ORDER BY event_id
     """.trim))
 
+  /** j11 — the as-of operator's tolerance bound (pandas merge_asof /
+    * kdb wj): a prior signup only counts when it happened within the
+    * last 7 days. Same physical operator, the staleness check rides the
+    * existing binary search; the oracle adds the symmetric lower bound
+    * to the correlated max.
+    */
+  val j11AsofTolerance = Q(
+    "j11_asof_tolerance",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+      graft.plans.AsOfJoin.asofJoin(purchases, signups,
+          Seq("user_id"), Seq("r_user_id"), "ts", "r_ts",
+          tolerance = Some(7L * 86400 * 1000000)) // 7 days in µs
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("r_ts").as("recent_signup_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, ts,
+             (SELECT max(e2.ts) FROM events e2
+              WHERE e2.user_id = e.user_id AND e2.event_type = 'signup'
+                AND e2.ts < e.ts
+                AND e2.ts >= e.ts - INTERVAL 7 DAY) AS recent_signup_ts
+      FROM events e WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """.trim))
+
   /** U6/U7 — the multiset set-ops (ALL variants keep multiplicities:
     * min for intersect, difference for except), completing u3/u4's
     * distinct variants. Planned as aggregate-count joins by Catalyst —
@@ -426,6 +457,7 @@ object Breadth3 {
     """.trim))
 
   def all: Seq[Q] = Seq(q27SmallQty, q28BigOrders, q29SoleLate, q30Inactive,
-    q31TopSupplier, j9AsofCustom, u6IntersectAll, u7ExceptAll, j10BinnedRange,
-    q33Stratified, q34HllMergeable, q35SessionWindow, q36SlidingWindow)
+    q31TopSupplier, j9AsofCustom, j11AsofTolerance, u6IntersectAll, u7ExceptAll,
+    j10BinnedRange, q33Stratified, q34HllMergeable, q35SessionWindow,
+    q36SlidingWindow)
 }

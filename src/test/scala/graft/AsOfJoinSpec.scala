@@ -114,6 +114,47 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!joinedDf.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("tolerance bounds the match distance in native units") {
+    val r = quotes.select(col("sym").as("qsym"), col("t").as("qt"), col("px"))
+    def withTol(fwd: Boolean, tol: Long): Map[(String, Long), Option[Double]] =
+      AsOfJoin.asofJoin(trades, r, Seq("sym"), Seq("qsym"), "t", "qt",
+          forward = fwd, strict = true, tolerance = Some(tol))
+        .select(col("sym"), col("t"), col("px")).collect()
+        .map(row => (Option(row.getString(0)).orNull, row.getLong(1)) ->
+          (if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toMap
+    // backward: A@25 matches the t=20 quote (distance 5) at tol>=5 only
+    assert(withTol(fwd = false, tol = 5L)(("A", 25L)).contains(2.5))
+    assert(withTol(fwd = false, tol = 4L)(("A", 25L)).isEmpty)
+    // A@99's nearest prior is t=30 (distance 69): out of a 10-tick budget
+    assert(withTol(fwd = false, tol = 10L)(("A", 99L)).isEmpty)
+    // forward: A@25's next quote is t=30 (distance 5)
+    assert(withTol(fwd = true, tol = 5L)(("A", 25L)).contains(3.0))
+    assert(withTol(fwd = true, tol = 4L)(("A", 25L)).isEmpty)
+    // tolerance never ADDS matches: B@15 strict-backward has none either way
+    assert(withTol(fwd = false, tol = 1000L)(("B", 15L)).isEmpty)
+  }
+
+  test("tolerance brute-force equivalence on random data") {
+    val rnd = new scala.util.Random(7)
+    val q = Seq.fill(300)((s"s${rnd.nextInt(5)}", rnd.nextInt(100).toLong,
+      rnd.nextDouble())).toDF("qsym", "qt", "px")
+    val t = Seq.fill(200)((s"s${rnd.nextInt(6)}", rnd.nextInt(110).toLong))
+      .toDF("sym", "t")
+    val tol = 13L
+    val got = AsOfJoin.asofJoin(t, q, Seq("sym"), Seq("qsym"), "t", "qt",
+        forward = false, strict = true, tolerance = Some(tol))
+      .select(col("sym"), col("t"), col("qt")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val quotesBy = q.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case ((sym, lt), m) =>
+      val want = quotesBy.getOrElse(sym, Array.empty[Long])
+        .filter(rt => rt < lt && lt - rt <= tol).lastOption
+      assert(m == want, s"($sym, $lt): got $m want $want")
+    }
+  }
+
   test("empty right side yields all-null matches, not an error") {
     val r = quotes.filter(col("px") < 0)
       .select(col("sym").as("qsym"), col("t").as("qt"), col("px"))
