@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -91,6 +91,14 @@ case class AsOfJoinExec(
     require(leftTime.dataType == rightTime.dataType,
       s"as-of time columns must agree in type: ${leftTime.dataType} vs ${rightTime.dataType}")
     val timeType = leftTime.dataType
+    // Orderable scalar types only: struct/array/map time values read from
+    // a reused projection buffer would be views that the next row
+    // overwrites (string values are cloned at build below).
+    require(!timeType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+      !timeType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      !timeType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+      timeType != org.apache.spark.sql.types.NullType,
+      s"as-of time column must be an atomic orderable type, got $timeType")
     // Tolerance bounds the match distance in the time type's NATIVE unit
     // (µs for timestamps, days for dates, raw value for integrals), so
     // it needs the underlying numeric, not just an ordering.
@@ -114,11 +122,16 @@ case class AsOfJoinExec(
     val rTimeExpr = rightTime
     val outRows = longMetric("numOutputRows")
     val matched = longMetric("numMatched")
+    val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val ord = TypeUtils.getInterpretedOrdering(timeType)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rightOut)
+      // Buffered right rows go through an UnsafeProjection so (a) their
+      // byte image is a deterministic tiebreak for equal timestamps and
+      // (b) buffering is layout-independent of the child's row class.
+      val rRowProj = UnsafeProjection.create(rightOut, rightOut)
       // key -> time-sorted (time, row) run. Right rows with a null key
       // or null time can never be as-of matches (SQL comparison
       // semantics), so they are dropped at build.
@@ -132,16 +145,50 @@ case class AsOfJoinExec(
             buf = scala.collection.mutable.ArrayBuffer.empty[(Any, InternalRow)]
             index.put(k.copy(), buf)
           }
-          buf += ((t.get(0, timeType), row.copy()))
+          // String time values are views into the projection's reused
+          // buffer — clone before buffering (binary/decimal reads
+          // already materialize fresh objects).
+          val tv = t.get(0, timeType) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+            case other => other
+          }
+          buf += ((tv, rRowProj(row).copy()))
         }
       }
-      val byTime = Ordering.fromLessThan[(Any, InternalRow)]((a, b) => ord.compare(a._1, b._1) < 0)
+      // Equal-time runs are ordered by the rows' unsafe byte image:
+      // shuffle fetch order is nondeterministic across runs, so without
+      // a total order the matched payload for a tied timestamp would be
+      // nondeterministic at cluster scale. The tiebreak is arbitrary but
+      // stable: backward matches take the byte-wise greatest duplicate,
+      // forward the smallest.
+      def cmpRowBytes(a: InternalRow, b: InternalRow): Int = {
+        val ba = a.asInstanceOf[UnsafeRow].getBytes
+        val bb = b.asInstanceOf[UnsafeRow].getBytes
+        var i = 0
+        val n = math.min(ba.length, bb.length)
+        while (i < n) {
+          val c = (ba(i) & 0xff) - (bb(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        ba.length - bb.length
+      }
+      val byTime = new Ordering[(Any, InternalRow)] {
+        override def compare(a: (Any, InternalRow), b: (Any, InternalRow)): Int = {
+          val c = ord.compare(a._1, b._1)
+          if (c != 0) c else cmpRowBytes(a._2, b._2)
+        }
+      }
       index.values().forEach { buf => buf.sortInPlace()(byTime); () }
 
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
+      // Emit UnsafeRow like Spark's own join execs: parents such as a
+      // shuffle's UnsafeRowSerializer or SortExec's row sorter cast
+      // input rows to UnsafeRow, and a JoinedRow would CCE there.
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
 
       def toL(v: Any): Long = v match {
         case l: java.lang.Long => l.longValue()
@@ -186,7 +233,7 @@ case class AsOfJoinExec(
         }
         outRows += 1
         if (m != null) matched += 1
-        joined(lrow, if (m == null) nullRight else m)
+        resultProj(joined(lrow, if (m == null) nullRight else m))
       }
     }
   }

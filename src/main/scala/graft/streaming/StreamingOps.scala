@@ -178,10 +178,16 @@ object StreamingOps {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val root = new org.apache.hadoop.fs.Path(outDir)
+        // Merge base = latest version STRICTLY BELOW this batch: on a
+        // crash-retry of batch N a partially-written vN may exist, and
+        // merging against it would drop rows present in v(N-1). Only
+        // fully-committed directories (Spark's _SUCCESS marker) count.
         val versions =
           if (!fs.exists(root)) Seq.empty
           else fs.listStatus(root).toSeq.map(_.getPath.getName)
             .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+            .filter(v => v < batchId &&
+              fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/v$v/_SUCCESS")))
         val published =
           if (versions.isEmpty) published0
           else spark.read.parquet(s"$outDir/v${versions.max}")

@@ -170,4 +170,51 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       AsOfJoin.asofJoin(badLeft, r, Seq("sym2"), Seq("qsym"), "t", "qt")
     }
   }
+
+  test("output survives UnsafeRow-expecting parents (shuffle, sort) without a select") {
+    // Regression: the exec used to emit JoinedRow, which a parent
+    // shuffle's UnsafeRowSerializer or SortExec would CCE on.
+    val r = quotes.select(col("sym").as("qsym"), col("t").as("qt"), col("px"))
+    val j = AsOfJoin.asofJoin(trades, r, Seq("sym"), Seq("qsym"), "t", "qt")
+    assert(j.repartition(4).count() === 8)
+    val sorted = j.orderBy(col("t")).collect()
+    assert(sorted.length === 8)
+    assert(j.repartition(3, col("sym")).orderBy(col("sym"), col("t")).count() === 8)
+  }
+
+  test("string time column: buffered values are copied, not buffer views") {
+    // Regression: right-side time values read from a reused projection
+    // row are UTF8String views; without a copy the sort index would be
+    // built over whatever the LAST row left in the buffer.
+    val rq = Seq(("A", "b", 1.0), ("A", "d", 2.0), ("A", "f", 3.0),
+        ("B", "c", 9.0))
+      .toDF("qsym", "qt", "px")
+    val lt = Seq(("A", "c"), ("A", "e"), ("A", "a"), ("B", "z"))
+      .toDF("sym", "t")
+    val m = AsOfJoin.asofJoin(lt, rq, Seq("sym"), Seq("qsym"), "t", "qt")
+      .select(col("sym"), col("t"), col("px")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(m(("A", "c")).contains(1.0)) // latest qt < "c" is "b"
+    assert(m(("A", "e")).contains(2.0))
+    assert(m(("A", "a")).isEmpty)
+    assert(m(("B", "z")).contains(9.0))
+  }
+
+  test("equal-time duplicates match deterministically (byte-order tiebreak)") {
+    // Two quotes at t=20 (px 2.0 and 2.5). The tiebreak orders the run
+    // by unsafe row bytes, so repeated runs under different partition
+    // layouts must pick the SAME duplicate every time.
+    val r = quotes.select(col("sym").as("qsym"), col("t").as("qt"), col("px"))
+    def pick(parts: Int): Option[Double] = {
+      val rr = r.repartition(parts, col("qsym"))
+      AsOfJoin.asofJoin(trades, rr, Seq("sym"), Seq("qsym"), "t", "qt")
+        .filter(col("sym") === "A" && col("t") === 25L)
+        .select(col("px")).collect()
+        .headOption.flatMap(row => if (row.isNullAt(0)) None else Some(row.getDouble(0)))
+    }
+    val results = Seq(1, 2, 7, 32).map(pick)
+    assert(results.distinct.size === 1, s"tie pick varied across layouts: $results")
+    assert(results.head.nonEmpty)
+  }
 }

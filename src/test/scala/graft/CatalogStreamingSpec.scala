@@ -266,6 +266,38 @@ class CatalogStreamingSpec extends SparkSpec {
     assert(v1 == Map("1" -> ("A2", "x"), "2" -> ("B_mod", "y"), "9" -> ("N", "n")))
   }
 
+  test("merge sink retry ignores its own partial version directory") {
+    // Crash-retry contract: if a previous attempt of batch N left a
+    // partially-written (no _SUCCESS) v<N> behind, the retry must merge
+    // against v<N-1>, not its own incomplete output.
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("msink_retry_").toString
+    val published0 = Seq(("1", "A", "x")).toDF("id", "status", "attr")
+    val stream = MemoryStream[(String, String, String)]
+    val q1 = StreamingOps.mergeSink(stream.toDF().toDF("id", "status", "attr"),
+      published0, "id", Seq("status", "attr"), s"$root/out", s"$root/chk")
+    stream.addData(("1", "A", "x"), ("2", "B", "y"))
+    q1.processAllAvailable()
+    q1.stop()
+    // Simulate a crashed attempt of batch 1: a v1 directory exists with
+    // a garbage part file and no _SUCCESS marker. Reading it would blow
+    // up (or worse, silently merge against partial data).
+    val partial = new java.io.File(s"$root/out/v1")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/out/v1/part-00000.snappy.parquet"),
+      "not a parquet footer".getBytes)
+    // Restart on the same checkpoint: the next batch is batchId=1 again.
+    val q2 = StreamingOps.mergeSink(stream.toDF().toDF("id", "status", "attr"),
+      published0, "id", Seq("status", "attr"), s"$root/out", s"$root/chk")
+    stream.addData(("1", "A", "x"), ("2", "B_mod", "y"))
+    q2.processAllAvailable()
+    q2.stop()
+    val v1 = spark.read.parquet(s"$root/out/v1")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(v1 == Map("1" -> ("A", "x"), "2" -> ("B_mod", "y")))
+  }
+
   test("streaming as-of join: lefts finalize at watermark with latest prior right") {
     implicit val ctx = spark.sqlContext
     val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
