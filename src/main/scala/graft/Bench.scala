@@ -39,12 +39,16 @@ object Bench {
     txt.select(expr("graft_minhash_sig(graft_shingle_hashes64(split(text, ' '), 3))").as("sig"))
       .select(explode(col("sig"))).count()
     txt.select(expr("graft_simhash32(graft_shingle_hashes32(split(text, ' '), 1))")).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Fixed name order: Map iteration order shifts as the registry
+    // grows, and whichever query runs first absorbs any residual
+    // cold cost — sorted order keeps per-query times comparable
+    // round-to-round.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // The driver captures only a bounded tail of stdout and parses the
     // JSON line out of it; keep the whole line comfortably under 1700
     // chars. Times at 3 dp (Locale.ROOT — never a comma decimal), and

@@ -1,0 +1,90 @@
+package graft.etl
+
+import graft.sources.Sinks
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — the ingest-time decisions that decide query
+  * cost at 100 TB. Three layouts, each a standard cluster deployment
+  * pattern:
+  *
+  *  - **Hash bucketing** (`ensureBucketed`): rows are bucketed on the
+  *    join key at write time, so repeated large-fact equi joins read
+  *    co-located buckets and skip both shuffles — the only strategy
+  *    that amortizes a fact-to-fact join across many queries.
+  *  - **Partition directories** (`ensurePartitionedOrders`): low-NDV
+  *    predicate columns become directory keys; a filter on the key
+  *    lists matching directories only, so a one-month query over a
+  *    seven-year table touches 1/84th of the files (static pruning,
+  *    visible as PartitionFilters in the scan).
+  *  - **Z-order clustering** (`zValue`): interleaving the bits of two
+  *    sort keys gives files min/max locality in BOTH dimensions, so
+  *    row-group stats prune 2-D predicates that a single-column sort
+  *    can only prune on its leading key.
+  *
+  * Layout writes are once-per-corpus (keyed by sf dir, `_SUCCESS`- or
+  * catalog-gated), exactly like a production ingest job: queries pay
+  * for reading the layout, not for building it.
+  */
+object LayoutOps {
+
+  private def tag(sfDir: String): String = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private def layoutRoot: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_layout_v1"
+
+  /** Idempotent materialization of a derived directory: the first call
+    * (across sessions/JVMs) writes it, later calls see `_SUCCESS` and
+    * reuse; a partial dir from a crashed writer is cleared first.
+    */
+  def ensureDir(spark: SparkSession, sfDir: String, name: String)
+      (write: String => Unit): String = {
+    val dir = s"$layoutRoot/${tag(sfDir)}/$name"
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      if (fs.exists(p)) fs.delete(p, true)
+      write(dir)
+    }
+    dir
+  }
+
+  /** Bucketed copy of a testdata table, keyed by sf: first use in a
+    * session writes it through the bucketed sink (catalog tables are
+    * per-session with the in-memory catalog, so a fresh JVM re-registers;
+    * the overwrite is the stand-in for a metastore lookup).
+    */
+  def ensureBucketed(spark: SparkSession, sfDir: String, table: String,
+      bucketCols: Seq[String], numBuckets: Int): String = {
+    val t = s"graft_b_${table}_${tag(sfDir)}"
+    if (!spark.catalog.tableExists(t))
+      Sinks.writeBucketed(Tables(spark, sfDir, table), t, bucketCols, numBuckets)
+    t
+  }
+
+  /** Orders partitioned by order month (`o_month=yyyy-MM` directories) —
+    * the date-partitioned fact layout every warehouse uses.
+    */
+  def ensurePartitionedOrders(spark: SparkSession, sfDir: String): String =
+    ensureDir(spark, sfDir, "orders_by_month") { dir =>
+      Tables(spark, sfDir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.partitionBy("o_month").parquet(dir)
+    }
+
+  /** Morton (z-order) value of two non-negative keys: bit b of `x` lands
+    * at position 2b, bit b of `y` at 2b+1. Callers mask the inputs to
+    * `bits` (the interleave reads only the low `bits` bits). A plain
+    * arithmetic expression — whole-stage codegen keeps it in the scan
+    * stage, so clustering a 100 TB write by z-value costs one projection
+    * plus the sort the write needed anyway.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+  }
+}
