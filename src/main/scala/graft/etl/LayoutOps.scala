@@ -58,8 +58,17 @@ object LayoutOps {
   def ensureBucketed(spark: SparkSession, sfDir: String, table: String,
       bucketCols: Seq[String], numBuckets: Int): String = {
     val t = s"graft_b_${table}_${tag(sfDir)}"
-    if (!spark.catalog.tableExists(t))
+    if (!spark.catalog.tableExists(t)) {
+      // Bucket metadata lives in the catalog, which is in-memory and
+      // per-JVM here — files alone can't be re-registered as bucketed.
+      // A previous JVM's managed-table location must be cleared or the
+      // CREATE refuses (LOCATION_ALREADY_EXISTS).
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new Path(wh, t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       Sinks.writeBucketed(Tables(spark, sfDir, table), t, bucketCols, numBuckets)
+    }
     t
   }
 

@@ -132,4 +132,62 @@ object TextOps {
       .filter(col("rn") <= k)
       .select(col(idCol), col("rn"), col("term"), col("tf"), col("df_docs"), col("tfidf"))
   }
+
+  /** Overlapping fixed-size word chunks per document — the RAG/context
+    * chunking op: windows of `window` words starting every `step` words
+    * (overlap = window - step), last chunk short. Scan-side per doc
+    * (split + sequence + explode + slice), no shuffle: chunking 100 TB
+    * is embarrassingly parallel.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 50, step: Int = 40): DataFrame = {
+    require(window >= step && step >= 1, s"need window >= step >= 1, got ($window, $step)")
+    val overlap = window - step
+    // nChunks = ceil(max(len - overlap, 1) / step): every word is in
+    // some chunk and no chunk starts past the end.
+    val chunk = slice(col("__w"), (col("chunk_no") * step + 1).cast("int"), lit(window))
+    df.select(col(idCol), words(col(textCol)).as("__w"))
+      .withColumn("__nc",
+        ceil(greatest(size(col("__w")) - overlap, lit(1)).cast("double") / step).cast("long"))
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_no"), col("__w"))
+      .select(col(idCol), col("chunk_no"),
+        md5(concat_ws(" ", chunk)).as("chunk_md5"),
+        size(chunk).cast("long").as("n_words"))
+  }
+
+  /** Concatenate-and-cut context packing — how pretraining corpora are
+    * cut into fixed token windows: documents concatenate in `idCol`
+    * order into one global token stream, and each document reports the
+    * window range [first_window, last_window] it lands in.
+    *
+    * The global running total is computed as a distributed prefix sum —
+    * range-partition by id, cumulate within partitions, then add each
+    * partition's offset (partition totals are numPartitions rows, a
+    * broadcast) — NOT as a single-partition global window, which would
+    * serialize 100 TB through one task.
+    */
+  def packWindows(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens >= 1)
+    val toks = df
+      .select(col(idCol), size(words(col(textCol))).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = toks.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__ptotal"))
+      .withColumn("__offset",
+        coalesce(sum(col("__ptotal"))
+          .over(Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    toks.join(broadcast(offsets), "__pid")
+      .withColumn("__end", sum(col("n_tokens")).over(wIn) + col("__offset"))
+      .withColumn("start_pos", col("__end") - col("n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("start_pos"),
+        floor(col("start_pos") / windowTokens).cast("long").as("first_window"),
+        floor((col("__end") - 1) / windowTokens).cast("long").as("last_window"))
+  }
 }

@@ -179,7 +179,56 @@ object Breadth5 {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.trim))
 
+  private val NormW = Extensions.NormW
+
+  /** Overlapping 50-word chunks every 40 words (10-word overlap) — the
+    * RAG/context chunking op, shuffle-free scan-side per doc; chunk
+    * content is pinned by md5 so the oracle checks the exact text of
+    * every chunk, not just counts.
+    */
+  val textChunkWindows = Q(
+    "text_chunk_windows",
+    (s, dir) =>
+      graft.ext.TextOps.chunkWindows(Tables(s, dir, "documents"),
+          "doc_id", "text", window = 50, step = 40)
+        .orderBy(col("doc_id"), col("chunk_no")),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, $NormW AS w FROM documents),
+      c AS (SELECT doc_id, w,
+              unnest(range(CAST(ceil(greatest(len(w) - 10, 1) / 40.0) AS BIGINT))) AS chunk_no
+            FROM norm)
+      SELECT doc_id, chunk_no,
+             md5(array_to_string(list_slice(w, chunk_no * 40 + 1, chunk_no * 40 + 50), ' ')) AS chunk_md5,
+             len(list_slice(w, chunk_no * 40 + 1, chunk_no * 40 + 50))::BIGINT AS n_words
+      FROM c ORDER BY doc_id, chunk_no
+    """.trim))
+
+  /** Concatenate-and-cut packing into 512-token windows — how a
+    * pretraining corpus is cut. The Spark side computes the global
+    * running token total as a distributed prefix sum (range partition +
+    * per-partition cumsum + broadcast offsets), never a one-task global
+    * window; the oracle is the plain SQL running sum.
+    */
+  val textPackWindows = Q(
+    "text_pack_windows",
+    (s, dir) =>
+      graft.ext.TextOps.packWindows(Tables(s, dir, "documents"),
+          "doc_id", "text", windowTokens = 512)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH n AS (SELECT doc_id, len($NormW)::BIGINT AS n_tokens FROM documents),
+      srt AS (SELECT doc_id, n_tokens,
+                (sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS start_pos
+              FROM n)
+      SELECT doc_id, n_tokens, start_pos,
+             (start_pos // 512)::BIGINT AS first_window,
+             ((start_pos + n_tokens - 1) // 512)::BIGINT AS last_window
+      FROM srt ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
     layoutBucketedJoin, layoutPartitionPrune, layoutZorder,
-    j12SaltedSkewJoin, srcCsvRoundtrip, srcOrcRoundtrip)
+    j12SaltedSkewJoin, srcCsvRoundtrip, srcOrcRoundtrip,
+    textChunkWindows, textPackWindows)
 }

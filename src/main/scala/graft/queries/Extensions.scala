@@ -34,7 +34,7 @@ object Extensions {
   }
 
   /** DuckDB mirror of Dedup.normText + word split. */
-  private val NormW = raw"string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"
+  private[queries] val NormW = raw"string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"
 
   val dedupExact = Q(
     "dedup_exact",

@@ -7,6 +7,56 @@ import org.apache.spark.sql.functions._
 class ExtOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkWindows: exact boundaries, overlap, and short-tail chunks") {
+    def doc(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc(50)), (2L, doc(51)), (3L, doc(10)), (4L, doc(95)))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkWindows(df, "doc_id", "text", window = 50, step = 40)
+      .select("doc_id", "chunk_no", "n_words")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 50 words: exactly one full chunk; 51: second chunk covers words 41..51
+    assert(got.keys.count(_._1 == 1L) === 1 && got((1L, 0L)) === 50L)
+    assert(got.keys.count(_._1 == 2L) === 2 && got((2L, 1L)) === 11L)
+    // <= overlap words: still one chunk
+    assert(got.keys.count(_._1 == 3L) === 1 && got((3L, 0L)) === 10L)
+    // 95 words: ceil((95-10)/40) = 3 chunks, last covers 81..95
+    assert(got.keys.count(_._1 == 4L) === 3 && got((4L, 2L)) === 15L)
+    // overlap is real: chunk k starts at word 40k+1, so words 41..50 are
+    // in both chunk 0 and chunk 1 of doc 4 — pin via md5 of re-sliced text
+    val md = TextOps.chunkWindows(df.filter($"doc_id" === 4L), "doc_id", "text")
+      .orderBy("chunk_no").select("chunk_md5").as[String].collect()
+    val words = (1 to 95).map(i => s"w$i")
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    assert(md.toSeq === Seq(
+      h(words.slice(0, 50).mkString(" ")),
+      h(words.slice(40, 90).mkString(" ")),
+      h(words.slice(80, 95).mkString(" "))))
+  }
+
+  test("packWindows distributed prefix sum equals the naive global window") {
+    val rnd = new scala.util.Random(3)
+    val docs = (1L to 500L).map(i =>
+      (i, (1 to (1 + rnd.nextInt(40))).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.packWindows(docs, "doc_id", "text", windowTokens = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // naive reference: sequential scan
+    val lens = docs.orderBy("doc_id").select(size(split($"text", " ")).cast("long"))
+      .as[Long].collect()
+    var pos = 0L
+    val want = lens.zipWithIndex.map { case (n, i) =>
+      val s = pos; pos += n
+      (i + 1L, s, s / 64, (s + n - 1) / 64)
+    }
+    assert(got.toSeq === want.toSeq)
+    // windows tile the stream: consecutive docs' ranges are contiguous
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"first_window must be monotone: $a -> $b")
+    }
+  }
+
   private def vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f)),
     (2L, Array(0.9f, 0.1f, 0.0f)),
