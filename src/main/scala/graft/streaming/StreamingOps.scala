@@ -303,4 +303,65 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  /** One (minhash band, doc) arrival for the streaming near-dup op. */
+  final case class BandIn(band: String, doc_id: Long)
+  final case class DupPair(doc_a: Long, doc_b: Long)
+
+  /** Per-band-bucket state for streaming near-dup detection: the bucket
+    * keeps its canonical (minimum) doc id; every later arrival in the
+    * same bucket emits a candidate pair against it. State is one long
+    * per bucket regardless of bucket population — the unbounded part
+    * (the pair set) leaves the operator immediately.
+    */
+  class NearDupProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, BandIn, DupPair] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var canonical: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      canonical = getHandle.getValueState[Long]("canon", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BandIn],
+        timerValues: TimerValues): Iterator[DupPair] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
+      rows.foreach { r =>
+        if (!canonical.exists()) canonical.update(r.doc_id)
+        else {
+          val c = canonical.get()
+          if (c != r.doc_id) {
+            out += DupPair(math.min(c, r.doc_id), math.max(c, r.doc_id))
+            if (r.doc_id < c) canonical.update(r.doc_id)
+          }
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming near-duplicate detection — the incremental face of the
+    * batch `Dedup.minhashCandidatePairs` pipeline: each arriving doc is
+    * shingled and minhashed scan-side (the same fused kernels as batch),
+    * exploded to its LSH band keys, and each band bucket statefully
+    * proposes a pair against the bucket's canonical doc. Pairs are
+    * CANDIDATES exactly as in batch LSH — the confirm stage (exact
+    * similarity) stays downstream, and a doc colliding in several bands
+    * emits one pair per band (dedup with a batch `distinct` on the
+    * sink, where it's cheap). RocksDB-backed value state: one long per
+    * band bucket, so corpus-scale state fits an executor's store.
+    */
+  def streamingNearDedup(stream: DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.Dataset[DupPair] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    graft.ext.Dedup.minhashBands(stream, idCol, textCol)
+      .select(col("band"), col(idCol).as("doc_id")).as[BandIn]
+      .groupByKey(_.band)
+      .transformWithState(new NearDupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }

@@ -387,4 +387,41 @@ class CatalogStreamingSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming near-dedup proposes the same pairs as batch LSH") {
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dupText = "the quick brown fox jumps over the lazy dog again and again today"
+      val otherText = "completely unrelated words about spark shuffles exchanges and joins"
+      val stream = MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingOps.streamingNearDedup(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      val q = out.writeStream.format("memory").queryName("ndd")
+        .outputMode("append").start()
+      // batch 1 seeds the buckets; the duplicate arrives in a LATER batch
+      // so the match must come from state, not intra-batch collision
+      stream.addData((1L, dupText), (3L, otherText))
+      q.processAllAvailable()
+      assert(spark.table("ndd").isEmpty, "no pairs before a duplicate arrives")
+      stream.addData((2L, dupText))
+      q.processAllAvailable()
+      q.stop()
+      // one pair per colliding band: distinct at the sink (as documented)
+      val got = spark.table("ndd").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 2L)), got.toString)
+      // equivalence: batch LSH over the same corpus proposes the same set
+      val batch = graft.ext.Dedup.minhashCandidatePairs(
+          Seq((1L, dupText), (2L, dupText), (3L, otherText)).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === got)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
