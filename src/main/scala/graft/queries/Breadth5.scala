@@ -62,6 +62,42 @@ object Breadth5 {
       ORDER BY o_orderkey
     """.trim))
 
+  /** Dynamic partition pruning: the month-partitioned orders fact joins
+    * a 3-row "hot months" dimension DERIVED AT RUNTIME (top shipping
+    * months by quantity) — the months aren't known at plan time, so
+    * static pruning can't apply; Spark broadcasts the dim, turns it
+    * into a runtime partition filter, and the fact scan reads 3 month
+    * directories instead of ~80. The oracle recomputes both sides from
+    * the raw tables.
+    */
+  val layoutDynamicPrune = Q(
+    "layout_dynamic_prune",
+    (s, dir) => {
+      val d = LayoutOps.ensurePartitionedOrders(s, dir)
+      val hot = Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 25)
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("o_month"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .orderBy(col("qty").desc, col("o_month")).limit(3)
+        .select("o_month")
+      s.read.parquet(d).join(hot, "o_month")
+        .groupBy(col("o_month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("o_month"))
+    },
+    Some("""
+      WITH hot AS (SELECT strftime(l_shipdate, '%Y-%m') AS o_month,
+                          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+                   FROM lineitem WHERE l_quantity >= 25
+                   GROUP BY 1 ORDER BY qty DESC, o_month LIMIT 3)
+      SELECT o.o_month, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice FROM orders) o
+      JOIN hot USING (o_month)
+      GROUP BY o.o_month ORDER BY o.o_month
+    """.trim))
+
   /** Morton/z-order clustering value over (custkey, orderkey): bit b of
     * each key interleaves to positions 2b/2b+1, giving files sorted by
     * `zval` min/max locality in BOTH dimensions (row-group stats then
@@ -228,7 +264,7 @@ object Breadth5 {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    layoutBucketedJoin, layoutPartitionPrune, layoutZorder,
+    layoutBucketedJoin, layoutPartitionPrune, layoutDynamicPrune, layoutZorder,
     j12SaltedSkewJoin, srcCsvRoundtrip, srcOrcRoundtrip,
     textChunkWindows, textPackWindows)
 }

@@ -47,6 +47,24 @@ class LayoutOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected 1 of $monthsTotal partitions after pruning")
   }
 
+  test("runtime-derived month dim triggers dynamic partition pruning") {
+    val d = LayoutOps.ensurePartitionedOrders(spark, sfDir)
+    val hot = graft.etl.Tables(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") >= 25)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("o_month"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      .orderBy(col("qty").desc, col("o_month")).limit(3)
+      .select("o_month")
+    val q = spark.read.parquet(d).join(hot, "o_month")
+    q.count()
+    val scans = collect(q.queryExecution.executedPlan) {
+      case s: FileSourceScanExec if s.metadata("Location").contains("orders_by_month") => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata("PartitionFilters").contains("dynamicpruning"),
+      s"expected a dynamic pruning filter, got ${scans.head.metadata("PartitionFilters")}")
+  }
+
   test("zValue interleaves bits like the reference loop") {
     def ref(x: Long, y: Long, bits: Int): Long =
       (0 until bits).map { b =>
