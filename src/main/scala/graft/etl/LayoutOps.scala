@@ -82,6 +82,26 @@ object LayoutOps {
         .write.partitionBy("o_month").parquet(dir)
     }
 
+  /** Small-files compaction: rewrite a parquet directory into files of
+    * ~`targetFileBytes`. Streaming sinks and over-partitioned writes
+    * leave thousands of KB-sized files whose open/footer cost dominates
+    * reads at scale; periodic compaction is the maintenance op every
+    * table format schedules. Uses `repartition` (not `coalesce`) so
+    * output files are evenly sized — even read amplification matters
+    * more than saving the one compaction shuffle. Returns the file count.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetFileBytes: Long): Int = {
+    require(targetFileBytes >= 1)
+    val p = new Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** Morton (z-order) value of two non-negative keys: bit b of `x` lands
     * at position 2b, bit b of `y` at 2b+1. Callers mask the inputs to
     * `bits` (the interleave reads only the low `bits` bits). A plain

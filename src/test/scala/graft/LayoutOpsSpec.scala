@@ -85,6 +85,24 @@ class LayoutOpsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(ref(5, 9, 16) < ref(6, 9, 16) && ref(5, 9, 16) < ref(5, 10, 16))
   }
 
+  test("compact rewrites a many-small-files dir into evenly sized files") {
+    val root = java.nio.file.Files.createTempDirectory("compact_").toString
+    spark.range(10000).selectExpr("id", "id * 2 AS v")
+      .repartition(50).write.parquet(s"$root/in")
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(s"$root/in") === 50)
+    val inBytes = new java.io.File(s"$root/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = LayoutOps.compact(spark, s"$root/in", s"$root/out", inBytes / 2)
+    assert(n >= 2 && n <= 4, s"expected ~2-3 target files, got $n")
+    assert(parts(s"$root/out") === n)
+    // content preserved exactly
+    val a = spark.read.parquet(s"$root/in").orderBy("id").collect()
+    val b = spark.read.parquet(s"$root/out").orderBy("id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("ensureDir is idempotent and clears a partial write") {
     // layout dirs persist across JVM runs by design — start clean
     def rmrf(f: java.io.File): Unit = {
