@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators. Complements the md5-systematic
+  * (q22) and stratified (q33) samplers with weighted
+  * probability-proportional-to-size selection — all integer arithmetic,
+  * so the sample is reproducible across engines, runs, and
+  * partitionings (rand()-based weighted sampling cannot be
+  * oracle-checked and is not stable across re-runs of a 100 TB job).
+  */
+object SampleOps {
+
+  /** Systematic PPS (probability-proportional-to-size) sample: lay all
+    * rows on a line in `idCol` order, each covering `weightCol` units;
+    * a row is selected iff its interval crosses a stride boundary
+    * (stride = totalWeight / n), i.e. selection probability ∝ weight,
+    * heavy rows selected with certainty — the classic ΠPS design.
+    *
+    * The cumulative position is a distributed prefix sum (range
+    * partition by id → per-partition running sums → add broadcast
+    * partition offsets), NOT a single-partition global window: at
+    * 100 TB an `ORDER BY` window without PARTITION BY serializes the
+    * corpus through one task.
+    */
+  def ppsSystematicSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val rows = df
+      .select(col(idCol), col(weightCol).cast("long").as("__wt"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = rows.groupBy(col("__pid"))
+      .agg(sum(col("__wt")).as("__ptotal"))
+      .withColumn("__offset",
+        coalesce(sum(col("__ptotal"))
+          .over(Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total", sum(col("__ptotal")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__offset"), col("__total"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    rows.join(broadcast(offsets), "__pid")
+      .withColumn("__stride", (col("__total") / n).cast("long"))
+      .withColumn("__end", sum(col("__wt")).over(wIn) + col("__offset"))
+      .withColumn("__start", col("__end") - col("__wt"))
+      .filter(floor(col("__start") / col("__stride")) <
+        floor(col("__end") / col("__stride")))
+      .select(col(idCol), col("__wt").as("weight"))
+  }
+}

@@ -171,4 +171,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
+
+  /** Deterministic k-means assignment: every vector goes to its most
+    * cosine-similar centroid (9 dp, centroid-id tiebreak). The centroid
+    * table is a model input — k rows — so the argmin is a broadcast
+    * cross + per-vector rank-1, never a shuffle of the corpus: the
+    * embedding table streams scan-side, which is the only shape that
+    * survives a 100 TB corpus.
+    */
+  def kmeansAssign(spark: SparkSession, vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val cent = centroids.select(col(centIdCol).as("__kc"), col(centVecCol).as("__kv"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("__kc"))
+    vectors.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cent))
+      .withColumn("sim", round(expr(s"graft_cosine($vecCol, __kv)"), 9))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("__kc").as("cluster"), col("sim"))
+  }
+
+  /** One Lloyd round: element-wise centroid means over the current
+    * assignment, then reassignment against the new centroids.
+    *
+    * The mean is computed engine-portably: elements round to 9 dp, sum
+    * as DECIMAL(27,9) (exact, order-independent — double summation
+    * order would differ between partitions/engines), and divide once in
+    * double. Elements shuffle as (cluster, dim) rows — k×dims groups —
+    * so the recompute is one hash aggregate regardless of corpus size;
+    * the new centroid table is again k rows, collected scan-side into
+    * arrays ordered by dimension.
+    */
+  def kmeansLloydRound(spark: SparkSession, vectors: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      centIdCol: String, centVecCol: String): DataFrame = {
+    val assigned = kmeansAssign(spark, vectors, centroids, idCol, vecCol,
+      centIdCol, centVecCol)
+    val newCent = assigned
+      .select(col("cluster"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+      .groupBy(col("cluster"), col("__dim"))
+      .agg((sum(round(col("__x").cast("double"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(27, 9))).cast("double") /
+        count(lit(1))).as("__v"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__v")))),
+        s => s.getField("__v")).as("__cv"))
+    kmeansAssign(spark, vectors, newCent, idCol, vecCol, "cluster", "__cv")
+  }
 }

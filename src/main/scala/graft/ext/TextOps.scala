@@ -156,6 +156,57 @@ object TextOps {
         size(chunk).cast("long").as("n_words"))
   }
 
+  /** Email/phone pattern (Java ∩ RE2 regex subset so the DuckDB oracle
+    * compiles the identical pattern): PII redaction is a per-row
+    * projection — scan-side, shuffle-free, codegen'd regex.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?"
+
+  /** PII redaction for training corpora: replace email/phone spans with
+    * typed placeholder tokens and report per-document hit counts (the
+    * audit trail a compliance pass needs). Purely scan-side.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+        .as("redacted"))
+  }
+
+  /** Cross-corpus boilerplate share: cut each document into
+    * non-overlapping `chunkWords`-word chunks, count how often each
+    * chunk text occurs corpus-wide, and report per document the
+    * fraction of its chunks that are duplicated somewhere else (the
+    * standard boilerplate/repetition signal used to filter crawl data).
+    * One explode + one hash aggregate on the chunk digest + one join
+    * back — the chunk digest is the shuffle key, so the corpus text
+    * itself never reshuffles.
+    */
+  def chunkDupStats(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 8): DataFrame = {
+    require(chunkWords >= 1)
+    val chunks = df
+      .select(col(idCol), words(col(textCol)).as("__w"))
+      .withColumn("__nc", (size(col("__w")) / chunkWords).cast("long"))
+      .filter(col("__nc") >= 1)
+      .select(col(idCol), explode(sequence(lit(0L), col("__nc") - 1)).as("__c"), col("__w"))
+      .select(col(idCol),
+        md5(concat_ws(" ",
+          slice(col("__w"), (col("__c") * chunkWords + 1).cast("int"), lit(chunkWords))))
+          .as("chunk_md5"))
+    val freq = chunks.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("__corpus_n"))
+    chunks.join(freq, "chunk_md5")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__corpus_n") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ratio",
+        col("n_dup_chunks").cast("double") / col("n_chunks"))
+  }
+
   /** Concatenate-and-cut context packing — how pretraining corpora are
     * cut into fixed token windows: documents concatenate in `idCol`
     * order into one global token stream, and each document reports the

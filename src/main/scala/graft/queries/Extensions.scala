@@ -588,10 +588,140 @@ object Extensions {
       ORDER BY doc_id, rn
     """.trim))
 
+  /** Per-cluster rollup shared by the two k-means queries: exact
+    * decimal mean of the (already 9 dp) similarity, one double division.
+    */
+  private def kmeansRollup(assigned: org.apache.spark.sql.DataFrame) =
+    assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("sim").cast(org.apache.spark.sql.types.DecimalType(15, 9)))
+          .cast("double") / count(lit(1))).as("avg_sim"))
+      .orderBy(col("cluster"))
+
+  /** K-means assignment step (coarse quantization as a first-class op):
+    * every embedding goes to its most cosine-similar seed centroid
+    * (seeds = every 250th vector — deterministic, model-input-like).
+    * Reported as per-cluster size + exact-decimal mean similarity.
+    */
+  val annKmeansAssign = Q(
+    "ann_kmeans_assign",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      kmeansRollup(Similarity.kmeansAssign(s, emb, cent,
+        "vec_id", "embedding", "cid", "cv"))
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
+      a AS (SELECT vec_id, cid, sim,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM (SELECT e.vec_id, c.cid, ${sqlCos("e.embedding", "c.cv")} AS sim
+                  FROM embeddings e, cent c))
+      SELECT cid AS cluster, count(*) AS n,
+             CAST(sum(CAST(sim AS DECIMAL(15,9))) AS DOUBLE) / count(*) AS avg_sim
+      FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** One Lloyd iteration on top of the seed assignment: centroids
+    * recompute as element-wise means (9 dp elements summed as exact
+    * DECIMAL — double summation order would diverge between engines and
+    * partitionings — then one double division), and vectors reassign
+    * against the new centroids. The full iterative k-means is this
+    * round driver-looped to convergence; one round exercises the whole
+    * dataflow (assign shuffle → k×dims aggregate → broadcast reassign).
+    */
+  val annKmeansIter = Q(
+    "ann_kmeans_iter",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") % 250 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      kmeansRollup(Similarity.kmeansLloydRound(s, emb, "vec_id", "embedding",
+        cent, "cid", "cv"))
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
+      a0 AS (SELECT vec_id, embedding, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             FROM (SELECT e.vec_id, e.embedding, c.cid, ${sqlCos("e.embedding", "c.cv")} AS sim
+                   FROM embeddings e, cent c)),
+      asg AS (SELECT vec_id, embedding, cid FROM a0 WHERE rn = 1),
+      el AS (SELECT cid, unnest(embedding)::DOUBLE AS x,
+                    unnest(range(len(embedding))) AS dim
+             FROM asg),
+      cm AS (SELECT cid, dim,
+                    CAST(sum(CAST(round(x, 9) AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS v
+             FROM el GROUP BY cid, dim),
+      c1 AS (SELECT cid, list(v ORDER BY dim) AS cv FROM cm GROUP BY cid),
+      a1 AS (SELECT vec_id, cid, sim,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             FROM (SELECT e.vec_id, c.cid, ${sqlCos("e.embedding", "c.cv")} AS sim
+                   FROM embeddings e, c1 c))
+      SELECT cid AS cluster, count(*) AS n,
+             CAST(sum(CAST(sim AS DECIMAL(15,9))) AS DOUBLE) / count(*) AS avg_sim
+      FROM a1 WHERE rn = 1 GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** PII redaction audit over a corpus with synthetic injected contact
+    * spans (the raw corpus is clean; the injection is the deterministic
+    * test vector, identical in both engines).
+    */
+  val textPiiRedact = Q(
+    "text_pii_redact",
+    (s, dir) => {
+      val aug = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or +1-555-"),
+          lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")).as("text"))
+      graft.ext.TextOps.redactPii(aug, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH aug AS (SELECT doc_id,
+                          text || ' contact user' || doc_id || '@mail.example.com or +1-555-' ||
+                          lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') AS text
+                   FROM documents),
+      r AS (SELECT doc_id, lower(text) AS t FROM aug)
+      SELECT doc_id,
+             len(regexp_extract_all(t, '${graft.ext.TextOps.EmailRe}'))::BIGINT AS n_emails,
+             len(regexp_extract_all(t, '${graft.ext.TextOps.PhoneRe}'))::BIGINT AS n_phones,
+             md5(regexp_replace(regexp_replace(t, '${graft.ext.TextOps.EmailRe}', '<EMAIL>', 'g'),
+                 '${graft.ext.TextOps.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+      FROM r ORDER BY doc_id
+    """.trim))
+
+  /** Cross-corpus boilerplate share: 4-word chunk digests counted
+    * corpus-wide; per doc the fraction of chunks duplicated elsewhere
+    * (the repetition signal crawl-data filters cut on).
+    */
+  val textChunkDedup = Q(
+    "text_chunk_dedup",
+    (s, dir) =>
+      graft.ext.TextOps.chunkDupStats(Tables(s, dir, "documents"),
+          "doc_id", "text", chunkWords = 4)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, $NormW AS w FROM documents),
+      ch AS (SELECT doc_id,
+                    md5(array_to_string(w[c*4+1 : c*4+4], ' ')) AS chunk_md5
+             FROM (SELECT doc_id, w, unnest(range(len(w) // 4)) AS c FROM norm
+                   WHERE len(w) // 4 >= 1)),
+      freq AS (SELECT chunk_md5, count(*) AS corpus_n FROM ch GROUP BY chunk_md5)
+      SELECT doc_id, count(*) AS n_chunks,
+             sum(CASE WHEN corpus_n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+             sum(CASE WHEN corpus_n > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS dup_ratio
+      FROM ch JOIN freq USING (chunk_md5)
+      GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupEmbedding, dedupFuzzy,
-    annBrute, annLsh, annIvf,
+    annBrute, annLsh, annIvf, annKmeansAssign, annKmeansIter,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
+    textPiiRedact, textChunkDedup,
     mediaMeta, mediaFrames, pipelineCorpusClean)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.etl.SampleOps
+import graft.ext.{Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+class Round4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+
+  test("kmeansAssign: nearest centroid by cosine, centroid-id tiebreak") {
+    val v = vecs(
+      1L -> Seq(1.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.1),
+      3L -> Seq(0.7, 0.7, 0.0)) // equidistant from both centroids → lower cid
+    val c = vecs(10L -> Seq(1.0, 0.0, 0.0), 20L -> Seq(0.0, 1.0, 0.0))
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val got = Similarity.kmeansAssign(spark, v, c, "vec_id", "embedding", "cid", "cv")
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 10L, 2L -> 20L, 3L -> 10L))
+  }
+
+  test("kmeansLloydRound: centroids move to assigned means, vectors reassign") {
+    // Seed centroids sit badly: c10 at x-axis, c20 at y-axis. Vectors
+    // cluster tightly around (1,1,0) and (0,0,1); after one round the
+    // recomputed centroids are the cluster means and the (0,0,1) group —
+    // initially split — lands together.
+    val v = vecs(
+      1L -> Seq(1.0, 0.9, 0.0), 2L -> Seq(0.9, 1.0, 0.0),
+      3L -> Seq(0.0, 0.1, 1.0), 4L -> Seq(0.1, 0.0, 1.0))
+    val c = vecs(10L -> Seq(1.0, 0.0, 0.0), 20L -> Seq(0.0, 0.0, 1.0))
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val r = Similarity.kmeansLloydRound(spark, v, "vec_id", "embedding", c, "cid", "cv")
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L))
+  }
+
+  test("redactPii: emails and phones replaced, counts reported") {
+    val df = Seq(
+      (1L, "write to Alice.Smith+x@sub.example.org today"),
+      (2L, "call +1-555-0147 or 44-555-123-4567 now"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val got = TextOps.redactPii(df, "doc_id", "text")
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 1L, 0L, "write to <EMAIL> today")))
+    assert(got(1) === ((2L, 0L, 2L, "call <PHONE> or <PHONE> now")))
+    assert(got(2) === ((3L, 0L, 0L, "nothing here")))
+  }
+
+  test("chunkDupStats: corpus-wide duplicated chunks counted per doc") {
+    val shared = "a b c d" // one shared 4-word chunk
+    val df = Seq(
+      (1L, s"$shared e f g h"),      // chunks: shared, "e f g h"
+      (2L, s"$shared x y z w"),      // chunks: shared, "x y z w"
+      (3L, "p q r")).toDF("doc_id", "text") // <4 words → no chunks, absent
+    val got = TextOps.chunkDupStats(df, "doc_id", "text", chunkWords = 4)
+      .select("doc_id", "n_chunks", "n_dup_chunks")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 2L, 1L), (2L, 2L, 1L)))
+  }
+
+  test("ppsSystematicSample matches the single-partition reference; heavy rows certain") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(i =>
+      (i, if (i == 137L) 50000L else 1L + rnd.nextInt(100)))
+    val df = rows.toDF("doc_id", "n_chars")
+    val got = SampleOps.ppsSystematicSample(df, "doc_id", "n_chars", n = 20)
+      .select("doc_id").as[Long].collect().toSet
+    // naive reference: same stride rule over an in-memory prefix sum
+    val total = rows.map(_._2).sum
+    val stride = total / 20
+    var cum = 0L
+    val want = rows.flatMap { case (id, w) =>
+      val s = cum; cum += w
+      if (s / stride < cum / stride) Some(id) else None
+    }.toSet
+    assert(got === want)
+    assert(got.contains(137L)) // weight >> stride → certainty selection
+    // the heavy row absorbs the boundaries it spans, so the sample is
+    // smaller than n but never larger
+    assert(got.size <= 20 && got.size >= 5)
+  }
+}
