@@ -1,0 +1,48 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence operators over an (entity, type, timestamp) event
+  * log. The funnel is the workhorse of product/behavior analytics and
+  * of multi-stage pipeline telemetry.
+  */
+object EventOps {
+
+  /** N-stage ordered funnel with strictly-after semantics: an entity
+    * completes stage i at the EARLIEST event of `stages(i)` that is
+    * strictly after its stage i-1 completion (greedy-earliest is the
+    * standard funnel definition and provably maximizes completions).
+    *
+    * Returns (stage, <entityCol>, completed_at) — one row per entity
+    * per completed stage, stage labels `1_<name>`, `2_<name>`, … so
+    * they sort in funnel order.
+    *
+    * Every stage is a filter → per-entity min aggregate → join to the
+    * previous stage's completions, all keyed on the entity column: one
+    * hash partitioning carries the whole funnel, and stage tables
+    * shrink monotonically (completions only lose members).
+    */
+  def funnel(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val labeled = stages.zipWithIndex.map { case (s, i) => (s"${i + 1}_$s", s) }
+    val completions = labeled.foldLeft(Seq.empty[(String, DataFrame)]) {
+      case (acc, (label, stage)) =>
+        val candidates = events.filter(col(typeCol) === stage)
+        val gated = acc.lastOption match {
+          case None => candidates
+          case Some((_, prev)) =>
+            candidates.join(prev.select(col(entityCol), col("completed_at").as("__prev_t")),
+                entityCol)
+              .filter(col(tsCol) > col("__prev_t"))
+        }
+        val done = gated.groupBy(col(entityCol))
+          .agg(min(col(tsCol)).as("completed_at"))
+        acc :+ (label -> done)
+    }
+    completions.map { case (label, df) =>
+      df.select(lit(label).as("stage"), col(entityCol), col("completed_at"))
+    }.reduce(_.unionByName(_))
+  }
+}

@@ -173,23 +173,36 @@ object Similarity {
   }
 
   /** Deterministic k-means assignment: every vector goes to its most
-    * cosine-similar centroid (9 dp, centroid-id tiebreak). The centroid
-    * table is a model input — k rows — so the argmin is a broadcast
-    * cross + per-vector rank-1, never a shuffle of the corpus: the
-    * embedding table streams scan-side, which is the only shape that
-    * survives a 100 TB corpus.
+    * cosine-similar centroid (9 dp, centroid-id tiebreak — smaller id
+    * wins a tie). The centroid table is a model input — k rows — so it
+    * collects to the driver and inlines as an array literal: the argmin
+    * is then a pure per-row projection over the corpus scan. ZERO
+    * shuffle, zero join — the only assignment shape whose cost at
+    * 100 TB is exactly one pass over the embeddings (a cross join +
+    * per-vector rank would reshuffle k× the corpus).
     */
   def kmeansAssign(spark: SparkSession, vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
     VectorExpressions.register(spark)
-    val cent = centroids.select(col(centIdCol).as("__kc"), col(centVecCol).as("__kv"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("__kc"))
-    vectors.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cent))
-      .withColumn("sim", round(expr(s"graft_cosine($vecCol, __kv)"), 9))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("__kc").as("cluster"), col("sim"))
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "kmeansAssign needs at least one centroid")
+    // array<struct<sim, negcid>> scored per row; array_max's lexicographic
+    // struct order gives (max sim, then max -cid = min cid) in one pass.
+    import org.apache.spark.sql.graft.PlanDf
+    val scored = array(cents.toIndexedSeq.map { case (cid, cv) =>
+      struct(
+        round(PlanDf.column(graft.functions.CosineSimilarity(
+          PlanDf.expression(col(vecCol)),
+          PlanDf.expression(typedLit(cv)))), 9).as("sim"),
+        lit(-cid).as("negcid"))
+    }: _*)
+    val best = array_max(scored)
+    vectors.select(col(idCol), col(vecCol),
+        (-best.getField("negcid")).as("cluster"), best.getField("sim").as("sim"))
   }
 
   /** One Lloyd round: element-wise centroid means over the current

@@ -43,22 +43,11 @@ object Breadth6 {
     */
   val q46EventFunnel = Q(
     "q46_event_funnel",
-    (s, dir) => {
-      val e = Tables(s, dir, "events")
-      val s1 = e.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val s2 = e.filter(col("event_type") === "click")
-        .join(s1, "user_id").filter(col("ts") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      val s3 = e.filter(col("event_type") === "purchase")
-        .join(s2, "user_id").filter(col("ts") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-      s1.select(lit("1_signup").as("stage"), col("user_id"))
-        .unionByName(s2.select(lit("2_click").as("stage"), col("user_id")))
-        .unionByName(s3.select(lit("3_purchase").as("stage"), col("user_id")))
+    (s, dir) =>
+      graft.etl.EventOps.funnel(Tables(s, dir, "events"),
+          "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))
         .groupBy(col("stage")).agg(count(lit(1)).as("users"))
-        .orderBy(col("stage"))
-    },
+        .orderBy(col("stage")),
     Some("""
       WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                   WHERE event_type = 'signup' GROUP BY user_id),
@@ -127,5 +116,168 @@ object Breadth6 {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """.trim))
 
-  def all: Seq[Q] = Seq(q45CustOrderDist, q46EventFunnel, q47PpsSample, t11StatAggs)
+  /** JSONL round-trip with corrupt-line quarantine: documents export as
+    * JSON lines (the wire format of web-scrape corpora), three garbage
+    * lines are injected, and the PERMISSIVE read splits clean rows from
+    * quarantine. The clean aggregate must match DuckDB over the original
+    * parquet; the quarantine count rides along as a column (a corrupt
+    * line must never kill a 100 TB scan — and never silently vanish
+    * either).
+    */
+  val srcJsonlRoundtrip = Q(
+    "src_jsonl_roundtrip",
+    (s, dir) => {
+      val d = graft.etl.LayoutOps.ensureDir(s, dir, "documents_jsonl") { out =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .coalesce(1).write.json(out)
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bad = fs.create(new org.apache.hadoop.fs.Path(out, "part-bad.json"))
+        bad.write("not json at all\n{\"doc_id\": oops}\n{truncated\n".getBytes("UTF-8"))
+        bad.close()
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val (clean, bad) = graft.sources.JsonlSource.splitCorrupt(
+        graft.sources.JsonlSource.readJsonl(s, d, schema))
+      clean.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(bad.agg(count(lit(1)).as("n_quarantined"))))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+             CAST(3 AS BIGINT) AS n_quarantined
+      FROM documents GROUP BY lang ORDER BY lang
+    """.trim))
+
+  /** Incremental rollup maintenance (the materialized-view pattern):
+    * history is kept as a PARTIAL aggregate table — decimal sums +
+    * counts, mergeable — and each refresh aggregates only the delta and
+    * merges. The merged result must equal a full recompute (oracle).
+    * At 100 TB this is the difference between scanning seven years and
+    * scanning one day; it works because sum/count partials form a
+    * monoid, exactly like Spark's own partial aggregation.
+    */
+  val q48IncrementalRollup = Q(
+    "q48_incremental_rollup",
+    (s, dir) => {
+      val cut = lit("1997-01-01").cast("timestamp")
+      val base = graft.etl.LayoutOps.ensureDir(s, dir, "orders_rollup_base") { out =>
+        Tables(s, dir, "orders").filter(col("o_orderdate") < cut)
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("part_sum"),
+            count(lit(1)).as("part_n"))
+          .write.parquet(out)
+      }
+      val delta = Tables(s, dir, "orders").filter(col("o_orderdate") >= cut)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("part_sum"),
+          count(lit(1)).as("part_n"))
+      s.read.parquet(base).unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("part_sum")).cast("double").as("total_price"),
+          sum(col("part_n")).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.trim))
+
+  /** Data-quality: declarative range-rule audit — one scan computes
+    * every rule's violation count and the observed min/max (the evidence
+    * a data steward needs), stacked to one row per rule. Rules are
+    * conjunction-free per-row predicates, so the audit is a pure
+    * map-side aggregate regardless of table size.
+    */
+  val dq3RangeAudit = Q(
+    "dq3_range_audit",
+    (s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val one = l.agg(
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 40, 1L)
+          .otherwise(0L)).as("qty_viol"),
+        min(col("l_quantity")).as("qty_min"), max(col("l_quantity")).as("qty_max"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.05, 1L)
+          .otherwise(0L)).as("disc_viol"),
+        min(col("l_discount")).as("disc_min"), max(col("l_discount")).as("disc_max"),
+        sum(when(col("l_tax") < 0 || col("l_tax") > 0.06, 1L)
+          .otherwise(0L)).as("tax_viol"),
+        min(col("l_tax")).as("tax_min"), max(col("l_tax")).as("tax_max"))
+      one.select(expr(
+        "stack(3," +
+          " 'l_quantity in [1,40]', qty_viol, qty_min, qty_max," +
+          " 'l_discount in [0,0.05]', disc_viol, disc_min, disc_max," +
+          " 'l_tax in [0,0.06]', tax_viol, tax_min, tax_max" +
+          ") AS (rule, n_violations, observed_min, observed_max)"))
+        .orderBy(col("rule"))
+    },
+    Some("""
+      SELECT rule, n_violations, observed_min, observed_max FROM (
+        SELECT 'l_quantity in [1,40]' AS rule,
+               sum(CASE WHEN l_quantity < 1 OR l_quantity > 40 THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+               min(l_quantity) AS observed_min, max(l_quantity) AS observed_max FROM lineitem
+        UNION ALL
+        SELECT 'l_discount in [0,0.05]',
+               sum(CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT,
+               min(l_discount), max(l_discount) FROM lineitem
+        UNION ALL
+        SELECT 'l_tax in [0,0.06]',
+               sum(CASE WHEN l_tax < 0 OR l_tax > 0.06 THEN 1 ELSE 0 END)::BIGINT,
+               min(l_tax), max(l_tax) FROM lineitem)
+      ORDER BY rule
+    """.trim))
+
+  /** Data-quality: categorical distribution drift between two periods
+    * (the monitor that catches a broken upstream feed): per-category
+    * share in each window and the absolute share delta. Counts are
+    * exact; each share is one double division; 9 dp rounding pins the
+    * cross-engine bit.
+    */
+  val dq4DistributionDrift = Q(
+    "dq4_distribution_drift",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      // windows: 1995 vs 1996; one scan, conditional counts
+      val agg = o.filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L)).as("n_a"),
+          sum(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L)).as("n_b"))
+      val tot = agg.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"),
+          col("n_a"), col("n_b"),
+          round(col("n_a").cast("double") / col("t_a"), 9).as("share_a"),
+          round(col("n_b").cast("double") / col("t_b"), 9).as("share_b"),
+          round(abs(col("n_a").cast("double") / col("t_a") -
+            col("n_b").cast("double") / col("t_b")), 9).as("share_drift"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH agg AS (
+        SELECT o_orderpriority,
+               sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)::BIGINT AS n_b
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY o_orderpriority),
+      tot AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM agg)
+      SELECT o_orderpriority, n_a, n_b,
+             round(n_a / t_a, 9) AS share_a,
+             round(n_b / t_b, 9) AS share_b,
+             round(abs(n_a / t_a - n_b / t_b), 9) AS share_drift
+      FROM agg, tot ORDER BY o_orderpriority
+    """.trim))
+
+  def all: Seq[Q] = Seq(q45CustOrderDist, q46EventFunnel, q47PpsSample, t11StatAggs,
+    srcJsonlRoundtrip, q48IncrementalRollup, dq3RangeAudit, dq4DistributionDrift)
 }

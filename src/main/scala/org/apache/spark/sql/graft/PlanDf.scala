@@ -14,4 +14,14 @@ import org.apache.spark.sql.classic
 object PlanDf {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ↔ Expression bridges (`private[sql]` in Spark 4's classic
+    * module) — needed when library code composes custom Catalyst
+    * expressions (graft.functions.*) directly into Column trees.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -23,6 +23,19 @@ class Round4Spec extends SparkSpec {
     assert(got === Map(1L -> 10L, 2L -> 20L, 3L -> 10L))
   }
 
+  test("kmeansAssign is scan-side: zero exchanges, zero joins in the plan") {
+    val v = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0))
+    val c = vecs(10L -> Seq(1.0, 0.0), 20L -> Seq(0.0, 1.0))
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val plan = Similarity.kmeansAssign(spark, v, c, "vec_id", "embedding", "cid", "cv")
+      .queryExecution.executedPlan
+    val bad = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(bad.isEmpty, s"expected a pure projection, got:\n$plan")
+  }
+
   test("kmeansLloydRound: centroids move to assigned means, vectors reassign") {
     // Seed centroids sit badly: c10 at x-axis, c20 at y-axis. Vectors
     // cluster tightly around (1,1,0) and (0,0,1); after one round the
@@ -61,6 +74,28 @@ class Round4Spec extends SparkSpec {
       .select("doc_id", "n_chunks", "n_dup_chunks")
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq === Seq((1L, 2L, 1L), (2L, 2L, 1L)))
+  }
+
+  test("funnel: strictly-after ordering, greedy-earliest completion") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val e = Seq(
+      // user 1: full ordered funnel
+      (1L, "a", t(10)), (1L, "b", t(20)), (1L, "c", t(30)),
+      // user 2: b BEFORE a → never completes b
+      (2L, "b", t(5)), (2L, "a", t(10)),
+      // user 3: b at the same instant as a → strictly-after excludes it
+      (3L, "a", t(10)), (3L, "b", t(10)),
+      // user 4: greedy-earliest — first b after a gates c, earlier c ignored
+      (4L, "a", t(10)), (4L, "c", t(15)), (4L, "b", t(20)), (4L, "c", t(25)))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.etl.EventOps.funnel(e, "user_id", "event_type", "ts",
+        Seq("a", "b", "c"))
+      .select("stage", "user_id").as[(String, Long)].collect().toSet
+    assert(got === Set(
+      ("1_a", 1L), ("2_b", 1L), ("3_c", 1L),
+      ("1_a", 2L),
+      ("1_a", 3L),
+      ("1_a", 4L), ("2_b", 4L), ("3_c", 4L)))
   }
 
   test("ppsSystematicSample matches the single-partition reference; heavy rows certain") {
