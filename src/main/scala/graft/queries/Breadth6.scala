@@ -278,6 +278,35 @@ object Breadth6 {
       FROM agg, tot ORDER BY o_orderpriority
     """.trim))
 
+  /** Bitwise function family: per-row shifts/and/or/xor composed into a
+    * mixed key, plus the bit_and / bit_or / bit_xor aggregates — the
+    * tooling of bitmap/flag columns. Pure integer arithmetic, bit-exact
+    * across engines by construction.
+    */
+  val t12BitwiseFuncs = Q(
+    "t12_bitwise_funcs",
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          shiftleft(col("l_suppkey"), 3)
+            .bitwiseOR(shiftright(col("l_partkey"), 2))
+            .bitwiseXOR(col("l_orderkey")).as("bit_mix"))
+        .groupBy((col("l_orderkey") % 7).as("grp"))
+        .agg(expr("bit_and(l_partkey)").as("agg_and"),
+          expr("bit_or(l_suppkey)").as("agg_or"),
+          expr("bit_xor(bit_mix)").as("agg_xor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("grp")),
+    Some("""
+      SELECT l_orderkey % 7 AS grp,
+             bit_and(l_partkey) AS agg_and,
+             bit_or(l_suppkey) AS agg_or,
+             bit_xor(xor((l_suppkey << 3) | (l_partkey >> 2), l_orderkey)) AS agg_xor,
+             count(*) AS n
+      FROM lineitem GROUP BY grp ORDER BY grp
+    """.trim))
+
   def all: Seq[Q] = Seq(q45CustOrderDist, q46EventFunnel, q47PpsSample, t11StatAggs,
-    srcJsonlRoundtrip, q48IncrementalRollup, dq3RangeAudit, dq4DistributionDrift)
+    srcJsonlRoundtrip, q48IncrementalRollup, dq3RangeAudit, dq4DistributionDrift,
+    t12BitwiseFuncs)
 }

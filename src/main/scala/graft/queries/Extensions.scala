@@ -717,11 +717,50 @@ object Extensions {
       GROUP BY doc_id ORDER BY doc_id
     """.trim))
 
+  /** Dataset card: the one-row corpus summary a data release ships with
+    * — sizes, language spread, exact-dup mass, token stats, short-doc
+    * share. One scan, one aggregate (the multi-distinct plans a single
+    * Expand); every ratio is an exact integer sum with one double
+    * division, the median is interpolated identically in both engines.
+    */
+  val pipelineDatasetCard = Q(
+    "pipeline_dataset_card",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val base = d.select(col("lang"), col("n_chars"),
+        size(graft.ext.TextOps.words(col("text"))).cast("long").as("__nw"),
+        md5(graft.ext.Dedup.normText(col("text"))).as("__h"))
+      base.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("__h"))).as("n_exact_dups"),
+        sum(col("__nw")).as("total_words"),
+        round(sum(col("__nw")).cast("double") / count(lit(1)), 9).as("avg_words"),
+        expr("percentile(__nw, 0.5)").as("p50_words"),
+        round(sum(when(col("__nw") < 20, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 9).as("short_share"),
+        sum(col("n_chars")).as("total_chars"))
+    },
+    Some(s"""
+      WITH b AS (SELECT lang, n_chars, len($NormW) AS nw,
+                        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+                 FROM documents)
+      SELECT count(*)::BIGINT AS n_docs,
+             count(DISTINCT lang)::BIGINT AS n_langs,
+             (count(*) - count(DISTINCT h))::BIGINT AS n_exact_dups,
+             sum(nw)::BIGINT AS total_words,
+             round(sum(nw) / count(*), 9) AS avg_words,
+             quantile_cont(nw, 0.5) AS p50_words,
+             round(sum(CASE WHEN nw < 20 THEN 1 ELSE 0 END) / count(*), 9) AS short_share,
+             sum(n_chars)::BIGINT AS total_chars
+      FROM b ORDER BY n_docs
+    """.trim))
+
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupEmbedding, dedupFuzzy,
     annBrute, annLsh, annIvf, annKmeansAssign, annKmeansIter,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup,
-    mediaMeta, mediaFrames, pipelineCorpusClean)
+    mediaMeta, mediaFrames, pipelineCorpusClean, pipelineDatasetCard)
 }
