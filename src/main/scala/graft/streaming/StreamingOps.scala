@@ -364,4 +364,105 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  /** One funnel event arrival: `stage` is the 0-based index in the
+    * funnel definition (mapped scan-side, so the processor is
+    * definition-agnostic); `user_id` is the funnel entity.
+    */
+  final case class FunnelIn(user_id: Long, ts: java.sql.Timestamp, stage: Int)
+
+  /** A completed funnel stage: `stage` is 1-based funnel position. */
+  final case class FunnelOut(user_id: Long, stage: Int,
+      completed_at: java.sql.Timestamp)
+
+  /** Incremental twin of the batch `EventOps.funnel`: a per-user stage
+    * machine driven by EVENT-TIME TIMERS. Arrivals buffer until the
+    * watermark passes their timestamp (then no earlier event can still
+    * arrive), drain in timestamp order, and advance the machine under
+    * the same strictly-after greedy-earliest rule as batch — so
+    * out-of-order delivery cannot corrupt the funnel. State per user is
+    * the pending buffer (drains at watermark) plus two scalars; the
+    * consumed history is never stored. RocksDB-backed.
+    */
+  class StreamingFunnelProcessor(nStages: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelIn, FunnelOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var doneStage: ValueState[Int] = _ // stages completed (1-based count)
+    @transient private var doneTs: ValueState[Long] = _   // completion time of the last one
+    @transient private var pending: ListState[(Long, Int)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      doneStage = getHandle.getValueState[Int]("done", Encoders.scalaInt, TTLConfig.NONE)
+      doneTs = getHandle.getValueState[Long]("doneTs", Encoders.scalaLong, TTLConfig.NONE)
+      pending = getHandle.getListState[(Long, Int)]("pending",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelIn],
+        timerValues: TimerValues): Iterator[FunnelOut] = {
+      rows.foreach { e =>
+        if (e.stage >= 0 && e.stage < nStages) {
+          val t = e.ts.getTime
+          pending.appendValue((t, e.stage))
+          getHandle.registerTimer(t)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelOut] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val all = pending.get().toArray
+      if (all.isEmpty) return Iterator.empty
+      val (due, rest) = all.partition(_._1 <= wm)
+      if (due.isEmpty) return Iterator.empty
+      var d = if (doneStage.exists()) doneStage.get() else 0
+      var dts = if (doneTs.exists()) doneTs.get() else Long.MinValue
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+      // ts order; at equal ts the lower stage first, so a same-instant
+      // next-stage event cannot ride a completion it isn't strictly after
+      due.sortBy(e => (e._1, e._2)).foreach { case (t, st) =>
+        if (st == d && t > dts) {
+          d += 1; dts = t
+          out += FunnelOut(key, d, new java.sql.Timestamp(t))
+        }
+      }
+      doneStage.update(d)
+      doneTs.update(dts)
+      pending.clear()
+      if (rest.nonEmpty) pending.put(rest)
+      out.iterator
+    }
+  }
+
+  /** Wires StreamingFunnelProcessor over a watermarked event stream:
+    * stage names map to indexes scan-side, non-funnel events drop at
+    * the scan, and the keyed machine emits (user, stage, completed_at)
+    * increments. Aggregating completions per stage is a downstream
+    * `groupBy` — kept out of the operator so the completion stream
+    * stays reusable.
+    */
+  def streamingFunnel(events: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String], delay: String)
+      : org.apache.spark.sql.Dataset[FunnelOut] = {
+    require(stages.nonEmpty)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit(i)).otherwise(acc)
+    }
+    events.select(col(entityCol).cast("long").as("user_id"),
+        col(tsCol).as("ts"), stageIdx.cast("int").as("stage"))
+      .filter(col("stage") >= 0)
+      .withWatermark("ts", delay)
+      .as[FunnelIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new StreamingFunnelProcessor(stages.size),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }

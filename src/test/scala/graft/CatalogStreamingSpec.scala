@@ -424,4 +424,68 @@ class CatalogStreamingSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming funnel: out-of-order arrivals, strictly-after machine, batch equivalence") {
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val out = StreamingOps.streamingFunnel(
+        stream.toDS().toDF("user_id", "ts", "event_type"),
+        "user_id", "event_type", "ts", Seq("a", "b", "c"), delay = "30 minutes")
+      val q = out.writeStream.format("memory").queryName("sfunnel")
+        .outputMode("append").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // user 1 arrives OUT OF ORDER: b(00:20) lands a batch before
+      // a(00:10); user 2's b precedes its a in EVENT time (never stage 2)
+      val rows = Seq(
+        (1L, ts("2024-01-01 00:20:00"), "b"),
+        (2L, ts("2024-01-01 00:05:00"), "b"),
+        (2L, ts("2024-01-01 00:10:00"), "a"))
+      stream.addData(rows.head)
+      q.processAllAvailable()
+      val late = Seq(
+        (1L, ts("2024-01-01 00:10:00"), "a"),
+        (1L, ts("2024-01-01 00:30:00"), "c"),
+        (9L, ts("2024-01-01 00:25:00"), "x")) // non-funnel event drops
+      stream.addData(late ++ rows.tail: _*)
+      q.processAllAvailable()
+      assert(spark.table("sfunnel").isEmpty,
+        "nothing may finalize before the watermark passes the events")
+      // push the watermark far past everything, twice (timer fires on
+      // the microbatch after the watermark update)
+      stream.addData((8L, ts("2024-01-01 02:00:00"), "a"))
+      q.processAllAvailable()
+      stream.addData((8L, ts("2024-01-01 03:00:00"), "a"))
+      q.processAllAvailable()
+      val got = spark.table("sfunnel").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"),
+          r.getAs[java.sql.Timestamp]("completed_at"))).toSet
+      q.stop()
+      assert(got.contains((1L, 1, ts("2024-01-01 00:10:00"))), got.toString)
+      assert(got.contains((1L, 2, ts("2024-01-01 00:20:00"))), got.toString)
+      assert(got.contains((1L, 3, ts("2024-01-01 00:30:00"))), got.toString)
+      assert(!got.exists(g => g._1 == 2L && g._2 == 2), got.toString)
+      // batch equivalence on users 1 and 2 (user 8's watermark-nudge rows
+      // included: its stage-1 completion must agree too)
+      val batchRows = (rows ++ late).filter(_._1 != 9L) ++
+        Seq((8L, ts("2024-01-01 02:00:00"), "a"), (8L, ts("2024-01-01 03:00:00"), "a"))
+      val batch = graft.etl.EventOps.funnel(
+          batchRows.toDF("user_id", "ts", "event_type"),
+          "user_id", "event_type", "ts", Seq("a", "b", "c"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[String]("stage").takeWhile(_ != '_').toInt,
+          r.getAs[java.sql.Timestamp]("completed_at"))).toSet
+      // the stream may not have finalized user 8's own nudge rows (the
+      // watermark sits at their ts); compare on the finalized users
+      val finalized = Set(1L, 2L)
+      assert(batch.filter(b => finalized(b._1)) === got.filter(g => finalized(g._1)))
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
