@@ -33,6 +33,15 @@ import org.apache.spark.sql.functions._
   * constant, rows the linear term); post-shuffle_hash dedup numbers
   * unchanged in shape (clusters 10.8s / pipeline 9.9s at 1.2M pairs,
   * jaccard still output-cardinality-bound on replicated cliques).
+  *
+  * Round-4 additions at replicas=10 (50k docs, 2M events, 1.5M orders):
+  * text_chunk_dedup 4.9s (explode + digest agg + join back — digest
+  * shuffle is the only data movement, linear in chunk count);
+  * q47_pps_sample 1.2s (distributed prefix sum: one range partition +
+  * broadcast offsets, flat); q46_event_funnel 1.7s over 2M events
+  * (three user_id-clustered stages, monotonically shrinking);
+  * q45_cust_order_dist 1.4s; pipeline_dataset_card 0.16s (single
+  * Expand-planned aggregate scan).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -83,7 +92,12 @@ object ScaleSmoke {
     val heavy = (Seq("q1_pricing_summary", "p04_datediff_days", "u2_merge_upsert",
       "dedup_minhash_pairs", "dedup_clusters",
       "pipeline_corpus_clean", "w4_range_frame",
-      "j9_asof_custom_operator", "q29_sole_late_supplier") ++
+      "j9_asof_custom_operator", "q29_sole_late_supplier",
+      // round-4 ops over replicated tables: chunk digests + corpus join
+      // (documents), integer prefix-sum sampling (documents), staged
+      // funnel (events), count-of-counts (orders), card aggregate
+      "text_chunk_dedup", "q47_pps_sample", "q46_event_funnel",
+      "q45_cust_order_dist", "pipeline_dataset_card") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     heavy.foreach { name =>
       val t0 = System.nanoTime()
