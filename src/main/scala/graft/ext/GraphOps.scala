@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph traversal as pure DataFrame rounds — the third graph
+  * algorithm family next to hash-min propagation and star contraction
+  * (Dedup.connectedComponents / connectedComponentsStar).
+  */
+object GraphOps {
+
+  /** BFS layer discovery: label every node reachable within `maxDepth`
+    * hops of the source set with its hop distance (a node's layer is
+    * its FIRST discovery round — the BFS min-distance invariant, so the
+    * result is deterministic regardless of traversal order).
+    *
+    * `edges` must carry (src, dst) with both directions present for an
+    * undirected graph. Each round is one equi join on the frontier +
+    * one anti join against the visited set — both shuffle on node id,
+    * so a round's cost is bounded by frontier-adjacency size, never by
+    * total graph size; `localCheckpoint` cuts lineage so the plan does
+    * not grow with depth (the same discipline as the dedup cluster
+    * rounds). Frontiers shrink to empty on exhausted components and the
+    * remaining rounds are no-ops over empty inputs.
+    */
+  def bfsLayers(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0)
+    var visited = sources.select(col("node"), lit(0).as("dist")).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var d = 1
+    while (d <= maxDepth) {
+      val next = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(next.withColumn("dist", lit(d)))
+        .localCheckpoint()
+      frontier = next.select(col("node"))
+      d += 1
+    }
+    visited
+  }
+}

@@ -306,7 +306,42 @@ object Breadth6 {
       FROM lineitem GROUP BY grp ORDER BY grp
     """.trim))
 
+  /** BFS layer counts over the order↔part bipartite graph (orders as
+    * positive node ids, parts negated), three hops from the smallest
+    * orderkey. Each round is a frontier equi join + visited anti join —
+    * cost bounded by frontier adjacency, not graph size — making this
+    * the traversal-shaped sibling of the connected-components rounds.
+    * The oracle replays it as a depth-capped recursive CTE with a
+    * min-distance rollup (the BFS first-discovery invariant).
+    */
+  val q49BfsLayers = Q(
+    "q49_bfs_layers",
+    (s, dir) => {
+      val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = l.select(col("l_orderkey").as("src"), (-col("l_partkey")).as("dst"))
+        .unionByName(l.select((-col("l_partkey")).as("src"), col("l_orderkey").as("dst")))
+      val src = l.agg(min(col("l_orderkey")).as("node"))
+      graft.ext.GraphOps.bfsLayers(edges, src, maxDepth = 3)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .orderBy(col("dist"))
+    },
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT l_orderkey AS src, -l_partkey AS dst FROM lineitem
+        UNION ALL SELECT -l_partkey, l_orderkey FROM lineitem),
+      walk(node, dist) AS (
+        SELECT (SELECT min(l_orderkey) FROM lineitem) AS node, 0 AS dist
+        UNION
+        SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+        WHERE w.dist < 3),
+      m AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+      SELECT dist, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
+      FROM m GROUP BY dist ORDER BY dist
+    """.trim))
+
   def all: Seq[Q] = Seq(q45CustOrderDist, q46EventFunnel, q47PpsSample, t11StatAggs,
     srcJsonlRoundtrip, q48IncrementalRollup, dq3RangeAudit, dq4DistributionDrift,
-    t12BitwiseFuncs)
+    t12BitwiseFuncs, q49BfsLayers)
 }

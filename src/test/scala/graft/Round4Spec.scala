@@ -76,6 +76,18 @@ class Round4Spec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1L), (2L, 2L, 1L)))
   }
 
+  test("bfsLayers: first-discovery distance; exhausted frontier is a no-op") {
+    // path 1-2-3-4-5 (diameter 4) plus an unreachable triangle 10-11-12;
+    // a diamond 2-6, 6-4 gives node 4 two discovery paths — min wins
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L), (6L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val got = graft.ext.GraphOps.bfsLayers(edges, src, maxDepth = 6)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3, 5L -> 4))
+  }
+
   test("funnel: strictly-after ordering, greedy-earliest completion") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000)
     val e = Seq(
