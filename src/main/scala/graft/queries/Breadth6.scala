@@ -341,7 +341,36 @@ object Breadth6 {
       FROM m GROUP BY dist ORDER BY dist
     """.trim))
 
+  /** Temporal arithmetic family (completing t2's part extraction):
+    * calendar-aware month addition (clamps at month end in both
+    * engines), month-end/quarter-start anchors, ISO week, day offsets,
+    * and day-of-week normalized to Sunday=0 (Spark counts 1-7 from
+    * Sunday, DuckDB 0-6 — the projection pins one convention).
+    */
+  val t13TemporalArith = Q(
+    "t13_temporal_arith",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate"), 2).as("plus2m"),
+          last_day(col("o_orderdate")).as("month_end"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          date_add(col("o_orderdate").cast("date"), 45).as("plus45d"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"),
+          (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+             last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             weekofyear(o_orderdate)::BIGINT AS iso_week,
+             CAST(o_orderdate AS DATE) + 45 AS plus45d,
+             CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+             dayofweek(o_orderdate)::BIGINT AS dow_sun0
+      FROM orders ORDER BY o_orderkey
+    """.trim))
+
   def all: Seq[Q] = Seq(q45CustOrderDist, q46EventFunnel, q47PpsSample, t11StatAggs,
     srcJsonlRoundtrip, q48IncrementalRollup, dq3RangeAudit, dq4DistributionDrift,
-    t12BitwiseFuncs, q49BfsLayers)
+    t12BitwiseFuncs, q49BfsLayers, t13TemporalArith)
 }
