@@ -37,8 +37,13 @@ object EventOps {
                 entityCol)
               .filter(col(tsCol) > col("__prev_t"))
         }
+        // materialize each stage's completions (≤ one row per entity —
+        // tiny next to the event log): without this, stage i's subtree
+        // re-embeds stages 1..i-1 and the final union re-reads the log
+        // O(stages²) times
         val done = gated.groupBy(col(entityCol))
           .agg(min(col(tsCol)).as("completed_at"))
+          .localCheckpoint()
         acc :+ (label -> done)
     }
     completions.map { case (label, df) =>
