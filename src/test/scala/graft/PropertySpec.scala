@@ -150,4 +150,57 @@ class PropertySpec extends SparkSpec {
       .withColumn("fused", expr("graft_simhash32(__whashes)"))
     assert(sim.filter(expr("ref <> fused")).isEmpty)
   }
+
+  test("redactPii is idempotent and never throws on arbitrary text") {
+    val xs = (samples(junk, 200) ++ Seq(
+      "a@b.co x@y.z.org", "+1-555-0100", "@@@", "a@b", "1-2-3", "")).zipWithIndex
+    val df = xs.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = TextOps.redactPii(df, "doc_id", "text")
+    val twice = TextOps.redactPii(
+      once.select($"doc_id", lower($"redacted").as("text")), "doc_id", "text")
+    val joined = once.select($"doc_id", lower($"redacted").as("r1l"))
+      .join(twice.select($"doc_id", $"redacted".as("r2"), $"n_emails", $"n_phones"), "doc_id")
+    // a second pass finds nothing and changes nothing (<EMAIL>/<PHONE>
+    // tokens are outside both pattern alphabets after lower())
+    assert(joined.filter($"r1l" =!= $"r2" || $"n_emails" =!= 0 || $"n_phones" =!= 0).isEmpty)
+  }
+
+  test("chunkDupStats invariants: ratio in [0,1], dup counts bounded, all-dup corpus") {
+    val words = samples(Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d")), 150)
+      .map(_.mkString(" ")).zipWithIndex
+    val df = words.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val st = TextOps.chunkDupStats(df, "doc_id", "text", chunkWords = 4)
+    assert(st.filter($"n_dup_chunks" > $"n_chunks" ||
+      $"dup_ratio" < 0.0 || $"dup_ratio" > 1.0).isEmpty)
+    // duplicating the whole corpus makes every chunk duplicated
+    val doubled = df.unionByName(df.select($"doc_id" + 1000000L as "doc_id", $"text"))
+    val st2 = TextOps.chunkDupStats(doubled, "doc_id", "text", chunkWords = 4)
+    assert(st2.filter($"dup_ratio" =!= 1.0).isEmpty)
+  }
+
+  test("ppsSystematicSample: permutation-invariant under repartitioning, weights cover strides") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 300L).map(i => (i, 1L + rnd.nextInt(500)))
+    val a = graft.etl.SampleOps.ppsSystematicSample(
+      rows.toDF("id", "w"), "id", "w", n = 15).select("id").as[Long].collect().toSet
+    val b = graft.etl.SampleOps.ppsSystematicSample(
+      rows.reverse.toDF("id", "w").repartition(7), "id", "w", n = 15)
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // input order and partitioning must not change the sample
+    assert(a.nonEmpty && a.size <= 15)
+  }
+
+  test("funnel stage populations are monotonically non-increasing") {
+    val rnd = new scala.util.Random(5)
+    val evs = (1 to 2000).map { i =>
+      (rnd.nextInt(60).toLong, new java.sql.Timestamp(rnd.nextInt(100000).toLong * 1000),
+        Seq("a", "b", "c", "x")(rnd.nextInt(4)))
+    }
+    val counts = graft.etl.EventOps.funnel(
+        evs.toDF("user_id", "ts", "event_type"), "user_id", "event_type", "ts",
+        Seq("a", "b", "c"))
+      .groupBy("stage").count().orderBy("stage").as[(String, Long)].collect()
+    assert(counts.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      counts.mkString(", "))
+  }
 }
