@@ -221,7 +221,16 @@ object Similarity {
       centIdCol: String, centVecCol: String): DataFrame = {
     val assigned = kmeansAssign(spark, vectors, centroids, idCol, vecCol,
       centIdCol, centVecCol)
-    val newCent = assigned
+    val newCent = recomputeCentroids(assigned, vecCol)
+    kmeansAssign(spark, vectors, newCent, idCol, vecCol, "cluster", "__cv")
+  }
+
+  /** Element-wise centroid means over an assignment (see
+    * kmeansLloydRound for the decimal-exactness rationale). Output is
+    * k rows of (cluster, __cv).
+    */
+  private def recomputeCentroids(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
       .select(col("cluster"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))
       .groupBy(col("cluster"), col("__dim"))
       .agg((sum(round(col("__x").cast("double"), 9)
@@ -230,6 +239,34 @@ object Similarity {
       .groupBy(col("cluster"))
       .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__v")))),
         s => s.getField("__v")).as("__cv"))
-    kmeansAssign(spark, vectors, newCent, idCol, vecCol, "cluster", "__cv")
+
+  /** Lloyd's algorithm to (deterministic) convergence: alternate
+    * assignment and centroid recompute until no vector changes cluster
+    * or `maxIters` rounds elapse. Returns the final assignment. Every
+    * piece is the deterministic machinery above, so the fixpoint is
+    * reproducible run-to-run and engine-to-engine; the per-round
+    * convergence check is one count over an id-clustered join of two
+    * checkpointed assignments (the same action-per-round discipline as
+    * the connected-components loops).
+    */
+  def kmeansConverge(spark: SparkSession, vectors: DataFrame,
+      initCentroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String, maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1)
+    var assigned = kmeansAssign(spark, vectors, initCentroids, idCol, vecCol,
+      centIdCol, centVecCol).localCheckpoint()
+    var it = 1
+    var converged = false
+    while (it < maxIters && !converged) {
+      val next = kmeansAssign(spark, vectors, recomputeCentroids(assigned, vecCol),
+        idCol, vecCol, "cluster", "__cv").localCheckpoint()
+      val moved = assigned.select(col(idCol), col("cluster").as("__old"))
+        .join(next.select(col(idCol), col("cluster")), idCol)
+        .filter(col("cluster") =!= col("__old")).count()
+      assigned = next
+      converged = moved == 0
+      it += 1
+    }
+    assigned
   }
 }

@@ -51,6 +51,23 @@ class Round4Spec extends SparkSpec {
     assert(r === Map(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 20L))
   }
 
+  test("kmeansConverge: reaches a fixpoint; recovers planted clusters from bad seeds") {
+    // two tight planted clusters around (1,1,0) and (0,0,1); seeds both
+    // start inside cluster A — convergence must still separate them
+    val v = vecs(
+      1L -> Seq(1.0, 0.9, 0.0), 2L -> Seq(0.9, 1.0, 0.1), 3L -> Seq(1.0, 1.0, 0.0),
+      4L -> Seq(0.0, 0.1, 1.0), 5L -> Seq(0.1, 0.0, 0.9), 6L -> Seq(0.0, 0.0, 1.0))
+    val c = vecs(10L -> Seq(1.0, 0.8, 0.0), 20L -> Seq(0.8, 1.0, 0.3))
+      .select($"vec_id".as("cid"), $"embedding".as("cv"))
+    val got = Similarity.kmeansConverge(spark, v, c, "vec_id", "embedding",
+        "cid", "cv", maxIters = 10)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val clustersOfA = Set(got(1L), got(2L), got(3L))
+    val clustersOfB = Set(got(4L), got(5L), got(6L))
+    assert(clustersOfA.size == 1 && clustersOfB.size == 1 &&
+      clustersOfA != clustersOfB, got.toString)
+  }
+
   test("redactPii: emails and phones replaced, counts reported") {
     val df = Seq(
       (1L, "write to Alice.Smith+x@sub.example.org today"),
