@@ -370,7 +370,70 @@ object Breadth6 {
       FROM orders ORDER BY o_orderkey
     """.trim))
 
+  /** Latest-record-per-key dedup (the snapshot-from-a-change-log idiom,
+    * SQL QUALIFY): one window shuffle on the key, deterministic
+    * (date, key) tiebreak. This is the compaction step every CDC
+    * pipeline runs; at scale the window partitioning IS the table's
+    * natural clustering, so downstream joins reuse it.
+    */
+  val u8LatestPerKey = Q(
+    "u8_latest_per_key",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+      ORDER BY o_custkey
+    """.trim))
+
+  /** Fixed-width record round-trip (the legacy mainframe/export
+    * format): rows serialize to a padded fixed-width line, then parse
+    * back by column positions — both directions pure per-row string
+    * ops, and the parse must recover the typed values exactly (money
+    * travels as integer cents so no float formatting is involved).
+    */
+  val p31FixedWidth = Q(
+    "p31_fixed_width_parse",
+    (s, dir) => {
+      val line = concat(
+        lpad(col("o_orderkey").cast("string"), 10, "0"),
+        col("o_orderstatus"),
+        lpad(round(col("o_totalprice") * 100).cast("long").cast("string"), 12, "0"),
+        rpad(col("o_orderpriority"), 15, " "))
+      Tables(s, dir, "orders")
+        .select(line.as("__line"))
+        .select(
+          substring(col("__line"), 1, 10).cast("long").as("k"),
+          substring(col("__line"), 11, 1).as("status"),
+          substring(col("__line"), 12, 12).cast("long").as("cents"),
+          trim(substring(col("__line"), 24, 15)).as("priority"))
+        .orderBy(col("k"))
+    },
+    Some("""
+      WITH enc AS (SELECT lpad(o_orderkey::VARCHAR, 10, '0') ||
+                          o_orderstatus ||
+                          lpad(CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR, 12, '0') ||
+                          rpad(o_orderpriority, 15, ' ') AS line
+                   FROM orders)
+      SELECT CAST(substring(line, 1, 10) AS BIGINT) AS k,
+             substring(line, 11, 1) AS status,
+             CAST(substring(line, 12, 12) AS BIGINT) AS cents,
+             trim(substring(line, 24, 15)) AS priority
+      FROM enc ORDER BY k
+    """.trim))
+
   def all: Seq[Q] = Seq(q45CustOrderDist, q46EventFunnel, q47PpsSample, t11StatAggs,
     srcJsonlRoundtrip, q48IncrementalRollup, dq3RangeAudit, dq4DistributionDrift,
-    t12BitwiseFuncs, q49BfsLayers, t13TemporalArith)
+    t12BitwiseFuncs, q49BfsLayers, t13TemporalArith, u8LatestPerKey, p31FixedWidth)
 }
