@@ -433,7 +433,40 @@ object Breadth6 {
       FROM enc ORDER BY k
     """.trim))
 
+  /** Month-over-month change report: exact decimal monthly revenue,
+    * lag(1) over the month series, delta and % change with one double
+    * division each (9 dp). The window runs over ~one row per month —
+    * after the aggregate the series is tiny no matter the input scale,
+    * so the unpartitioned ORDER BY window is safe here (and only
+    * here).
+    */
+  val q50MomChange = Q(
+    "q50_mom_change",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+      Tables(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("mom_pct",
+          round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100, 9))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                        count(*) AS n
+                 FROM orders GROUP BY 1)
+      SELECT month, revenue, n,
+             lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue,
+             round((revenue - lag(revenue, 1) OVER (ORDER BY month)) /
+                   lag(revenue, 1) OVER (ORDER BY month) * 100, 9) AS mom_pct
+      FROM m ORDER BY month
+    """.trim))
+
   def all: Seq[Q] = Seq(q45CustOrderDist, q46EventFunnel, q47PpsSample, t11StatAggs,
     srcJsonlRoundtrip, q48IncrementalRollup, dq3RangeAudit, dq4DistributionDrift,
-    t12BitwiseFuncs, q49BfsLayers, t13TemporalArith, u8LatestPerKey, p31FixedWidth)
+    t12BitwiseFuncs, q49BfsLayers, t13TemporalArith, u8LatestPerKey, p31FixedWidth,
+    q50MomChange)
 }
