@@ -14,9 +14,11 @@ object EventOps {
     * strictly after its stage i-1 completion (greedy-earliest is the
     * standard funnel definition and provably maximizes completions).
     *
-    * Returns (stage, <entityCol>, completed_at) — one row per entity
-    * per completed stage, stage labels `1_<name>`, `2_<name>`, … so
-    * they sort in funnel order.
+    * Returns (stage_idx, stage, <entityCol>, completed_at) — one row
+    * per entity per completed stage. `stage_idx` (1-based) is the
+    * funnel-order sort key; the `1_<name>` label is display-friendly
+    * but its LEXICAL order breaks past 9 stages ("10_x" < "2_y"), so
+    * order by `stage_idx`, never by label, in multi-stage funnels.
     *
     * Every stage is a filter → per-entity min aggregate → join to the
     * previous stage's completions, all keyed on the entity column: one
@@ -26,13 +28,13 @@ object EventOps {
   def funnel(events: DataFrame, entityCol: String, typeCol: String,
       tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val labeled = stages.zipWithIndex.map { case (s, i) => (s"${i + 1}_$s", s) }
-    val completions = labeled.foldLeft(Seq.empty[(String, DataFrame)]) {
-      case (acc, (label, stage)) =>
+    val labeled = stages.zipWithIndex.map { case (s, i) => (i + 1, s"${i + 1}_$s", s) }
+    val completions = labeled.foldLeft(Seq.empty[(Int, String, DataFrame)]) {
+      case (acc, (idx, label, stage)) =>
         val candidates = events.filter(col(typeCol) === stage)
         val gated = acc.lastOption match {
           case None => candidates
-          case Some((_, prev)) =>
+          case Some((_, _, prev)) =>
             candidates.join(prev.select(col(entityCol), col("completed_at").as("__prev_t")),
                 entityCol)
               .filter(col(tsCol) > col("__prev_t"))
@@ -44,10 +46,11 @@ object EventOps {
         val done = gated.groupBy(col(entityCol))
           .agg(min(col(tsCol)).as("completed_at"))
           .localCheckpoint()
-        acc :+ (label -> done)
+        acc :+ ((idx, label, done))
     }
-    completions.map { case (label, df) =>
-      df.select(lit(label).as("stage"), col(entityCol), col("completed_at"))
+    completions.map { case (idx, label, df) =>
+      df.select(lit(idx).as("stage_idx"), lit(label).as("stage"),
+        col(entityCol), col("completed_at"))
     }.reduce(_.unionByName(_))
   }
 }

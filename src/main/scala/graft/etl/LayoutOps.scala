@@ -37,6 +37,13 @@ object LayoutOps {
   /** Idempotent materialization of a derived directory: the first call
     * (across sessions/JVMs) writes it, later calls see `_SUCCESS` and
     * reuse; a partial dir from a crashed writer is cleared first.
+    *
+    * Reuse is only safe when the directory's CONTENT is a pure function
+    * of the source tables (e.g. a partition re-layout of `orders`). A
+    * directory whose content depends on the writer CODE — an export
+    * format, injected test fixtures — must use [[ensureRunDir]] instead:
+    * a stale artifact from an older build keeps row counts and schema
+    * but poisons values, which is invisible until an oracle hash-compare.
     */
   def ensureDir(spark: SparkSession, sfDir: String, name: String)
       (write: String => Unit): String = {
@@ -46,6 +53,51 @@ object LayoutOps {
     if (!fs.exists(new Path(dir, "_SUCCESS"))) {
       if (fs.exists(p)) fs.delete(p, true)
       write(dir)
+    }
+    dir
+  }
+
+  /** One unique root per JVM; removed on clean shutdown. Artifacts here
+    * are tiny (round-trip exports at test scale), so per-run rewrite
+    * costs nothing and buys hermeticity.
+    */
+  private lazy val runRoot: String = {
+    val root = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_run_" + java.util.UUID.randomUUID().toString.take(12)
+    val f = new java.io.File(root)
+    f.mkdirs()
+    sys.addShutdownHook {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete(): Unit
+      }
+      rm(f)
+    }
+    root
+  }
+
+  /** Per-run (per-JVM) variant of [[ensureDir]] for writer-code-dependent
+    * artifacts: the directory is fresh on every JVM launch, so no stale
+    * cross-build content can survive, and a crash mid-write can never
+    * leave a half-populated directory for a LATER run to trust — the
+    * `_SUCCESS` gate only ever sees artifacts this exact build wrote.
+    * Within one JVM it still memoizes (first query materializes, reruns
+    * reuse).
+    */
+  def ensureRunDir(spark: SparkSession, sfDir: String, name: String)
+      (write: String => Unit): String = {
+    val dir = s"$runRoot/${tag(sfDir)}/$name"
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      if (fs.exists(p)) fs.delete(p, true)
+      write(dir)
+      // Writers that produce no Spark `_SUCCESS` (raw-stream exports)
+      // still get a completion marker, written strictly AFTER the whole
+      // closure — including any fixture injection — finished.
+      if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+        fs.create(new Path(dir, "_SUCCESS")).close()
+      }
     }
     dir
   }

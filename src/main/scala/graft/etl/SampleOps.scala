@@ -43,7 +43,16 @@ object SampleOps {
       .select(col("__pid"), col("__offset"), col("__total"))
     val wIn = Window.partitionBy(col("__pid")).orderBy(col(idCol))
     rows.join(broadcast(offsets), "__pid")
-      .withColumn("__stride", (col("__total") / n).cast("long"))
+      // `div` is true integer division — `(a / b).cast("long")` routes
+      // through double and can truncate across an integer boundary for
+      // very large weight totals, diverging from the oracle's `//`. A
+      // total below n would make the stride 0 (Spark x/0 = null → a
+      // silently empty sample); assert_true makes that case fail loudly.
+      .withColumn("__stride", expr(s"__total div $n"))
+      .withColumn("__stride",
+        when(assert_true(col("__stride") >= 1,
+          lit(s"ppsSystematicSample: total weight < n=$n — stride would be 0")).isNull,
+          col("__stride")))
       .withColumn("__end", sum(col("__wt")).over(wIn) + col("__offset"))
       .withColumn("__start", col("__end") - col("__wt"))
       .filter(floor(col("__start") / col("__stride")) <

@@ -20,23 +20,30 @@ object GraphOps {
     * so a round's cost is bounded by frontier-adjacency size, never by
     * total graph size; `localCheckpoint` cuts lineage so the plan does
     * not grow with depth (the same discipline as the dedup cluster
-    * rounds). Frontiers shrink to empty on exhausted components and the
-    * remaining rounds are no-ops over empty inputs.
+    * rounds). The loop exits as soon as a frontier comes back empty —
+    * the reachable set can only stop growing, so the remaining rounds
+    * would all be no-op jobs; the count is over the just-checkpointed
+    * frontier, so the per-round convergence check costs one cheap
+    * action (the same discipline as the CC loops).
     */
   def bfsLayers(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0)
     var visited = sources.select(col("node"), lit(0).as("dist")).localCheckpoint()
     var frontier = visited.select(col("node"))
     var d = 1
-    while (d <= maxDepth) {
+    var exhausted = false
+    while (d <= maxDepth && !exhausted) {
       val next = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint()
-      visited = visited.unionByName(next.withColumn("dist", lit(d)))
-        .localCheckpoint()
-      frontier = next.select(col("node"))
-      d += 1
+      if (next.count() == 0) exhausted = true
+      else {
+        visited = visited.unionByName(next.withColumn("dist", lit(d)))
+          .localCheckpoint()
+        frontier = next.select(col("node"))
+        d += 1
+      }
     }
     visited
   }

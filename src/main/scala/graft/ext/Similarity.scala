@@ -101,29 +101,73 @@ object Similarity {
       s"(CASE WHEN (0.0 $sum) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  /** Centroid tables are model inputs — k rows — collected to the driver
+    * and inlined as literals so assignment is a pure per-row projection.
+    * The cap keeps misuse (a corpus passed as "centroids") a loud error
+    * instead of a driver OOM or a janino 64 KB-method blowup: at 4096
+    * inlined centroids the generated scorer is already at the practical
+    * codegen limit, and a real IVF/k-means coarse quantizer is far
+    * smaller.
+    */
+  val MaxInlineCentroids = 4096
+
+  /** Collect + id-sort a centroid table for literal inlining (shared by
+    * [[ivfTopK]] and [[kmeansAssign]]).
+    */
+  private def collectCentroids(centroids: DataFrame, centIdCol: String,
+      centVecCol: String): Array[(Long, Seq[Double])] = {
+    val cents = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroid table is empty")
+    require(cents.length <= MaxInlineCentroids,
+      s"${cents.length} centroids exceed the $MaxInlineCentroids inline cap — " +
+        "this API inlines centroids as literals (scan-side argmin); a table this " +
+        "large is not a coarse quantizer. Pass a sampled/trained centroid set.")
+    cents
+  }
+
+  /** The `lists` nearest centroid ids for one vector, as a scan-side
+    * projection over inlined centroid literals: score every centroid
+    * (round 9 dp), sort by (sim desc, cid asc) inside the row, slice.
+    * No join, no shuffle, no window — the cost at 100 TB is exactly one
+    * pass over the embedding column.
+    */
+  private def nearestCentroids(vec: Column, cents: Array[(Long, Seq[Double])],
+      lists: Int): Column = {
+    import org.apache.spark.sql.graft.PlanDf
+    val scored = array(cents.toIndexedSeq.map { case (cid, cv) =>
+      struct(
+        (-round(PlanDf.column(graft.functions.CosineSimilarity(
+          PlanDf.expression(vec),
+          PlanDf.expression(typedLit(cv)))), 9)).as("negsim"),
+        lit(cid).as("cid"))
+    }: _*)
+    // array_sort's default lexicographic struct order = negsim asc (sim
+    // desc), then cid asc — the same (sim DESC, cid) rank the oracle uses.
+    transform(slice(array_sort(scored), 1, lists), s => s.getField("cid"))
+  }
+
   /** IVF (inverted-file) ANN: corpus and queries are coarse-quantized to
-    * their nearest centroid (broadcast cross + deterministic rank-1), and
-    * only the query's list is searched. With c centroids the scanned
-    * fraction drops to ~1/c; recall is recovered at scale by probing the
-    * p nearest lists instead of 1 (nprobe). Centroids are a small model
-    * input — at production scale the argmin would move scan-side over a
-    * centroid array literal to avoid the assignment shuffle entirely.
+    * their nearest centroid, and only the query's list is searched. With
+    * c centroids the scanned fraction drops to ~1/c; recall is recovered
+    * at scale by probing the p nearest lists instead of 1 (nprobe).
+    * Assignment is SCAN-SIDE: the k centroids inline as literals and the
+    * argmin is a per-row projection (same shape as [[kmeansAssign]]) —
+    * zero shuffle, zero window; a cross join + per-vector rank would
+    * reshuffle k× the corpus.
     */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
       centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
-    val cent = centroids.select(col(centIdCol).as("__cid"), col(centVecCol).as("__cv"))
-    def assign(df: DataFrame, outId: String, outVec: String, lists: Int): DataFrame = {
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("__csim").desc, col("__cid"))
+    val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    def assign(df: DataFrame, outId: String, outVec: String, lists: Int): DataFrame =
       df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-        .crossJoin(broadcast(cent))
-        .withColumn("__csim", round(expr(s"graft_cosine($outVec, __cv)"), 9))
-        .withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") <= lists)
-        .select(col(outId), col(outVec), col("__cid").as(s"${outId}_list"))
-    }
+        .withColumn(s"${outId}_list",
+          explode(nearestCentroids(col(outVec), cents, lists)))
     // corpus rows live in exactly one list; queries probe their nprobe
     // nearest lists (standard IVF recall knob — scan cost rises linearly
     // with nprobe, never quadratically)
@@ -184,12 +228,7 @@ object Similarity {
   def kmeansAssign(spark: SparkSession, vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
     VectorExpressions.register(spark)
-    val cents: Array[(Long, Seq[Double])] = centroids
-      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "kmeansAssign needs at least one centroid")
+    val cents = collectCentroids(centroids, centIdCol, centVecCol)
     // array<struct<sim, negcid>> scored per row; array_max's lexicographic
     // struct order gives (max sim, then max -cid = min cid) in one pass.
     import org.apache.spark.sql.graft.PlanDf

@@ -161,7 +161,10 @@ object Breadth5 {
   val srcCsvRoundtrip = Q(
     "src_csv_roundtrip",
     (s, dir) => {
-      val d = LayoutOps.ensureDir(s, dir, "orders_csv") { out =>
+      // Per-run artifact (not the cross-JVM layout cache): the CSV bytes
+      // depend on the export writer's code, so a stale cache entry from
+      // an older build would poison values while keeping rows/schema.
+      val d = LayoutOps.ensureRunDir(s, dir, "orders_csv") { out =>
         Sinks.writeCsvExport(
           Tables(s, dir, "orders")
             .select(col("o_orderkey"), col("o_orderstatus"),
@@ -195,7 +198,7 @@ object Breadth5 {
   val srcOrcRoundtrip = Q(
     "src_orc_roundtrip",
     (s, dir) => {
-      val d = LayoutOps.ensureDir(s, dir, "lineitem_orc") { out =>
+      val d = LayoutOps.ensureRunDir(s, dir, "lineitem_orc") { out =>
         Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"),
             col("l_extendedprice"), col("l_returnflag"))

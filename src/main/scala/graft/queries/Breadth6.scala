@@ -127,12 +127,19 @@ object Breadth6 {
   val srcJsonlRoundtrip = Q(
     "src_jsonl_roundtrip",
     (s, dir) => {
-      val d = graft.etl.LayoutOps.ensureDir(s, dir, "documents_jsonl") { out =>
+      // Per-run artifact: content depends on the writer code AND an
+      // injected fixture, so it must never be reused across builds. The
+      // Spark-written `_SUCCESS` is dropped before the injection and the
+      // run-dir's own completion marker is created only after the whole
+      // closure — so a dir with clean lines but no corrupt ones can
+      // never be mistaken for complete, even within one JVM.
+      val d = graft.etl.LayoutOps.ensureRunDir(s, dir, "documents_jsonl") { out =>
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .coalesce(1).write.json(out)
         val fs = new org.apache.hadoop.fs.Path(out)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out, "_SUCCESS"), false)
         val bad = fs.create(new org.apache.hadoop.fs.Path(out, "part-bad.json"))
         bad.write("not json at all\n{\"doc_id\": oops}\n{truncated\n".getBytes("UTF-8"))
         bad.close()
@@ -169,7 +176,7 @@ object Breadth6 {
     "q48_incremental_rollup",
     (s, dir) => {
       val cut = lit("1997-01-01").cast("timestamp")
-      val base = graft.etl.LayoutOps.ensureDir(s, dir, "orders_rollup_base") { out =>
+      val base = graft.etl.LayoutOps.ensureRunDir(s, dir, "orders_rollup_base") { out =>
         Tables(s, dir, "orders").filter(col("o_orderdate") < cut)
           .groupBy(col("o_orderpriority"))
           .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("part_sum"),
