@@ -1,6 +1,6 @@
 package graft.etl
 
-import graft.sources.{CsvSource, Sinks}
+import graft.sources.{LocalFsConnector, SinkConnector, SourceConnector}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The reference's orchestrator (`/root/reference/etl.py:22-119`,
@@ -17,6 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Replaces reflection-with-silent-None dispatch with explicit errors
   * (SURVEY.md §7.3). All steps are lazy DataFrame chains; only the sink
   * actions execute.
+  *
+  * Remote I/O goes through the [[graft.sources.SourceConnector]] /
+  * [[graft.sources.SinkConnector]] seam: the default
+  * [[graft.sources.LocalFsConnector]] reads/writes the local FS, and a
+  * cloud deployment passes its own connector pair — the lifecycle code
+  * below never touches a filesystem API directly for extract/load.
   */
 object EtlRunner {
 
@@ -29,17 +35,19 @@ object EtlRunner {
       dictionary: Seq[DictColumn] = Nil,
       auditCols: Seq[String] = Nil,
       runId: String = "run-1",
-      runTs: java.time.LocalDateTime = java.time.LocalDateTime.of(2026, 8, 12, 0, 0)): RunResult = {
+      runTs: java.time.LocalDateTime = java.time.LocalDateTime.of(2026, 8, 12, 0, 0),
+      source: SourceConnector = LocalFsConnector,
+      sink: SinkConnector = LocalFsConnector): RunResult = {
 
     // catalog: newest raw file for the entity (etl.py:32-49 + O1)
-    val meta = CatalogOps.listFiles(spark, rawDir)
+    val meta = source.listObjects(spark, rawDir)
     val candidates = CatalogOps.filterByEntity(meta, entity)
     val latest = CatalogOps.latest(candidates).collect()
     require(latest.nonEmpty, s"no raw file for entity '$entity' in $rawDir")
     val file = latest(0).getAs[String]("id")
 
     // extract + transform
-    val raw = CsvSource.readReferenceCsv(spark, file)
+    val raw = source.readCsv(spark, file)
     val cleaned = entity match {
       case "creditos" => Pipelines.cleanCreditos(raw, today)
       case "radicados" => Pipelines.cleanRadicados(raw)
@@ -60,7 +68,7 @@ object EtlRunner {
         val id = DictionaryOps.primaryKey(dictionary)
         val log = AuditOps.authlog(prev, typed, id, auditCols,
           fuenteLog = s"$rawDir/$entity", runId = runId, runTs = runTs)
-        Sinks.writeParquet(log, s"$modeledDir/${entity}_authlog")
+        sink.writeTable(log, s"$modeledDir/${entity}_authlog")
         Some(log.count())
       } else None
     }
@@ -75,7 +83,7 @@ object EtlRunner {
     // previous snapshot (still referenced by the lazy merge plan) isn't
     // clobbered mid-read
     val tmp = modeledPath + "__tmp"
-    Sinks.writeParquet(toWrite, tmp)
+    sink.writeTable(toWrite, tmp)
     val out = spark.read.parquet(tmp)
     val n = out.count()
     val target = new java.io.File(modeledPath)

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   *    candidate generation shuffles once on the band key — the classic
   *    shingle → minhash → band → bucket-join pipeline. Only bucket
   *    collisions are joined; the O(n²) comparison never materializes;
-  *  - n-gram Jaccard is bucketed (here by `lang`) so the pairwise join is
-  *    per-bucket; at scale the bucket would be an LSH band, not a label;
+  *  - n-gram Jaccard comes in two bucketings: a metadata bucket
+  *    ([[ngramJaccardPairs]], e.g. `lang` — fine when every bucket is
+  *    known-bounded) and the scale path [[ngramJaccardPairsLsh]], whose
+  *    bucket is a MinHash band — expected bucket size is set by the
+  *    signature parameters, independent of corpus skew;
   *  - all hashing is md5-derived (not Spark's murmur `hash`) so results
   *    are portable across engines and stable across Spark versions.
   */
@@ -414,6 +417,42 @@ object Dedup {
         first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("__na") + col("__nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** LSH-band-bucketed exact Jaccard: candidates come from the MinHash
+    * band join ([[minhashCandidatePairs]]), then each candidate pair is
+    * verified with EXACT distinct-shingle Jaccard ≥ threshold.
+    *
+    * This is the honest 100 TB bucketing for [[ngramJaccardPairs]]: a
+    * metadata bucket like language is unbounded under corpus skew
+    * (English is ~half of a web corpus, so "per-bucket pairwise" quietly
+    * becomes all-pairs), while a band bucket's expected size is set by
+    * the signature parameters alone. Cost is candidates × one bounded
+    * set intersection — the sets join back by doc id, so the text/hash
+    * arrays shuffle once and only for docs that are in some candidate
+    * pair. Recall is the band recall (a pair sharing no band is never
+    * scored); precision is exact because the threshold test runs on the
+    * true Jaccard, not the signature estimate.
+    */
+  def ngramJaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val cands = minhashCandidatePairs(df, idCol, textCol)
+    // one scan computes every doc's distinct-shingle hash set; both join
+    // sides reuse it (same materialize-once rationale as the postings in
+    // ngramJaccardPairs)
+    val sets = withWords(df, textCol, k)
+      .withColumn("__hs", array_distinct(expr(s"graft_shingle_hashes64(__words, $k)")))
+      .select(col(idCol), col("__hs"))
+      .localCheckpoint()
+    cands
+      .join(sets.select(col(idCol).as("doc_a"), col("__hs").as("__ha")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("__hs").as("__hb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("__ha"), col("__hb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("__ha")) + size(col("__hb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -222,6 +222,34 @@ object Extensions {
       ORDER BY doc_a, doc_b
     """.trim))
 
+  /** The 100 TB Jaccard bucketing: candidates from the MinHash band
+    * join (bucket size set by the signature, not by corpus skew — a
+    * `lang` bucket is half the corpus for English), verified with exact
+    * distinct-shingle Jaccard. The oracle replays the identical band
+    * candidate set via set math, so candidates ∩ threshold must match
+    * pair-for-pair.
+    */
+  val dedupJaccardLsh = Q(
+    "dedup_jaccard_lsh",
+    (s, dir) =>
+      Dedup.ngramJaccardPairsLsh(augmentedDocs(s, dir, perturb = true),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $minhashPairsCtes,
+      ss AS (SELECT doc_id,
+               list_distinct(list_transform(range(len(w) - 2),
+                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+             FROM sh),
+      p AS (SELECT doc_a, doc_b,
+              len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+              len(a.s) + len(b.s) AS tot
+            FROM pairs JOIN ss a ON a.doc_id = doc_a JOIN ss b ON b.doc_id = doc_b)
+      SELECT doc_a, doc_b, inter::DOUBLE / (tot - inter) AS jaccard
+      FROM p WHERE inter::DOUBLE / (tot - inter) >= 0.5
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   // ---- similarity search -------------------------------------------------
 
   /** DuckDB cosine over list columns — sequential left-fold sums, same
@@ -758,7 +786,7 @@ object Extensions {
 
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
-    dedupJaccard, dedupEmbedding, dedupFuzzy,
+    dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupFuzzy,
     annBrute, annLsh, annIvf, annKmeansAssign, annKmeansIter,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup,

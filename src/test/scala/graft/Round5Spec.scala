@@ -1,0 +1,154 @@
+package graft
+
+import graft.ext.{Dedup, Similarity}
+import graft.sources.LocalFsConnector
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: connector seam, scan-side IVF assignment,
+  * LSH-band Jaccard, centroid inline cap, per-run layout artifacts,
+  * plan-hygiene regression guards for the round-4/5 fixes.
+  */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- connector seam ----------------------------------------------------
+
+  test("LocalFsConnector.readSheet: header row, ragged repair, all-string") {
+    val dir = java.nio.file.Files.createTempDirectory("sheet_")
+    val f = dir.resolve("s.csv")
+    java.nio.file.Files.writeString(f,
+      "a,b,c\n1,2,3\n4,5\n6,7,8,9\n")
+    val got = LocalFsConnector.readSheet(spark, f.toString)
+    assert(got.columns.toSeq === Seq("a", "b", "c"))
+    assert(got.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    val rows = got.orderBy("a").collect().map(r =>
+      (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    // short row null-pads, long row truncates — gsheets ragged repair
+    assert(rows.toSeq === Seq(
+      ("1", Some("2"), Some("3")),
+      ("4", Some("5"), None),
+      ("6", Some("7"), Some("8"))))
+  }
+
+  test("EtlRunner runs through the connector seam (trait-typed default)") {
+    // the compile-time seam: run() accepts any Source/SinkConnector; the
+    // default is the local-FS pair (e2e lifecycle covered by EtlRunnerSpec)
+    val src: graft.sources.SourceConnector = LocalFsConnector
+    val snk: graft.sources.SinkConnector = LocalFsConnector
+    val meta = src.listObjects(spark, sf)
+    assert(meta.filter($"name".contains("lineitem")).count() >= 1)
+    assert(snk.isInstanceOf[graft.sources.SinkConnector])
+  }
+
+  // ---- scan-side IVF assignment ------------------------------------------
+
+  test("ivfTopK plans no Window and no join for corpus assignment") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val df = Similarity.ivfTopK(spark, emb, emb.filter($"vec_id" % 100 === 0),
+      emb.filter($"vec_id" % 37 === 0),
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+    // string form traverses through the AQE root (collect() cannot)
+    val plan = df.queryExecution.executedPlan.toString
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows >= 1, "top-k rank window expected") // the k-rank stays
+    // but no window may rank the CORPUS side: exactly one Window (per-query
+    // top-k over candidates), and no nested-loop/cartesian anywhere
+    assert(windows == 1, s"corpus-side rank window leaked back:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"assignment re-introduced a cross join:\n${plan.take(2000)}")
+  }
+
+  test("centroid inline cap fails loudly on a corpus-sized 'centroid' table") {
+    val v = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val big = spark.range(Similarity.MaxInlineCentroids + 1)
+      .select($"id".as("cid"), array(lit(1.0), lit(0.0)).as("cv"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansAssign(spark, v, big, "vec_id", "embedding", "cid", "cv")
+    }
+    assert(e.getMessage.contains("inline cap"))
+  }
+
+  // ---- LSH-band Jaccard --------------------------------------------------
+
+  test("ngramJaccardPairsLsh: band-candidates ∩ exact threshold, subset of exhaustive") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+      (3L, "completely different text with no overlap here at all"),
+      (4L, "the quick brown fox jumps over the lazy dog")    // exact dup of 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairsLsh(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // exact dup must collide in every band and pass at jaccard 1.0
+    assert(got.contains((1L, 4L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // every LSH pair is also an exhaustive-Jaccard pair (precision is exact)
+    val exhaustive = Dedup.ngramJaccardPairs(
+        docs.withColumn("bucket", lit("all")), "doc_id", "text", "bucket", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exhaustive), s"got=$got exhaustive=$exhaustive")
+  }
+
+  // ---- funnel: single scan of the event log ------------------------------
+
+  test("funnel reads the event log once per stage, not O(stages²)") {
+    val stages = Seq("signup", "click", "purchase")
+    val df = graft.etl.EventOps.funnel(
+      graft.etl.Tables(spark, sf, "events"), "user_id", "event_type", "ts", stages)
+    // each per-stage subtree is checkpointed, so the FINAL plan (union of
+    // per-stage completions) must contain no parquet scan of the events
+    // table at all — stage tables are materialized scan results
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet") && !plan.contains("events.parquet"),
+      s"final funnel plan re-reads the event log — checkpoint regression:\n${plan.take(2000)}")
+    assert(df.columns.toSeq ===
+      Seq("stage_idx", "stage", "user_id", "completed_at"))
+  }
+
+  test("funnel stage_idx sorts correctly past 9 stages where labels cannot") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val names = (1 to 11).map(i => s"s$i")
+    val evs = names.zipWithIndex.map { case (n, i) => (1L, n, t(10L + i)) }
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.etl.EventOps.funnel(evs, "user_id", "event_type", "ts", names)
+      .orderBy("stage_idx").select("stage_idx", "stage")
+      .as[(Int, String)].collect()
+    assert(got.map(_._1).toSeq === (1 to 11))
+    assert(got.last._2 === "11_s11")
+    // lexical label order would interleave (10_s10 < 2_s2) — stage_idx must not
+    assert(got.map(_._2).toSeq !== got.map(_._2).sorted.toSeq)
+  }
+
+  // ---- BFS early exit ----------------------------------------------------
+
+  test("bfsLayers stops at frontier exhaustion, result unchanged") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    // maxDepth far past the diameter: early exit must not change layers
+    val got = graft.ext.GraphOps.bfsLayers(edges, src, maxDepth = 50)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  // ---- per-run layout artifacts ------------------------------------------
+
+  test("ensureRunDir memoizes within the JVM and adds a completion marker") {
+    var writes = 0
+    val d1 = graft.etl.LayoutOps.ensureRunDir(spark, sf, "probe_r5") { out =>
+      writes += 1
+      new java.io.File(out).mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Path.of(out, "x"), "1")
+    }
+    val d2 = graft.etl.LayoutOps.ensureRunDir(spark, sf, "probe_r5") { _ =>
+      writes += 1
+    }
+    assert(d1 === d2 && writes === 1)
+    assert(new java.io.File(d1, "_SUCCESS").exists())
+    // and it is NOT the cross-build shared cache
+    assert(!d1.contains("graft_layout_v1"))
+  }
+}
