@@ -6,10 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §7.5): media payloads are
   * opaque `binary` columns with a typed metadata struct alongside. The
   * Spark-side mechanics — schema, partition-friendly batch iteration,
-  * feature extraction signature — are real; the *decoder* is a
-  * deterministic stand-in because image/audio codecs are not available
-  * in this environment. A production build swaps `decodeStub` for a JNI
-  * / library call without touching the dataflow.
+  * feature extraction signature — are real. Two decoder paths:
+  *
+  *  - [[decodeImages]] is a GENUINE codec: `javax.imageio` (pure JVM,
+  *    in every JRE) decodes PNG/BMP/GIF payloads to dimensions +
+  *    per-channel means, with the `ImageReader` initialized once per
+  *    partition — the init-amortization shape a JNI/ffmpeg decoder
+  *    needs, exercised by a real codec;
+  *  - `decodeStub` stands in where a heavyweight codec (video/audio)
+  *    is not available in this environment; a production build swaps
+  *    it for the library call without touching the dataflow.
   */
 object Multimodal {
 
@@ -49,6 +55,63 @@ object Multimodal {
         }
       }
   }
+
+  final case class ImageFeatures(
+      doc_id: Long, width: Int, height: Int, channels: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Real image decode — `javax.imageio` (PNG/BMP/GIF, pure JVM): each
+    * payload decodes to (width, height, channels, per-channel means).
+    * The expensive part of a production decoder is codec init, so the
+    * `ImageReader` is created ONCE per partition and re-`setInput` per
+    * row — the exact amortization `mapPartitions` exists for (a per-row
+    * UDF would re-init per call). Rows that do not decode (corrupt or
+    * non-image payloads) are dropped rather than failing the scan — a
+    * bad image must never kill a 100 TB decode pass; count them via an
+    * outer join against the input if auditing is needed.
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val readers = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+        val reader = if (readers.hasNext) readers.next() else null
+        it.flatMap { case (id, bytes) =>
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val img =
+              if (reader != null && isPng(bytes)) {
+                reader.setInput(iis, true, true)
+                reader.read(0)
+              } else javax.imageio.ImageIO.read(iis) // non-PNG fallback probes formats
+            if (img == null) None
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              Some(ImageFeatures(id, w, h, img.getColorModel.getNumComponents,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G'
 
   /** Frame sampling over an opaque media payload: cut the byte stream
     * into fixed-`stride` windows and keep the first `frameBytes` of each

@@ -134,6 +134,32 @@ class Round5Spec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
 
+  // ---- real image decode -------------------------------------------------
+
+  test("decodeImages decodes genuine PNG bytes: dims, channels, channel means") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(8, 4, 0xff0000)),            // solid red 8×4
+      (2L, png(3, 5, 0x2040ff)),            // solid blue-ish 3×5
+      (3L, "not an image".getBytes("UTF-8")) // corrupt: dropped, not fatal
+    ).toDF("doc_id", "media")
+    val got = graft.ext.Multimodal.decodeImages(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L).width === 8 && got(1L).height === 4 && got(1L).channels === 3)
+    assert(got(1L).mean_r === 255.0 && got(1L).mean_g === 0.0 && got(1L).mean_b === 0.0)
+    assert(got(2L).width === 3 && got(2L).height === 5)
+    assert(got(2L).mean_r === 0x20.toDouble && got(2L).mean_g === 0x40.toDouble &&
+      got(2L).mean_b === 0xff.toDouble)
+  }
+
   // ---- per-run layout artifacts ------------------------------------------
 
   test("ensureRunDir memoizes within the JVM and adds a completion marker") {
