@@ -25,26 +25,49 @@ object GraphOps {
     * would all be no-op jobs; the count is over the just-checkpointed
     * frontier, so the per-round convergence check costs one cheap
     * action (the same discipline as the CC loops).
+    *
+    * While the frontier (resp. visited set) is under
+    * `broadcastBudgetRows`, it BROADCASTS into the adjacency join
+    * (resp. anti join) — the edge table is then scanned and hash-probed,
+    * never shuffled. A BFS frontier is tiny for the first hops by
+    * construction, so the expensive early rounds of a 100 TB traversal
+    * shuffle nothing; once a frontier outgrows the budget the round
+    * falls back to the shuffled equi join (same result, same key), the
+    * exact broadcast-under-budget discipline of the CC loops.
     */
-  def bfsLayers(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+  def bfsLayers(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      broadcastBudgetRows: Long = 4000000L): DataFrame = {
     require(maxDepth >= 0)
-    var visited = sources.select(col("node"), lit(0).as("dist")).localCheckpoint()
-    var frontier = visited.select(col("node"))
+    // One checkpointed frame PER LAYER, never a re-materialized union:
+    // each round checkpoints only the (small) new frontier, and the
+    // visited set used by the anti join is a lazy union over the
+    // already-materialized layers — re-checkpointing the union would
+    // copy O(|visited|) rows every round for nothing.
+    var layers = List(sources.select(col("node"), lit(0).as("dist")).localCheckpoint())
+    var frontier = layers.head.select(col("node"))
+    var frontierRows = layers.head.count()
+    var visitedRows = frontierRows
     var d = 1
     var exhausted = false
     while (d <= maxDepth && !exhausted) {
-      val next = frontier.join(edges, col("node") === col("src"))
+      val visited = layers.map(_.select(col("node"))).reduce(_.unionByName(_))
+      val f = if (frontierRows <= broadcastBudgetRows) broadcast(frontier) else frontier
+      val v = if (visitedRows <= broadcastBudgetRows) broadcast(visited) else visited
+      val next = f.join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(v, Seq("node"), "left_anti")
         .localCheckpoint()
-      if (next.count() == 0) exhausted = true
+      frontierRows = next.count()
+      if (frontierRows == 0) exhausted = true
       else {
-        visited = visited.unionByName(next.withColumn("dist", lit(d)))
-          .localCheckpoint()
+        // `next` is already materialized; the dist column is a pure
+        // projection over its checkpointed RDD
+        layers = layers :+ next.withColumn("dist", lit(d))
         frontier = next.select(col("node"))
+        visitedRows += frontierRows
         d += 1
       }
     }
-    visited
+    layers.reduce(_.unionByName(_))
   }
 }

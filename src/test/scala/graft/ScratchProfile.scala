@@ -35,8 +35,7 @@ object ScratchProfile {
       try graft.etl.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
 
-    val names = Seq("q26_having", "q1_pricing_summary", "t13_temporal_arith",
-      "p02_percent_rate", "w5_rank_family")
+    val names = Seq("q49_bfs_layers", "dedup_clusters", "dedup_clusters_star")
     (1 to 3).foreach { rep =>
       println(s"--- rep $rep")
       names.foreach { n =>
