@@ -108,6 +108,63 @@ object TextOps {
       .drop("__w")
   }
 
+  /** Intra-document repetition score: the fraction of word n-grams that
+    * are duplicates of an earlier n-gram in the SAME document
+    * (`1 − distinct/total`) — the Gopher-family repetition filter that
+    * catches boilerplate loops, keyboard mashing, and decoding failures
+    * before they reach a training set. Pure scan-side projection: no
+    * shuffle, no join, every document scored including ones too short
+    * to shingle (ratio 0 — nothing repeats in zero n-grams).
+    */
+  def withRepetition(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val sh = (0 until n).map(j => s"__w[i+$j]").mkString(", ")
+    df.withColumn("__w", words(col(textCol)))
+      .withColumn("__sh",
+        when(size(col("__w")) >= n,
+          expr(s"transform(sequence(0, size(__w)-$n), i -> concat_ws(' ', $sh))"))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("n_ngrams", size(col("__sh")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("__sh"))).cast("long"))
+      .withColumn("rep_ratio",
+        when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 9))
+          .otherwise(lit(0.0)))
+      .drop("__w", "__sh")
+  }
+
+  /** Benchmark decontamination: (corpus doc, benchmark doc) pairs
+    * sharing ≥ `minOverlap` distinct word `n`-grams — the overlap check
+    * every serious training-data pipeline runs against its eval sets so
+    * test questions don't leak into training text.
+    *
+    * Plan shape for 100 TB: the benchmark is an eval set — thousands of
+    * docs, not billions — so its distinct-shingle postings BROADCAST;
+    * corpus postings are computed scan-side (fused 64-bit shingle
+    * hashes, strings never materialized) and hash-probe the broadcast:
+    * the corpus is never shuffled to find matches. Only MATCHED postings
+    * (contaminated-doc rows, a tiny fraction) reach the pair-count
+    * aggregate's shuffle. A corpus-side self-join or a bench-side
+    * shuffle would both be scale errors here.
+    */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8, minOverlap: Int = 10): DataFrame = {
+    require(n >= 1 && minOverlap >= 1)
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    def postings(df: DataFrame, out: String, h: String): DataFrame =
+      Dedup.withWords(df, textCol, n)
+        .withColumn("__hs", array_distinct(expr(s"graft_shingle_hashes64(__words, $n)")))
+        .select(col(idCol).as(out), explode(col("__hs")).as(h))
+    val bench = postings(benchmark, "bench_id", "__hb")
+    val corp = postings(corpus, "doc_id", "__hc")
+    // both sides are per-doc DISTINCT shingles, so each shared shingle
+    // contributes exactly one matched row: count == |intersection|
+    corp.join(broadcast(bench), col("__hc") === col("__hb"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+  }
+
   /** TF-IDF keyword extraction: top-k terms per document. Two shuffled
     * aggregates (term frequency per (doc, term), document frequency per
     * term), the corpus size as a broadcast scalar, and a per-doc window

@@ -745,6 +745,71 @@ object Extensions {
       GROUP BY doc_id ORDER BY doc_id
     """.trim))
 
+  /** Gopher-style repetition filter input: per-doc duplicate-trigram
+    * fraction, pure scan-side.
+    */
+  val textRepetition = Q(
+    "text_repetition",
+    (s, dir) =>
+      graft.ext.TextOps.withRepetition(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_ngrams"), col("n_distinct"), col("rep_ratio"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, $NormW AS w FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(w) >= 3
+                   THEN list_transform(range(len(w) - 2),
+                          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                   ELSE []::VARCHAR[] END AS sh
+            FROM norm)
+      SELECT doc_id, len(sh)::BIGINT AS n_ngrams,
+             len(list_distinct(sh))::BIGINT AS n_distinct,
+             CASE WHEN len(sh) > 0
+                  THEN round(1.0 - len(list_distinct(sh))::DOUBLE / len(sh), 9)
+                  ELSE 0.0 END AS rep_ratio
+      FROM g ORDER BY doc_id
+    """.trim))
+
+  /** Benchmark decontamination over a synthetic leak: the corpus is the
+    * perturbed copy of every document, the "benchmark" is every 97th
+    * original — each benchmark doc's copy must surface as a
+    * contaminated pair (≥10 shared 8-grams despite the "xx " prefix
+    * shifting the leading shingles). Oracle replays the same set math
+    * over shingle strings.
+    */
+  val textDecontaminate = Q(
+    "text_decontaminate",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val corpus = d.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("xx "), col("text")).as("text"))
+      graft.ext.TextOps.contaminationPairs(corpus, bench, "doc_id", "text",
+          n = 8, minOverlap = 10)
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+    Some(s"""
+      WITH norm AS (SELECT doc_id, $NormW AS w FROM documents),
+      bench AS (SELECT doc_id AS bench_id,
+                  list_distinct(list_transform(range(len(w) - 7),
+                    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] ||
+                         ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8])) AS s
+                FROM norm WHERE len(w) >= 8 AND doc_id % 97 = 0),
+      corpn AS (SELECT doc_id + 100000 AS doc_id,
+                  string_split(regexp_replace(trim(lower('xx ' || text)), '\\s+', ' ', 'g'), ' ') AS w
+                FROM documents),
+      corp AS (SELECT doc_id,
+                 list_distinct(list_transform(range(len(w) - 7),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] ||
+                        ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8])) AS s
+               FROM corpn WHERE len(w) >= 8),
+      p AS (SELECT c.doc_id, b.bench_id,
+              len(list_filter(c.s, x -> list_contains(b.s, x)))::BIGINT AS n_shared
+            FROM corp c CROSS JOIN bench b)
+      SELECT doc_id, bench_id, n_shared FROM p
+      WHERE n_shared >= 10 ORDER BY doc_id, bench_id
+    """.trim))
+
   /** Dataset card: the one-row corpus summary a data release ships with
     * — sizes, language spread, exact-dup mass, token stats, short-doc
     * share. One scan, one aggregate (the multi-distinct plans a single
@@ -789,6 +854,6 @@ object Extensions {
     dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupFuzzy,
     annBrute, annLsh, annIvf, annKmeansAssign, annKmeansIter,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
-    textPiiRedact, textChunkDedup,
+    textPiiRedact, textChunkDedup, textRepetition, textDecontaminate,
     mediaMeta, mediaFrames, pipelineCorpusClean, pipelineDatasetCard)
 }

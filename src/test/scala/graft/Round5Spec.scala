@@ -134,6 +134,39 @@ class Round5Spec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
 
+  // ---- repetition + decontamination --------------------------------------
+
+  test("withRepetition: looped text scores high, varied text zero, short text safe") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),  // 4 trigrams, 1 distinct
+      (2L, "one two three four five six"),     // 4 trigrams, all distinct
+      (3L, "hi")                               // too short: 0 ngrams
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.withRepetition(docs, "text")
+      .select("doc_id", "n_ngrams", "n_distinct", "rep_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 1L, 0.75)))
+    assert(got(2L) === ((2L, 4L, 4L, 0.0)))
+    assert(got(3L) === ((3L, 0L, 0L, 0.0)))
+  }
+
+  test("contaminationPairs: counts shared distinct n-grams, respects threshold") {
+    val phrase = (1 to 12).map(i => s"w$i").mkString(" ") // 5 shared 8-grams
+    val bench = Seq((100L, phrase)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"prefix words here $phrase"),       // shares all 5 benchmark 8-grams
+      (2L, (20 to 40).map(i => s"x$i").mkString(" "))  // no overlap
+    ).toDF("doc_id", "text")
+    val hit = graft.ext.TextOps.contaminationPairs(corpus, bench, "doc_id", "text",
+        n = 8, minOverlap = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hit === Set((1L, 100L, 5L)))
+    val none = graft.ext.TextOps.contaminationPairs(corpus, bench, "doc_id", "text",
+        n = 8, minOverlap = 6)
+      .count()
+    assert(none === 0L)
+  }
+
   // ---- real image decode -------------------------------------------------
 
   test("decodeImages decodes genuine PNG bytes: dims, channels, channel means") {
