@@ -33,14 +33,41 @@ class Round5Spec extends SparkSpec {
       ("6", Some("7"), Some("8"))))
   }
 
-  test("EtlRunner runs through the connector seam (trait-typed default)") {
-    // the compile-time seam: run() accepts any Source/SinkConnector; the
-    // default is the local-FS pair (e2e lifecycle covered by EtlRunnerSpec)
-    val src: graft.sources.SourceConnector = LocalFsConnector
-    val snk: graft.sources.SinkConnector = LocalFsConnector
-    val meta = src.listObjects(spark, sf)
-    assert(meta.filter($"name".contains("lineitem")).count() >= 1)
-    assert(snk.isInstanceOf[graft.sources.SinkConnector])
+  test("EtlRunner routes ALL remote I/O through an injected connector") {
+    // a delegating connector that counts calls: if any pipeline step
+    // bypassed the seam (direct CsvSource/Sinks call), the counters
+    // would stay zero while the run still succeeded
+    object Counting extends graft.sources.SourceConnector
+        with graft.sources.SinkConnector {
+      var lists = 0; var reads = 0; var writes = 0
+      def listObjects(s: org.apache.spark.sql.SparkSession, c: String) = {
+        lists += 1; LocalFsConnector.listObjects(s, c)
+      }
+      def readCsv(s: org.apache.spark.sql.SparkSession, o: String, sep: String,
+          enc: String, skip: Int) = {
+        reads += 1; LocalFsConnector.readCsv(s, o, sep, enc, skip)
+      }
+      def readSheet(s: org.apache.spark.sql.SparkSession, o: String, sep: String,
+          enc: String) = LocalFsConnector.readSheet(s, o, sep, enc)
+      def writeTable(df: org.apache.spark.sql.DataFrame, t: String,
+          p: Seq[String]) = { writes += 1; LocalFsConnector.writeTable(df, t, p) }
+      def writeFullRefreshExport(df: org.apache.spark.sql.DataFrame, t: String,
+          sep: String) = LocalFsConnector.writeFullRefreshExport(df, t, sep)
+    }
+    val raw = java.nio.file.Files.createTempDirectory("raw5_")
+    val modeled = java.nio.file.Files.createTempDirectory("mod5_")
+    val header = "Radicado;Fecha Radicacion;Procedencia;Detalle;Naturaleza;" +
+      "Medio;Expediente;Destino;Rpta;Opciones"
+    java.nio.file.Files.write(raw.resolve("raw_radicados.csv"),
+      (Seq("JUNK", header) :+
+        "100;15/03/2024 14:30;PEPE;asunto;N;WEB;E1;MARIA LOPEZ;0;")
+        .mkString("\n").getBytes(java.nio.charset.Charset.forName("ISO-8859-1")))
+    val r = graft.etl.EtlRunner.run(spark, raw.toString, modeled.toString,
+      "radicados", java.sql.Date.valueOf("2026-08-12"),
+      graft.etl.Dictionaries.radicados,
+      source = Counting, sink = Counting)
+    assert(r.rows == 1L)
+    assert(Counting.lists == 1 && Counting.reads == 1 && Counting.writes >= 1)
   }
 
   // ---- scan-side IVF assignment ------------------------------------------
