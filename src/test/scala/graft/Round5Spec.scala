@@ -161,6 +161,19 @@ class Round5Spec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
 
+  // ---- PPS stride guard --------------------------------------------------
+
+  test("ppsSystematicSample fails loudly when total weight < n (stride 0)") {
+    val tiny = Seq((1L, 3L), (2L, 4L)).toDF("doc_id", "n_chars") // total 7 < n
+    val e = intercept[Exception] {
+      graft.etl.SampleOps.ppsSystematicSample(tiny, "doc_id", "n_chars", n = 100)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("stride would be 0")), e.toString)
+  }
+
   // ---- repetition + decontamination --------------------------------------
 
   test("withRepetition: looped text scores high, varied text zero, short text safe") {

@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
   * (three user_id-clustered stages, monotonically shrinking);
   * q45_cust_order_dist 1.4s; pipeline_dataset_card 0.16s (single
   * Expand-planned aggregate scan).
+  *
+  * Round-5 additions at replicas=10: the bucketing argument made
+  * empirical — dedup_jaccard_lsh (MinHash-band buckets + exact verify)
+  * emits 1.05M pairs in 7.7s while dedup_ngram_jaccard (`lang` bucket)
+  * needs 135.7s for the same 981k-pair clique structure, a 17× gap
+  * that is exactly the unbounded-metadata-bucket failure mode the LSH
+  * variant exists to fix (replication inflates every lang bucket;
+  * band buckets stay signature-bounded). q49_bfs_layers 5.1s over 12M
+  * directed edges (broadcast frontiers, edges never shuffled);
+  * text_decontaminate 2.2s (broadcast benchmark postings, corpus
+  * probe scan-side); text_repetition 0.21s (pure projection, flat).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -97,7 +108,13 @@ object ScaleSmoke {
       // (documents), integer prefix-sum sampling (documents), staged
       // funnel (events), count-of-counts (orders), card aggregate
       "text_chunk_dedup", "q47_pps_sample", "q46_event_funnel",
-      "q45_cust_order_dist", "pipeline_dataset_card") ++
+      "q45_cust_order_dist", "pipeline_dataset_card",
+      // round-5 ops: band-bucketed Jaccard (pair output still O(k²) in
+      // clique size but candidates come from bands, not a label),
+      // broadcast-frontier BFS, benchmark decontamination (broadcast
+      // postings probe), scan-side repetition scoring
+      "dedup_jaccard_lsh", "q49_bfs_layers", "text_decontaminate",
+      "text_repetition") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     heavy.foreach { name =>
       val t0 = System.nanoTime()
