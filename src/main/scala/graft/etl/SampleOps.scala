@@ -59,4 +59,43 @@ object SampleOps {
         floor(col("__end") / col("__stride")))
       .select(col(idCol), col("__wt").as("weight"))
   }
+
+  /** Deterministic mixture (data-mixing) sample: downsample each
+    * stratum toward a target count — the language/domain rebalancing
+    * step of a training-data pipeline (e.g. cap English at parity with
+    * the other languages instead of half the corpus).
+    *
+    * Selection is systematic 1-in-m per stratum on an md5-derived id
+    * hash, with m = max(1, stratumCount/target): scan-side, no shuffle
+    * of the corpus, reproducible across engines/runs/partitionings, and
+    * stable under corpus growth (a doc's keep/drop only changes when
+    * its stratum's modulus does). The per-stratum counts are one
+    * map-side-partial aggregate collected as a model input (k strata
+    * rows). The alternative — row_number over a per-stratum window —
+    * is the 100 TB scale-killer this avoids: PARTITION BY language
+    * sends half the corpus through one reducer.
+    *
+    * Counts are approximate (≈ target, exact count data-dependent),
+    * which is what a mixing step needs; exact-n selection requires a
+    * per-stratum global sort no 100 TB pipeline should pay.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+      targets: Map[String, Long]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 1),
+      "every stratum target must be >= 1")
+    val counts = df.groupBy(col(stratumCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val modulus = targets.map { case (s, t) =>
+      s -> math.max(1L, counts.getOrElse(s, 0L) / t)
+    }
+    // strata outside `targets` get a null modulus → filtered out
+    // (mixing is also stratum selection)
+    val m = modulus.foldLeft(lit(null).cast("long")) { case (acc, (s, mm)) =>
+      when(col(stratumCol) === s, lit(mm)).otherwise(acc)
+    }
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    df.withColumn("__m", m)
+      .filter(col("__m").isNotNull && (h % col("__m")) === 0)
+      .select(col(idCol), col(stratumCol))
+  }
 }

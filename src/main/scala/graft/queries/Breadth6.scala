@@ -472,8 +472,29 @@ object Breadth6 {
       FROM m ORDER BY month
     """.trim))
 
+  /** Data-mixing: rebalance the corpus language mix toward 50 docs per
+    * language — systematic 1-in-m per stratum on an md5 id hash
+    * (SampleOps.mixtureSample), scan-side with no per-stratum window.
+    * The oracle recomputes the same moduli from the same counts and the
+    * same hash arithmetic, so the selected set matches doc-for-doc.
+    */
+  val q51MixtureSample = Q(
+    "q51_mixture_sample",
+    (s, dir) =>
+      SampleOps.mixtureSample(Tables(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 50L, "es" -> 50L, "de" -> 50L, "fr" -> 50L, "zh" -> 50L))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      t(lang, tgt) AS (VALUES ('en', 50), ('es', 50), ('de', 50), ('fr', 50), ('zh', 50)),
+      m AS (SELECT c.lang, greatest(1, c.n // t.tgt) AS m FROM c JOIN t USING (lang))
+      SELECT d.doc_id, d.lang FROM documents d JOIN m USING (lang)
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % m.m = 0
+      ORDER BY d.doc_id
+    """.trim))
+
   def all: Seq[Q] = Seq(q45CustOrderDist, q46EventFunnel, q47PpsSample, t11StatAggs,
     srcJsonlRoundtrip, q48IncrementalRollup, dq3RangeAudit, dq4DistributionDrift,
     t12BitwiseFuncs, q49BfsLayers, t13TemporalArith, u8LatestPerKey, p31FixedWidth,
-    q50MomChange)
+    q50MomChange, q51MixtureSample)
 }

@@ -161,6 +161,30 @@ class Round5Spec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
 
+  // ---- mixture sampling --------------------------------------------------
+
+  test("mixtureSample: keeps under-target strata whole, downsamples over-target, drops unlisted") {
+    val docs = ((1L to 100L).map(i => (i, "en")) ++ (101L to 110L).map(i => (i, "es")) ++
+      (111L to 120L).map(i => (i, "xx"))).toDF("doc_id", "lang")
+    val got = graft.etl.SampleOps.mixtureSample(docs, "lang", "doc_id",
+        Map("en" -> 10L, "es" -> 50L))
+      .as[(Long, String)].collect()
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // es: modulus 1 (10 < 50 target) → all 10 kept; xx: unlisted → dropped
+    assert(byLang.getOrElse("es", 0) === 10)
+    assert(!byLang.contains("xx"))
+    // en: modulus 10 → ~1-in-10 systematic keep, deterministic
+    assert(byLang.getOrElse("en", 0) > 0 && byLang("en") < 30)
+    val again = graft.etl.SampleOps.mixtureSample(docs.repartition(7), "lang", "doc_id",
+        Map("en" -> 10L, "es" -> 50L))
+      .as[(Long, String)].collect()
+    assert(got.toSet === again.toSet) // partitioning-invariant
+    // scan-side: the selection plans no Window over the corpus
+    val plan = graft.etl.SampleOps.mixtureSample(docs, "lang", "doc_id",
+        Map("en" -> 10L)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window "), plan.take(800))
+  }
+
   // ---- PPS stride guard --------------------------------------------------
 
   test("ppsSystematicSample fails loudly when total weight < n (stride 0)") {
