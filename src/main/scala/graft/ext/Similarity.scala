@@ -216,6 +216,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * 4× memory compression every large ANN deployment applies before
+    * anything else (float32 → int8 with one per-vector scale). Codes
+    * are `floor(x/s + 0.5)` with `s = max|x|/127` — round-half-up via
+    * floor, because `floor` is bit-identical across engines while
+    * native round() half-case behavior is not. A zero vector gets
+    * all-zero codes and scale 0 rather than a division error.
+    *
+    * Pure scan-side higher-order functions: no shuffle, no UDF; at
+    * 100 TB quantization is exactly one read+write pass over the
+    * embedding column. Returns (id, scale, codes, max_abs_err) — the
+    * error column is the per-vector max reconstruction error, the
+    * number a deployment monitors to catch scale-breaking outlier
+    * dimensions.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val amax = array_max(transform(v, x => abs(x)))
+    val s = amax / lit(127.0)
+    val codes = when(amax === 0.0,
+        transform(v, _ => lit(0).cast("int")))
+      .otherwise(transform(v, x => floor(x / s + lit(0.5)).cast("int")))
+    df.select(col(idCol), s.as("__s"), codes.as("__codes"), v.as("__v"))
+      .select(col(idCol),
+        round(col("__s"), 9).as("scale"),
+        col("__codes").as("codes"),
+        round(array_max(zip_with(col("__v"), col("__codes"),
+          (x, q) => abs(x - q.cast("double") * col("__s")))), 9).as("max_abs_err"))
+  }
+
   /** Deterministic k-means assignment: every vector goes to its most
     * cosine-similar centroid (9 dp, centroid-id tiebreak — smaller id
     * wins a tie). The centroid table is a model input — k rows — so it

@@ -357,6 +357,37 @@ object Extensions {
       ORDER BY query_id, rank
     """.trim))
 
+  /** int8 scalar quantization of the embedding table: per-vector scale,
+    * exact codes (pinned via md5 of the code list) and max
+    * reconstruction error. floor(x/s + 0.5) keeps the half-case
+    * engine-portable where native round() is not.
+    */
+  val annQuantize = Q(
+    "ann_quantize_int8",
+    (s, dir) =>
+      Similarity.quantizeInt8(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          md5(array_join(transform(col("codes"), c => c.cast("string")), ",")).as("codes_md5"),
+          col("max_abs_err"))
+        .orderBy(col("vec_id")),
+    Some("""
+      WITH q AS (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+                 FROM embeddings),
+      c AS (SELECT vec_id, embedding, amax, amax / 127.0 AS s,
+              CASE WHEN amax = 0
+                   THEN list_transform(embedding, x -> 0)
+                   ELSE list_transform(embedding,
+                          x -> CAST(floor(x::DOUBLE / (amax / 127.0) + 0.5) AS INT))
+              END AS codes
+            FROM q)
+      SELECT vec_id, round(s, 9) AS scale,
+             md5(array_to_string(codes, ',')) AS codes_md5,
+             round(list_max(list_transform(range(len(embedding)),
+               i -> abs(embedding[i+1]::DOUBLE - codes[i+1] * s))), 9) AS max_abs_err
+      FROM c ORDER BY vec_id
+    """.trim))
+
   /** Embedding-cosine near-dup pairs: sign-LSH bucketed candidate
     * generation then cosine ≥ threshold. Runs over an augmented corpus
     * with planted scaled copies (scaling preserves direction: cosine ≈ 1
@@ -852,7 +883,7 @@ object Extensions {
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupFuzzy,
-    annBrute, annLsh, annIvf, annKmeansAssign, annKmeansIter,
+    annBrute, annLsh, annIvf, annKmeansAssign, annKmeansIter, annQuantize,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup, textRepetition, textDecontaminate,
     mediaMeta, mediaFrames, pipelineCorpusClean, pipelineDatasetCard)

@@ -161,6 +161,28 @@ class Round5Spec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
 
+  // ---- int8 quantization -------------------------------------------------
+
+  test("quantizeInt8: codes in [-127,127], bounded error, zero vector safe") {
+    val v = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),      // zero vector: scale 0, codes 0
+      (3L, Seq(100.0f, -100.0f, 3.0f, 0.1f))) // large dynamic range
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.quantizeInt8(v, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2), r.getDouble(3))).toMap
+    got.values.foreach { case (_, codes, _) =>
+      assert(codes.forall(c => c >= -127 && c <= 127)) }
+    // max element quantizes to exactly ±127
+    assert(got(1L)._2(1) === -127)
+    assert(got(3L)._2(0) === 127 && got(3L)._2(1) === -127)
+    // reconstruction error is bounded by half a quantization step
+    got.foreach { case (id, (scale, _, err)) =>
+      assert(err <= scale / 2 + 1e-9, s"vec $id err=$err scale=$scale") }
+    assert(got(2L) === ((0.0, Seq(0, 0, 0, 0), 0.0)))
+  }
+
   // ---- mixture sampling --------------------------------------------------
 
   test("mixtureSample: keeps under-target strata whole, downsamples over-target, drops unlisted") {
