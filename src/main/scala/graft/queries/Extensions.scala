@@ -285,6 +285,47 @@ object Extensions {
       ORDER BY query_id, rank
     """.trim))
 
+  /** Asymmetric quantized search — the consumer of [[annQuantize]]:
+    * the corpus is reconstructed from its int8 codes (codes × 9dp
+    * scale), queries stay full-precision, exact cosine ranks as usual.
+    * This is how a quantized ANN index actually serves: 4× less memory
+    * on the corpus side, negligible ranking drift (recall pinned in
+    * Round5Spec against the exact top-k).
+    */
+  val annQuantizedTopk = Q(
+    "ann_quantized_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val recon = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        .select(col("vec_id"),
+          expr("transform(codes, c -> c * scale)").as("embedding"))
+      Similarity.bruteForceTopK(s, recon, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH qn AS (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+                  FROM embeddings),
+      cq AS (SELECT vec_id, embedding, round(amax / 127.0, 9) AS s,
+               CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                           x -> CAST(floor(x::DOUBLE / (amax / 127.0) + 0.5) AS INT))
+               END AS codes
+             FROM qn),
+      c AS (SELECT vec_id AS neighbor_id,
+              list_transform(range(len(codes)), i -> codes[i+1] * s) AS cv
+            FROM cq),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+      p AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "cv")} AS sim
+            FROM q, c WHERE query_id <> neighbor_id)
+      SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM p) WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
   private def lshTableCte(t: Int): String =
     s"""SELECT query_id, neighbor_id
         FROM (SELECT vec_id AS query_id,
@@ -884,6 +925,7 @@ object Extensions {
     dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupFuzzy,
     annBrute, annLsh, annIvf, annKmeansAssign, annKmeansIter, annQuantize,
+    annQuantizedTopk,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup, textRepetition, textDecontaminate,
     mediaMeta, mediaFrames, pipelineCorpusClean, pipelineDatasetCard)

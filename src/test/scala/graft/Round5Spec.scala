@@ -183,6 +183,17 @@ class Round5Spec extends SparkSpec {
     assert(got(2L) === ((0.0, Seq(0, 0, 0, 0), 0.0)))
   }
 
+  test("quantized top-k recall vs exact top-k is near-perfect") {
+    val exact = graft.queries.Registry.queries("ann_cosine_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = graft.queries.Registry.queries("ann_quantized_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & quant).size.toDouble / exact.size
+    // int8 perturbs cosine by <1%; top-5 membership should barely move
+    assert(recall >= 0.9, s"recall@5 after int8 quantization: $recall")
+  }
+
   // ---- mixture sampling --------------------------------------------------
 
   test("mixtureSample: keeps under-target strata whole, downsamples over-target, drops unlisted") {
