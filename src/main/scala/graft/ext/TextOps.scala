@@ -190,6 +190,41 @@ object TextOps {
       .select(col(idCol), col("rn"), col("term"), col("tf"), col("df_docs"), col("tfidf"))
   }
 
+  /** CCNet-style unigram language-model quality score: each document's
+    * mean negative log-likelihood under an add-1-smoothed unigram model
+    * trained on the corpus itself (p(w) = (count(w)+1)/(total+vocab)).
+    * High NLL = improbable word sequence = the gibberish/boilerplate a
+    * perplexity filter drops; the real pipeline uses a KenLM n-gram
+    * model, but the dataflow — train counts on the corpus, score every
+    * doc against them — is exactly this.
+    *
+    * Plan shape for 100 TB: term counts are one shuffled aggregate
+    * (map-side partials over the vocabulary key); scoring re-joins docs
+    * to the count table on the term — the same term-keyed join as
+    * TF-IDF, with AQE splitting hot stopword keys. Determinism: each
+    * term's −ln p rounds to 9 dp and the per-doc mean sums those as
+    * DECIMAL(27,9) (exact, order-independent) before one double
+    * division — the same moment discipline as the k-means centroid
+    * means; ln term-by-term matches the oracle bit-for-bit because the
+    * operand of every ln is identical in both engines.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val freqs = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val Array(total, vocab) = freqs
+      .agg(sum(col("cnt")).cast("long"), count(lit(1))).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    val denom = (total + vocab).toDouble
+    terms.join(freqs, "term")
+      .withColumn("__nll",
+        round(-log((col("cnt") + 1).cast("double") / lit(denom)), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        round((sum(col("__nll")).cast("double") / count(lit(1))), 6).as("avg_nll"))
+  }
+
   /** Overlapping fixed-size word chunks per document — the RAG/context
     * chunking op: windows of `window` words starting every `step` words
     * (overlap = window - step), last chunk short. Scan-side per doc

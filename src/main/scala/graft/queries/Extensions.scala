@@ -817,6 +817,28 @@ object Extensions {
       GROUP BY doc_id ORDER BY doc_id
     """.trim))
 
+  /** CCNet-style unigram LM quality score: per-doc mean −ln p(w) under
+    * add-1-smoothed corpus counts. Per-term ln rounds to 9 dp, the mean
+    * sums DECIMAL(27,9) (order-independent), one double division,
+    * round 6 — so the oracle matches despite the transcendental.
+    */
+  val textLmScore = Q(
+    "text_lm_score",
+    (s, dir) =>
+      graft.ext.TextOps.lmScore(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, $NormW AS w FROM documents),
+      t AS (SELECT doc_id, unnest(w) AS term FROM norm),
+      f AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+      g AS (SELECT sum(cnt) + count(*) AS denom FROM f)
+      SELECT doc_id, count(*) AS n_words,
+             round(CAST(sum(CAST(round(-ln((cnt + 1)::DOUBLE / denom), 9)
+                              AS DECIMAL(27,9))) AS DOUBLE) / count(*), 6) AS avg_nll
+      FROM t JOIN f USING (term) CROSS JOIN g
+      GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
   /** Gopher-style repetition filter input: per-doc duplicate-trigram
     * fraction, pure scan-side.
     */
@@ -927,6 +949,6 @@ object Extensions {
     annBrute, annLsh, annIvf, annKmeansAssign, annKmeansIter, annQuantize,
     annQuantizedTopk,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
-    textPiiRedact, textChunkDedup, textRepetition, textDecontaminate,
+    textPiiRedact, textChunkDedup, textRepetition, textDecontaminate, textLmScore,
     mediaMeta, mediaFrames, pipelineCorpusClean, pipelineDatasetCard)
 }
