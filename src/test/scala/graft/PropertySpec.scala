@@ -203,4 +203,28 @@ class PropertySpec extends SparkSpec {
     assert(counts.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
       counts.mkString(", "))
   }
+
+  test("quantizeInt8 invariants on arbitrary vectors: code range, error bound, scale sign") {
+    val vecGen: Gen[Seq[Float]] = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e4f, 1e4f)))
+    val vecs = samples(vecGen, 120).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val got = graft.ext.Similarity.quantizeInt8(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getSeq[Int](2), r.getDouble(3)))
+    assert(got.length === vecs.length)
+    got.foreach { case (id, scale, codes, err) =>
+      assert(scale >= 0.0, s"vec $id negative scale")
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id code out of range")
+      // half-up rounding keeps reconstruction within half a step (plus
+      // the 9dp rounding of the reported values)
+      assert(err <= scale / 2 + 1e-8, s"vec $id err=$err scale=$scale")
+      val v = vecs(id.toInt)._2
+      if (v.forall(_ == 0f)) assert(scale == 0.0 && codes.forall(_ == 0))
+      else {
+        // the max-magnitude element always maps to ±127
+        assert(codes.map(math.abs).max === 127, s"vec $id max code ${codes.mkString(",")}")
+      }
+    }
+  }
 }
