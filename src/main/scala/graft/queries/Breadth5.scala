@@ -187,7 +187,7 @@ object Breadth5 {
     Some("""
       SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-             sum(o_orderkey) AS sum_key
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_key
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """.trim))
 

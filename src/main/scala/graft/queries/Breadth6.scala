@@ -159,7 +159,7 @@ object Breadth6 {
         .orderBy(col("lang"))
     },
     Some("""
-      SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+      SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              CAST(3 AS BIGINT) AS n_quarantined
       FROM documents GROUP BY lang ORDER BY lang
     """.trim))
