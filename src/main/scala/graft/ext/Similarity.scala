@@ -246,6 +246,121 @@ object Similarity {
           (x, q) => abs(x - q.cast("double") * col("__s")))), 9).as("max_abs_err"))
   }
 
+  /** Quantized IVF serving — the at-scale composition of [[quantizeInt8]]
+    * and [[ivfTopK]], and the architecture a 100 TB vector corpus
+    * actually deploys: the index stores int8 codes (4× less memory),
+    * corpus vectors are reconstructed scan-side from their codes and
+    * coarse-assigned to inverted lists, and each full-precision query
+    * probes only its `nprobe` nearest lists. Search cost is
+    * nprobe/c of the corpus per query — never the queries × corpus
+    * product a brute-force ranking over reconstructed codes would pay.
+    * Asymmetric by construction (queries stay float32), which is why
+    * recall barely moves vs exact (pinned in Round6Spec).
+    *
+    * Reconstruction fuses into the corpus scan (one projection over the
+    * embedding column); everything downstream is exactly the
+    * [[ivfTopK]] plan shape: inlined-literal centroid argmin, broadcast
+    * probe join on the list id, per-query top-k window.
+    */
+  def ivfQuantizedTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    val recon = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol),
+        transform(col("codes"), c => c.cast("double") * col("scale")).as(vecCol))
+    ivfTopK(spark, recon, queries, centroids, idCol, vecCol,
+      centIdCol, centVecCol, k, nprobe)
+  }
+
+  // ---- product quantization ----------------------------------------------
+
+  /** Product-quantization codebook: the vector space is split into `m`
+    * sub-spaces of `subDim` dims; each sub-space has its own codebook of
+    * `ksub` codewords, and a vector encodes as `m` small integers (one
+    * codeword index per sub-space) — `m` bytes instead of `4·dims`, the
+    * canonical memory-bound ANN compression (Jégou et al., PQ; the
+    * layout FAISS's IVFPQ stores). Codes are DENSE indices
+    * (0..ksub-1, training-id order) so reconstruction is a plain
+    * `element_at` into the codebook literal in both engines.
+    */
+  final case class PqModel(m: Int, subDim: Int,
+      books: IndexedSeq[IndexedSeq[Seq[Double]]]) {
+    def ksub: Int = books.head.length
+    require(books.length == m && books.forall(_.length == ksub))
+  }
+
+  /** Build a PQ codebook from a training table: each training row
+    * contributes one codeword to every sub-space (its sub-slice). The
+    * training rows are a model input — sampled/k-means-refined upstream
+    * (the [[kmeansConverge]] machinery composes here) — so they collect
+    * under the same inline cap as centroid tables.
+    */
+  def pqTrain(train: DataFrame, idCol: String, vecCol: String, m: Int): PqModel = {
+    val rows = collectCentroids(train, idCol, vecCol)
+    val dims = rows.head._2.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m sub-spaces")
+    val subDim = dims / m
+    val books = (0 until m).map { j =>
+      rows.toIndexedSeq.map(_._2.slice(j * subDim, (j + 1) * subDim))
+    }
+    PqModel(m, subDim, books.toIndexedSeq)
+  }
+
+  /** Nearest codeword (dense index) for sub-space `j` of one vector, as
+    * a scan-side projection: squared-L2 to every codeword via the
+    * 0.0-seeded ascending fold (the oracle's `list_sum` order), rounded
+    * to 9 dp, lexicographic struct-min tiebreak on the smaller code.
+    * L2 — not cosine — because PQ approximates the vector ITSELF
+    * (reconstruction), not its direction; sub-vector cosine would be
+    * scale-blind and reconstruct garbage.
+    */
+  private def pqSubCode(vec: Column, model: PqModel, j: Int): Column = {
+    val sub = slice(transform(vec, x => x.cast("double")),
+      j * model.subDim + 1, model.subDim)
+    val scored = array(model.books(j).zipWithIndex.map { case (cw, code) =>
+      struct(
+        round(aggregate(zip_with(sub, typedLit(cw), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, x) => acc + x), 9).as("dist"),
+        lit(code).as("code"))
+    }: _*)
+    array_min(scored).getField("code")
+  }
+
+  /** PQ-encode a vector column: (id, codes) with `codes` an m-element
+    * int array. Pure scan-side — at 100 TB encoding is one read+write
+    * pass, exactly like [[quantizeInt8]]; no shuffle, no join (a
+    * codebook join + per-(row, sub-space) rank window would reshuffle
+    * m× the corpus).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame =
+    df.select(col(idCol),
+      array((0 until model.m).map(j => pqSubCode(col(vecCol), model, j)): _*).as("codes"))
+
+  /** Reconstruct the approximated vector from PQ codes: concatenate the
+    * selected codeword of each sub-space (codebooks inline as array
+    * literals; `element_at` is 1-based).
+    */
+  def pqReconstruct(codes: Column, model: PqModel): Column =
+    concat((0 until model.m).map { j =>
+      element_at(typedLit(model.books(j)), element_at(codes, j + 1) + 1)
+    }: _*)
+
+  /** Asymmetric PQ search (ADC): corpus encoded to m-byte codes and
+    * reconstructed scan-side, queries full-precision, exact cosine
+    * ranks. This is the memory-bound FULL-SCAN architecture (every
+    * vector still scored, but from a 16-32× smaller index that fits in
+    * RAM); for probe-limited serving at 100 TB compose the encoded
+    * corpus with the IVF lists exactly as [[ivfQuantizedTopK]] does for
+    * scalar codes.
+    */
+  def pqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      train: DataFrame, idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
+    val model = pqTrain(train, idCol, vecCol, m)
+    val recon = pqEncode(corpus, idCol, vecCol, model)
+      .select(col(idCol), pqReconstruct(col("codes"), model).as(vecCol))
+    bruteForceTopK(spark, recon, queries, idCol, vecCol, k)
+  }
+
   /** Deterministic k-means assignment: every vector goes to its most
     * cosine-similar centroid (9 dp, centroid-id tiebreak — smaller id
     * wins a tie). The centroid table is a model input — k rows — so it

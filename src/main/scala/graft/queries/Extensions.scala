@@ -398,6 +398,108 @@ object Extensions {
       ORDER BY query_id, rank
     """.trim))
 
+  /** Quantized IVF serving — the 100 TB composition the round-5 verdict
+    * asked for: the corpus is stored as int8 codes, reconstructed
+    * scan-side, coarse-assigned to inverted lists once, and each
+    * full-precision query probes only its nprobe nearest lists. Unlike
+    * `ann_quantized_topk` (the deliberate memory-compression yardstick,
+    * which still scans the whole corpus per query) the per-query cost
+    * here is nprobe/c of the corpus — the plan a quantized index
+    * actually serves with.
+    */
+  val annIvfQuantized = Q(
+    "ann_ivf_quantized",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfQuantizedTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
+          emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH qn AS (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+                  FROM embeddings),
+      cq AS (SELECT vec_id, round(amax / 127.0, 9) AS s,
+               CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                           x -> CAST(floor(x::DOUBLE / (amax / 127.0) + 0.5) AS INT))
+               END AS codes
+             FROM qn),
+      rec AS (SELECT vec_id, list_transform(range(len(codes)), i -> codes[i+1] * s) AS embedding
+              FROM cq),
+      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0),
+      corp_a AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM rec e, cent t)
+        WHERE rn = 1),
+      q_a AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
+        WHERE rn <= 2),
+      p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${sqlCos("q.embedding", "c.embedding")} AS sim
+            FROM q_a q JOIN corp_a c ON q.cid = c.cid AND q.vec_id <> c.vec_id)
+      SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM p) WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
+  /** Product-quantization search (ADC): corpus encoded to m=8 dense
+    * codeword indices (8 bytes/vector vs 256 — the canonical
+    * memory-bound compression), reconstructed from the codebook
+    * literals scan-side, ranked asymmetrically against full-precision
+    * queries. Codebook = sub-slices of every 25th vector in id order
+    * (dense codes, so reconstruction is element_at in both engines).
+    * L2 codeword assignment, ascending-fold summation, 9 dp — the same
+    * determinism recipe as k-means/IVF.
+    */
+  val annPq = Q(
+    "ann_pq_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.pqTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
+          emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", m = 8, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+                   FROM embeddings WHERE vec_id % 25 = 0),
+      sp AS (SELECT unnest(range(8)) AS sub),
+      cb AS (SELECT b.code, s.sub,
+                    list_transform(range(8), i -> b.embedding[s.sub*8 + i + 1]::DOUBLE) AS cw
+             FROM cb0 b, sp s),
+      d AS (SELECT e.vec_id, c.sub, c.code,
+              round(list_sum(list_transform(range(8),
+                i -> (e.embedding[c.sub*8 + i + 1]::DOUBLE - c.cw[i+1]) *
+                     (e.embedding[c.sub*8 + i + 1]::DOUBLE - c.cw[i+1]))), 9) AS dist
+            FROM embeddings e, cb c),
+      enc AS (SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                FROM d) WHERE rn = 1),
+      rec AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.sub)) AS cv
+              FROM enc e JOIN cb c ON c.sub = e.sub AND c.code = e.code
+              GROUP BY e.vec_id),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+      p AS (SELECT query_id, rec.vec_id AS neighbor_id, ${sqlCos("qv", "cv")} AS sim
+            FROM q, rec WHERE query_id <> rec.vec_id)
+      SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM p) WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
   /** int8 scalar quantization of the embedding table: per-vector scale,
     * exact codes (pinned via md5 of the code list) and max
     * reconstruction error. floor(x/s + 0.5) keeps the half-case
@@ -946,7 +1048,8 @@ object Extensions {
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupFuzzy,
-    annBrute, annLsh, annIvf, annKmeansAssign, annKmeansIter, annQuantize,
+    annBrute, annLsh, annIvf, annIvfQuantized, annPq,
+    annKmeansAssign, annKmeansIter, annQuantize,
     annQuantizedTopk,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup, textRepetition, textDecontaminate, textLmScore,

@@ -1,0 +1,110 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: quantized IVF serving (the probe-limited plan the
+  * round-5 verdict asked for in place of brute-force quantized ranking)
+  * and product quantization — recall, exactness, and plan-shape pins.
+  */
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+
+  // recall pins run at sf0.01 (5 queries × top-5 = 25 pairs); the tiny
+  // sf0.001 corpus has a single query vector and pins nothing
+  private val sf = "/root/testdata/sf0.01"
+
+  // ---- quantized IVF serving ---------------------------------------------
+
+  test("ivfQuantizedTopK: marginal recall loss of int8 codes vs full-precision IVF is tiny") {
+    val ivf = graft.queries.Registry.queries("ann_ivf_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = graft.queries.Registry.queries("ann_ivf_quantized")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    // the recall ceiling is the coarse quantizer (nprobe), NOT the int8
+    // codes: quantized serving must return almost exactly what
+    // full-precision IVF returns (measured 1.0 at sf0.01)
+    val overlap = (ivf & quant).size.toDouble / ivf.size
+    assert(overlap >= 0.9, s"int8-marginal overlap with full-precision IVF: $overlap")
+  }
+
+  test("ivfQuantizedTopK plans no cartesian product and no corpus-side shuffle join") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val plan = Similarity.ivfQuantizedTopK(spark, emb,
+        emb.filter(col("vec_id") % 100 === 0), emb.filter(col("vec_id") % 37 === 0),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // candidate probe is a broadcast join on the list id — the corpus
+    // (reconstructed from codes scan-side) is never shuffled to rank
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  // ---- product quantization ----------------------------------------------
+
+  test("ann_pq_topk recall vs exact top-k with a data-derived codebook") {
+    val exact = graft.queries.Registry.queries("ann_cosine_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = graft.queries.Registry.queries("ann_pq_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // 8 bytes/vector vs 256: recall is bounded by the 20-codeword/sub-space
+    // codebook, not by bugs (measured 0.28 at sf0.01)
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ recall@5: $recall")
+  }
+
+  test("pqEncode is pure scan-side: no exchange, no join, no window") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val model = Similarity.pqTrain(emb.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", m = 8)
+    val plan = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(!plan.contains("Window "), plan.take(800))
+  }
+
+  test("PQ codes are dense indices and reconstruction concatenates codewords") {
+    // 4 dims × m=2: codebook from two training rows, hand-checkable
+    val train = Seq(
+      (0L, Seq(0.0f, 0.0f, 10.0f, 10.0f)),
+      (1L, Seq(1.0f, 1.0f, -10.0f, -10.0f))).toDF("vec_id", "embedding")
+    val model = Similarity.pqTrain(train, "vec_id", "embedding", m = 2)
+    assert(model.subDim === 2 && model.ksub === 2)
+    val data = Seq(
+      (10L, Seq(0.9f, 0.9f, 8.0f, 9.0f)),    // near (1,1) then (10,10)
+      (11L, Seq(0.1f, -0.2f, -7.0f, -12.0f))) // near (0,0) then (-10,-10)
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(data, "vec_id", "embedding", model)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(10L) === Seq(1, 0))
+    assert(codes(11L) === Seq(0, 1))
+    val rec = Similarity.pqEncode(data, "vec_id", "embedding", model)
+      .select(col("vec_id"), Similarity.pqReconstruct(col("codes"), model).as("r"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(rec(10L) === Seq(1.0, 1.0, 10.0, 10.0))
+    assert(rec(11L) === Seq(0.0, 0.0, -10.0, -10.0))
+  }
+
+  test("PQ encoding is partitioning-invariant") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val model = Similarity.pqTrain(emb.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", m = 8)
+    val a = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = Similarity.pqEncode(emb.repartition(7), "vec_id", "embedding", model)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a === b)
+    assert(a.values.forall(cs => cs.length == 8 &&
+      cs.forall(c => c >= 0 && c < model.ksub)))
+  }
+
+  test("pqTrain rejects dims not divisible by m") {
+    val train = Seq((0L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(train, "vec_id", "embedding", m = 2)
+    }
+  }
+}
