@@ -83,7 +83,10 @@ object SampleOps {
       targets: Map[String, Long]): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ >= 1),
       "every stratum target must be >= 1")
-    val counts = df.groupBy(col(stratumCol)).count().collect()
+    // stratum keys compare as strings so any atomic stratum type works
+    // (an integer/date column would ClassCastException at getString)
+    val sk = col(stratumCol).cast("string")
+    val counts = df.groupBy(sk.as("__s")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val modulus = targets.map { case (s, t) =>
       s -> math.max(1L, counts.getOrElse(s, 0L) / t)
@@ -91,7 +94,7 @@ object SampleOps {
     // strata outside `targets` get a null modulus → filtered out
     // (mixing is also stratum selection)
     val m = modulus.foldLeft(lit(null).cast("long")) { case (acc, (s, mm)) =>
-      when(col(stratumCol) === s, lit(mm)).otherwise(acc)
+      when(sk === s, lit(mm)).otherwise(acc)
     }
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
     df.withColumn("__m", m)

@@ -93,14 +93,14 @@ object Dedup {
     * hashes; docs sharing any band key are near-dup candidates.
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
     val nBands = SeedsA.length / rowsPerBand
     val bandExprs = (0 until nBands).map { j =>
       val parts = (0 until rowsPerBand)
         .map(r => s"cast(__sig[${j * rowsPerBand + r}] as string)").mkString(", '_', ")
       s"concat('$j:', $parts)"
     }
-    withShingleHashes(df, textCol)
+    withShingleHashes(df, textCol, k)
       .withColumn("__sig", expr("graft_minhash_sig(__hashes)"))
       .select(col(idCol), explode(expr(s"array(${bandExprs.mkString(", ")})")).as("band"))
   }
@@ -109,13 +109,14 @@ object Dedup {
     * distinct. The join key is the band, so the shuffle is on bucket
     * membership — never the full cross product.
     */
-  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
     // materialize the (id, band) projection once: the self-join's two
     // sides otherwise re-run the whole shingle+minhash pipeline (their
     // exchanges differ by projection, so ReuseExchange cannot fire), and
     // the banded rows are tiny — no text — while the signature
     // computation is the expensive part
-    val bands = minhashBands(df, idCol, textCol).localCheckpoint()
+    val bands = minhashBands(df, idCol, textCol, k = k).localCheckpoint()
     val a = bands.select(col(idCol).as("doc_a"), col("band"))
     val b = bands.select(col(idCol).as("doc_b"), col("band").as("band_b"))
     // Band keys are heavily duplicated (that is the point of LSH), and
@@ -439,7 +440,10 @@ object Dedup {
   def ngramJaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
-    val cands = minhashCandidatePairs(df, idCol, textCol)
+    // k threads through to the band join: candidates are proposed on the
+    // SAME k-shingles the exact verify scores, else band recall and the
+    // Jaccard threshold would silently talk about different grams
+    val cands = minhashCandidatePairs(df, idCol, textCol, k)
     // one scan computes every doc's distinct-shingle hash set; both join
     // sides reuse it (same materialize-once rationale as the postings in
     // ngramJaccardPairs)

@@ -38,27 +38,38 @@ object BenchDetail {
       graft.etl.LayoutOps.ensureBucketed(spark, sfDir, "lineitem", Seq("l_orderkey"), 8)
       graft.etl.LayoutOps.ensurePartitionedOrders(spark, sfDir)
     } catch { case _: Throwable => () }
+    // a query that crashes must NOT record its (near-zero) failure-path
+    // timing — in the committed regression artifact that would read as a
+    // dramatic speedup; it records err instead and is excluded from totals
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count() catch {
+          case t: Throwable => err = Some(t.getClass.getSimpleName)
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (name, times.head, times(times.size / 2))
+      (name, times.head, times(times.size / 2), err)
     }
+    val ok = rows.filter(_._4.isEmpty)
     println(f"${"query"}%-28s ${"min"}%8s ${"median"}%8s")
-    rows.sortBy(-_._3).foreach { case (n, mn, md) => println(f"$n%-28s $mn%8.3f $md%8.3f") }
-    println(f"TOTAL(median) ${rows.map(_._3).sum}%.2f s  TOTAL(min) ${rows.map(_._2).sum}%.2f s")
+    ok.sortBy(-_._3).foreach { case (n, mn, md, _) => println(f"$n%-28s $mn%8.3f $md%8.3f") }
+    rows.collect { case (n, _, _, Some(e)) => println(s"$n%-28s ERR $e") }
+    println(f"TOTAL(median) ${ok.map(_._3).sum}%.2f s  TOTAL(min) ${ok.map(_._2).sum}%.2f s" +
+      (if (ok.size < rows.size) s"  (${rows.size - ok.size} ERRORED)" else ""))
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     jsonOut.foreach { path =>
-      val qs = rows.sortBy(-_._3).map { case (n, mn, md) =>
-        s""""$n":{"min":${fmt(mn)},"median":${fmt(md)}}"""
+      val qs = rows.sortBy(-_._3).map {
+        case (n, mn, md, None) => s""""$n":{"min":${fmt(mn)},"median":${fmt(md)}}"""
+        case (n, _, _, Some(e)) => s""""$n":{"err":"$e"}"""
       }.mkString(",")
       val json =
         s"""{"reps":$reps,"sf":"$sfDir","cpus":$cpus,""" +
-          s""""total_median":${fmt(rows.map(_._3).sum)},""" +
-          s""""total_min":${fmt(rows.map(_._2).sum)},""" +
+          s""""total_median":${fmt(ok.map(_._3).sum)},""" +
+          s""""total_min":${fmt(ok.map(_._2).sum)},""" +
+          s""""n_err":${rows.size - ok.size},""" +
           s""""nq":${rows.size},"queries":{$qs}}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
       println(s"wrote $path")
