@@ -53,12 +53,30 @@ object Bench {
     // grows, and whichever query runs first absorbs any residual
     // cold cost — sorted order keeps per-query times comparable
     // round-to-round.
+    // 1-min system load before/after: an artifact produced on a
+    // contended box (like round 5's 578 s outlier — 6.7x the quiet-box
+    // number on the identical build) self-identifies instead of
+    // costing a round of adjudication.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
+    // "steady": the single-shot total with the 10 slowest queries
+    // replaced by their min-of-2 — a transient stall (GC, noisy
+    // neighbor) on one query shows up as value >> steady, while a real
+    // regression moves both. Cheap: only ~10 re-runs.
+    val slowest = results.sortBy(-_._2).take(10).toMap
+    val rerun = slowest.map { case (name, t1) =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> math.min(t1, (System.nanoTime() - t0) / 1e9)
+    }
+    val steady = results.map { case (n, t) => rerun.getOrElse(n, t) }.sum
+    val loadAfter = osBean.getSystemLoadAverage
     // The driver captures only a bounded tail of stdout and parses the
     // JSON line out of it; keep the whole line comfortably under 1700
     // chars. Times at 3 dp (Locale.ROOT — never a comma decimal), and
@@ -68,7 +86,8 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val prefix =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":{"""
-    val suffix = s"""},"sf":"$sfDir"}"""
+    val suffix = s"""},"steady":${fmt(steady)},"load1_before":${fmt(loadBefore)},""" +
+      s""""load1_after":${fmt(loadAfter)},"sf":"$sfDir"}"""
     val budget = 1700 - prefix.length - suffix.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
