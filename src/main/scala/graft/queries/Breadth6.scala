@@ -62,6 +62,33 @@ object Breadth6 {
       GROUP BY stage ORDER BY stage
     """.trim))
 
+  /** Per-user funnel stage completions — the row-level frame underneath
+    * q46's aggregate, and the BATCH SIDE of the streaming equivalence:
+    * CatalogStreamingSpec proves `StreamingOps.streamingFunnel`'s
+    * finalized output equals exactly this (user, stage, completed_at)
+    * set, so oracling it keeps the streaming operator's strictly-after
+    * semantics pinned by the driver too, not just by ScalaTest.
+    */
+  val q52FunnelUserStages = Q(
+    "q52_funnel_user_stages",
+    (s, dir) =>
+      graft.etl.EventOps.funnel(Tables(s, dir, "events"),
+          "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))
+        .orderBy(col("stage_idx"), col("user_id")),
+    Some("""
+      WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+      SELECT stage_idx, stage, user_id, t AS completed_at FROM (
+        SELECT 1 AS stage_idx, '1_signup' AS stage, user_id, t FROM s1
+        UNION ALL SELECT 2, '2_click', user_id, t FROM s2
+        UNION ALL SELECT 3, '3_purchase', user_id, t FROM s3)
+      ORDER BY stage_idx, user_id
+    """.trim))
+
   /** Weighted systematic (PPS) sample of ~100 documents, selection
     * probability proportional to n_chars — integer-only arithmetic
     * (cumulative weights + stride boundaries), so the sample is
@@ -496,5 +523,5 @@ object Breadth6 {
   def all: Seq[Q] = Seq(q45CustOrderDist, q46EventFunnel, q47PpsSample, t11StatAggs,
     srcJsonlRoundtrip, q48IncrementalRollup, dq3RangeAudit, dq4DistributionDrift,
     t12BitwiseFuncs, q49BfsLayers, t13TemporalArith, u8LatestPerKey, p31FixedWidth,
-    q50MomChange, q51MixtureSample)
+    q50MomChange, q51MixtureSample, q52FunnelUserStages)
 }

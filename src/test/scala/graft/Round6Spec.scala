@@ -107,4 +107,41 @@ class Round6Spec extends SparkSpec {
       Similarity.pqTrain(train, "vec_id", "embedding", m = 2)
     }
   }
+
+  // ---- sketch estimator accuracy (q10/q34 are rows-only at the driver:
+  // ---- estimates are engine-specific, so quality is pinned HERE) --------
+
+  test("q10 approx_count_distinct tracks exact distincts within the HLL++ error bound at sf0.1") {
+    val sf01 = "/root/testdata/sf0.1"
+    val li = graft.etl.Tables(spark, sf01, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"), countDistinct(col("l_suppkey")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = graft.queries.Registry.queries("q10_approx_distinct")(spark, sf01)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    // default rsd = 0.05: hold each estimate to 3 sigma
+    approx.foreach { case (flag, (ap, as_)) =>
+      val (ep, es) = exact(flag)
+      assert(math.abs(ap - ep).toDouble / ep <= 0.15, s"$flag parts: $ap vs $ep")
+      assert(math.abs(as_ - es).toDouble / es <= 0.15, s"$flag supps: $as_ vs $es")
+    }
+  }
+
+  test("q34 DataSketches HLL union estimate is within 2% of exact at sf0.1") {
+    val sf01 = "/root/testdata/sf0.1"
+    val ev = graft.etl.Tables(spark, sf01, "events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.queries.Registry.queries("q34_hll_mergeable_sketch")(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    // default lgK=12 → rsd ≈ 1.6%; the two-level union (daily sketches
+    // merged per type) must not degrade the estimate materially
+    approx.foreach { case (t, a) =>
+      val e = exact(t)
+      assert(math.abs(a - e).toDouble / e <= 0.02, s"$t: approx $a vs exact $e")
+    }
+  }
 }
