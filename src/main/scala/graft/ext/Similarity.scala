@@ -287,6 +287,9 @@ object Similarity {
       books: IndexedSeq[IndexedSeq[Seq[Double]]]) {
     def ksub: Int = books.head.length
     require(books.length == m && books.forall(_.length == ksub))
+    /** Primitive copy for the codegen'd assignment kernel. */
+    private[graft] lazy val booksArray: Array[Array[Array[Double]]] =
+      books.map(_.map(_.toArray).toArray).toArray
   }
 
   /** Build a PQ codebook from a training table: each training row
@@ -306,24 +309,18 @@ object Similarity {
     PqModel(m, subDim, books.toIndexedSeq)
   }
 
-  /** Nearest codeword (dense index) for sub-space `j` of one vector, as
-    * a scan-side projection: squared-L2 to every codeword via the
-    * 0.0-seeded ascending fold (the oracle's `list_sum` order), rounded
-    * to 9 dp, lexicographic struct-min tiebreak on the smaller code.
-    * L2 — not cosine — because PQ approximates the vector ITSELF
+  /** Nearest-codeword assignment for one vector: squared-L2 per
+    * sub-space via the codegen'd [[graft.functions.PqEncodeCodes]]
+    * kernel (0.0-seeded ascending fold — the oracle's `list_sum`
+    * order — HALF_UP 9 dp, ties to the smaller code). L2 — not
+    * cosine — because PQ approximates the vector ITSELF
     * (reconstruction), not its direction; sub-vector cosine would be
     * scale-blind and reconstruct garbage.
     */
-  private def pqSubCode(vec: Column, model: PqModel, j: Int): Column = {
-    val sub = slice(transform(vec, x => x.cast("double")),
-      j * model.subDim + 1, model.subDim)
-    val scored = array(model.books(j).zipWithIndex.map { case (cw, code) =>
-      struct(
-        round(aggregate(zip_with(sub, typedLit(cw), (x, c) => (x - c) * (x - c)),
-          lit(0.0), (acc, x) => acc + x), 9).as("dist"),
-        lit(code).as("code"))
-    }: _*)
-    array_min(scored).getField("code")
+  private def pqCodes(vec: Column, model: PqModel): Column = {
+    import org.apache.spark.sql.graft.PlanDf
+    PlanDf.column(graft.functions.PqEncodeCodes(
+      PlanDf.expression(vec), model.booksArray))
   }
 
   /** PQ-encode a vector column: (id, codes) with `codes` an m-element
@@ -333,8 +330,7 @@ object Similarity {
     * m× the corpus).
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame =
-    df.select(col(idCol),
-      array((0 until model.m).map(j => pqSubCode(col(vecCol), model, j)): _*).as("codes"))
+    df.select(col(idCol), pqCodes(col(vecCol), model).as("codes"))
 
   /** Reconstruct the approximated vector from PQ codes: concatenate the
     * selected codeword of each sub-space (codebooks inline as array
@@ -359,6 +355,43 @@ object Similarity {
     val recon = pqEncode(corpus, idCol, vecCol, model)
       .select(col(idCol), pqReconstruct(col("codes"), model).as(vecCol))
     bruteForceTopK(spark, recon, queries, idCol, vecCol, k)
+  }
+
+  /** IVF-PQ serving — the canonical memory-bound + probe-limited ANN
+    * architecture (FAISS IVFPQ): at INDEX BUILD the corpus is
+    * coarse-assigned to inverted lists on its ORIGINAL vectors
+    * (assignment precedes quantization — assigning on reconstructed
+    * codes would misfile vectors and compound the two error sources)
+    * and only the m-byte PQ codes + list id are stored; at SEARCH each
+    * full-precision query probes its `nprobe` nearest lists and ranks
+    * against the codebook reconstruction. Per-query cost is nprobe/c of
+    * an index 16-32× smaller than float32 — both scale levers at once,
+    * each independently oracled ([[ivfQuantizedTopK]], [[pqTopK]]).
+    * Everything is one corpus scan (assignment + encoding are per-row
+    * projections over inlined literals) plus the broadcast probe join.
+    */
+  def ivfPqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, train: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String, m: Int, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    VectorExpressions.register(spark)
+    val model = pqTrain(train, idCol, vecCol, m)
+    val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .withColumn("__codes", pqCodes(col("__v"), model))
+      .withColumn("neighbor_list", explode(nearestCentroids(col("__v"), cents, 1)))
+      .withColumn("__cv2", pqReconstruct(col("__codes"), model))
+      .drop("__v")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("query_list", explode(nearestCentroids(col("__qv"), cents, nprobe)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("query_list") === col("neighbor_list") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(expr("graft_cosine(__qv, __cv2)"), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
   /** Deterministic k-means assignment: every vector goes to its most

@@ -290,6 +290,86 @@ object SimHash32 {
   }
 }
 
+/** Product-quantization codeword assignment in one codegen'd pass:
+  * vector → m dense codeword indices (argmin squared-L2 per sub-space).
+  * The codebook rides along as a plan-literal reference object, exactly
+  * like the inlined centroids of the IVF/k-means argmin.
+  *
+  * The HOF formulation (per sub-space: array of aggregate(zip_with)
+  * structs + array_min) is CodegenFallback and allocates a struct per
+  * (row, codeword); at ksub=100+ that interpretation dominated the whole
+  * query (~70 s/query at sf0.1 — this kernel brings encoding back to
+  * scan speed). Semantics are bit-identical to the HOF/oracle form:
+  * ascending-index fold of (x-cw)^2 seeded at 0.0, HALF_UP round to
+  * 9 dp (the same BigDecimal path as Spark's round()), ties keep the
+  * smaller code.
+  */
+case class PqEncodeCodes(child: Expression, books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq encode expects array<float|double>, got ${t.catalogString}")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    PqEncodeCodes.compute(v.asInstanceOf[ArrayData], books, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PqEncodeCodes.compute($c, $ref, $elemIsFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncodeCodes {
+  def compute(vec: ArrayData, books: Array[Array[Array[Double]]],
+      isFloat: Boolean): ArrayData = {
+    val m = books.length
+    val out = new Array[Int](m)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val subDim = book(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var s = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = if (isFloat) vec.getFloat(off + i).toDouble else vec.getDouble(off + i)
+          val d = x - cw(i)
+          s += d * d
+          i += 1
+        }
+        // HALF_UP 9 dp via the BigDecimal.valueOf path — the exact
+        // rounding Spark's round() and the DuckDB oracle apply; rounding
+        // decides ties between near-equal codewords, so it must match
+        val r = java.math.BigDecimal.valueOf(s)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (r < bestD) { bestD = r; best = c } // tie keeps the smaller code
+        c += 1
+      }
+      out(j) = best
+      off += subDim
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   /** Registers the graft_* expression family for SQL/expr use in this
     * session (idempotent).

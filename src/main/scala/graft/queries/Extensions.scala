@@ -453,27 +453,14 @@ object Extensions {
       ORDER BY query_id, rank
     """.trim))
 
-  /** Product-quantization search (ADC): corpus encoded to m=8 dense
-    * codeword indices (8 bytes/vector vs 256 — the canonical
-    * memory-bound compression), reconstructed from the codebook
-    * literals scan-side, ranked asymmetrically against full-precision
-    * queries. Codebook = sub-slices of every 25th vector in id order
-    * (dense codes, so reconstruction is element_at in both engines).
-    * L2 codeword assignment, ascending-fold summation, 9 dp — the same
-    * determinism recipe as k-means/IVF.
+  /** Shared DuckDB CTE chain for PQ encode + reconstruct (the oracle
+    * twin of `pqTrain`/`pqEncode`/`pqReconstruct` at m=8, codebook =
+    * every 5th vector in id order, dense codes): `rec` is the
+    * reconstructed corpus as (vec_id, embedding).
     */
-  val annPq = Q(
-    "ann_pq_topk",
-    (s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      Similarity.pqTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
-          emb.filter(col("vec_id") % 25 === 0),
-          "vec_id", "embedding", m = 8, k = 5)
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""
-      WITH cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
-                   FROM embeddings WHERE vec_id % 25 = 0),
+  private def pqRecCtes: String = s"""
+      cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+                   FROM embeddings WHERE vec_id % 5 = 0),
       sp AS (SELECT unnest(range(8)) AS sub),
       cb AS (SELECT b.code, s.sub,
                     list_transform(range(8), i -> b.embedding[s.sub*8 + i + 1]::DOUBLE) AS cw
@@ -487,12 +474,78 @@ object Extensions {
                 SELECT vec_id, sub, code,
                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
                 FROM d) WHERE rn = 1),
-      rec AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.sub)) AS cv
+      rec AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.sub)) AS embedding
               FROM enc e JOIN cb c ON c.sub = e.sub AND c.code = e.code
-              GROUP BY e.vec_id),
+              GROUP BY e.vec_id)"""
+
+  /** Product-quantization search (ADC): corpus encoded to m=8 dense
+    * codeword indices (8 bytes/vector vs 256 — the canonical
+    * memory-bound compression), reconstructed from the codebook
+    * literals scan-side, ranked asymmetrically against full-precision
+    * queries. Codebook = sub-slices of every 5th vector in id order
+    * (dense codes, so reconstruction is element_at in both engines).
+    * L2 codeword assignment, ascending-fold summation, 9 dp — the same
+    * determinism recipe as k-means/IVF.
+    */
+  val annPq = Q(
+    "ann_pq_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.pqTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
+          emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", m = 8, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $pqRecCtes,
       q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
-      p AS (SELECT query_id, rec.vec_id AS neighbor_id, ${sqlCos("qv", "cv")} AS sim
+      p AS (SELECT query_id, rec.vec_id AS neighbor_id, ${sqlCos("qv", "rec.embedding")} AS sim
             FROM q, rec WHERE query_id <> rec.vec_id)
+      SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM p) WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
+  /** IVF-PQ — both scale levers composed, the architecture a 100 TB
+    * vector index actually runs (FAISS IVFPQ): lists assigned on the
+    * original vectors at index build (assignment precedes quantization),
+    * m-byte PQ codes stored, full-precision queries probe nprobe lists
+    * and rank against the reconstruction. Per-query cost is nprobe/c of
+    * an index 32× smaller than float32.
+    */
+  val annIvfPq = Q(
+    "ann_ivfpq_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
+          emb.filter(col("vec_id") % 37 === 0), emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", "vec_id", "embedding", m = 8, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $pqRecCtes,
+      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0),
+      corp_a AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t)
+        WHERE rn = 1),
+      corp AS (SELECT a.vec_id, a.cid, r.embedding
+               FROM corp_a a JOIN rec r USING (vec_id)),
+      q_a AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
+        WHERE rn <= 2),
+      p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${sqlCos("q.embedding", "c.embedding")} AS sim
+            FROM q_a q JOIN corp c ON q.cid = c.cid AND q.vec_id <> c.vec_id)
       SELECT query_id, neighbor_id, rank, sim FROM (
         SELECT query_id, neighbor_id, sim,
                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -1048,7 +1101,7 @@ object Extensions {
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupFuzzy,
-    annBrute, annLsh, annIvf, annIvfQuantized, annPq,
+    annBrute, annLsh, annIvf, annIvfQuantized, annPq, annIvfPq,
     annKmeansAssign, annKmeansIter, annQuantize,
     annQuantizedTopk,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,

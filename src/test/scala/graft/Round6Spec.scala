@@ -101,6 +101,19 @@ class Round6Spec extends SparkSpec {
       cs.forall(c => c >= 0 && c < model.ksub)))
   }
 
+  test("ann_ivfpq_topk: composed PQ + IVF serving still finds real neighbors") {
+    val exact = graft.queries.Registry.queries("ann_cosine_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = graft.queries.Registry.queries("ann_ivfpq_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && ivfpq.nonEmpty)
+    // both levers at once: the ceiling is the coarse probe (ann_ivf_topk
+    // reaches 0.24 here) degraded by PQ ranking fidelity — measured 0.12,
+    // far from the ~0 of 25 random corpus picks
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.10, s"IVFPQ recall@5: $recall")
+  }
+
   test("pqTrain rejects dims not divisible by m") {
     val train = Seq((0L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
