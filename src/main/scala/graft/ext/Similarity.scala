@@ -265,9 +265,13 @@ object Similarity {
   def ivfQuantizedTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
       centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    // materialized index build: projection collapse would otherwise
+    // inline the quantize+reconstruct chain into the probe join and
+    // re-evaluate it per candidate pair (see pqTopK)
     val recon = quantizeInt8(corpus, idCol, vecCol)
       .select(col(idCol),
         transform(col("codes"), c => c.cast("double") * col("scale")).as(vecCol))
+      .localCheckpoint()
     ivfTopK(spark, recon, queries, centroids, idCol, vecCol,
       centIdCol, centVecCol, k, nprobe)
   }
@@ -333,13 +337,16 @@ object Similarity {
     df.select(col(idCol), pqCodes(col(vecCol), model).as("codes"))
 
   /** Reconstruct the approximated vector from PQ codes: concatenate the
-    * selected codeword of each sub-space (codebooks inline as array
-    * literals; `element_at` is 1-based).
+    * selected codeword of each sub-space via the codegen'd
+    * [[graft.functions.PqDecode]] kernel (codebook as a plan-literal
+    * reference object — an element_at/concat over typedLit codebooks
+    * would inline m × ksub × subDim doubles into the plan).
     */
-  def pqReconstruct(codes: Column, model: PqModel): Column =
-    concat((0 until model.m).map { j =>
-      element_at(typedLit(model.books(j)), element_at(codes, j + 1) + 1)
-    }: _*)
+  def pqReconstruct(codes: Column, model: PqModel): Column = {
+    import org.apache.spark.sql.graft.PlanDf
+    PlanDf.column(graft.functions.PqDecode(
+      PlanDf.expression(codes), model.booksArray))
+  }
 
   /** Asymmetric PQ search (ADC): corpus encoded to m-byte codes and
     * reconstructed scan-side, queries full-precision, exact cosine
@@ -352,8 +359,14 @@ object Similarity {
   def pqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       train: DataFrame, idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
     val model = pqTrain(train, idCol, vecCol, m)
+    // materialize the reconstruction before the ranking join: the
+    // broadcast nested-loop join re-evaluates streamed-side projections
+    // per PAIR, turning a one-pass encode into queries× passes (measured
+    // 52 s vs 0.5 s at sf0.1). The checkpoint is the decoded corpus —
+    // exactly the array a real ADC scan holds in memory.
     val recon = pqEncode(corpus, idCol, vecCol, model)
       .select(col(idCol), pqReconstruct(col("codes"), model).as(vecCol))
+      .localCheckpoint()
     bruteForceTopK(spark, recon, queries, idCol, vecCol, k)
   }
 
@@ -377,11 +390,16 @@ object Similarity {
     VectorExpressions.register(spark)
     val model = pqTrain(train, idCol, vecCol, m)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    // the materialized inverted lists (id, list, codes, reconstruction)
+    // — the index-build artifact itself; without the checkpoint,
+    // projection collapse inlines encode+decode into the probe join and
+    // re-evaluates them per candidate pair (see pqTopK)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
       .withColumn("__codes", pqCodes(col("__v"), model))
       .withColumn("neighbor_list", explode(nearestCentroids(col("__v"), cents, 1)))
       .withColumn("__cv2", pqReconstruct(col("__codes"), model))
       .drop("__v")
+      .localCheckpoint()
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("query_list", explode(nearestCentroids(col("__qv"), cents, nprobe)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))

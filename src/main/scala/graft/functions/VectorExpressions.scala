@@ -332,6 +332,10 @@ case class PqEncodeCodes(child: Expression, books: Array[Array[Array[Double]]])
 }
 
 object PqEncodeCodes {
+  private def round9(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
   def compute(vec: ArrayData, books: Array[Array[Array[Double]]],
       isFloat: Boolean): ArrayData = {
     val m = books.length
@@ -342,7 +346,7 @@ object PqEncodeCodes {
       val book = books(j)
       val subDim = book(0).length
       var best = 0
-      var bestD = Double.MaxValue
+      var bestRaw = Double.MaxValue
       var c = 0
       while (c < book.length) {
         val cw = book(c)
@@ -354,16 +358,72 @@ object PqEncodeCodes {
           s += d * d
           i += 1
         }
-        // HALF_UP 9 dp via the BigDecimal.valueOf path — the exact
-        // rounding Spark's round() and the DuckDB oracle apply; rounding
-        // decides ties between near-equal codewords, so it must match
-        val r = java.math.BigDecimal.valueOf(s)
-          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
-        if (r < bestD) { bestD = r; best = c } // tie keeps the smaller code
+        // The oracle orders by (HALF_UP round to 9 dp, code). Rounding
+        // moves a value by <= 5e-10, so when two raw sums are more than
+        // 2e-9 apart their rounded order equals their raw order and the
+        // BigDecimal path (valueOf → Double.toString, the dominant cost
+        // at ksub=1000 — it single-threaded a whole scan partition) is
+        // skipped; only genuine near-ties pay it, and there the rounded
+        // comparison decides exactly as Spark's round()/the oracle.
+        if (s < bestRaw - 2e-9) { bestRaw = s; best = c }
+        else if (s < bestRaw + 2e-9) {
+          val rs = round9(s)
+          val rb = round9(bestRaw)
+          if (rs < rb) { bestRaw = s; best = c } // equal keeps the smaller code
+        }
         c += 1
       }
       out(j) = best
       off += subDim
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** PQ reconstruction: m dense codes → the concatenated codewords, with
+  * the codebook as a plan-literal reference object. The element_at/
+  * concat formulation inlines the full codebook (m × ksub × subDim
+  * doubles) as typedLit array literals — at ksub=1000 that is 64k
+  * doubles of plan/codegen weight per query; this kernel keeps the plan
+  * O(1) and the copy a tight loop.
+  */
+case class PqDecode(child: Expression, books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq decode expects array<int> codes, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PqDecode.compute(v.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PqDecode.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqDecode {
+  def compute(codes: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    var dims = 0
+    var j = 0
+    while (j < m) { dims += books(j)(0).length; j += 1 }
+    val out = new Array[Double](dims)
+    var off = 0
+    j = 0
+    while (j < m) {
+      val cw = books(j)(codes.getInt(j))
+      System.arraycopy(cw, 0, out, off, cw.length)
+      off += cw.length
       j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
