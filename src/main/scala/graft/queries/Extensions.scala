@@ -365,12 +365,12 @@ object Extensions {
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
-          emb.filter(col("vec_id") % 37 === 0),
+          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
           "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
-      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0),
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
       corp_a AS (
         SELECT vec_id, embedding, cid FROM (
           SELECT e.vec_id, e.embedding, t.cid,
@@ -412,7 +412,7 @@ object Extensions {
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfQuantizedTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
-          emb.filter(col("vec_id") % 37 === 0),
+          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
           "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
@@ -428,7 +428,7 @@ object Extensions {
              FROM qn),
       rec AS (SELECT vec_id, list_transform(range(len(codes)), i -> codes[i+1] * s) AS embedding
               FROM cq),
-      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0),
+      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
       corp_a AS (
         SELECT vec_id, embedding, cid FROM (
           SELECT e.vec_id, e.embedding, t.cid,
@@ -460,7 +460,7 @@ object Extensions {
     */
   private def pqRecCtes: String = s"""
       cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
-                   FROM embeddings WHERE vec_id % 5 = 0),
+                   FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 5000),
       sp AS (SELECT unnest(range(8)) AS sub),
       cb AS (SELECT b.code, s.sub,
                     list_transform(range(8), i -> b.embedding[s.sub*8 + i + 1]::DOUBLE) AS cw
@@ -482,7 +482,7 @@ object Extensions {
     * codeword indices (8 bytes/vector vs 256 — the canonical
     * memory-bound compression), reconstructed from the codebook
     * literals scan-side, ranked asymmetrically against full-precision
-    * queries. Codebook = sub-slices of every 5th vector in id order
+    * queries. Codebook = sub-slices of every 5th vector under id 5000 (a SCALE-FIXED model input: corpus growth must not grow the codebook)
     * (dense codes, so reconstruction is element_at in both engines).
     * L2 codeword assignment, ascending-fold summation, 9 dp — the same
     * determinism recipe as k-means/IVF.
@@ -492,7 +492,7 @@ object Extensions {
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.pqTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
-          emb.filter(col("vec_id") % 5 === 0),
+          emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000),
           "vec_id", "embedding", m = 8, k = 5)
         .orderBy(col("query_id"), col("rank"))
     },
@@ -520,13 +520,14 @@ object Extensions {
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfPqTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
-          emb.filter(col("vec_id") % 37 === 0), emb.filter(col("vec_id") % 5 === 0),
+          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
+          emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000),
           "vec_id", "embedding", "vec_id", "embedding", m = 8, k = 5, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
       WITH $pqRecCtes,
-      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0),
+      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
       corp_a AS (
         SELECT vec_id, cid FROM (
           SELECT e.vec_id, t.cid,
@@ -862,13 +863,13 @@ object Extensions {
     "ann_kmeans_assign",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val cent = emb.filter(col("vec_id") % 250 === 0)
+      val cent = emb.filter(col("vec_id") % 250 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       kmeansRollup(Similarity.kmeansAssign(s, emb, cent,
         "vec_id", "embedding", "cid", "cv"))
     },
     Some(s"""
-      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0 AND vec_id < 5000),
       a AS (SELECT vec_id, cid, sim,
                    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
             FROM (SELECT e.vec_id, c.cid, ${sqlCos("e.embedding", "c.cv")} AS sim
@@ -890,13 +891,13 @@ object Extensions {
     "ann_kmeans_iter",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val cent = emb.filter(col("vec_id") % 250 === 0)
+      val cent = emb.filter(col("vec_id") % 250 === 0 && col("vec_id") < 5000)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       kmeansRollup(Similarity.kmeansLloydRound(s, emb, "vec_id", "embedding",
         cent, "cid", "cv"))
     },
     Some(s"""
-      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0),
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 250 = 0 AND vec_id < 5000),
       a0 AS (SELECT vec_id, embedding, cid,
                     row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
              FROM (SELECT e.vec_id, e.embedding, c.cid, ${sqlCos("e.embedding", "c.cv")} AS sim
