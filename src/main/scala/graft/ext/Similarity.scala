@@ -348,17 +348,74 @@ object Similarity {
       PlanDf.expression(codes), model.booksArray))
   }
 
-  /** Asymmetric PQ search (ADC): corpus encoded to m-byte codes and
-    * reconstructed scan-side, queries full-precision, exact cosine
-    * ranks. This is the memory-bound FULL-SCAN architecture (every
-    * vector still scored, but from a 16-32× smaller index that fits in
-    * RAM); for probe-limited serving at 100 TB compose the encoded
-    * corpus with the IVF lists exactly as [[ivfQuantizedTopK]] does for
-    * scalar codes.
+  /** Lloyd-refined PQ codebook: the proper k-means training step on top
+    * of [[pqTrain]]'s sampled initialization. Training rows are a model
+    * input (collected under the same inline cap), so the per-sub-space
+    * Lloyd rounds run driver-side over at most [[MaxInlineCentroids]]
+    * sub-vectors — deterministic: stratified id-order init (identical
+    * to the every-n-th sampled codebook), ascending-order sums, empty
+    * clusters keep their codeword. Lloyd monotonically reduces training
+    * quantization MSE vs that init, so a refined codebook is never
+    * worse than the sampled one it starts from (asserted in
+    * Round6Spec). The refined model drops into [[pqEncode]] /
+    * [[pqTopK]] / [[ivfPqTopK]] unchanged.
     */
-  def pqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-      train: DataFrame, idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
-    val model = pqTrain(train, idCol, vecCol, m)
+  def pqTrainRefined(train: DataFrame, idCol: String, vecCol: String, m: Int,
+      ksub: Int, iters: Int = 5): PqModel = {
+    val rows = collectCentroids(train, idCol, vecCol)
+    val dims = rows.head._2.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m sub-spaces")
+    require(ksub >= 1 && ksub <= rows.length,
+      s"ksub=$ksub must be in [1, ${rows.length} training rows]")
+    require(iters >= 0)
+    val subDim = dims / m
+    val books = (0 until m).map { j =>
+      val subs = rows.map(_._2.slice(j * subDim, (j + 1) * subDim).toArray)
+      var book = Array.tabulate(ksub)(c => subs((c * subs.length) / ksub).clone())
+      val assign = new Array[Int](subs.length)
+      var it = 0
+      var changed = true
+      while (it < iters && changed) {
+        changed = false
+        var i = 0
+        while (i < subs.length) {
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var s = 0.0
+            var d = 0
+            while (d < subDim) { val t = subs(i)(d) - book(c)(d); s += t * t; d += 1 }
+            if (s < bd) { bd = s; best = c }
+            c += 1
+          }
+          if (assign(i) != best) { assign(i) = best; changed = true }
+          i += 1
+        }
+        val sums = Array.fill(ksub)(new Array[Double](subDim))
+        val counts = new Array[Int](ksub)
+        var i2 = 0
+        while (i2 < subs.length) {
+          val c = assign(i2)
+          counts(c) += 1
+          var d = 0
+          while (d < subDim) { sums(c)(d) += subs(i2)(d); d += 1 }
+          i2 += 1
+        }
+        book = Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) book(c)
+          else Array.tabulate(subDim)(d => sums(c)(d) / counts(c))
+        }
+        it += 1
+      }
+      book.map(_.toSeq).toIndexedSeq
+    }
+    PqModel(m, subDim, books.toIndexedSeq)
+  }
+
+  /** [[pqTopK]] over a pre-trained model (sampled or Lloyd-refined). */
+  def pqTopKWithModel(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      model: PqModel, idCol: String, vecCol: String, k: Int): DataFrame = {
     // materialize the reconstruction before the ranking join: the
     // broadcast nested-loop join re-evaluates streamed-side projections
     // per PAIR, turning a one-pass encode into queries× passes (measured
@@ -369,6 +426,19 @@ object Similarity {
       .localCheckpoint()
     bruteForceTopK(spark, recon, queries, idCol, vecCol, k)
   }
+
+  /** Asymmetric PQ search (ADC): corpus encoded to m-byte codes and
+    * reconstructed scan-side, queries full-precision, exact cosine
+    * ranks. This is the memory-bound FULL-SCAN architecture (every
+    * vector still scored, but from a 16-32× smaller index that fits in
+    * RAM); for probe-limited serving at 100 TB compose the encoded
+    * corpus with the IVF lists exactly as [[ivfQuantizedTopK]] does for
+    * scalar codes.
+    */
+  def pqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      train: DataFrame, idCol: String, vecCol: String, m: Int, k: Int): DataFrame =
+    pqTopKWithModel(spark, corpus, queries, pqTrain(train, idCol, vecCol, m),
+      idCol, vecCol, k)
 
   /** IVF-PQ serving — the canonical memory-bound + probe-limited ANN
     * architecture (FAISS IVFPQ): at INDEX BUILD the corpus is

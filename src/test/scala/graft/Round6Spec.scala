@@ -114,6 +114,36 @@ class Round6Spec extends SparkSpec {
     assert(recall >= 0.10, s"IVFPQ recall@5: $recall")
   }
 
+  test("Lloyd-refined PQ codebook: training MSE never above its sampled init; recall holds") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    // the sampled codebook (every 5th of the 500-row corpus) is EXACTLY
+    // pqTrainRefined's stratified init at ksub=100, so Lloyd's monotone
+    // MSE property makes this a hard guarantee, not a tuning accident
+    val train = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000)
+    val sampled = Similarity.pqTrain(train, "vec_id", "embedding", m = 8)
+    val refined = Similarity.pqTrainRefined(emb, "vec_id", "embedding", m = 8,
+      ksub = 100, iters = 5)
+    def mse(model: Similarity.PqModel): Double = {
+      val recon = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+        .select(col("vec_id"), Similarity.pqReconstruct(col("codes"), model).as("r"))
+      emb.join(recon, "vec_id")
+        .select(aggregate(zip_with(col("embedding"), col("r"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (a, x) => a + x).as("e"))
+        .agg(avg(col("e"))).as[Double].collect()(0)
+    }
+    val (mSampled, mRefined) = (mse(sampled), mse(refined))
+    assert(mRefined <= mSampled + 1e-12,
+      s"refined codebook MSE $mRefined vs sampled $mSampled")
+    val exact = graft.queries.Registry.queries("ann_cosine_topk")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.pqTopKWithModel(spark, emb,
+        emb.filter(col("vec_id") % 100 === 0), refined, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.2, s"refined-codebook recall@5: $recall")
+  }
+
   test("pqTrain rejects dims not divisible by m") {
     val train = Seq((0L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
