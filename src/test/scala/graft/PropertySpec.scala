@@ -227,4 +227,47 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("PqEncodeCodes near-tie fast path matches the always-rounding reference") {
+    // the kernel skips BigDecimal rounding when raw sums are > 2e-9
+    // apart; this reference rounds EVERY distance (the oracle's exact
+    // semantics) — any divergence is a fast-path bug. Vectors include
+    // planted exact duplicates of codewords (forced 0-distance ties)
+    // and near-identical codewords (forced near-ties).
+    def round9(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val dims = 8; val m = 2; val subDim = dims / m
+    val cwGen: Gen[Seq[Double]] =
+      Gen.listOfN(subDim, Gen.chooseNum(-2.0, 2.0)).map(_.map(round9))
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val base = samples(cwGen, 6).map(_.toArray).toArray
+      // a near-duplicate codeword pair: distances differ by ~1e-10,
+      // inside the 2e-9 near-tie window, so rounding decides
+      base :+ { val a = base.head.clone(); a(0) += 1e-10; a }
+    }
+    val model = graft.ext.Similarity.PqModel(m, subDim,
+      books.map(_.map(_.toSeq).toIndexedSeq).toIndexedSeq)
+    val vecGen: Gen[Seq[Float]] =
+      Gen.listOfN(dims, Gen.chooseNum(-2f, 2f))
+    val planted = books(0).take(2).map(cw =>
+      (cw ++ books(1)(0)).map(_.toFloat).toSeq)
+    val vecs = (samples(vecGen, 150) ++ planted)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val got = graft.ext.Similarity.pqEncode(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val expect = (0 until m).map { j =>
+        val sub = v.slice(j * subDim, (j + 1) * subDim).map(_.toDouble)
+        books(j).zipWithIndex.map { case (cw, c) =>
+          var s = 0.0
+          var i = 0
+          while (i < subDim) { val d = sub(i) - cw(i); s += d * d; i += 1 }
+          (round9(s), c)
+        }.min._2
+      }
+      assert(got(id) === expect, s"vec $id: kernel ${got(id)} vs reference $expect")
+    }
+  }
 }
