@@ -591,36 +591,84 @@ object Extensions {
     * and the sign bucket is identical, so recall of true near-dups is
     * exercised).
     */
-  val dedupEmbedding = Q(
-    "dedup_embedding_pairs",
-    (s, dir) => {
-      graft.functions.VectorExpressions.register(s)
-      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val aug = emb.unionByName(emb.select(
-        (col("vec_id") + 100000L).as("vec_id"),
-        expr("transform(embedding, x -> x * cast(1.01 as float))").as("embedding")))
-      val withBucket = aug.withColumn("__b", Similarity.signBucket(col("embedding"), 6))
-      val a = withBucket.select(col("vec_id").as("doc_a"), col("embedding").as("__ea"), col("__b"))
-      val b = withBucket.select(col("vec_id").as("doc_b"), col("embedding").as("__eb"),
-        col("__b").as("__b2"))
-      a.join(b, col("__b") === col("__b2") && col("doc_a") < col("doc_b"))
-        .withColumn("sim", round(expr("graft_cosine(__ea, __eb)"), 9))
-        .filter(col("sim") >= 0.999)
-        .select(col("doc_a"), col("doc_b"), col("sim"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
-    Some(s"""
-      WITH aug AS (
+  /** Shared by `dedup_embedding_pairs` and `dedup_semantic`: the
+    * augmented embedding corpus (planted scaled copies) and its
+    * sign-bucket-proposed, cosine-verified near-dup pairs.
+    */
+  private def embeddingPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.functions.VectorExpressions.register(s)
+    val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val aug = emb.unionByName(emb.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(embedding, x -> x * cast(1.01 as float))").as("embedding")))
+    val withBucket = aug.withColumn("__b", Similarity.signBucket(col("embedding"), 6))
+    val a = withBucket.select(col("vec_id").as("doc_a"), col("embedding").as("__ea"), col("__b"))
+    val b = withBucket.select(col("vec_id").as("doc_b"), col("embedding").as("__eb"),
+      col("__b").as("__b2"))
+    val pairs = a.join(b, col("__b") === col("__b2") && col("doc_a") < col("doc_b"))
+      .withColumn("sim", round(expr("graft_cosine(__ea, __eb)"), 9))
+      .filter(col("sim") >= 0.999)
+    (aug, pairs)
+  }
+
+  /** DuckDB twin of [[embeddingPairs]]'s aug/wb CTEs. */
+  private def embeddingPairCtes: String = s"""
+      aug AS (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
         SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.01::FLOAT)
         FROM embeddings),
-      wb AS (SELECT vec_id, embedding, ${sqlBucket("embedding", 6)} AS b FROM aug)
+      wb AS (SELECT vec_id, embedding, ${sqlBucket("embedding", 6)} AS b FROM aug)"""
+
+  val dedupEmbedding = Q(
+    "dedup_embedding_pairs",
+    (s, dir) => {
+      val (_, pairs) = embeddingPairs(s, dir)
+      pairs.select(col("doc_a"), col("doc_b"), col("sim"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH $embeddingPairCtes
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
              ${sqlCos("a.embedding", "b.embedding")} AS sim
       FROM wb a JOIN wb b ON a.b = b.b AND a.vec_id < b.vec_id
       WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.999
       ORDER BY doc_a, doc_b
+    """.trim))
+
+  /** Semantic deduplication (the SemDeDup recipe): embedding near-dup
+    * PAIRS become semantic CLUSTERS via connected components, and one
+    * canonical document (the min id) survives per cluster. This is the
+    * end-to-end shape an LLM corpus pipeline actually applies —
+    * sign-bucket propose → exact-cosine verify → hash-min CC → keep
+    * flag — every stage the bounded, never-n² machinery already pinned
+    * by dedup_embedding_pairs and dedup_clusters.
+    */
+  val dedupSemantic = Q(
+    "dedup_semantic",
+    (s, dir) => {
+      val (aug, pairs) = embeddingPairs(s, dir)
+      Dedup.clusterAssignment(aug, pairs.select(col("doc_a"), col("doc_b")), "vec_id")
+        .withColumn("keep", (col("vec_id") === col("cluster_id")).cast("int"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $embeddingPairCtes,
+      pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+                FROM wb a JOIN wb b ON a.b = b.b AND a.vec_id < b.vec_id
+                WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.999),
+      edges AS (SELECT doc_a AS sv, doc_b AS dv FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(sv, dv) AS (SELECT sv, dv FROM edges
+                        UNION SELECT r.sv, e.dv FROM reach r JOIN edges e ON r.dv = e.sv),
+      comp AS (SELECT sv AS vec_id, min(dv) AS mn FROM reach GROUP BY sv)
+      SELECT a.vec_id,
+             coalesce(least(c.mn, a.vec_id), a.vec_id) AS cluster_id,
+             CAST(CASE WHEN coalesce(least(c.mn, a.vec_id), a.vec_id) = a.vec_id
+                  THEN 1 ELSE 0 END AS INT) AS keep
+      FROM aug a LEFT JOIN comp c USING (vec_id)
+      ORDER BY vec_id
     """.trim))
 
   // ---- text analysis -----------------------------------------------------
@@ -1101,7 +1149,7 @@ object Extensions {
 
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
-    dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupFuzzy,
+    dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupSemantic, dedupFuzzy,
     annBrute, annLsh, annIvf, annIvfQuantized, annPq, annIvfPq,
     annKmeansAssign, annKmeansIter, annQuantize,
     annQuantizedTopk,

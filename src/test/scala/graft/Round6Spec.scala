@@ -144,6 +144,20 @@ class Round6Spec extends SparkSpec {
     assert(recall >= 0.2, s"refined-codebook recall@5: $recall")
   }
 
+  test("dedup_semantic keeps exactly one canonical doc per semantic cluster") {
+    val got = graft.queries.Registry.queries("dedup_semantic")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (cluster, rows) =>
+      assert(rows.map(_._3).sum === 1, s"cluster $cluster keep count != 1")
+      assert(rows.exists(r => r._1 == cluster && r._3 == 1),
+        s"cluster $cluster canonical is not the min id")
+    }
+    // the planted scaled copies must actually collapse: strictly fewer
+    // survivors than documents
+    assert(got.count(_._3 == 1) < got.length)
+  }
+
   test("pqTrain rejects dims not divisible by m") {
     val train = Seq((0L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
