@@ -482,6 +482,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** IVF range search — the second serving mode (FAISS range_search):
+    * instead of a fixed top-k, return EVERY probed-list neighbor with
+    * cosine ≥ `minSim`. The plan is [[ivfTopK]] minus the ranking
+    * window: scan-side coarse assignment, broadcast probe join on the
+    * list id, a threshold filter — no window at all, so the per-query
+    * cost is pure probe volume. Range search is what near-duplicate
+    * harvesting and radius-bounded retrieval run at corpus scale, where
+    * the neighbor count per query is data-dependent and a top-k cap
+    * would silently truncate dense neighborhoods.
+    */
+  def ivfRangeSearch(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String, minSim: Double,
+      nprobe: Int = 1): DataFrame = {
+    VectorExpressions.register(spark)
+    val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    def assign(df: DataFrame, outId: String, outVec: String, lists: Int): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+        .withColumn(s"${outId}_list",
+          explode(nearestCentroids(col(outVec), cents, lists)))
+    val q = assign(queries, "query_id", "__qv", nprobe)
+    val c = assign(corpus, "neighbor_id", "__cv2", 1)
+    c.join(broadcast(q),
+        col("query_id_list") === col("neighbor_id_list") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(expr("graft_cosine(__qv, __cv2)"), 9))
+      .filter(col("sim") >= minSim)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
   /** Deterministic k-means assignment: every vector goes to its most
     * cosine-similar centroid (9 dp, centroid-id tiebreak — smaller id
     * wins a tie). The centroid table is a model input — k rows — so it

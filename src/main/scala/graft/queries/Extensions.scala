@@ -554,6 +554,45 @@ object Extensions {
       ORDER BY query_id, rank
     """.trim))
 
+  /** IVF range search — radius-bounded retrieval (every probed-list
+    * neighbor with cosine ≥ 0.2) instead of a fixed top-k: the serving
+    * mode near-dup harvesting uses, where a k cap would silently
+    * truncate dense neighborhoods. No window in the plan at all.
+    */
+  val annRangeSearch = Q(
+    "ann_range_search",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfRangeSearch(s, emb, emb.filter(col("vec_id") % 100 === 0),
+          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
+          "vec_id", "embedding", "vec_id", "embedding", minSim = 0.2, nprobe = 2)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id % 37 = 0 AND vec_id < 5000),
+      corp_a AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t)
+        WHERE rn = 1),
+      q_a AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
+        WHERE rn <= 2)
+      SELECT query_id, neighbor_id, sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ${sqlCos("q.embedding", "c.embedding")} AS sim
+        FROM q_a q JOIN corp_a c ON q.cid = c.cid AND q.vec_id <> c.vec_id)
+      WHERE sim >= 0.2
+      ORDER BY query_id, neighbor_id
+    """.trim))
+
   /** int8 scalar quantization of the embedding table: per-vector scale,
     * exact codes (pinned via md5 of the code list) and max
     * reconstruction error. floor(x/s + 0.5) keeps the half-case
@@ -1150,7 +1189,7 @@ object Extensions {
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupSemantic, dedupFuzzy,
-    annBrute, annLsh, annIvf, annIvfQuantized, annPq, annIvfPq,
+    annBrute, annLsh, annIvf, annIvfQuantized, annPq, annIvfPq, annRangeSearch,
     annKmeansAssign, annKmeansIter, annQuantize,
     annQuantizedTopk,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,

@@ -144,6 +144,20 @@ class Round6Spec extends SparkSpec {
     assert(recall >= 0.2, s"refined-codebook recall@5: $recall")
   }
 
+  test("ivfRangeSearch plans no window and no cartesian — pure probe volume") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val df = Similarity.ivfRangeSearch(spark, emb,
+      emb.filter(col("vec_id") % 100 === 0),
+      emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
+      "vec_id", "embedding", "vec_id", "embedding", minSim = 0.2, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window "), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // radius semantics: every returned pair clears the threshold
+    assert(df.agg(min(col("sim"))).as[Double].collect()(0) >= 0.2)
+  }
+
   test("dedup_semantic keeps exactly one canonical doc per semantic cluster") {
     val got = graft.queries.Registry.queries("dedup_semantic")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
