@@ -512,6 +512,38 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"))
   }
 
+  /** Filtered vector search: top-k restricted to neighbors satisfying a
+    * metadata predicate (here: same label as the query — the
+    * filtered-ANN shape every production vector store serves). The
+    * predicate joins INTO the probe — filter-during-search — rather
+    * than filtering a plain top-k's output, which would under-fill k
+    * whenever a neighborhood is label-diverse. Plan shape is exactly
+    * [[ivfTopK]] with the label equality folded into the broadcast
+    * probe join condition; cost is unchanged.
+    */
+  def ivfFilteredTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    VectorExpressions.register(spark)
+    val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col(labelCol).as("__ql"))
+      .withColumn("query_list", explode(nearestCentroids(col("__qv"), cents, nprobe)))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv2"),
+        col(labelCol).as("__cl"))
+      .withColumn("neighbor_list", explode(nearestCentroids(col("__cv2"), cents, 1)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("query_list") === col("neighbor_list") &&
+          col("__ql") === col("__cl") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(expr("graft_cosine(__qv, __cv2)"), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("__ql").as("label"), col("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
   /** Deterministic k-means assignment: every vector goes to its most
     * cosine-similar centroid (9 dp, centroid-id tiebreak — smaller id
     * wins a tie). The centroid table is a model input — k rows — so it

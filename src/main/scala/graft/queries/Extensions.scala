@@ -593,6 +593,48 @@ object Extensions {
       ORDER BY query_id, neighbor_id
     """.trim))
 
+  /** Filtered vector search: per-query top-3 among probed-list
+    * neighbors sharing the query's label — the metadata predicate is
+    * part of the probe join (filter-during-search), never a post-top-k
+    * filter that under-fills k.
+    */
+  val annFilteredTopk = Q(
+    "ann_filtered_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfFilteredTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
+          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
+          "vec_id", "embedding", "label", "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id % 37 = 0 AND vec_id < 5000),
+      corp_a AS (
+        SELECT vec_id, embedding, label, cid FROM (
+          SELECT e.vec_id, e.embedding, e.label, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t)
+        WHERE rn = 1),
+      q_a AS (
+        SELECT vec_id, embedding, label, cid FROM (
+          SELECT e.vec_id, e.embedding, e.label, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
+        WHERE rn <= 2),
+      p AS (SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+                   ${sqlCos("q.embedding", "c.embedding")} AS sim
+            FROM q_a q JOIN corp_a c
+              ON q.cid = c.cid AND q.label = c.label AND q.vec_id <> c.vec_id)
+      SELECT query_id, label, neighbor_id, rank, sim FROM (
+        SELECT query_id, label, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM p) WHERE rank <= 3
+      ORDER BY query_id, rank
+    """.trim))
+
   /** int8 scalar quantization of the embedding table: per-vector scale,
     * exact codes (pinned via md5 of the code list) and max
     * reconstruction error. floor(x/s + 0.5) keeps the half-case
@@ -1190,7 +1232,7 @@ object Extensions {
     dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupSemantic, dedupFuzzy,
     annBrute, annLsh, annIvf, annIvfQuantized, annPq, annIvfPq, annRangeSearch,
-    annKmeansAssign, annKmeansIter, annQuantize,
+    annFilteredTopk, annKmeansAssign, annKmeansIter, annQuantize,
     annQuantizedTopk,
     textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup, textRepetition, textDecontaminate, textLmScore,

@@ -158,6 +158,20 @@ class Round6Spec extends SparkSpec {
     assert(df.agg(min(col("sim"))).as[Double].collect()(0) >= 0.2)
   }
 
+  test("ann_filtered_topk: every neighbor shares its query's label, k respected") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val got = graft.queries.Registry.queries("ann_filtered_topk")(spark, sf)
+      .select("query_id", "label", "neighbor_id", "rank")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, l, n, r) =>
+      assert(labels(q) === l && labels(n) === l,
+        s"query $q (label ${labels(q)}) returned neighbor $n (label ${labels(n)})")
+      assert(r >= 1 && r <= 3)
+    }
+  }
+
   test("dedup_semantic keeps exactly one canonical doc per semantic cluster") {
     val got = graft.queries.Registry.queries("dedup_semantic")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
