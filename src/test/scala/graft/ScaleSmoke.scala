@@ -62,6 +62,11 @@ import org.apache.spark.sql.functions._
   * centroid filter grow with the corpus (1351 inlined centroids) and
   * measured 22s/13s — the quantizer is a trained model, not a sample
   * of the data it indexes, and the inline caps + bounds enforce that.
+  * The late-round serving modes hold the same shape: ann_range_search
+  * 1.4s (29k threshold hits, windowless), ann_filtered_topk 1.4s
+  * (label predicate inside the probe join), dedup_semantic 4.6s
+  * (sign-bucket pairs → CC → canonical keep over a 100k-vector
+  * duplicate-dense corpus).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -131,7 +136,8 @@ object ScaleSmoke {
       "text_repetition",
       // round-6 ops: quantized/PQ index builds (scan-side encode +
       // materialized lists) and probe-limited serving over a 10× corpus
-      "ann_ivf_quantized", "ann_pq_topk", "ann_ivfpq_topk") ++
+      "ann_ivf_quantized", "ann_pq_topk", "ann_ivfpq_topk",
+      "ann_range_search", "ann_filtered_topk", "dedup_semantic") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     heavy.foreach { name =>
       val t0 = System.nanoTime()
