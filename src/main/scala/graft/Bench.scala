@@ -72,8 +72,12 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10).toMap
     val rerun = slowest.map { case (name, t1) =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> math.min(t1, (System.nanoTime() - t0) / 1e9)
+      // a FAILED rerun keeps the first-pass time: min() with a near-zero
+      // failure-path elapsed would understate steady (the BenchDetail
+      // failure mode) — breakage must never read as a speedup
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) math.min(t1, (System.nanoTime() - t0) / 1e9) else t1)
     }
     val steady = results.map { case (n, t) => rerun.getOrElse(n, t) }.sum
     val loadAfter = osBean.getSystemLoadAverage

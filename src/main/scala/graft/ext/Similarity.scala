@@ -159,20 +159,27 @@ object Similarity {
     * zero shuffle, zero window; a cross join + per-vector rank would
     * reshuffle k× the corpus.
     */
+  /** Scan-side coarse assignment shared by every IVF serving mode: one
+    * exploded (row, list-id) per probed list, from the inlined centroid
+    * argmin. A single definition so the list/tie semantics cannot
+    * silently diverge between top-k, range and filtered search.
+    */
+  private def withProbeLists(df: DataFrame, vecCol: String, listCol: String,
+      cents: Array[(Long, Seq[Double])], lists: Int): DataFrame =
+    df.withColumn(listCol, explode(nearestCentroids(col(vecCol), cents, lists)))
+
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
       centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
-    def assign(df: DataFrame, outId: String, outVec: String, lists: Int): DataFrame =
-      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-        .withColumn(s"${outId}_list",
-          explode(nearestCentroids(col(outVec), cents, lists)))
     // corpus rows live in exactly one list; queries probe their nprobe
     // nearest lists (standard IVF recall knob — scan cost rises linearly
     // with nprobe, never quadratically)
-    val q = assign(queries, "query_id", "__qv", nprobe)
-    val c = assign(corpus, "neighbor_id", "__cv2", 1)
+    val q = withProbeLists(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")), "__qv", "query_id_list", cents, nprobe)
+    val c = withProbeLists(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv2")), "__cv2", "neighbor_id_list", cents, 1)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q),
         col("query_id_list") === col("neighbor_id_list") &&
@@ -289,8 +296,13 @@ object Similarity {
     */
   final case class PqModel(m: Int, subDim: Int,
       books: IndexedSeq[IndexedSeq[Seq[Double]]]) {
+    require(m >= 1 && subDim >= 1 && books.nonEmpty && books.head.nonEmpty,
+      s"PQ codebook must be non-empty (m=$m, subDim=$subDim, books=${books.length})")
     def ksub: Int = books.head.length
-    require(books.length == m && books.forall(_.length == ksub))
+    require(books.length == m && books.forall(_.length == ksub),
+      s"codebook shape: expected $m sub-spaces x $ksub codewords")
+    require(books.forall(_.forall(_.length == subDim)),
+      s"every codeword must have subDim=$subDim dims")
     /** Primitive copy for the codegen'd assignment kernel. */
     private[graft] lazy val booksArray: Array[Array[Array[Double]]] =
       books.map(_.map(_.toArray).toArray).toArray
@@ -466,12 +478,12 @@ object Similarity {
     // re-evaluates them per candidate pair (see pqTopK)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
       .withColumn("__codes", pqCodes(col("__v"), model))
-      .withColumn("neighbor_list", explode(nearestCentroids(col("__v"), cents, 1)))
+      .transform(df => withProbeLists(df, "__v", "neighbor_list", cents, 1))
       .withColumn("__cv2", pqReconstruct(col("__codes"), model))
       .drop("__v")
       .localCheckpoint()
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("query_list", explode(nearestCentroids(col("__qv"), cents, nprobe)))
+      .transform(df => withProbeLists(df, "__qv", "query_list", cents, nprobe))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q),
         col("query_list") === col("neighbor_list") &&
@@ -498,12 +510,10 @@ object Similarity {
       nprobe: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
-    def assign(df: DataFrame, outId: String, outVec: String, lists: Int): DataFrame =
-      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-        .withColumn(s"${outId}_list",
-          explode(nearestCentroids(col(outVec), cents, lists)))
-    val q = assign(queries, "query_id", "__qv", nprobe)
-    val c = assign(corpus, "neighbor_id", "__cv2", 1)
+    val q = withProbeLists(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")), "__qv", "query_id_list", cents, nprobe)
+    val c = withProbeLists(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv2")), "__cv2", "neighbor_id_list", cents, 1)
     c.join(broadcast(q),
         col("query_id_list") === col("neighbor_id_list") &&
           col("query_id") =!= col("neighbor_id"))
@@ -526,12 +536,12 @@ object Similarity {
       centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        col(labelCol).as("__ql"))
-      .withColumn("query_list", explode(nearestCentroids(col("__qv"), cents, nprobe)))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv2"),
-        col(labelCol).as("__cl"))
-      .withColumn("neighbor_list", explode(nearestCentroids(col("__cv2"), cents, 1)))
+    val q = withProbeLists(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), col(labelCol).as("__ql")),
+      "__qv", "query_list", cents, nprobe)
+    val c = withProbeLists(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv2"), col(labelCol).as("__cl")),
+      "__cv2", "neighbor_list", cents, 1)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q),
         col("query_list") === col("neighbor_list") &&

@@ -353,6 +353,11 @@ object PqEncodeCodes {
         var s = 0.0
         var i = 0
         while (i < subDim) {
+          // a null slot would silently read as the zeroed storage and
+          // encode a phantom 0.0 dimension — diverging from the HOF/
+          // oracle formulation, which propagates NULL; fail loudly
+          if (vec.isNullAt(off + i)) throw new IllegalArgumentException(
+            s"null element at dim ${off + i} in PQ encode input")
           val x = if (isFloat) vec.getFloat(off + i).toDouble else vec.getDouble(off + i)
           val d = x - cw(i)
           s += d * d
@@ -421,7 +426,12 @@ object PqDecode {
     var off = 0
     j = 0
     while (j < m) {
-      val cw = books(j)(codes.getInt(j))
+      if (codes.isNullAt(j)) throw new IllegalArgumentException(
+        s"null code at sub-space $j in PQ decode input")
+      val code = codes.getInt(j)
+      require(code >= 0 && code < books(j).length,
+        s"PQ code $code out of range [0, ${books(j).length}) at sub-space $j")
+      val cw = books(j)(code)
       System.arraycopy(cw, 0, out, off, cw.length)
       off += cw.length
       j += 1

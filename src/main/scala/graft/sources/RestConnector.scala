@@ -84,10 +84,13 @@ class RestConnector(baseUrl: String, pageSize: Int = 100,
 
   /** Bounded-retry wrapper: transient statuses/IO errors retry with
     * linear backoff, anything else (4xx contract errors) fails fast.
+    * `acceptStatus` marks non-2xx statuses the CALLER treats as a
+    * normal outcome (e.g. 416 as end-of-object in the chunk loop).
     */
   private def request(method: String, url: String,
       headers: Map[String, String] = Map.empty,
-      body: Option[Array[Byte]] = None): HttpResponse = {
+      body: Option[Array[Byte]] = None,
+      acceptStatus: Set[Int] = Set.empty): HttpResponse = {
     var attempt = 0
     var last: Either[Throwable, HttpResponse] = null
     while (attempt <= maxRetries) {
@@ -100,7 +103,8 @@ class RestConnector(baseUrl: String, pageSize: Int = 100,
           else Right(r)
         } catch { case e: java.io.IOException => Left(e) }
       last match {
-        case Right(r) if r.status >= 200 && r.status < 300 => return r
+        case Right(r) if (r.status >= 200 && r.status < 300) ||
+          acceptStatus(r.status) => return r
         case Right(r) => throw new IllegalStateException(
           s"$method $url -> HTTP ${r.status}: ${new String(r.body, "UTF-8").take(200)}")
         case Left(_) => attempt += 1
@@ -148,8 +152,11 @@ class RestConnector(baseUrl: String, pageSize: Int = 100,
   }
 
   /** Ranged chunk loop: ask for `chunkSize` bytes at a time until the
-    * server returns fewer than asked (or a 200 with the whole object —
-    * a server that ignores Range still works in one chunk).
+    * server returns fewer than asked, a 200 with the whole object (a
+    * server that ignores Range still works in one chunk), or a 416 —
+    * which an RFC-compliant server answers when the start offset is at
+    * or past EOF, i.e. for every object whose size is an exact multiple
+    * of `chunkSize` (and for empty objects on the very first request).
     */
   private def download(objectId: String): java.nio.file.Path = {
     val out = spool.resolve(
@@ -159,11 +166,13 @@ class RestConnector(baseUrl: String, pageSize: Int = 100,
     var done = false
     while (!done) {
       val r = request("GET", s"$baseUrl/objects/${enc(objectId)}/media",
-        headers = Map("Range" -> s"bytes=$offset-${offset + chunkSize - 1}"))
-      buf.write(r.body)
-      offset += r.body.length
-      // 200 = server sent everything; 206 short chunk = reached the end
-      done = r.status == 200 || r.body.length < chunkSize
+        headers = Map("Range" -> s"bytes=$offset-${offset + chunkSize - 1}"),
+        acceptStatus = Set(416))
+      if (r.status != 416) {
+        buf.write(r.body)
+        offset += r.body.length
+      }
+      done = r.status == 200 || r.status == 416 || r.body.length < chunkSize
     }
     java.nio.file.Files.write(out, buf.toByteArray)
     out

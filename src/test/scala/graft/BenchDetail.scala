@@ -55,7 +55,7 @@ object BenchDetail {
     val ok = rows.filter(_._4.isEmpty)
     println(f"${"query"}%-28s ${"min"}%8s ${"median"}%8s")
     ok.sortBy(-_._3).foreach { case (n, mn, md, _) => println(f"$n%-28s $mn%8.3f $md%8.3f") }
-    rows.collect { case (n, _, _, Some(e)) => println(s"$n%-28s ERR $e") }
+    rows.collect { case (n, _, _, Some(e)) => println(f"$n%-28s ERR $e") }
     println(f"TOTAL(median) ${ok.map(_._3).sum}%.2f s  TOTAL(min) ${ok.map(_._2).sum}%.2f s" +
       (if (ok.size < rows.size) s"  (${rows.size - ok.size} ERRORED)" else ""))
     def fmt(v: Double): String =

@@ -124,11 +124,15 @@ class EtlRunnerSpec extends SparkSpec {
               case Some(r) =>
                 val Array(a, b) = r.stripPrefix("bytes=").split("-", 2).map(_.toLong)
                 val from = a.toInt
-                val to = math.min(b, o.bytes.length - 1L).toInt
-                val slice =
-                  if (from >= o.bytes.length) Array.emptyByteArray
-                  else o.bytes.slice(from, to + 1)
-                respond(ex, 206, slice)
+                // RFC 9110 strictness: a start offset at/past EOF is
+                // 416 Range Not Satisfiable, NOT an empty 206 — exactly
+                // what a real object store answers on the chunk after
+                // an exact-multiple-of-chunkSize object
+                if (from >= o.bytes.length) respond(ex, 416, Array.emptyByteArray)
+                else {
+                  val to = math.min(b, o.bytes.length - 1L).toInt
+                  respond(ex, 206, o.bytes.slice(from, to + 1))
+                }
               case None => respond(ex, 200, o.bytes)
             }
         }
@@ -202,6 +206,22 @@ class EtlRunnerSpec extends SparkSpec {
       assert(out.filter(out("Radicado") === "100")
         .select("grupo_destino").collect()(0).getString(0) ==
         "Grupo de gestion de cesantias")
+    } finally stub.server.stop(0)
+  }
+
+  test("REST download terminates on 416 for exact-multiple-of-chunkSize and empty objects") {
+    val stub = new RestStub
+    try {
+      val rest = new RestConnector(stub.base, chunkSize = 64, retryBackoffMs = 1)
+      // exactly 2 chunks: after 128 bytes the connector's third request
+      // starts at EOF and a strict server answers 416 — must finish, not throw
+      val exact = ("JUNK\nh1;h2\n" + "x" * (128 - 12) + "\n").getBytes("ISO-8859-1")
+      assert(exact.length % 64 == 0)
+      stub.addObject("f-exact", "raw_padding.csv", exact, "2026-08-12T00:00:00Z")
+      val got = rest.readCsv(spark, "f-exact", skipLines = 1)
+      assert(got.count() >= 1)
+      assert(stub.rangeHeaders.count(_.startsWith("f-exact:")) == 3,
+        stub.rangeHeaders.mkString(", "))
     } finally stub.server.stop(0)
   }
 
