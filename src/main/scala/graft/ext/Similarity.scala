@@ -47,14 +47,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
-  /** Sign-pattern bucket key over the first `bits` dimensions — only
-    * suitable for NEAR-DUPLICATE detection (cosine ≈ 1, where every
-    * coordinate keeps its sign); for genuine neighbor search use the
-    * random-hyperplane tables below.
-    */
-  def signBucket(vecCol: Column, bits: Int): Column =
-    concat((0 until bits).map(i => when(element_at(vecCol, i + 1) > 0f, "1").otherwise("0")): _*)
-
   /** Deterministic ±1 hyperplane weight for (table, bit, dim): md5
     * parity of the coordinate triple. A constant at plan-build time —
     * both the Spark expression and the DuckDB oracle inline the SAME
@@ -580,6 +572,41 @@ object Similarity {
     val best = array_max(scored)
     vectors.select(col(idCol), col(vecCol),
         (-best.getField("negcid")).as("cluster"), best.getField("sim").as("sim"))
+  }
+
+  /** Coarse assignment via broadcast join + order-independent argmax —
+    * the companion to [[kmeansAssign]] for partitioners whose centroid
+    * count GROWS with the corpus (e.g. the dedup list-scoping sample:
+    * one centroid per ~37 corpus vectors, so list sizes stay bounded
+    * and within-list pair volume stays near-LINEAR in corpus size).
+    * Inlining such a centroid set as literals would put c × dims
+    * constants into one generated method (measured: 1351 inlined
+    * centroids cost 13-22 s/query in ScaleSmoke) — here the centroids
+    * stay a broadcast TABLE: the corpus never shuffles, each row scores
+    * c candidates in the broadcast loop join, and the per-id argmax
+    * pre-aggregates map-side so the only shuffle carries n rows.
+    * Same semantics as [[kmeansAssign]]: cosine at 9 dp, smaller
+    * centroid id wins ties (max of (sim, -cid) structs — commutative,
+    * so partial aggregation cannot reorder results).
+    *
+    * Scale note: c ∝ n keeps the broadcast at n/37 vectors — fine to
+    * ~10M corpus vectors; past that a production pipeline goes
+    * two-level (assign to √-scale super-lists first, then within).
+    */
+  def coarseAssignJoin(spark: SparkSession, vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val c = broadcast(centroids.select(col(centIdCol).cast("long").as("__cid"),
+      col(centVecCol).as("__cv")))
+    vectors.select(col(idCol), col(vecCol))
+      .join(c)
+      .withColumn("__sim", round(expr(s"graft_cosine($vecCol, __cv)"), 9))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        max(struct(col("__sim").as("sim"), (-col("__cid")).as("negcid"))).as("__best"))
+      .select(col(idCol), col(vecCol),
+        (-col("__best").getField("negcid")).as("cluster"),
+        col("__best").getField("sim").as("sim"))
   }
 
   /** One Lloyd round: element-wise centroid means over the current

@@ -262,9 +262,6 @@ object Extensions {
        (sqrt(list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE))) *
         sqrt(list_sum(list_transform(range(len($b)), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE)))), 9)"""
 
-  private def sqlBucket(v: String, bits: Int): String =
-    (1 to bits).map(i => s"(CASE WHEN $v[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
-
   val annBrute = Q(
     "ann_cosine_topk",
     (s, dir) => {
@@ -666,15 +663,23 @@ object Extensions {
       FROM c ORDER BY vec_id
     """.trim))
 
-  /** Embedding-cosine near-dup pairs: sign-LSH bucketed candidate
-    * generation then cosine ≥ threshold. Runs over an augmented corpus
-    * with planted scaled copies (scaling preserves direction: cosine ≈ 1
-    * and the sign bucket is identical, so recall of true near-dups is
-    * exercised).
-    */
   /** Shared by `dedup_embedding_pairs` and `dedup_semantic`: the
-    * augmented embedding corpus (planted scaled copies) and its
-    * sign-bucket-proposed, cosine-verified near-dup pairs.
+    * augmented embedding corpus (planted scaled copies — scaling
+    * preserves direction, so cosine ≈ 1 and the copy coarse-assigns to
+    * the same list, exercising recall of true near-dups) and its
+    * cluster-scoped, cosine-verified near-dup pairs.
+    *
+    * The propose stage is the actual SemDeDup recipe: every vector
+    * coarse-assigns to its nearest list centroid and pairs are proposed
+    * only WITHIN a list. The centroid set is a corpus-proportional
+    * sample (one per 37 vectors), so list sizes stay bounded and
+    * candidate volume stays near-linear in corpus size — unlike a
+    * fixed-bucket scheme (e.g. 6 sign bits = 64 buckets), whose
+    * candidate count is ~n²/64 at any scale. Assignment rides
+    * [[Similarity.coarseAssignJoin]] (broadcast centroids,
+    * order-independent argmax): the corpus never reshuffles and the
+    * centroid model is never inlined into codegen. Measured in
+    * ScaleSmoke: candidate volume grows ~linearly 1×→10×.
     */
   private def embeddingPairs(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -683,24 +688,36 @@ object Extensions {
     val aug = emb.unionByName(emb.select(
       (col("vec_id") + 100000L).as("vec_id"),
       expr("transform(embedding, x -> x * cast(1.01 as float))").as("embedding")))
-    val withBucket = aug.withColumn("__b", Similarity.signBucket(col("embedding"), 6))
-    val a = withBucket.select(col("vec_id").as("doc_a"), col("embedding").as("__ea"), col("__b"))
-    val b = withBucket.select(col("vec_id").as("doc_b"), col("embedding").as("__eb"),
-      col("__b").as("__b2"))
-    val pairs = a.join(b, col("__b") === col("__b2") && col("doc_a") < col("doc_b"))
+    val cents = emb.filter(col("vec_id") % 37 === 0)
+    val asg = Similarity.coarseAssignJoin(s, aug, cents,
+      "vec_id", "embedding", "vec_id", "embedding")
+    val a = asg.select(col("vec_id").as("doc_a"), col("embedding").as("__ea"),
+      col("cluster").as("__ca"))
+    val b = asg.select(col("vec_id").as("doc_b"), col("embedding").as("__eb"),
+      col("cluster").as("__cb"))
+    val pairs = a.join(b, col("__ca") === col("__cb") && col("doc_a") < col("doc_b"))
       .withColumn("sim", round(expr("graft_cosine(__ea, __eb)"), 9))
       .filter(col("sim") >= 0.999)
     (aug, pairs)
   }
 
-  /** DuckDB twin of [[embeddingPairs]]'s aug/wb CTEs. */
+  /** DuckDB twin of [[embeddingPairs]]'s aug/cent/wb CTEs: `wb` is the
+    * coarse assignment (same 9 dp cosine, same smaller-cid tiebreak).
+    */
   private def embeddingPairCtes: String = s"""
       aug AS (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
         SELECT vec_id + 100000, list_transform(embedding, x -> x * 1.01::FLOAT)
         FROM embeddings),
-      wb AS (SELECT vec_id, embedding, ${sqlBucket("embedding", 6)} AS b FROM aug)"""
+      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id % 37 = 0),
+      wb AS (SELECT vec_id, embedding, cid FROM (
+               SELECT a.vec_id, a.embedding, t.cid,
+                      row_number() OVER (PARTITION BY a.vec_id
+                        ORDER BY ${sqlCos("a.embedding", "t.cv")} DESC, t.cid) AS rn
+               FROM aug a, cent t)
+             WHERE rn = 1)"""
 
   val dedupEmbedding = Q(
     "dedup_embedding_pairs",
@@ -713,7 +730,7 @@ object Extensions {
       WITH $embeddingPairCtes
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
              ${sqlCos("a.embedding", "b.embedding")} AS sim
-      FROM wb a JOIN wb b ON a.b = b.b AND a.vec_id < b.vec_id
+      FROM wb a JOIN wb b ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.999
       ORDER BY doc_a, doc_b
     """.trim))
@@ -722,7 +739,7 @@ object Extensions {
     * PAIRS become semantic CLUSTERS via connected components, and one
     * canonical document (the min id) survives per cluster. This is the
     * end-to-end shape an LLM corpus pipeline actually applies —
-    * sign-bucket propose → exact-cosine verify → hash-min CC → keep
+    * cluster-scoped propose → exact-cosine verify → hash-min CC → keep
     * flag — every stage the bounded, never-n² machinery already pinned
     * by dedup_embedding_pairs and dedup_clusters.
     */
@@ -737,7 +754,7 @@ object Extensions {
     Some(s"""
       WITH RECURSIVE $embeddingPairCtes,
       pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-                FROM wb a JOIN wb b ON a.b = b.b AND a.vec_id < b.vec_id
+                FROM wb a JOIN wb b ON a.cid = b.cid AND a.vec_id < b.vec_id
                 WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.999),
       edges AS (SELECT doc_a AS sv, doc_b AS dv FROM pairs
                 UNION SELECT doc_b, doc_a FROM pairs),

@@ -144,6 +144,29 @@ object ScaleSmoke {
       val n = SparkEntry.queries(name)(spark, dir).count()
       println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%12d rows")
     }
+
+    // Propose-stage linearity (round 7): the embedding-dedup candidate
+    // volume — within-list pairs BEFORE the cosine verify — must grow
+    // ~linearly with the corpus. The centroid sample is corpus-
+    // proportional (one per 37 vectors), so list sizes stay bounded; a
+    // fixed-bucket scheme would grow candidates ~quadratically here.
+    def proposeCandidates(d: String): Long = {
+      val emb = graft.etl.Tables(spark, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val aug = emb.unionByName(emb.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, x -> x * cast(1.01 as float))").as("embedding")))
+      graft.ext.Similarity.coarseAssignJoin(spark, aug,
+          emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", "vec_id", "embedding")
+        .groupBy(col("cluster")).count()
+        .agg(coalesce(sum(expr("count * (count - 1) / 2")), lit(0L)))
+        .collect()(0).getLong(0)
+    }
+    val c1 = proposeCandidates(src)
+    val cN = proposeCandidates(dir)
+    println(f"dedup propose candidates: 1x $c1%d -> ${replicas}x $cN%d " +
+      f"(ratio ${cN.toDouble / c1}%.1f, linear target ~$replicas)")
     spark.stop()
   }
 }
