@@ -275,6 +275,56 @@ object Similarity {
       centIdCol, centVecCol, k, nprobe)
   }
 
+  /** Quantized-IVF index BUILD — the write half of the build/serve
+    * split every production vector store runs: encode the corpus to
+    * int8 codes ([[quantizeInt8]]), coarse-assign each vector's
+    * reconstruction to its inverted list, and return the index frame
+    * `(id, list, scale, codes)` for persistence. One scan over the
+    * embedding column produces the whole artifact; at 100 TB this is
+    * the once-per-corpus ingest job, after which NO query ever pays
+    * for encoding again (cf. [[ivfQuantizedTopK]], which inlines the
+    * build into every query — correct, but the wrong amortization for
+    * a serving tier).
+    */
+  def buildQuantizedIvfIndex(spark: SparkSession, corpus: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    val enc = quantizeInt8(corpus, idCol, vecCol)
+      .withColumn("__rv", transform(col("codes"), c => c.cast("double") * col("scale")))
+    withProbeLists(enc, "__rv", "list", cents, 1)
+      .select(col(idCol), col("list"), col("scale"), col("codes"))
+  }
+
+  /** Probe-only SERVE over a persisted quantized-IVF index: the stored
+    * codes reconstruct scan-side (one multiply per element — no encode
+    * kernel anywhere in the plan), full-precision queries coarse-assign
+    * to their `nprobe` nearest lists against the SAME centroid model
+    * the build used, and the broadcast probe join + per-query window
+    * rank exactly as [[ivfTopK]]. Per-query cost is nprobe/c of an
+    * index already on disk — the steady-state serving economics the
+    * build/serve split exists to buy.
+    */
+  def serveQuantizedIvf(spark: SparkSession, index: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    VectorExpressions.register(spark)
+    val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    val c = index.select(col(idCol).as("neighbor_id"), col("list").as("neighbor_list"),
+      transform(col("codes"), x => x.cast("double") * col("scale")).as("__cv2"))
+    val q = withProbeLists(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")), "__qv", "query_list", cents, nprobe)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("query_list") === col("neighbor_list") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(expr("graft_cosine(__qv, __cv2)"), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   // ---- product quantization ----------------------------------------------
 
   /** Product-quantization codebook: the vector space is split into `m`
