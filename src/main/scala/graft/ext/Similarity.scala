@@ -506,23 +506,51 @@ object Similarity {
     * each independently oracled ([[ivfQuantizedTopK]], [[pqTopK]]).
     * Everything is one corpus scan (assignment + encoding are per-row
     * projections over inlined literals) plus the broadcast probe join.
+    *
+    * Codes encode the RESIDUAL (vector − assigned centroid), exactly as
+    * FAISS IVFPQ does: within one list the vectors share their coarse
+    * component, so the residual distribution is tighter than the raw
+    * one and the same codebook budget reconstructs far closer to the
+    * original (recall@5 0.12 → near the coarse-probe ceiling, pinned in
+    * Round7Spec). The codebook trains on the TRAINING rows' residuals,
+    * and reconstruction is centroid + decoded residual — one extra
+    * zip_with add per row over raw-vector PQ.
     */
   def ivfPqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, train: DataFrame, idCol: String, vecCol: String,
       centIdCol: String, centVecCol: String, m: Int, k: Int,
       nprobe: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
-    val model = pqTrain(train, idCol, vecCol, m)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    // the centroid table again, as a broadcast lookup for the residual
+    // subtraction (the inlined-argmin picks the list; the residual then
+    // needs that list's vector — a join, not another argmin)
+    val centDf = broadcast(centroids.select(
+      col(centIdCol).cast("long").as("__ccid"),
+      col(centVecCol).cast("array<double>").as("__ccv")))
+    def withResidual(df: DataFrame, vec: String, listCol: String): DataFrame =
+      df.join(centDf, col(listCol) === col("__ccid"))
+        .withColumn("__resid", zip_with(col(vec), col("__ccv"),
+          (x, c) => x.cast("double") - c))
+        .drop("__ccid")
+    // train the codebook on residuals of the training rows (assigned on
+    // their original vectors, like the corpus)
+    val trainResid = withResidual(
+      withProbeLists(train.select(col(idCol), col(vecCol).as("__v")),
+        "__v", "__tlist", cents, 1), "__v", "__tlist")
+      .select(col(idCol), col("__resid"))
+    val model = pqTrain(trainResid, idCol, "__resid", m)
     // the materialized inverted lists (id, list, codes, reconstruction)
     // — the index-build artifact itself; without the checkpoint,
     // projection collapse inlines encode+decode into the probe join and
     // re-evaluates them per candidate pair (see pqTopK)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
-      .withColumn("__codes", pqCodes(col("__v"), model))
       .transform(df => withProbeLists(df, "__v", "neighbor_list", cents, 1))
-      .withColumn("__cv2", pqReconstruct(col("__codes"), model))
-      .drop("__v")
+      .transform(df => withResidual(df, "__v", "neighbor_list"))
+      .withColumn("__codes", pqCodes(col("__resid"), model))
+      .withColumn("__cv2", zip_with(col("__ccv"), pqReconstruct(col("__codes"), model),
+        (cc, d) => cc + d))
+      .select(col("neighbor_id"), col("neighbor_list"), col("__cv2"))
       .localCheckpoint()
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .transform(df => withProbeLists(df, "__qv", "query_list", cents, nprobe))

@@ -339,6 +339,14 @@ object PqEncodeCodes {
   def compute(vec: ArrayData, books: Array[Array[Array[Double]]],
       isFloat: Boolean): ArrayData = {
     val m = books.length
+    // UnsafeArrayData reads past numElements are unchecked: a corpus
+    // whose dims mismatch the codebook would silently encode garbage —
+    // fail as loudly as the null-element guard below
+    var totalDims = 0
+    var jd = 0
+    while (jd < m) { totalDims += books(jd)(0).length; jd += 1 }
+    require(vec.numElements() == totalDims,
+      s"PQ encode input has ${vec.numElements()} dims, codebook expects $totalDims")
     val out = new Array[Int](m)
     var off = 0
     var j = 0
@@ -419,6 +427,10 @@ case class PqDecode(child: Expression, books: Array[Array[Array[Double]]])
 object PqDecode {
   def compute(codes: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
     val m = books.length
+    // GenericArrayData throws on out-of-bounds but UnsafeArrayData does
+    // not — a short/long codes array must not silently read garbage
+    require(codes.numElements() == m,
+      s"PQ decode input has ${codes.numElements()} codes, codebook expects $m")
     var dims = 0
     var j = 0
     while (j < m) { dims += books(j)(0).length; j += 1 }

@@ -571,7 +571,10 @@ object Extensions {
     * original vectors at index build (assignment precedes quantization),
     * m-byte PQ codes stored, full-precision queries probe nprobe lists
     * and rank against the reconstruction. Per-query cost is nprobe/c of
-    * an index 32× smaller than float32.
+    * an index 32× smaller than float32. Codes encode the RESIDUAL
+    * (vector − assigned centroid), so the codebook budget spends on the
+    * within-list variation only — the recall lift over raw-vector codes
+    * is pinned in Round7Spec.
     */
   val annIvfPq = Q(
     "ann_ivfpq_topk",
@@ -580,12 +583,11 @@ object Extensions {
       Similarity.ivfPqTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
           emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
           emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000),
-          "vec_id", "embedding", "vec_id", "embedding", m = 8, k = 5, nprobe = 2)
+          "vec_id", "embedding", "vec_id", "embedding", m = 16, k = 5, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
-      WITH $pqRecCtes,
-      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
       corp_a AS (
         SELECT vec_id, cid FROM (
           SELECT e.vec_id, t.cid,
@@ -593,15 +595,40 @@ object Extensions {
                    ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
           FROM embeddings e, cent t)
         WHERE rn = 1),
-      corp AS (SELECT a.vec_id, a.cid, r.embedding
-               FROM corp_a a JOIN rec r USING (vec_id)),
+      resid AS (SELECT e.vec_id, a.cid,
+                  list_transform(range(len(e.embedding)),
+                    i -> e.embedding[i+1]::DOUBLE - t.cv[i+1]::DOUBLE) AS r
+                FROM embeddings e JOIN corp_a a USING (vec_id)
+                JOIN cent t ON t.cid = a.cid),
+      cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r
+              FROM resid WHERE vec_id % 5 = 0 AND vec_id < 5000),
+      sp AS (SELECT unnest(range(16)) AS sub),
+      cb AS (SELECT b.code, s.sub,
+                    list_transform(range(4), i -> b.r[s.sub*4 + i + 1]) AS cw
+             FROM cb0 b, sp s),
+      d AS (SELECT e.vec_id, c.sub, c.code,
+              round(list_sum(list_transform(range(4),
+                i -> (e.r[c.sub*4 + i + 1] - c.cw[i+1]) *
+                     (e.r[c.sub*4 + i + 1] - c.cw[i+1]))), 9) AS dist
+            FROM resid e, cb c),
+      enc AS (SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                FROM d) WHERE rn = 1),
+      recr AS (SELECT e.vec_id, flatten(list(c.cw ORDER BY e.sub)) AS rr
+               FROM enc e JOIN cb c ON c.sub = e.sub AND c.code = e.code
+               GROUP BY e.vec_id),
+      corp AS (SELECT r.vec_id, a.cid,
+                 list_transform(range(len(r.rr)), i -> t.cv[i+1]::DOUBLE + r.rr[i+1]) AS embedding
+               FROM recr r JOIN corp_a a USING (vec_id)
+               JOIN cent t ON t.cid = a.cid),
       q_a AS (
         SELECT vec_id, embedding, cid FROM (
           SELECT e.vec_id, e.embedding, t.cid,
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
           FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
-        WHERE rn <= 2),
+        WHERE rn <= 3),
       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ${sqlCos("q.embedding", "c.embedding")} AS sim
             FROM q_a q JOIN corp c ON q.cid = c.cid AND q.vec_id <> c.vec_id)
