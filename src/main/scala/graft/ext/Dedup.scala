@@ -131,6 +131,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Batch twin of [[graft.streaming.StreamingOps.streamingNearDedup]]
+    * under in-order (ascending-id) arrival: each band bucket proposes
+    * the STAR of its minimum doc — pair (band_min, d) for every other
+    * member d. That is exactly the pair stream the stateful band
+    * processor emits when docs arrive in id order (the canonical only
+    * ever starts at the eventual minimum), with the same downstream
+    * `distinct` the streaming sink applies. One band shuffle + one
+    * band-count aggregate — strictly cheaper than the full candidate
+    * self-join, which is why a backfill job uses this shape to seed
+    * the streaming state's canonical table.
+    */
+  def bandStarPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val bands = minhashBands(df, idCol, textCol, k = k).localCheckpoint()
+    val mins = bands.groupBy(col("band")).agg(min(col(idCol)).as("doc_a"))
+    // same-key runs are the LSH point; stream bands against the per-band
+    // min map (see minhashCandidatePairs for the SHJ-vs-SMJ rationale)
+    bands.join(mins.hint("shuffle_hash"), "band")
+      .filter(col(idCol) =!= col("doc_a"))
+      .select(col("doc_a"), col(idCol).as("doc_b"))
+      .distinct()
+  }
+
   /** Connected components over an undirected candidate-pair graph:
     * hash-min label propagation to a fixpoint. Each round every vertex
     * takes the min label among itself and its neighbors — one shuffled

@@ -82,6 +82,28 @@ object Extensions {
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
     """.trim))
 
+  /** The batch frame of the STREAMING near-dedup operator: per band
+    * bucket, the star of the minimum doc id — what
+    * `StreamingOps.streamingNearDedup` emits when docs arrive in id
+    * order (CatalogStreamingSpec proves the equality event-by-event).
+    * Oracling this frame pins the streaming operator's propose
+    * semantics to DuckDB, closing the last streaming op without a
+    * driver-checked batch twin.
+    */
+  val dedupStreamPairs = Q(
+    "dedup_stream_pairs",
+    (s, dir) =>
+      Dedup.bandStarPairs(augmentedDocs(s, dir, perturb = true), "doc_id", "text")
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $minhashPairsCtes,
+      mn AS (SELECT band, min(doc_id) AS mn FROM bands GROUP BY band)
+      SELECT DISTINCT m.mn AS doc_a, b.doc_id AS doc_b
+      FROM bands b JOIN mn m USING (band)
+      WHERE b.doc_id <> m.mn
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   /** LSH-propose → edit-distance-verify: the production near-dup
     * pipeline's second stage, run only on candidate pairs (never n²).
     * Distance over a 64-char normalized prefix (bounded per-pair cost).
@@ -1334,7 +1356,8 @@ object Extensions {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupClusters, dedupClustersStar, dedupSimhash, dedupSimhashPairs,
+    dedupExact, dedupMinhash, dedupStreamPairs, dedupClusters, dedupClustersStar,
+    dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupSemantic, dedupFuzzy,
     annBrute, annLsh, annIvf, annIvfQuantized, annIndexServe, annPq, annIvfPq,
     annRangeSearch,

@@ -425,6 +425,45 @@ class CatalogStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dedup under in-order arrival equals the batch band-star frame") {
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // A 3-doc duplicate cluster: the star frame {(1,2),(1,4)} differs
+      // from the full candidate frame (which also pairs (2,4)) — so this
+      // pins the STAR semantics, not just "some pairs came out".
+      val dupText = "the quick brown fox jumps over the lazy dog again and again today"
+      val otherText = "completely unrelated words about spark shuffles exchanges and joins"
+      val corpus = Seq((1L, dupText), (2L, dupText), (3L, otherText), (4L, dupText))
+      val stream = MemoryStream[(Long, String)]
+      val out = graft.streaming.StreamingOps.streamingNearDedup(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      val q = out.writeStream.format("memory").queryName("nddstar")
+        .outputMode("append").start()
+      // in-order arrival: one doc per micro-batch, ascending id — the
+      // regime dedup_stream_pairs (Dedup.bandStarPairs) models
+      corpus.foreach { d => stream.addData(d); q.processAllAvailable() }
+      q.stop()
+      val streamed = spark.table("nddstar").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.ext.Dedup.bandStarPairs(
+          corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch, s"streamed=$streamed batch=$batch")
+      assert(streamed === Set((1L, 2L), (1L, 4L)), streamed.toString)
+      // and the star frame is strictly smaller than the candidate frame
+      val full = graft.ext.Dedup.minhashCandidatePairs(
+          corpus.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(full === streamed + ((2L, 4L)), full.toString)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming funnel: out-of-order arrivals, strictly-after machine, batch equivalence") {
     implicit val ctx = spark.sqlContext
     val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
