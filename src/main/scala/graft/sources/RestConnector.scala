@@ -54,7 +54,8 @@ class RestConnector(baseUrl: String, pageSize: Int = 100,
 
   // ---- HTTP plumbing -----------------------------------------------------
 
-  private final case class HttpResponse(status: Int, body: Array[Byte])
+  private final case class HttpResponse(status: Int, body: Array[Byte],
+      contentRange: Option[String] = None)
 
   /** One HTTP exchange. Only 2xx returns; 429/5xx and connect/read
     * failures throw retryably, other statuses fail loudly.
@@ -78,7 +79,7 @@ class RestConnector(baseUrl: String, pageSize: Int = 100,
       val bytes =
         if (in == null) Array.emptyByteArray
         else try in.readAllBytes() finally in.close()
-      HttpResponse(status, bytes)
+      HttpResponse(status, bytes, Option(conn.getHeaderField("Content-Range")))
     } finally conn.disconnect()
   }
 
@@ -151,12 +152,30 @@ class RestConnector(baseUrl: String, pageSize: Int = 100,
       Encoders.product[graft.etl.CatalogOps.FileMeta]).toDF()
   }
 
-  /** Ranged chunk loop: ask for `chunkSize` bytes at a time until the
-    * server returns fewer than asked, a 200 with the whole object (a
-    * server that ignores Range still works in one chunk), or a 416 —
-    * which an RFC-compliant server answers when the start offset is at
-    * or past EOF, i.e. for every object whose size is an exact multiple
-    * of `chunkSize` (and for empty objects on the very first request).
+  /** `bytes a-b/total` → the declared total length, when the server
+    * gives one (`*` means unknown and stays None).
+    */
+  private def contentRangeTotal(r: HttpResponse): Option[Long] =
+    r.contentRange.map(_.trim).flatMap { v =>
+      v.split("/", 2) match {
+        case Array(_, t) if t.nonEmpty && t.forall(_.isDigit) => Some(t.toLong)
+        case _ => None
+      }
+    }
+
+  /** Ranged chunk loop: ask for `chunkSize` bytes at a time. Termination
+    * is by EVIDENCE, never by a short body — a 206 shorter than the
+    * requested span is legal mid-object (RFC 9110 §14.4) and a truncated
+    * connection can surface the same way, so guessing EOF from it would
+    * silently hand a cut-off file to the CSV reader. The loop ends on:
+    * a 200 (server ignored Range: the body IS the whole object), a 416
+    * (start offset at/past EOF — what an RFC-compliant server answers
+    * after an exact-multiple-of-chunkSize object, and for empty objects
+    * on the first request), the offset reaching the Content-Range
+    * declared total, or — when the server declares no total — an empty
+    * 206 body. A short chunk mid-object just continues from the new
+    * offset; an EMPTY 206 before a declared total is no-progress
+    * truncation and fails loudly.
     */
   private def download(objectId: String): java.nio.file.Path = {
     val out = spool.resolve(
@@ -168,11 +187,22 @@ class RestConnector(baseUrl: String, pageSize: Int = 100,
       val r = request("GET", s"$baseUrl/objects/${enc(objectId)}/media",
         headers = Map("Range" -> s"bytes=$offset-${offset + chunkSize - 1}"),
         acceptStatus = Set(416))
-      if (r.status != 416) {
-        buf.write(r.body)
-        offset += r.body.length
+      r.status match {
+        case 416 => done = true
+        case 200 => // whole object in one response, regardless of prior chunks
+          buf.reset(); buf.write(r.body); done = true
+        case _ =>
+          val total = contentRangeTotal(r)
+          require(r.body.nonEmpty || total.forall(offset >= _),
+            s"object $objectId: empty 206 at offset $offset of declared " +
+              s"${total.getOrElse(-1L)} bytes — truncated download")
+          buf.write(r.body)
+          offset += r.body.length
+          done = total match {
+            case Some(t) => offset >= t
+            case None => r.body.isEmpty
+          }
       }
-      done = r.status == 200 || r.status == 416 || r.body.length < chunkSize
     }
     java.nio.file.Files.write(out, buf.toByteArray)
     out
@@ -207,11 +237,22 @@ class RestConnector(baseUrl: String, pageSize: Int = 100,
     * does). The collect is bounded: a sheet export is a driver-small
     * report surface by nature, and the cap turns misuse (a corpus
     * routed to a sheet) into a loud error instead of a driver OOM.
+    * Row order is pinned before the collect — `orderBy` names the sort
+    * columns (typed sort, so numeric ids order numerically), defaulting
+    * to all columns — because a partition-dependent export order makes
+    * every sheet round-trip diff noisy for no reason.
     */
-  def writeFullRefreshExport(df: DataFrame, target: String, sep: String = ";"): Unit = {
+  def writeFullRefreshExport(df: DataFrame, target: String, sep: String = ";"): Unit =
+    writeFullRefreshExport(df, target, sep, orderBy = Nil)
+
+  def writeFullRefreshExport(df: DataFrame, target: String, sep: String,
+      orderBy: Seq[String]): Unit = {
     val maxRows = 1000000L
-    val all = df.select(df.columns.map(c =>
-      org.apache.spark.sql.functions.col(c).cast("string")): _*)
+    val ord = if (orderBy.nonEmpty) orderBy else df.columns.toSeq
+    val all = df
+      .orderBy(ord.map(org.apache.spark.sql.functions.col): _*)
+      .select(df.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).cast("string")): _*)
       .limit(maxRows.toInt + 1).collect()
     require(all.length <= maxRows,
       s"sheet export to $target exceeds $maxRows rows — not a sheet-shaped result")

@@ -71,6 +71,13 @@ class EtlRunnerSpec extends SparkSpec {
     val rangeHeaders = scala.collection.mutable.ArrayBuffer.empty[String]
     var listRequests = 0
     var failNextMedia = 0
+    // RFC-compliant servers declare `Content-Range: bytes a-b/total` on
+    // 206; set false to model ones that omit it (the 416-probe fallback)
+    var declareTotals = true
+    // serve only half the requested span for the next N 206 responses —
+    // legal per RFC 9110 §14.4, and exactly what a mid-object truncation
+    // looks like; the connector must keep ranging, not stop short
+    var shortNextMedia = 0
 
     def addObject(id: String, name: String, bytes: Array[Byte], created: String): Unit =
       objects(id) = Obj(name, bytes, created)
@@ -130,7 +137,13 @@ class EtlRunnerSpec extends SparkSpec {
                 // an exact-multiple-of-chunkSize object
                 if (from >= o.bytes.length) respond(ex, 416, Array.emptyByteArray)
                 else {
-                  val to = math.min(b, o.bytes.length - 1L).toInt
+                  val short = this.synchronized {
+                    if (shortNextMedia > 0) { shortNextMedia -= 1; true } else false
+                  }
+                  var to = math.min(b, o.bytes.length - 1L).toInt
+                  if (short) to = from + math.max((to - from) / 2, 0)
+                  if (declareTotals) ex.getResponseHeaders.add(
+                    "Content-Range", s"bytes $from-$to/${o.bytes.length}")
                   respond(ex, 206, o.bytes.slice(from, to + 1))
                 }
               case None => respond(ex, 200, o.bytes)
@@ -211,6 +224,7 @@ class EtlRunnerSpec extends SparkSpec {
 
   test("REST download terminates on 416 for exact-multiple-of-chunkSize and empty objects") {
     val stub = new RestStub
+    stub.declareTotals = false // servers omitting Content-Range need the 416 probe
     try {
       val rest = new RestConnector(stub.base, chunkSize = 64, retryBackoffMs = 1)
       // exactly 2 chunks: after 128 bytes the connector's third request
@@ -222,6 +236,45 @@ class EtlRunnerSpec extends SparkSpec {
       assert(got.count() >= 1)
       assert(stub.rangeHeaders.count(_.startsWith("f-exact:")) == 3,
         stub.rangeHeaders.mkString(", "))
+    } finally stub.server.stop(0)
+  }
+
+  test("REST download honors Content-Range total: no 416 probe, and short 206s never truncate") {
+    val stub = new RestStub
+    try {
+      val rest = new RestConnector(stub.base, chunkSize = 64, retryBackoffMs = 1)
+      // declared total ends the loop at offset==total: exactly 2 ranged
+      // requests for a 128-byte object, no third probe
+      val exact = ("JUNK\nh1;h2\n" + "x" * (128 - 12) + "\n").getBytes("ISO-8859-1")
+      stub.addObject("f-exact", "raw_padding.csv", exact, "2026-08-12T00:00:00Z")
+      assert(rest.readCsv(spark, "f-exact", skipLines = 1).count() >= 1)
+      assert(stub.rangeHeaders.count(_.startsWith("f-exact:")) == 2,
+        stub.rangeHeaders.mkString(", "))
+      // a mid-object 206 shorter than the requested span (legal, and what
+      // a truncated read looks like) must continue from the new offset —
+      // the old short-body-means-EOF heuristic would cut the file here
+      stub.shortNextMedia = 1
+      val rows = (0 until 20).map(i => s"$i;v$i")
+      val obj = ("JUNK\nh1;h2\n" + rows.mkString("\n") + "\n").getBytes("ISO-8859-1")
+      stub.addObject("f-short", "raw_short.csv", obj, "2026-08-12T00:00:00Z")
+      assert(rest.readCsv(spark, "f-short", skipLines = 1).count() == 20,
+        "short mid-object 206 truncated the download")
+    } finally stub.server.stop(0)
+  }
+
+  test("REST download without declared totals still recovers from a short mid-object 206") {
+    val stub = new RestStub
+    stub.declareTotals = false
+    stub.shortNextMedia = 1
+    try {
+      val rest = new RestConnector(stub.base, chunkSize = 64, retryBackoffMs = 1)
+      val rows = (0 until 20).map(i => s"$i;v$i")
+      val obj = ("JUNK\nh1;h2\n" + rows.mkString("\n") + "\n").getBytes("ISO-8859-1")
+      stub.addObject("f-short", "raw_short.csv", obj, "2026-08-12T00:00:00Z")
+      // no total to trust: the connector keeps ranging from the short
+      // chunk's new offset and terminates on the eventual 416
+      assert(rest.readCsv(spark, "f-short", skipLines = 1).count() == 20,
+        "short 206 without Content-Range truncated the download")
     } finally stub.server.stop(0)
   }
 
@@ -238,6 +291,31 @@ class EtlRunnerSpec extends SparkSpec {
       val rows = back.orderBy("k").collect()
         .map(r => (r.getString(0), Option(r.getString(1))))
       assert(rows.toSeq == Seq(("a", Some("1")), ("b", None)))
+    } finally stub.server.stop(0)
+  }
+
+  test("REST sheet export row order is pinned, not partition luck") {
+    val stub = new RestStub
+    try {
+      import spark.implicits._
+      val rest = new RestConnector(stub.base, retryBackoffMs = 1)
+      // 8 partitions of unordered keys: an unsorted collect would emit
+      // whichever partition answers first; the export must sort
+      val df = Seq("q", "b", "z", "a", "m", "c").toDF("k").repartition(8)
+      rest.writeFullRefreshExport(df, "sheet2")
+      val payload = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(stub.sheets("sheet2")).path("values")
+      import scala.jdk.CollectionConverters._
+      val stored = payload.elements().asScala.drop(1).map(_.get(0).asText()).toSeq
+      assert(stored == Seq("a", "b", "c", "m", "q", "z"), stored.toString)
+      // and an explicit caller ordering wins over the default
+      val typed = Seq(10, 2, 33).toDF("id").repartition(4)
+      rest.writeFullRefreshExport(typed, "sheet3", ";", orderBy = Seq("id"))
+      val p3 = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(stub.sheets("sheet3")).path("values")
+      val ids = p3.elements().asScala.drop(1).map(_.get(0).asText()).toSeq
+      // typed sort: 2 < 10 < 33 numerically (a lexical sort would say 10 < 2)
+      assert(ids == Seq("2", "10", "33"), ids.toString)
     } finally stub.server.stop(0)
   }
 }
