@@ -311,11 +311,22 @@ object TextOps {
     * serialize 100 TB through one task.
     */
   def packWindows(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int): DataFrame =
+    packWindowsByCount(
+      df.select(col(idCol), size(words(col(textCol))).cast("long").as("n_tokens")),
+      idCol, windowTokens)
+
+  /** Packing over an explicit per-document token-count frame
+    * (`idCol`, `n_tokens`) — the metering is pluggable: whitespace
+    * words ([[packWindows]]), subword tokens ([[subwordTokens]]), or a
+    * production tokenizer's counts, all share the same distributed
+    * prefix-sum cut.
+    */
+  def packWindowsByCount(counts: DataFrame, idCol: String,
       windowTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(windowTokens >= 1)
-    val toks = df
-      .select(col(idCol), size(words(col(textCol))).cast("long").as("n_tokens"))
+    val toks = counts
       .repartitionByRange(col(idCol))
       .withColumn("__pid", spark_partition_id())
     val offsets = toks.groupBy(col("__pid"))
@@ -332,5 +343,22 @@ object TextOps {
       .select(col(idCol), col("n_tokens"), col("start_pos"),
         floor(col("start_pos") / windowTokens).cast("long").as("first_window"),
         floor((col("__end") - 1) / windowTokens).cast("long").as("last_window"))
+  }
+
+  /** Greedy longest-match subword tokenization per document: one
+    * codegen'd kernel pass ([[graft.functions.SubwordTokens]]) over the
+    * normalized word stream — scan-side, shuffle-free. Emits the token
+    * count (what packing/mixture budgeting meters) and an md5 pin of
+    * the exact token sequence (order-sensitive, '|'-joined), so the
+    * oracle checks the tokenization itself, not just its length.
+    */
+  def subwordTokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.select(col(idCol), words(col(textCol)).as("__w"))
+      .withColumn("__toks",
+        expr("graft_subword_tokens(filter(__w, x -> x <> ''))"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_subwords"),
+        md5(array_join(col("__toks"), "|")).as("tokens_md5"))
   }
 }

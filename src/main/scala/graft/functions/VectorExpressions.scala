@@ -452,6 +452,106 @@ object PqDecode {
   }
 }
 
+/** Vocabulary-driven greedy longest-match subword tokenizer (the
+  * WordPiece/BPE-inference shape): each whitespace word tokenizes
+  * left-to-right, at every position taking the LONGEST vocabulary entry
+  * that matches, falling back to the single code point. Token counts —
+  * not whitespace word counts — are what packing and mixture budgeting
+  * meter at pipeline scale, and greedy longest-match is how production
+  * tokenizers decode a trained merge table. The vocabulary here is a
+  * fixed literal ([[SubwordTokens.Vocab]]) shared verbatim with the
+  * DuckDB oracle's VALUES list, so tokenization is deterministic and
+  * cross-engine checkable; a production deployment swaps in its model's
+  * vocab without touching the kernel. Position advance is in code
+  * points (DuckDB's substr/length unit), never UTF-16 units, so
+  * non-ASCII corpora tokenize identically in both engines.
+  */
+case class SubwordTokens(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_subword_tokens expects array<string> words, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SubwordTokens.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SubwordTokens.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SubwordTokens {
+  /** Longest vocabulary entry; greedy tries MaxLen..2 then single-char. */
+  val MaxLen = 5
+
+  /** The fixed subword vocabulary — multi-character entries only (every
+    * single code point is implicitly a fallback token). English-corpus
+    * affixes, function words, and high-frequency digraphs; all ASCII
+    * lowercase, matching the lowercased word stream from normText.
+    * ORDER IS NOT SEMANTIC (longest-match + same-length uniqueness make
+    * matching order-free) but the list is the single source of truth
+    * for the oracle's VALUES literal.
+    */
+  val Vocab: Seq[String] = Seq(
+    "ation", "inter", "under", "trans", "ident",
+    "tion", "ment", "ness", "able", "ould", "ight", "ough", "ance",
+    "ence", "ther", "with", "that", "this", "have", "from",
+    "ing", "ion", "ent", "est", "ive", "ous", "ity", "ate", "ize",
+    "ful", "ish", "ism", "ist", "ure", "age", "ant", "ble", "ary",
+    "the", "and", "for", "are", "was", "you", "not", "per", "com",
+    "con", "pre", "pro", "sub", "dis", "mis", "out", "end", "int",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
+    "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to",
+    "nt", "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me",
+    "de", "hi", "ri", "ro", "ic", "ne", "ea", "ra", "ce", "li", "ch",
+    "ll", "be", "ma", "si", "om", "ur", "un", "ex", "id").distinct
+
+  private val byLen: Array[java.util.HashSet[String]] = {
+    val sets = Array.fill(MaxLen + 1)(new java.util.HashSet[String]())
+    Vocab.foreach { t =>
+      require(t.length >= 2 && t.length <= MaxLen, s"vocab entry '$t' out of bounds")
+      sets(t.length).add(t): Unit
+    }
+    sets
+  }
+
+  def compute(words: ArrayData): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val n = words.numElements()
+    var wi = 0
+    while (wi < n) {
+      if (words.isNullAt(wi)) throw new IllegalArgumentException(
+        "null word in subword tokenizer input")
+      // code points, not chars: a non-BMP code point is one DuckDB
+      // character but two UTF-16 units — advancing by units would
+      // desync the two engines' tokenizations
+      val cps = words.getUTF8String(wi).toString.codePoints().toArray
+      var p = 0
+      while (p < cps.length) {
+        var adv = 1
+        var tok: String = null
+        var len = math.min(MaxLen, cps.length - p)
+        while (tok == null && len >= 2) {
+          val cand = new String(cps, p, len)
+          if (byLen(len).contains(cand)) { tok = cand; adv = len } else len -= 1
+        }
+        if (tok == null) tok = new String(cps, p, 1)
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(tok)
+        p += adv
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object VectorExpressions {
   /** Registers the graft_* expression family for SQL/expr use in this
     * session (idempotent).
@@ -473,5 +573,7 @@ object VectorExpressions {
       "graft_minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_simhash32", exprs => SimHash32(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_subword_tokens", exprs => SubwordTokens(exprs.head), "scala_udf")
   }
 }

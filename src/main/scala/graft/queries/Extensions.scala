@@ -971,6 +971,91 @@ object Extensions {
       FROM documents ORDER BY doc_id
     """.trim))
 
+  /** Shared oracle fragment: the greedy longest-match recursion. Each
+    * word advances one token per step — the longest vocabulary entry
+    * matching at `pos` (same-length matches are equal strings, so
+    * `ORDER BY length DESC LIMIT 1` is deterministic), else the single
+    * character — accumulating count and the '|'-joined token string.
+    * The VALUES literal is generated from [[graft.functions
+    * .SubwordTokens.Vocab]], the kernel's own table: one source of
+    * truth for both engines.
+    */
+  private def subwordRecCtes: String = {
+    val vocabValues =
+      graft.functions.SubwordTokens.Vocab.map(t => s"('$t')").mkString(", ")
+    s"""vocab(t) AS (SELECT * FROM (VALUES $vocabValues)),
+      n AS (SELECT doc_id, $NormW AS w FROM documents),
+      wrd AS (SELECT doc_id, wi, wd FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(w)), i -> {'wi': i, 'wd': w[i+1]}),
+                              recursive := true)
+                FROM n)
+              WHERE wd <> ''),
+      rec AS (
+        SELECT doc_id, wi, wd, 0 AS pos, 0 AS n_tok, '' AS toks FROM wrd
+        UNION ALL
+        SELECT doc_id, wi, wd, pos + length(m) AS pos, n_tok + 1 AS n_tok,
+               CASE WHEN toks = '' THEN m ELSE toks || '|' || m END AS toks
+        FROM (
+          SELECT doc_id, wi, wd, pos, n_tok, toks,
+                 coalesce((SELECT v.t FROM vocab v
+                           WHERE substr(wd, pos + 1, length(v.t)) = v.t
+                           ORDER BY length(v.t) DESC LIMIT 1),
+                          substr(wd, pos + 1, 1)) AS m
+          FROM rec WHERE pos < length(wd))
+      ),
+      fin AS (SELECT doc_id, wi, n_tok, toks FROM rec WHERE pos >= length(wd)),
+      agg AS (SELECT doc_id, sum(n_tok)::BIGINT AS n_subwords,
+                     md5(string_agg(toks, '|' ORDER BY wi)) AS tokens_md5
+              FROM fin GROUP BY doc_id)"""
+  }
+
+  /** Greedy longest-match subword tokenization, oracled on BOTH the
+    * count and an md5 pin of the exact token sequence — DuckDB re-runs
+    * the same greedy matcher as a recursive CTE over the same literal
+    * vocabulary, so a single divergent token anywhere in the corpus
+    * hash-fails the query.
+    */
+  val textSubwordTokens = Q(
+    "text_subword_tokens",
+    (s, dir) =>
+      TextOps.subwordTokens(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE $subwordRecCtes
+      SELECT d.doc_id, coalesce(a.n_subwords, 0)::BIGINT AS n_subwords,
+             coalesce(a.tokens_md5, md5('')) AS tokens_md5
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id
+    """.trim))
+
+  /** Context packing metered by SUBWORD tokens — what a pretraining
+    * pipeline actually budgets (whitespace words undercount by the
+    * subword blow-up factor). Same distributed prefix-sum cut as
+    * text_pack_windows, counts from the tokenizer kernel.
+    */
+  val textPackSubword = Q(
+    "text_pack_subword",
+    (s, dir) =>
+      TextOps.packWindowsByCount(
+        TextOps.subwordTokens(Tables(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("n_subwords").as("n_tokens")),
+        "doc_id", windowTokens = 512)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE $subwordRecCtes,
+      cnt AS (SELECT d.doc_id, coalesce(a.n_subwords, 0)::BIGINT AS n_tokens
+              FROM documents d LEFT JOIN agg a USING (doc_id)),
+      srt AS (SELECT doc_id, n_tokens,
+                (sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)::BIGINT AS start_pos
+              FROM cnt)
+      SELECT doc_id, n_tokens, start_pos,
+             (start_pos // 512)::BIGINT AS first_window,
+             ((start_pos + n_tokens - 1) // 512)::BIGINT AS last_window
+      FROM srt ORDER BY doc_id
+    """.trim))
+
   val textFingerprint = Q(
     "text_fingerprint",
     (s, dir) =>
@@ -1363,7 +1448,8 @@ object Extensions {
     annRangeSearch,
     annFilteredTopk, annKmeansAssign, annKmeansIter, annQuantize,
     annQuantizedTopk,
-    textLangid, textLangidTrigram, textQuality, textTokens, textFingerprint, textTfidf,
+    textLangid, textLangidTrigram, textQuality, textTokens, textSubwordTokens,
+    textPackSubword, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup, textRepetition, textDecontaminate, textLmScore,
     mediaMeta, mediaFrames, pipelineCorpusClean, pipelineDatasetCard)
 }

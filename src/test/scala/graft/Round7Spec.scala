@@ -118,6 +118,49 @@ class Round7Spec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
+  // ---- subword tokenizer -------------------------------------------------
+
+  test("subword tokenizer: greedy longest-match, code-point advance, fallback") {
+    import graft.functions.SubwordTokens
+    def toks(word: String): Seq[String] = {
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(word)))
+      SubwordTokens.compute(in).toSeq[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+    }
+    // longest match wins: "nation" takes 'n'+"ation" (len 5), never
+    // "na"+"tion" or "nation" char-by-char
+    assert(toks("nation") === Seq("n", "ation"))
+    // "international" leads with the 5-char "inter", not 2-char "in"
+    assert(toks("international").head === "inter")
+    // tokens re-concatenate to the word (tokenization is a partition)
+    Seq("international", "understanding", "xylophone", "q", "42nd").foreach { w =>
+      assert(toks(w).mkString === w, s"tokens of '$w' don't re-join")
+    }
+    // unknown chars fall back to single code points
+    assert(toks("zzz") === Seq("z", "z", "z"))
+    // code-point advance: a non-BMP char (2 UTF-16 units) is ONE token
+    assert(toks("😀ab").head === "😀")
+  }
+
+  test("subword counts meter more tokens than words and compose into packing") {
+    val docs = graft.etl.Tables(spark, sf, "documents")
+    val sub = graft.ext.TextOps.subwordTokens(docs, "doc_id", "text")
+    val joined = sub.join(
+      docs.select(col("doc_id"),
+        size(graft.ext.TextOps.words(col("text"))).cast("long").as("n_words")),
+      "doc_id")
+    // every doc: at least one subword per word, at most one per character
+    assert(joined.filter(col("n_subwords") < col("n_words")).count() === 0L)
+    // packing by subword counts covers the larger total stream
+    val packSub = graft.queries.Registry.queries("text_pack_subword")(spark, sf)
+    val packWs = graft.queries.Registry.queries("text_pack_windows")(spark, sf)
+    val lastOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(max(col("last_window"))).as[Long].head()
+    assert(lastOf(packSub) > lastOf(packWs),
+      "subword stream should cut into more 512-token windows than the word stream")
+  }
+
   test("dedup_embedding_pairs still recalls every planted scaled copy") {
     val got = graft.queries.Registry.queries("dedup_embedding_pairs")(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
