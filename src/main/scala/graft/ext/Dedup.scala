@@ -391,6 +391,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Pigeonhole pairs over a 64-bit hash shipped as two 32-bit halves
+    * (`hiCol`/`loCol`) — the 64-bit twin of [[simhashCandidatePairs]]:
+    * 8 bands of 8 bits, so any pair within Hamming distance ≤ 7 agrees
+    * exactly on some band and the equi join on (band, byte) finds it;
+    * bit_count of the two xors verifies the distance exactly. Used for
+    * perceptual-hash image dedup ([[graft.ext.Multimodal]]) but
+    * hash-agnostic: one banded scan, one shuffle on the band key,
+    * candidate volume collision-bound — never n².
+    */
+  def hammingPairs64(hashes: DataFrame, idCol: String,
+      hiCol: String = "phash_hi", loCol: String = "phash_lo",
+      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8-band pigeonhole over 64 bits is exhaustive only for d <= 7, got $maxHamming")
+    val bands = hashes.select(col(idCol), col(hiCol), col(loCol),
+      explode(array((0 until 8).map { b =>
+        val src = if (b < 4) col(loCol) else col(hiCol)
+        struct(lit(b).as("b"),
+          shiftright(src, (b % 4) * 8).bitwiseAND(lit(255L)).as("v"))
+      }: _*)).as("bd"))
+      .select(col(idCol), col(hiCol), col(loCol),
+        col("bd.b").as("__b"), col("bd.v").as("__v"))
+      .localCheckpoint() // both join sides read the banded rows once
+    val a = bands.select(col(idCol).as("doc_a"), col(hiCol).as("__ha"),
+      col(loCol).as("__la"), col("__b"), col("__v"))
+    val b = bands.select(col(idCol).as("doc_b"), col(hiCol).as("__hb"),
+      col(loCol).as("__lb"), col("__b").as("__b2"), col("__v").as("__v2"))
+    a.join(b.hint("shuffle_hash"),
+        col("__b") === col("__b2") && col("__v") === col("__v2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("__ha").bitwiseXOR(col("__hb"))) +
+          bit_count(col("__la").bitwiseXOR(col("__lb")))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Bucketed pairwise n-gram Jaccard similarity: pairs within the same
     * bucket whose distinct-shingle Jaccard ≥ threshold.
     *

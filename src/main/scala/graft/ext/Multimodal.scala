@@ -109,6 +109,120 @@ object Multimodal {
       }
   }
 
+  final case class ImageHashes(doc_id: Long, ahash_hi: Long, ahash_lo: Long,
+      dhash_hi: Long, dhash_lo: Long)
+
+  /** Perceptual hashes over REAL decoded images: aHash (8×8 block-mean
+    * grid, bit = cell brighter than the image mean) and dHash (9×8
+    * grid, bit = horizontal gradient sign) over integer luma
+    * (299r+587g+114b). All comparisons are exact integer cross products
+    * (cellSum·totalCnt vs totalSum·cellCnt) — no float rounding, so the
+    * hash is bit-stable across JVMs. Each 64-bit hash ships as two
+    * 32-bit halves (hi/lo), the layout [[graft.ext.Dedup.hammingPairs64]]
+    * bands for pigeonhole pair proposal — near-duplicate IMAGE dedup
+    * with the same propose-then-verify scheme as simhash text dedup.
+    * Same per-partition reader amortization as [[decodeImages]];
+    * undecodable payloads drop rather than kill the pass.
+    */
+  def imagePerceptualHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHashes] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val readers = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+        val reader = if (readers.hasNext) readers.next() else null
+        it.flatMap { case (id, bytes) =>
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val img =
+              if (reader != null && isPng(bytes)) {
+                reader.setInput(iis, true, true)
+                reader.read(0)
+              } else javax.imageio.ImageIO.read(iis)
+            if (img == null) None
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              // luma sums/counts on a 9×8 grid; aHash uses columns 0..7,
+              // dHash compares adjacent columns 0..8 per row
+              val sums = Array.ofDim[Long](8, 9)
+              val cnts = Array.ofDim[Long](8, 9)
+              var y = 0
+              while (y < h) {
+                val gy = math.min(y * 8 / h, 7)
+                var x = 0
+                while (x < w) {
+                  val gx9 = math.min(x * 9 / w, 8)
+                  val p = img.getRGB(x, y)
+                  val luma = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+                    114L * (p & 0xff)
+                  sums(gy)(gx9) += luma
+                  cnts(gy)(gx9) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              // aHash over the 8 leftmost columns of the 9-wide grid
+              var totalSum = 0L
+              var totalCnt = 0L
+              var gy = 0
+              while (gy < 8) {
+                var gx = 0
+                while (gx < 8) { totalSum += sums(gy)(gx); totalCnt += cnts(gy)(gx); gx += 1 }
+                gy += 1
+              }
+              var aHi = 0L; var aLo = 0L; var dHi = 0L; var dLo = 0L
+              var k = 0
+              while (k < 64) {
+                val cy = k / 8
+                val cx = k % 8
+                val aBit = sums(cy)(cx) * totalCnt > totalSum * cnts(cy)(cx)
+                val dBit = sums(cy)(cx) * cnts(cy)(cx + 1) <
+                  sums(cy)(cx + 1) * cnts(cy)(cx)
+                if (k < 32) {
+                  if (aBit) aLo |= 1L << k
+                  if (dBit) dLo |= 1L << k
+                } else {
+                  if (aBit) aHi |= 1L << (k - 32)
+                  if (dBit) dHi |= 1L << (k - 32)
+                }
+                k += 1
+              }
+              Some(ImageHashes(id, aHi, aLo, dHi, dLo))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+  }
+
+  /** Byte-grid perceptual hash — the DECODE-FREE stand-in on an opaque
+    * payload: the byte stream cut into an 8×8 grid of fixed-size cells,
+    * bit k = cell-k byte mean above the stream mean (the aHash rule,
+    * cells over bytes instead of pixels). Pure built-in expressions, so
+    * the DuckDB oracle replays it exactly; the comparison is the same
+    * integer cross product as [[imagePerceptualHashes]]. Emits hi/lo
+    * 32-bit halves for [[graft.ext.Dedup.hammingPairs64]]. `textCol` is
+    * the payload column (the corpus media column is its text bytes;
+    * pure ASCII at every SF, asserted in ExtOpsSpec).
+    */
+  def bytePHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(length(col(textCol)) >= 1)
+      .withColumn("__bytes",
+        expr(s"transform(sequence(1, length($textCol)), i -> ascii(substring($textCol, i, 1)))"))
+      .withColumn("__n", size(col("__bytes")).cast("long"))
+      .withColumn("__c", ceil(col("__n") / 64.0).cast("int"))
+      .withColumn("__total", expr("aggregate(__bytes, 0L, (a, x) -> a + x)"))
+      .withColumn("__bits", expr(
+        """transform(sequence(0, 63), k ->
+           IF(aggregate(slice(__bytes, k * __c + 1, __c), 0L, (a, x) -> a + x) * __n
+                > __total * size(slice(__bytes, k * __c + 1, __c)),
+              1L, 0L))"""))
+      .withColumn("phash_lo", expr(
+        "aggregate(sequence(0, 31), 0L, (a, k) -> a + shiftleft(element_at(__bits, k + 1), k))"))
+      .withColumn("phash_hi", expr(
+        "aggregate(sequence(0, 31), 0L, (a, k) -> a + shiftleft(element_at(__bits, k + 33), k))"))
+      .select(col(idCol), col("phash_hi"), col("phash_lo"))
+
   private def isPng(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
       bytes(2) == 'N' && bytes(3) == 'G'

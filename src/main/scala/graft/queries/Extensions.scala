@@ -1087,6 +1087,61 @@ object Extensions {
       FROM documents ORDER BY doc_id
     """.trim))
 
+  /** Perceptual-hash near-duplicate pairs over the media payloads: the
+    * byte-grid aHash (8×8 cells of the byte stream, bit = cell mean
+    * above stream mean, exact integer cross-product compare) banded by
+    * [[graft.ext.Dedup.hammingPairs64]]'s 8×8-bit pigeonhole — every
+    * pair within Hamming ≤ 7 shares a band, bit_count(xor) verifies.
+    * The REAL image path (decoded PNGs, same grid/compare rule, plus
+    * dHash) is [[graft.ext.Multimodal.imagePerceptualHashes]],
+    * spec-pinned in Round7Spec on a deterministic PNG corpus — decode
+    * can't run in the oracle, the banding/verify machinery is shared
+    * and IS oracled here.
+    */
+  val mediaPhashPairs = Q(
+    "media_phash_pairs",
+    (s, dir) =>
+      graft.ext.Dedup.hammingPairs64(
+          graft.ext.Multimodal.bytePHash(
+            augmentedDocs(s, dir, perturb = true), "doc_id", "text"),
+          "doc_id", maxHamming = 7)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH ${augCte(perturb = true)},
+      d AS (SELECT doc_id, text AS t, length(text)::BIGINT AS n,
+                   CAST(ceil(length(text) / 64.0) AS INT) AS c
+            FROM aug WHERE length(text) >= 1),
+      b AS (SELECT doc_id, n, c,
+                   list_transform(range(1, n + 1), i -> ascii(substr(t, i, 1))) AS bytes
+            FROM d),
+      s AS (SELECT doc_id, n, c, bytes, list_sum(bytes)::BIGINT AS total FROM b),
+      bits AS (SELECT doc_id,
+                 list_transform(range(0, 64), k ->
+                   CASE WHEN coalesce(list_sum(list_slice(bytes, k * c + 1, k * c + c)), 0)::BIGINT * n
+                           > total * len(list_slice(bytes, k * c + 1, k * c + c))
+                        THEN 1::BIGINT ELSE 0::BIGINT END) AS bt
+               FROM s),
+      h AS (SELECT doc_id,
+              list_sum(list_transform(range(0, 32), k -> bt[k + 1] * (1::BIGINT << k)))::BIGINT AS lo,
+              list_sum(list_transform(range(0, 32), k -> bt[k + 33] * (1::BIGINT << k)))::BIGINT AS hi
+            FROM bits),
+      bands AS (SELECT doc_id, hi, lo, unnest(range(8)) AS bnd FROM h),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+                FROM bands a JOIN bands b
+                  ON a.bnd = b.bnd
+                 AND (CASE WHEN a.bnd < 4 THEN (a.lo >> (a.bnd * 8)) & 255
+                           ELSE (a.hi >> ((a.bnd - 4) * 8)) & 255 END)
+                   = (CASE WHEN b.bnd < 4 THEN (b.lo >> (b.bnd * 8)) & 255
+                           ELSE (b.hi >> ((b.bnd - 4) * 8)) & 255 END)
+                 AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::BIGINT AS hamming
+      FROM pairs
+      WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 7
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   /** Frame sampling over the binary media column: every 128-byte stride
     * keeps its first 64 bytes (Multimodal.sampleFrames — scan-side byte
     * slicing, one row per frame). DuckDB has no blob substring, so the
@@ -1451,5 +1506,5 @@ object Extensions {
     textLangid, textLangidTrigram, textQuality, textTokens, textSubwordTokens,
     textPackSubword, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup, textRepetition, textDecontaminate, textLmScore,
-    mediaMeta, mediaFrames, pipelineCorpusClean, pipelineDatasetCard)
+    mediaMeta, mediaFrames, mediaPhashPairs, pipelineCorpusClean, pipelineDatasetCard)
 }

@@ -118,6 +118,59 @@ class Round7Spec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
+  // ---- perceptual-hash image dedup ---------------------------------------
+
+  test("image perceptual hashes: near-dup PNGs pair within hamming 7, distinct ones don't") {
+    def gradientPng(seed: Int, tweak: Set[(Int, Int)] = Set.empty): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = (x * 8 + y * 4 + seed) % 256
+        img.setRGB(x, y, if (tweak((x, y))) 0xffffff else (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, gradientPng(0)),
+      // same gradient, 3 pixels blown out — a near duplicate
+      (2L, gradientPng(0, tweak = Set((0, 0), (5, 5), (20, 11)))),
+      // inverted-direction gradient — structurally different
+      (3L, gradientPng(128)),
+      (4L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val hashes = graft.ext.Multimodal.imagePerceptualHashes(spark, media).toDF()
+    assert(hashes.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L),
+      "corrupt payload must drop, not fail")
+    val aPairs = graft.ext.Dedup.hammingPairs64(
+        hashes, "doc_id", "ahash_hi", "ahash_lo", maxHamming = 7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(aPairs.contains((1L, 2L)), s"near-dup pair lost: $aPairs")
+    assert(!aPairs.contains((1L, 3L)) && !aPairs.contains((2L, 3L)),
+      s"structurally different images paired: $aPairs")
+    // dHash agrees: the tweak barely moves gradient signs
+    val dPairs = graft.ext.Dedup.hammingPairs64(
+        hashes, "doc_id", "dhash_hi", "dhash_lo", maxHamming = 7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(dPairs.contains((1L, 2L)), s"dHash near-dup pair lost: $dPairs")
+  }
+
+  test("hammingPairs64 pigeonhole is exhaustive at d<=7 and exact on the distance") {
+    // hand-built hashes: B differs from A in exactly 7 bits spread over
+    // all 8 bands (no shared-band shortcut among the FLIPPED bits — the
+    // recall must come from band 7, the only untouched band); C differs
+    // from A in 8 bits, one per band, so no band agrees and the propose
+    // stage must NOT emit (A, C) even though d=8 is just past the gate
+    val a = (0L, 0L, 0L)
+    val b = (1L, 1L | (1L << 8) | (1L << 16) | (1L << 24), (1L << 8) | (1L << 16) | (1L << 24))
+    val c = (2L, 1L | (1L << 8) | (1L << 16) | (1L << 24), 1L | (1L << 8) | (1L << 16) | (1L << 24))
+    val df = Seq(a, b, c).toDF("doc_id", "phash_lo", "phash_hi")
+    val got = graft.ext.Dedup.hammingPairs64(df, "doc_id", maxHamming = 7)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L, 7L)), got.toString)
+    assert(!got.exists(p => p._1 == 0L && p._2 == 2L), got.toString)
+  }
+
   // ---- subword tokenizer -------------------------------------------------
 
   test("subword tokenizer: greedy longest-match, code-point advance, fallback") {
