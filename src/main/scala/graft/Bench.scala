@@ -65,11 +65,13 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
-    // "steady": the single-shot total with the 10 slowest queries
+    // "steady": the single-shot total with the 20 slowest queries
     // replaced by their min-of-2 — a transient stall (GC, noisy
     // neighbor) on one query shows up as value >> steady, while a real
-    // regression moves both. Cheap: only ~10 re-runs.
-    val slowest = results.sortBy(-_._2).take(10).toMap
+    // regression moves both. Cheap: only ~20 re-runs, and 20 covers
+    // the whole band box noise has historically landed in (round 6's
+    // 206 s artifact recovered 72 s from just the top 10).
+    val slowest = results.sortBy(-_._2).take(20).toMap
     val rerun = slowest.map { case (name, t1) =>
       val t0 = System.nanoTime()
       // a FAILED rerun keeps the first-pass time: min() with a near-zero
@@ -83,11 +85,14 @@ object Bench {
     val loadAfter = osBean.getSystemLoadAverage
     // The driver captures only a bounded tail of stdout and parses the
     // JSON line out of it; keep the whole line comfortably under 1700
-    // chars. Times at 3 dp (Locale.ROOT — never a comma decimal), and
-    // the per-query breakdown clipped slowest-first to a byte budget so
-    // the headline "value" always survives the tail window.
+    // chars. Headline times at 3 dp (Locale.ROOT — never a comma
+    // decimal); the per-query breakdown at 2 dp so more of the slow
+    // tail fits, clipped slowest-first to a byte budget so the headline
+    // "value" always survives the tail window.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val prefix =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":{"""
     val suffix = s"""},"steady":${fmt(steady)},"load1_before":${fmt(loadBefore)},""" +
@@ -96,7 +101,7 @@ object Bench {
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
-      val e = "\"" + k + "\":" + fmt(v)
+      val e = "\"" + k + "\":" + fmt2(v)
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
     }
     println(prefix + entries.mkString(",") + suffix)
