@@ -205,7 +205,7 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var i = 1
-    while (!converged && i < maxIter) {
+    while (!converged && i <= maxIter) {
       val lbl = if (smallLabels) broadcast(labels) else labels
       // new label = min over (own label ∪ neighbors' labels): a union
       // into ONE shuffled min-aggregate — no join-back needed, since the
@@ -221,6 +221,15 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // One-hop propagation needs DIAMETER rounds; silently returning
+    // under-converged labels would hand out wrong cluster ids (exactly
+    // what happened on a 28-hop hamming-ball chain before this guard).
+    // Clique-shaped LSH graphs converge in 2-3 rounds; a graph that
+    // exhausts the budget is chain-shaped and belongs on the
+    // O(log n)-round [[connectedComponentsStar]] instead.
+    if (!converged) throw new IllegalStateException(
+      s"hash-min connected components did not converge in $maxIter rounds — " +
+        "long-diameter candidate graph; use connectedComponentsStar")
     labels
   }
 

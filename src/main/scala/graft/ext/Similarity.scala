@@ -521,37 +521,95 @@ object Similarity {
       centIdCol: String, centVecCol: String, m: Int, k: Int,
       nprobe: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
-    val cents = collectCentroids(centroids, centIdCol, centVecCol)
-    // the centroid table again, as a broadcast lookup for the residual
-    // subtraction (the inlined-argmin picks the list; the residual then
-    // needs that list's vector — a join, not another argmin)
-    val centDf = broadcast(centroids.select(
+    val model = ivfPqResidualModel(train, centroids, idCol, vecCol,
+      centIdCol, centVecCol, m)
+    // the materialized inverted lists — the index-build artifact itself;
+    // without the checkpoint, projection collapse inlines the encode
+    // into the probe join and re-evaluates it per candidate pair (see
+    // pqTopK)
+    val idx = buildIvfPqIndex(spark, corpus, centroids, model,
+      idCol, vecCol, centIdCol, centVecCol).localCheckpoint()
+    serveIvfPq(spark, idx, queries, centroids, model,
+      idCol, vecCol, centIdCol, centVecCol, k, nprobe)
+  }
+
+  /** Broadcast lookup of the centroid table for residual arithmetic:
+    * the inlined-argmin picks the LIST; the residual then needs that
+    * list's vector — a join, not another argmin.
+    */
+  private def centroidLookup(centroids: DataFrame, centIdCol: String,
+      centVecCol: String): DataFrame =
+    broadcast(centroids.select(
       col(centIdCol).cast("long").as("__ccid"),
       col(centVecCol).cast("array<double>").as("__ccv")))
-    def withResidual(df: DataFrame, vec: String, listCol: String): DataFrame =
-      df.join(centDf, col(listCol) === col("__ccid"))
-        .withColumn("__resid", zip_with(col(vec), col("__ccv"),
-          (x, c) => x.cast("double") - c))
-        .drop("__ccid")
-    // train the codebook on residuals of the training rows (assigned on
-    // their original vectors, like the corpus)
+
+  private def withResidual(df: DataFrame, centDf: DataFrame, vec: String,
+      listCol: String): DataFrame =
+    df.join(centDf, col(listCol) === col("__ccid"))
+      .withColumn("__resid", zip_with(col(vec), col("__ccv"),
+        (x, c) => x.cast("double") - c))
+      .drop("__ccid")
+
+  /** Residual PQ codebook for an IVF-PQ index: training rows
+    * coarse-assign on their ORIGINAL vectors (like the corpus), then
+    * the codebook trains on their residuals. A model input — shared by
+    * the build and serve halves, persisted alongside the index in a
+    * real deployment.
+    */
+  def ivfPqResidualModel(train: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centIdCol: String, centVecCol: String,
+      m: Int): PqModel = {
+    val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    val centDf = centroidLookup(centroids, centIdCol, centVecCol)
     val trainResid = withResidual(
       withProbeLists(train.select(col(idCol), col(vecCol).as("__v")),
-        "__v", "__tlist", cents, 1), "__v", "__tlist")
+        "__v", "__tlist", cents, 1), centDf, "__v", "__tlist")
       .select(col(idCol), col("__resid"))
-    val model = pqTrain(trainResid, idCol, "__resid", m)
-    // the materialized inverted lists (id, list, codes, reconstruction)
-    // — the index-build artifact itself; without the checkpoint,
-    // projection collapse inlines encode+decode into the probe join and
-    // re-evaluates them per candidate pair (see pqTopK)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
-      .transform(df => withProbeLists(df, "__v", "neighbor_list", cents, 1))
-      .transform(df => withResidual(df, "__v", "neighbor_list"))
-      .withColumn("__codes", pqCodes(col("__resid"), model))
-      .withColumn("__cv2", zip_with(col("__ccv"), pqReconstruct(col("__codes"), model),
-        (cc, d) => cc + d))
+    pqTrain(trainResid, idCol, "__resid", m)
+  }
+
+  /** IVF-PQ index BUILD — the persisted artifact of the compressed
+    * index: each corpus vector coarse-assigned on its original vector,
+    * residual-encoded to m dense codes, emitted as `(id, list, codes)`
+    * — m bytes plus a list id per vector, the once-per-corpus ingest
+    * job of the FAISS IVFPQ layout (cf. [[buildQuantizedIvfIndex]] for
+    * the scalar-code tier). After persistence no query pays for
+    * encoding again.
+    */
+  def buildIvfPqIndex(spark: SparkSession, corpus: DataFrame,
+      centroids: DataFrame, model: PqModel, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    val centDf = centroidLookup(centroids, centIdCol, centVecCol)
+    corpus.select(col(idCol), col(vecCol).as("__v"))
+      .transform(df => withProbeLists(df, "__v", "list", cents, 1))
+      .transform(df => withResidual(df, centDf, "__v", "list"))
+      .withColumn("codes", pqCodes(col("__resid"), model))
+      .select(col(idCol), col("list"), col("codes"))
+  }
+
+  /** Probe-only SERVE over a persisted IVF-PQ index: stored codes
+    * decode scan-side — centroid plus decoded residual, so the plan
+    * contains [[graft.functions.PqDecode]] but never the encode kernel
+    * — full-precision queries coarse-assign to their `nprobe` lists
+    * against the same centroid model the build used, and the broadcast
+    * probe join + per-query window rank exactly as [[ivfTopK]].
+    * Steady-state cost: nprobe/c of an index 16-32× smaller than
+    * float32, already on disk.
+    */
+  def serveIvfPq(spark: SparkSession, index: DataFrame, queries: DataFrame,
+      centroids: DataFrame, model: PqModel, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    VectorExpressions.register(spark)
+    val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    val centDf = centroidLookup(centroids, centIdCol, centVecCol)
+    val c = index.select(col(idCol).as("neighbor_id"),
+        col("list").as("neighbor_list"), col("codes"))
+      .join(centDf, col("neighbor_list") === col("__ccid"))
+      .withColumn("__cv2", zip_with(col("__ccv"),
+        pqReconstruct(col("codes"), model), (cc, d) => cc + d))
       .select(col("neighbor_id"), col("neighbor_list"), col("__cv2"))
-      .localCheckpoint()
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .transform(df => withProbeLists(df, "__qv", "query_list", cents, nprobe))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))

@@ -598,17 +598,13 @@ object Extensions {
     * within-list variation only — the recall lift over raw-vector codes
     * is pinned in Round7Spec.
     */
-  val annIvfPq = Q(
-    "ann_ivfpq_topk",
-    (s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      Similarity.ivfPqTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
-          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
-          emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000),
-          "vec_id", "embedding", "vec_id", "embedding", m = 16, k = 5, nprobe = 3)
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""
+  /** Shared oracle for the IVF-PQ pair (`ann_ivfpq_topk` builds the
+    * index inside the query, `ann_ivfpq_serve` probes the persisted
+    * artifact): identical knobs → identical results, which is the
+    * point — the build/serve split changes WHERE the encode cost is
+    * paid, never the answer.
+    */
+  private def ivfPqOracleSql: String = s"""
       WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
       corp_a AS (
         SELECT vec_id, cid FROM (
@@ -659,7 +655,45 @@ object Extensions {
                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         FROM p) WHERE rank <= 5
       ORDER BY query_id, rank
-    """.trim))
+    """.trim
+
+  val annIvfPq = Q(
+    "ann_ivfpq_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
+          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
+          emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000),
+          "vec_id", "embedding", "vec_id", "embedding", m = 16, k = 5, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqOracleSql))
+
+  /** The compressed-index serving tier end-to-end: residual PQ codes +
+    * list ids persisted once (`Similarity.buildIvfPqIndex` through the
+    * per-run artifact cache), then probed by a plan that DECODES but
+    * never encodes — the FAISS IVFPQ build/serve economics on top of
+    * the scalar-code tier `ann_index_serve` already exercises.
+    * Round7Spec asserts the no-encode plan shape.
+    */
+  val annIvfPqServe = Q(
+    "ann_ivfpq_serve",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000)
+      val model = Similarity.ivfPqResidualModel(
+        emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000), cents,
+        "vec_id", "embedding", "vec_id", "embedding", m = 16)
+      val idxDir = graft.etl.LayoutOps.ensureRunDir(s, dir, "ivfpq_index") { d =>
+        Similarity.buildIvfPqIndex(s, emb, cents, model,
+          "vec_id", "embedding", "vec_id", "embedding").write.parquet(d)
+      }
+      Similarity.serveIvfPq(s, s.read.parquet(idxDir),
+          emb.filter(col("vec_id") % 100 === 0), cents, model,
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqOracleSql))
 
   /** IVF range search — radius-bounded retrieval (every probed-list
     * neighbor with cosine ≥ 0.2) instead of a fixed top-k: the serving
@@ -1098,16 +1132,11 @@ object Extensions {
     * can't run in the oracle, the banding/verify machinery is shared
     * and IS oracled here.
     */
-  val mediaPhashPairs = Q(
-    "media_phash_pairs",
-    (s, dir) =>
-      graft.ext.Dedup.hammingPairs64(
-          graft.ext.Multimodal.bytePHash(
-            augmentedDocs(s, dir, perturb = true), "doc_id", "text"),
-          "doc_id", maxHamming = 7)
-        .orderBy(col("doc_a"), col("doc_b")),
-    Some(s"""
-      WITH ${augCte(perturb = true)},
+  /** Shared oracle chain: byte-grid pHash (hi/lo halves) → 8×8-bit
+    * pigeonhole band join → verified pairs within Hamming ≤ 7, ending
+    * at `ppairs(doc_a, doc_b, hamming)`.
+    */
+  private def phashPairsCtes: String = s"""${augCte(perturb = true)},
       d AS (SELECT doc_id, text AS t, length(text)::BIGINT AS n,
                    CAST(ceil(length(text) / 64.0) AS INT) AS c
             FROM aug WHERE length(text) >= 1),
@@ -1126,20 +1155,64 @@ object Extensions {
               list_sum(list_transform(range(0, 32), k -> bt[k + 33] * (1::BIGINT << k)))::BIGINT AS hi
             FROM bits),
       bands AS (SELECT doc_id, hi, lo, unnest(range(8)) AS bnd FROM h),
-      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
-                FROM bands a JOIN bands b
-                  ON a.bnd = b.bnd
-                 AND (CASE WHEN a.bnd < 4 THEN (a.lo >> (a.bnd * 8)) & 255
-                           ELSE (a.hi >> ((a.bnd - 4) * 8)) & 255 END)
-                   = (CASE WHEN b.bnd < 4 THEN (b.lo >> (b.bnd * 8)) & 255
-                           ELSE (b.hi >> ((b.bnd - 4) * 8)) & 255 END)
-                 AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b,
-             (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::BIGINT AS hamming
-      FROM pairs
-      WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 7
-      ORDER BY doc_a, doc_b
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+               FROM bands a JOIN bands b
+                 ON a.bnd = b.bnd
+                AND (CASE WHEN a.bnd < 4 THEN (a.lo >> (a.bnd * 8)) & 255
+                          ELSE (a.hi >> ((a.bnd - 4) * 8)) & 255 END)
+                  = (CASE WHEN b.bnd < 4 THEN (b.lo >> (b.bnd * 8)) & 255
+                          ELSE (b.hi >> ((b.bnd - 4) * 8)) & 255 END)
+                AND a.doc_id < b.doc_id),
+      ppairs AS (SELECT doc_a, doc_b,
+                   (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::BIGINT AS hamming
+                 FROM cand
+                 WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 7)"""
+
+  val mediaPhashPairs = Q(
+    "media_phash_pairs",
+    (s, dir) =>
+      graft.ext.Dedup.hammingPairs64(
+          graft.ext.Multimodal.bytePHash(
+            augmentedDocs(s, dir, perturb = true), "doc_id", "text"),
+          "doc_id", maxHamming = 7)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $phashPairsCtes
+      SELECT doc_a, doc_b, hamming FROM ppairs ORDER BY doc_a, doc_b
+    """.trim))
+
+  /** Multimodal dedup end-to-end: perceptual-hash propose → connected
+    * components → per-doc cluster assignment, the same propose→CC→keep
+    * pipeline the text family runs (dedup_clusters), driven by the
+    * byte-grid pHash pairs. The STAR-contraction components, not
+    * hash-min: hamming-ball graphs are chains (A~B~C with A,C twice as
+    * far), so component diameter grows with corpus size and one-hop
+    * label propagation needs diameter rounds — at sf0.1 a 28+-hop chain
+    * already outran hash-min's budget (caught by this oracle). Star
+    * contraction halves long paths every round, O(log n) total. The
+    * recursive-CTE oracle recomputes the exact transitive closure, so
+    * component assignment — not just the pair set — is pinned.
+    */
+  val mediaPhashClusters = Q(
+    "media_phash_clusters",
+    (s, dir) => {
+      val docs = augmentedDocs(s, dir, perturb = true)
+      val pairs = graft.ext.Dedup.hammingPairs64(
+        graft.ext.Multimodal.bytePHash(docs, "doc_id", "text"),
+        "doc_id", maxHamming = 7)
+      Dedup.clusterAssignmentStar(docs, pairs, "doc_id").orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $phashPairsCtes,
+      edges AS (SELECT doc_a AS es, doc_b AS ed FROM ppairs
+                UNION SELECT doc_b, doc_a FROM ppairs),
+      reach(es, ed) AS (SELECT es, ed FROM edges
+                        UNION SELECT r.es, e.ed FROM reach r JOIN edges e ON r.ed = e.es),
+      comp AS (SELECT es AS doc_id, min(ed) AS mn FROM reach GROUP BY es)
+      SELECT a.doc_id, coalesce(least(c.mn, a.doc_id), a.doc_id) AS cluster_id
+      FROM aug a LEFT JOIN comp c USING (doc_id)
+      ORDER BY doc_id
     """.trim))
 
   /** Frame sampling over the binary media column: every 128-byte stride
@@ -1500,11 +1573,12 @@ object Extensions {
     dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupSemantic, dedupFuzzy,
     annBrute, annLsh, annIvf, annIvfQuantized, annIndexServe, annPq, annIvfPq,
-    annRangeSearch,
+    annIvfPqServe, annRangeSearch,
     annFilteredTopk, annKmeansAssign, annKmeansIter, annQuantize,
     annQuantizedTopk,
     textLangid, textLangidTrigram, textQuality, textTokens, textSubwordTokens,
     textPackSubword, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup, textRepetition, textDecontaminate, textLmScore,
-    mediaMeta, mediaFrames, mediaPhashPairs, pipelineCorpusClean, pipelineDatasetCard)
+    mediaMeta, mediaFrames, mediaPhashPairs, mediaPhashClusters,
+    pipelineCorpusClean, pipelineDatasetCard)
 }

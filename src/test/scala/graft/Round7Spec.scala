@@ -118,6 +118,33 @@ class Round7Spec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
+  test("ann_ivfpq_serve plan decodes but never encodes") {
+    graft.queries.Registry.queries("ann_ivfpq_serve")(spark, sf).count()
+    val plan = graft.queries.Registry.queries("ann_ivfpq_serve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the serving plan reconstructs via PqDecode over STORED codes; the
+    // encode kernel appearing would mean the index is being rebuilt
+    assert(plan.contains("pqdecode") || plan.contains("PqDecode"), plan.take(1500))
+    assert(!plan.contains("pqencodecodes") && !plan.contains("PqEncodeCodes"),
+      plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("hash-min CC fails loudly on a long chain instead of returning wrong labels") {
+    // a 30-hop path: diameter 30 > the 25-round budget. Silent
+    // truncation handed out wrong cluster ids (caught at sf0.1 by the
+    // media_phash_clusters oracle); now it must throw and point at the
+    // star variant, which contracts the same chain exactly.
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      graft.ext.Dedup.connectedComponents(chain, "doc_a", "doc_b").count()
+    }
+    assert(ex.getMessage.contains("connectedComponentsStar"))
+    val star = graft.ext.Dedup.connectedComponentsStar(chain, "doc_a", "doc_b")
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert((0L to 30L).forall(v => star(v) == 0L), star.toString)
+  }
+
   // ---- perceptual-hash image dedup ---------------------------------------
 
   test("image perceptual hashes: near-dup PNGs pair within hamming 7, distinct ones don't") {
