@@ -198,30 +198,23 @@ object Multimodal {
   /** Byte-grid perceptual hash — the DECODE-FREE stand-in on an opaque
     * payload: the byte stream cut into an 8×8 grid of fixed-size cells,
     * bit k = cell-k byte mean above the stream mean (the aHash rule,
-    * cells over bytes instead of pixels). Pure built-in expressions, so
-    * the DuckDB oracle replays it exactly; the comparison is the same
-    * integer cross product as [[imagePerceptualHashes]]. Emits hi/lo
-    * 32-bit halves for [[graft.ext.Dedup.hammingPairs64]]. `textCol` is
-    * the payload column (the corpus media column is its text bytes;
-    * pure ASCII at every SF, asserted in ExtOpsSpec).
+    * cells over bytes instead of pixels). One codegen'd kernel pass
+    * ([[graft.functions.BytePHash64]] — the HOF formulation evaluated
+    * ~66 CodegenFallback lambdas per character); all-integer arithmetic
+    * the DuckDB oracle replays exactly, the same cross-product compare
+    * as [[imagePerceptualHashes]]. Emits hi/lo 32-bit halves for
+    * [[graft.ext.Dedup.hammingPairs64]]. `textCol` is the payload
+    * column (the corpus media column is its text bytes; pure ASCII at
+    * every SF, asserted in ExtOpsSpec).
     */
-  def bytePHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def bytePHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     df.filter(length(col(textCol)) >= 1)
-      .withColumn("__bytes",
-        expr(s"transform(sequence(1, length($textCol)), i -> ascii(substring($textCol, i, 1)))"))
-      .withColumn("__n", size(col("__bytes")).cast("long"))
-      .withColumn("__c", ceil(col("__n") / 64.0).cast("int"))
-      .withColumn("__total", expr("aggregate(__bytes, 0L, (a, x) -> a + x)"))
-      .withColumn("__bits", expr(
-        """transform(sequence(0, 63), k ->
-           IF(aggregate(slice(__bytes, k * __c + 1, __c), 0L, (a, x) -> a + x) * __n
-                > __total * size(slice(__bytes, k * __c + 1, __c)),
-              1L, 0L))"""))
-      .withColumn("phash_lo", expr(
-        "aggregate(sequence(0, 31), 0L, (a, k) -> a + shiftleft(element_at(__bits, k + 1), k))"))
-      .withColumn("phash_hi", expr(
-        "aggregate(sequence(0, 31), 0L, (a, k) -> a + shiftleft(element_at(__bits, k + 33), k))"))
-      .select(col(idCol), col("phash_hi"), col("phash_lo"))
+      .withColumn("__ph", expr(s"graft_byte_phash($textCol)"))
+      .select(col(idCol),
+        element_at(col("__ph"), 1).as("phash_hi"),
+        element_at(col("__ph"), 2).as("phash_lo"))
+  }
 
   private def isPng(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&

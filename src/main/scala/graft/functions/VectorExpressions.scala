@@ -552,6 +552,67 @@ object SubwordTokens {
   }
 }
 
+/** Byte-grid perceptual hash in one codegen'd pass: the payload's code
+  * points cut into an 8×8 grid of fixed-size cells, bit k = cell-k mean
+  * above the stream mean by exact integer cross product (cellSum·n >
+  * total·cellCnt — no float rounding anywhere). Returns [hi, lo] 32-bit
+  * halves for [[graft.ext.Dedup.hammingPairs64]]. Replaces a
+  * CodegenFallback HOF stack (per-char transform + per-cell aggregate —
+  * ~66 evaluated lambdas per character) with a single loop; values are
+  * bit-identical, the DuckDB oracle replays the same arithmetic.
+  */
+case class BytePHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_byte_phash expects string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any =
+    BytePHash64.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BytePHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BytePHash64 {
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    // code points, not bytes or UTF-16 units: ascii()/substr() in the
+    // oracle are code-point units (identical for the ASCII corpus, and
+    // the two engines stay in lockstep beyond it)
+    val cps = s.toString.codePoints().toArray()
+    val n = cps.length
+    // ceil(n/64): same cell size as the oracle's CAST(ceil(n/64.0) AS INT)
+    val c = (n + 63) / 64
+    var total = 0L
+    var i = 0
+    while (i < n) { total += cps(i); i += 1 }
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < 64 && c > 0) {
+      val start = k * c
+      val end = math.min(n, start + c)
+      var cs = 0L
+      var cnt = 0L
+      var j = start
+      while (j < end) { cs += cps(j); cnt += 1; j += 1 }
+      // empty trailing cells: cnt=0 → 0 > 0 false, bit stays clear
+      if (cs * n > total * cnt) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(hi, lo))
+  }
+}
+
 object VectorExpressions {
   /** Registers the graft_* expression family for SQL/expr use in this
     * session (idempotent).
@@ -575,5 +636,7 @@ object VectorExpressions {
       "graft_simhash32", exprs => SimHash32(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_subword_tokens", exprs => SubwordTokens(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_byte_phash", exprs => BytePHash64(exprs.head), "scala_udf")
   }
 }

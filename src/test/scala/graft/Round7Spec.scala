@@ -182,6 +182,33 @@ class Round7Spec extends SparkSpec {
     assert(dPairs.contains((1L, 2L)), s"dHash near-dup pair lost: $dPairs")
   }
 
+  test("BytePHash64 kernel equals the built-in-expression reference formulation") {
+    val docs = graft.etl.Tables(spark, sf, "documents").limit(200)
+    val kernel = graft.ext.Multimodal.bytePHash(docs, "doc_id", "text")
+    // the HOF reference the kernel replaced — kept here as the spec of
+    // the arithmetic (and what the DuckDB oracle independently replays)
+    val ref = docs.filter(length(col("text")) >= 1)
+      .withColumn("__bytes",
+        expr("transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
+      .withColumn("__n", size(col("__bytes")).cast("long"))
+      .withColumn("__c", ceil(col("__n") / 64.0).cast("int"))
+      .withColumn("__total", expr("aggregate(__bytes, 0L, (a, x) -> a + x)"))
+      .withColumn("__bits", expr(
+        """transform(sequence(0, 63), k ->
+           IF(aggregate(slice(__bytes, k * __c + 1, __c), 0L, (a, x) -> a + x) * __n
+                > __total * size(slice(__bytes, k * __c + 1, __c)),
+              1L, 0L))"""))
+      .withColumn("phash_lo", expr(
+        "aggregate(sequence(0, 31), 0L, (a, k) -> a + shiftleft(element_at(__bits, k + 1), k))"))
+      .withColumn("phash_hi", expr(
+        "aggregate(sequence(0, 31), 0L, (a, k) -> a + shiftleft(element_at(__bits, k + 33), k))"))
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"))
+    val k = kernel.as[(Long, Long, Long)].collect().toSet
+    val r = ref.as[(Long, Long, Long)].collect().toSet
+    assert(k === r)
+    assert(k.nonEmpty)
+  }
+
   test("hammingPairs64 pigeonhole is exhaustive at d<=7 and exact on the distance") {
     // hand-built hashes: B differs from A in exactly 7 bits spread over
     // all 8 bands (no shared-band shortcut among the FLIPPED bits — the
