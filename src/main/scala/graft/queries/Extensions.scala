@@ -1157,7 +1157,12 @@ object Extensions {
     * dHash) is [[graft.ext.Multimodal.imagePerceptualHashes]],
     * spec-pinned in Round7Spec on a deterministic PNG corpus — decode
     * can't run in the oracle, the banding/verify machinery is shared
-    * and IS oracled here.
+    * and IS oracled here. Note the hit set is honest aHash behavior:
+    * the perturbed copies PREPEND bytes, and aHash is
+    * translation-sensitive by construction (a shifted image hashes
+    * differently too), so only pairs whose cell means survive the
+    * 3-byte shift land within Hamming 7 — the propose machinery, not a
+    * planted-pair guarantee, is what this query pins.
     */
   /** Shared oracle chain: byte-grid pHash (hi/lo halves) → 8×8-bit
     * pigeonhole band join → verified pairs within Hamming ≤ 7, ending

@@ -37,6 +37,8 @@ object BenchDetail {
       graft.etl.LayoutOps.ensureBucketed(spark, sfDir, "orders", Seq("o_orderkey"), 8)
       graft.etl.LayoutOps.ensureBucketed(spark, sfDir, "lineitem", Seq("l_orderkey"), 8)
       graft.etl.LayoutOps.ensurePartitionedOrders(spark, sfDir)
+      graft.queries.Extensions.ensureIvfInt8Index(spark, sfDir)
+      graft.queries.Extensions.ensureIvfPqIndex(spark, sfDir)
     } catch { case _: Throwable => () }
     // a query that crashes must NOT record its (near-zero) failure-path
     // timing — in the committed regression artifact that would read as a
