@@ -345,6 +345,141 @@ object TextOps {
         floor((col("__end") - 1) / windowTokens).cast("long").as("last_window"))
   }
 
+  /** Corpus-global repeated-line removal (the CCNet/RefinedWeb
+    * boilerplate cut): normalize each line, count how many times each
+    * normalized line occurs corpus-wide, drop lines occurring ≥
+    * `minDocs` times (cookie banners, footers, nav chrome — the text
+    * that repeats across a crawl), and reassemble every document with
+    * its surviving lines in original order. Reports per document the
+    * line count before/after and an md5 pin of the cleaned text.
+    *
+    * Plan shape for 100 TB: two shuffles, both on the right keys. The
+    * frequency pass aggregates on the line DIGEST (map-side partials;
+    * the md5 is the shuffle key, not the line text), and only digests
+    * at or above `minDocs` survive into the dup dictionary — bounded by
+    * total_lines/minDocs, and in production `minDocs` scales with the
+    * corpus, so the dictionary stays broadcast-sized and AQE plans the
+    * back-join as a broadcast probe (left join + null test, never a
+    * corpus-wide digest shuffle). Reassembly then regroups lines by
+    * document id — the one unavoidable shuffle, since line verdicts are
+    * corpus-global but output is per-document. Ordering is restored by
+    * sorting the collected (pos, line) structs INSIDE the aggregate, so
+    * the result is partition-order-independent.
+    */
+  def lineDedupGlobal(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 10): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would drop every line, got $minDocs")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("pos"),
+        Dedup.normText(col("col")).as("__norm"))
+      .withColumn("__h", md5(col("__norm")))
+    val dupDict = lines.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__corpus_n"))
+      .filter(col("__corpus_n") >= minDocs)
+    lines.join(dupDict, Seq("__h"), "left")
+      .withColumn("__kept", col("__corpus_n").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(col("__kept"),
+              struct(col("pos"), col("__norm"))))),
+            s => s.getField("__norm")))).as("cleaned_md5"))
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1): word
+    * count in [minWords, maxWords], mean word length in [minWlen,
+    * maxWlen], at least `minStopDistinct` distinct English stop words
+    * present. Emits the per-rule flags plus the composite keep bit so a
+    * pipeline can audit WHICH rule cut each document, not just that one
+    * did. Pure scan-side projection — no shuffle, no join; rule
+    * evaluation over 100 TB is embarrassingly parallel.
+    *
+    * Determinism: the word-length rule compares in integer arithmetic
+    * (`minWlen·n ≤ chars ≤ maxWlen·n`), never against the rounded
+    * double `mean_wlen` — a document sitting exactly on the boundary
+    * must flag identically in every engine.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 30, maxWords: Int = 100000,
+      minWlen: Int = 3, maxWlen: Int = 10,
+      minStopDistinct: Int = 2): DataFrame = {
+    val ws = words(col(textCol))
+    df.select(col(idCol), ws.as("__w"),
+        length(Dedup.normText(col(textCol))).cast("long").as("__nc"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("n_word_chars", col("__nc") - (col("n_words") - 1))
+      .withColumn("mean_wlen",
+        round(col("n_word_chars").cast("double") / col("n_words"), 9))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(array_distinct(col("__w")),
+          array(StopEn.map(lit): _*))).cast("long"))
+      .withColumn("flag_words",
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .cast("long"))
+      .withColumn("flag_wlen",
+        (col("n_word_chars") >= col("n_words") * minWlen &&
+          col("n_word_chars") <= col("n_words") * maxWlen).cast("long"))
+      .withColumn("flag_stop",
+        (col("n_stop_distinct") >= minStopDistinct).cast("long"))
+      .withColumn("keep",
+        col("flag_words") * col("flag_wlen") * col("flag_stop"))
+      .drop("__w", "__nc")
+  }
+
+  /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023):
+    * score every document by how much more likely its words are under a
+    * TARGET distribution (here: the rows where `targetFlag` holds, e.g.
+    * one language or one trusted source) than under the raw corpus —
+    * the log importance weight targeted resampling orders by. Features
+    * are hashed unigram buckets (`hash32(word) mod buckets`), counts
+    * are add-1 smoothed over the bucket space, and a document's weight
+    * is Σ ln(p_target(b)/p_raw(b)) over its word occurrences.
+    *
+    * Plan shape for 100 TB: ONE shuffled aggregate with at most
+    * `buckets` groups (both distributions come out of the same pass via
+    * a conditional sum — the target is a column predicate, not a second
+    * scan), a two-value driver aggregate for the smoothing denominators
+    * (`buckets` rows in, one row out), and a broadcast of the ≤
+    * `buckets`-row log-ratio table back onto the term stream — the
+    * corpus text itself never reshuffles; only the per-doc weight sum
+    * aggregates.
+    *
+    * Determinism: both ln operands are double divisions of exact
+    * integers (identical bit patterns in any engine), each ln rounds to
+    * 9 dp and the difference/sum run in DECIMAL(27,9) — the same
+    * transcendental contract as [[lmScore]].
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetFlag: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2)
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val terms = df
+      .select(col(idCol), targetFlag.as("__t"),
+        explode(words(col(textCol))).as("__term"))
+      .withColumn("__b", expr(s"graft_hash32(__term) % $buckets"))
+    val counts = terms.groupBy(col("__b")).agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"))
+    val totals = counts
+      .agg(sum(col("__cr")).cast("long"), sum(col("__ct")).cast("long"))
+      .collect()(0)
+    val denomRaw = (totals.getLong(0) + buckets).toDouble
+    val denomTgt = (totals.getLong(1) + buckets).toDouble
+    val dec = org.apache.spark.sql.types.DecimalType(27, 9)
+    val lam = counts.select(col("__b"),
+      (round(log((col("__ct") + 1).cast("double") / lit(denomTgt)), 9).cast(dec) -
+        round(log((col("__cr") + 1).cast("double") / lit(denomRaw)), 9).cast(dec))
+        .as("__lam"))
+    terms.join(broadcast(lam), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("__lam")).cast("double"), 6).as("dsir_logw"))
+  }
+
   /** Greedy longest-match subword tokenization per document: one
     * codegen'd kernel pass ([[graft.functions.SubwordTokens]]) over the
     * normalized word stream — scan-side, shuffle-free. Emits the token

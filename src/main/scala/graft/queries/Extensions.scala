@@ -1561,6 +1561,114 @@ object Extensions {
       WHERE n_shared >= 10 ORDER BY doc_id, bench_id
     """.trim))
 
+  /** Corpus-global line dedup over a deterministically "lined" corpus:
+    * the raw documents carry no newlines, so the test vector injects the
+    * crawl-boilerplate shape — a cookie banner above every 7th doc, a
+    * rights footer below every 3rd, a newsletter line below every 5th
+    * (each appearing in far more than `minDocs`=10 documents, while
+    * every doc's own text line stays rare). The op must drop exactly
+    * the injected boilerplate and reassemble each document's surviving
+    * lines in order — pinned by the cleaned-text md5.
+    */
+  val textLineDedup = Q(
+    "text_line_dedup",
+    (s, dir) => {
+      val lined = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 7 === 0, lit("cookie consent banner text\n"))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nall rights reserved site footer"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\nsubscribe to the newsletter today"))
+            .otherwise(lit(""))).as("text"))
+      graft.ext.TextOps.lineDedupGlobal(lined, "doc_id", "text", minDocs = 10)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH lined AS (SELECT doc_id,
+             (CASE WHEN doc_id % 7 = 0 THEN 'cookie consent banner text' || chr(10) ELSE '' END) ||
+             text ||
+             (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved site footer' ELSE '' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'subscribe to the newsletter today' ELSE '' END) AS text
+           FROM documents),
+      ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM lined),
+      l AS (SELECT doc_id, i AS pos,
+              regexp_replace(trim(lower(a[i+1])), '\\s+', ' ', 'g') AS norm
+            FROM (SELECT doc_id, a, unnest(range(len(a))) AS i FROM ls)),
+      f AS (SELECT md5(norm) AS h, count(*) AS n FROM l GROUP BY 1),
+      k AS (SELECT doc_id, pos, norm, (n < 10) AS kept
+            FROM l JOIN f ON md5(l.norm) = f.h)
+      SELECT doc_id, count(*)::BIGINT AS n_lines,
+             sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             md5(array_to_string(list(norm ORDER BY pos) FILTER (WHERE kept),
+                 chr(10))) AS cleaned_md5
+      FROM k GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
+  /** Gopher-family document quality rules with per-rule audit flags;
+    * thresholds tuned so each rule actually discriminates on this
+    * corpus (minWords=30 splits the word-count distribution, the
+    * stop-word rule splits English from the other languages).
+    */
+  val textGopherRules = Q(
+    "text_gopher_rules",
+    (s, dir) =>
+      graft.ext.TextOps.gopherRules(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some {
+      val stops = TextOps.StopEn.map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH n AS (SELECT doc_id, $NormW AS w,
+                   len(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS nc
+                 FROM documents),
+      b AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+              (nc - (len(w) - 1))::BIGINT AS n_word_chars,
+              len(list_filter([$stops], s -> list_contains(w, s)))::BIGINT AS n_stop_distinct
+            FROM n)
+      SELECT doc_id, n_words, n_word_chars,
+             round(n_word_chars::DOUBLE / n_words, 9) AS mean_wlen,
+             n_stop_distinct,
+             (CASE WHEN n_words >= 30 AND n_words <= 100000 THEN 1 ELSE 0 END)::BIGINT AS flag_words,
+             (CASE WHEN n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words THEN 1 ELSE 0 END)::BIGINT AS flag_wlen,
+             (CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END)::BIGINT AS flag_stop,
+             (CASE WHEN n_words >= 30 AND n_words <= 100000 THEN 1 ELSE 0 END)::BIGINT *
+             (CASE WHEN n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words THEN 1 ELSE 0 END)::BIGINT *
+             (CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep
+      FROM b ORDER BY doc_id
+    """.trim
+    })
+
+  /** DSIR importance weights with English as the target distribution —
+    * the oracle replays the hashed-bucket counts, the add-1 smoothing,
+    * and the 9-dp/DECIMAL transcendental contract end to end.
+    */
+  val textDsirWeights = Q(
+    "text_dsir_weights",
+    (s, dir) =>
+      graft.ext.TextOps.dsirWeights(Tables(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en", buckets = 1024)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH t AS (SELECT doc_id, (lang = 'en') AS tf, unnest($NormW) AS term
+                 FROM documents),
+      b AS (SELECT doc_id, tf,
+              ('0x' || substr(md5(term), 1, 8))::BIGINT % 1024 AS bk
+            FROM t),
+      c AS (SELECT bk, count(*)::BIGINT AS cr,
+              sum(CASE WHEN tf THEN 1 ELSE 0 END)::BIGINT AS ct
+            FROM b GROUP BY bk),
+      g AS (SELECT (sum(cr) + 1024)::DOUBLE AS dr,
+                   (sum(ct) + 1024)::DOUBLE AS dt FROM c),
+      lam AS (SELECT bk,
+                CAST(round(ln((ct + 1)::DOUBLE / dt), 9) AS DECIMAL(27,9)) -
+                CAST(round(ln((cr + 1)::DOUBLE / dr), 9) AS DECIMAL(27,9)) AS l
+              FROM c CROSS JOIN g)
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             round(CAST(sum(l) AS DOUBLE), 6) AS dsir_logw
+      FROM b JOIN lam USING (bk) GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
   /** Dataset card: the one-row corpus summary a data release ships with
     * — sizes, language spread, exact-dup mass, token stats, short-doc
     * share. One scan, one aggregate (the multi-distinct plans a single
@@ -1611,6 +1719,7 @@ object Extensions {
     textLangid, textLangidTrigram, textQuality, textTokens, textSubwordTokens,
     textPackSubword, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup, textRepetition, textDecontaminate, textLmScore,
+    textLineDedup, textGopherRules, textDsirWeights,
     mediaMeta, mediaFrames, mediaPhashPairs, mediaPhashClusters,
     pipelineCorpusClean, pipelineDatasetCard)
 }

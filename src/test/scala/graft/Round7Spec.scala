@@ -279,4 +279,62 @@ class Round7Spec extends SparkSpec {
       assert(got.contains((v, v + 100000L)), s"planted pair for vec $v lost")
     }
   }
+
+  // ---- corpus-quality additions (line dedup, Gopher rules, DSIR) ---------
+
+  test("line dedup drops exactly the injected boilerplate, keeps every text line") {
+    val out = graft.queries.Registry.queries("text_line_dedup")(spark, sf)
+      .select("doc_id", "n_lines", "n_kept").as[(Long, Long, Long)].collect()
+    out.foreach { case (id, nLines, nKept) =>
+      val injected = Seq(id % 7 == 0, id % 3 == 0, id % 5 == 0).count(identity)
+      assert(nLines === 1L + injected, s"doc $id: expected ${1 + injected} lines")
+      // the doc's own text line is rare (< minDocs) so it must survive;
+      // every injected boilerplate line occurs in >= corpus/7 docs so it
+      // must not
+      assert(nKept === 1L, s"doc $id: kept $nKept of $nLines lines")
+    }
+  }
+
+  test("line dedup reassembly is partition-order independent") {
+    val lined = graft.etl.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit("\nshared footer line here")).as("text"))
+    val a = graft.ext.TextOps.lineDedupGlobal(lined, "doc_id", "text", minDocs = 10)
+      .orderBy("doc_id").collect()
+    val b = graft.ext.TextOps.lineDedupGlobal(lined.repartition(7), "doc_id", "text",
+        minDocs = 10)
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("gopher rules: flags discriminate and compose into keep") {
+    val out = graft.queries.Registry.queries("text_gopher_rules")(spark, sf)
+    val agg = out.agg(
+      sum(col("flag_words")), sum(col("flag_stop")), sum(col("keep")),
+      count(lit(1))).as[(Long, Long, Long, Long)].head()
+    val (fw, fs, keep, n) = agg
+    // each rule must cut SOME docs and pass SOME docs on this corpus —
+    // a constant rule pins nothing
+    assert(fw > 0 && fw < n, s"word-count rule is constant: $fw/$n")
+    assert(fs > 0 && fs < n, s"stopword rule is constant: $fs/$n")
+    assert(keep > 0 && keep < n, s"composite keep is constant: $keep/$n")
+    // keep implies every flag
+    assert(out.filter(col("keep") === 1 &&
+      (col("flag_words") === 0 || col("flag_wlen") === 0 || col("flag_stop") === 0))
+      .count() === 0L)
+  }
+
+  test("dsir weights rank the target language above the rest on average") {
+    val docs = graft.etl.Tables(spark, sf, "documents")
+    val w = graft.queries.Registry.queries("text_dsir_weights")(spark, sf)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    // per-word mean log importance weight, so doc length doesn't confound
+    val byLang = w.groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_logw") / col("n_words"))).as[(Boolean, Double)]
+      .collect().toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} should exceed non-en ${byLang(false)}")
+    // weights are finite and n_words matches the corpus word count
+    assert(w.filter(col("dsir_logw").isNull || isnan(col("dsir_logw"))).count() === 0L)
+  }
 }
