@@ -480,6 +480,64 @@ object TextOps {
         round(sum(col("__lam")).cast("double"), 6).as("dsir_logw"))
   }
 
+  /** Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): flag every word
+    * `n`-gram whose exact text occurs more than once corpus-wide, then
+    * merge each document's flagged (overlapping) gram positions into
+    * maximal duplicated spans. Per document: total/duplicated gram
+    * counts, the merged span count, and how many words sit inside a
+    * duplicated span — the quantity span-level dedup actually cuts.
+    *
+    * Plan shape for 100 TB: gram postings hash scan-side (the codegen'd
+    * 64-bit shingle kernel — gram strings never materialize), the
+    * frequency pass aggregates on the hash with map-side partials, and
+    * only postings whose hash clears the repeat threshold (a small
+    * fraction) flow back through the term-keyed join. The span merge is
+    * then pure per-document array math over the collected flagged
+    * positions — sorted inside the aggregate, so no window function and
+    * no partition-order dependence. Corpus text reshuffles nowhere.
+    *
+    * Span arithmetic on sorted positions p₁..pₘ (each covering
+    * [pᵢ, pᵢ+n−1]): consecutive diffs dᵢ = pᵢ₊₁ − pᵢ; spans = 1 + #{dᵢ
+    * > n} (a gap strictly wider than n breaks the run; = n merges two
+    * exactly-adjacent duplicated regions); covered words = n + Σ
+    * min(dᵢ, n). All integer arithmetic.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 2)
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val grams = Dedup.withWords(df, textCol, n)
+      .withColumn("__hs", expr(s"graft_shingle_hashes64(__words, $n)"))
+      .select(col(idCol), posexplode(col("__hs")))
+    val rep = grams.groupBy(col("col")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+    val perDoc = grams.join(rep, Seq("col"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        array_sort(collect_list(col("pos"))).as("__ps"))
+      .withColumn("__diffs",
+        // sequence(1, 0) DESCENDS in Spark — guard the single-gram case
+        when(size(col("__ps")) >= 2,
+          transform(sequence(lit(1), size(col("__ps")) - 1),
+            i => element_at(col("__ps"), i + 1) - element_at(col("__ps"), i)))
+          .otherwise(array().cast("array<int>")))
+      .select(col(idCol), col("n_dup_grams"),
+        (size(filter(col("__diffs"), d => d > n)) + 1).cast("long").as("n_spans"),
+        (aggregate(col("__diffs"), lit(0L), (acc, d) => acc + least(d, lit(n)))
+          + n).cast("long").as("dup_words"))
+    val base = df.select(col(idCol),
+      size(words(col(textCol))).cast("long").as("n_words"))
+      .withColumn("n_grams", greatest(col("n_words") - (n - 1), lit(0L)))
+    base.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+      .withColumn("dup_ratio",
+        round(col("dup_words").cast("double") / col("n_words"), 9))
+  }
+
   /** Greedy longest-match subword tokenization per document: one
     * codegen'd kernel pass ([[graft.functions.SubwordTokens]]) over the
     * normalized word stream — scan-side, shuffle-free. Emits the token

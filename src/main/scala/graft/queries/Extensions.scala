@@ -1639,6 +1639,45 @@ object Extensions {
     """.trim
     })
 
+  /** Exact-substring duplicate spans at n=5 (the probe showed 71/500
+    * docs carry a repeated 5-gram at sf0.01 — real discrimination, not
+    * a constant column). The oracle replays gram STRINGS where the
+    * Spark path hashes scan-side (the decontaminate precedent: the
+    * 64-bit shingle kernel is collision-free at these corpus sizes, and
+    * the ExtOpsSpec equality test pins kernel-vs-string agreement).
+    */
+  val textRepeatedSpans = Q(
+    "text_repeated_spans",
+    (s, dir) =>
+      graft.ext.TextOps.repeatedSpans(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, $NormW AS w FROM documents),
+      g AS (SELECT doc_id, i AS pos,
+              w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS gram
+            FROM (SELECT doc_id, w, unnest(range(len(w) - 4)) AS i FROM norm
+                  WHERE len(w) >= 5)),
+      f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      fl AS (SELECT doc_id, count(*)::BIGINT AS n_dup_grams,
+               list_sort(list(pos)) AS ps
+             FROM g JOIN f USING (gram) GROUP BY doc_id),
+      sp AS (SELECT doc_id, n_dup_grams,
+               (len(list_filter(list_transform(range(1, len(ps)),
+                    i -> ps[i+1] - ps[i]), d -> d > 5)) + 1)::BIGINT AS n_spans,
+               (coalesce(list_sum(list_transform(list_transform(range(1, len(ps)),
+                    i -> ps[i+1] - ps[i]), d -> least(d, 5))), 0) + 5)::BIGINT AS dup_words
+             FROM fl),
+      base AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+                 greatest(len(w) - 4, 0)::BIGINT AS n_grams FROM norm)
+      SELECT doc_id, n_words, n_grams,
+             coalesce(n_dup_grams, 0)::BIGINT AS n_dup_grams,
+             coalesce(n_spans, 0)::BIGINT AS n_spans,
+             coalesce(dup_words, 0)::BIGINT AS dup_words,
+             round(coalesce(dup_words, 0)::DOUBLE / n_words, 9) AS dup_ratio
+      FROM base LEFT JOIN sp USING (doc_id) ORDER BY doc_id
+    """.trim))
+
   /** DSIR importance weights with English as the target distribution —
     * the oracle replays the hashed-bucket counts, the add-1 smoothing,
     * and the 9-dp/DECIMAL transcendental contract end to end.
@@ -1719,7 +1758,7 @@ object Extensions {
     textLangid, textLangidTrigram, textQuality, textTokens, textSubwordTokens,
     textPackSubword, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup, textRepetition, textDecontaminate, textLmScore,
-    textLineDedup, textGopherRules, textDsirWeights,
+    textLineDedup, textGopherRules, textDsirWeights, textRepeatedSpans,
     mediaMeta, mediaFrames, mediaPhashPairs, mediaPhashClusters,
     pipelineCorpusClean, pipelineDatasetCard)
 }

@@ -324,6 +324,39 @@ class Round7Spec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("repeated spans: overlap merge, adjacency merge, gap split — exact arithmetic") {
+    // n=3 grams; "a b c d e" repeated verbatim in docs 1 and 2 plants
+    // flagged grams at positions 0,1,2 (overlapping → ONE span of 5
+    // words); doc 3 carries the same phrase twice with a 2-word gap
+    // ("a b c d e x y a b c d e"): flagged 0,1,2 and 7,8,9 — diff 5 > 3
+    // → TWO spans, 5+5 covered words; doc 4 shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "p q a b c d e r s"),
+      (3L, "a b c d e x y a b c d e"),
+      (4L, "u v w u2 v2 w2 u3 v3 w3")).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.repeatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_dup_grams", "n_spans", "dup_words")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out(0) === ((1L, 3L, 1L, 5L)))
+    assert(out(1) === ((2L, 3L, 1L, 5L)))
+    assert(out(2) === ((3L, 6L, 2L, 10L)))
+    assert(out(3) === ((4L, 0L, 0L, 0L)))
+  }
+
+  test("repeated spans: exactly-adjacent duplicated regions merge into one span") {
+    // "a b c d a b c d": gram "a b c" flagged at 0 and 4 (diff 4 = n+1
+    // > n → split); gram "b c d" flagged at 1 and 5. positions
+    // 0,1,4,5: diffs 1,3,1 with n=3 → no diff > 3 → ONE span covering
+    // n + min(1,3)+min(3,3)+min(1,3) = 3+5 = 8 words.
+    val docs = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.repeatedSpans(docs, "doc_id", "text", n = 3)
+      .select("n_dup_grams", "n_spans", "dup_words")
+      .as[(Long, Long, Long)].head()
+    assert(out === ((4L, 1L, 8L)))
+  }
+
   test("dsir weights rank the target language above the rest on average") {
     val docs = graft.etl.Tables(spark, sf, "documents")
     val w = graft.queries.Registry.queries("text_dsir_weights")(spark, sf)
