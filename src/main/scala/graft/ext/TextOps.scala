@@ -165,6 +165,46 @@ object TextOps {
       .select(col("doc_id"), col("bench_id"), col("n_shared"))
   }
 
+  /** Bloom-pre-filtered decontamination: same answer as
+    * [[contaminationPairs]], different 100 TB cost model. Even the
+    * broadcast-postings plan probes a hash relation for EVERY corpus
+    * shingle; here the benchmark's distinct shingle hashes compress into
+    * a bitset a few KB–MB wide ([[graft.functions.BloomBits]], ~16
+    * bits/element) that rides the plan as a literal, and candidacy is a
+    * pure scan-side projection ([[graft.functions.BloomHits]], one
+    * codegen'd pass per doc). Blooms have NO false negatives, so a doc
+    * whose bloom-hit count is below `minOverlap` cannot reach
+    * `minOverlap` true shared shingles with ANY single benchmark doc
+    * (hits ≥ max over bench docs of the true pair overlap) — dropping it
+    * is lossless. Only surviving candidates (a vanishing fraction of a
+    * clean corpus) pay the exact broadcast-join verify, which also
+    * removes the bloom's false positives. Result frame is identical to
+    * the exact operator's — ExtOpsSpec pins the equality, the oracle is
+    * the exact answer.
+    */
+  def bloomContaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8, minOverlap: Int = 10,
+      k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    import org.apache.spark.sql.graft.PlanDf
+    def withHashes(df: DataFrame): DataFrame =
+      Dedup.withWords(df, textCol, n)
+        .withColumn("__hs", array_distinct(expr(s"graft_shingle_hashes64(__words, $n)")))
+    // build side: the eval set — a scale-fixed model input (BloomBits
+    // caps it loudly); one small distinct-aggregate, never corpus-sized
+    val benchHashes = withHashes(benchmark)
+      .select(explode(col("__hs")).as("__h")).distinct()
+      .collect().map(_.getLong(0))
+    val bits = graft.functions.BloomBits.build(benchHashes, k)
+    val candidates = withHashes(corpus)
+      .withColumn("__bloom_hits",
+        PlanDf.column(graft.functions.BloomHits(
+          PlanDf.expression(col("__hs")), bits, k)))
+      .filter(col("__bloom_hits") >= minOverlap)
+      .drop("__words", "__hs", "__bloom_hits")
+    contaminationPairs(candidates, benchmark, idCol, textCol, n, minOverlap)
+  }
+
   /** TF-IDF keyword extraction: top-k terms per document. Two shuffled
     * aggregates (term frequency per (doc, term), document frequency per
     * term), the corpus size as a broadcast scalar, and a per-doc window

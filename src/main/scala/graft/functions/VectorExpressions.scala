@@ -613,6 +613,113 @@ object BytePHash64 {
   }
 }
 
+/** Bloom-filter membership count in one codegen'd pass: how many 64-bit
+  * hashes in the input array hit ALL `k` probe bits of the bitset. The
+  * bitset is a plan-literal reference object built once from the small
+  * side (an eval set's shingle hashes — the broadcast-model-input
+  * class), so the probe is a pure scan-side projection: the corpus
+  * never joins, shuffles, or broadcasts anything to discover that a
+  * document has zero overlap. Probes use Kirsch-Mitzenmacher double
+  * hashing (probe_i = h1 + i·h2 over a power-of-two width); build and
+  * probe share [[BloomBits]], so there is no cross-engine hash contract
+  * to keep — correctness is anchored by the exact verify stage
+  * downstream, which the no-false-negative property makes sound.
+  */
+case class BloomHits(child: Expression, bits: Array[Long], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _)
+        if k >= 1 && bits.nonEmpty && (bits.length & (bits.length - 1)) == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_hits expects array<bigint>, k>=1 and a power-of-two " +
+        s"word count, got ${t.catalogString} / k=$k / words=${bits.length}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    BloomBits.hits(v.asInstanceOf[ArrayData], bits, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BloomBits.hits($c, $ref, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomBits {
+  /** Loud cap on the build side: the bloom models an EVAL SET's
+    * n-grams, thousands-to-millions — if a caller feeds it corpus-sized
+    * input the design is wrong and silence would hide it.
+    */
+  val MaxBuild: Int = 1 << 21
+
+  /** Second probe stream from the Murmur3 finalizer mix, forced odd so
+    * i·h2 walks the whole power-of-two ring.
+    */
+  private def mix(h: Long): Long = {
+    var z = h
+    z ^= z >>> 33
+    z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33
+    z | 1L
+  }
+
+  /** Bitset sized to the next power of two ≥ 16 bits/element (k=5 over
+    * 16 bits/element ⇒ ~0.07% false-positive rate), floor 2048 bits.
+    */
+  def build(hashes: Array[Long], k: Int): Array[Long] = {
+    require(hashes.length <= MaxBuild,
+      s"bloom build side has ${hashes.length} hashes (cap $MaxBuild): " +
+        "this filter models a bounded eval set, not a corpus")
+    var mBits = 2048L
+    while (mBits < 16L * hashes.length) mBits <<= 1
+    val bits = new Array[Long]((mBits / 64).toInt)
+    val mask = mBits - 1
+    var i = 0
+    while (i < hashes.length) {
+      val h1 = hashes(i)
+      val h2 = mix(h1)
+      var j = 0
+      while (j < k) {
+        val pos = (h1 + j * h2) & mask
+        bits((pos >>> 6).toInt) |= 1L << (pos & 63)
+        j += 1
+      }
+      i += 1
+    }
+    bits
+  }
+
+  def contains(h1: Long, bits: Array[Long], k: Int): Boolean = {
+    val mask = bits.length.toLong * 64 - 1
+    val h2 = mix(h1)
+    var j = 0
+    while (j < k) {
+      val pos = (h1 + j * h2) & mask
+      if ((bits((pos >>> 6).toInt) >>> (pos & 63) & 1L) == 0L) return false
+      j += 1
+    }
+    true
+  }
+
+  def hits(hashes: ArrayData, bits: Array[Long], k: Int): Long = {
+    val n = hashes.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (contains(hashes.getLong(i), bits, k)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 object VectorExpressions {
   /** Registers the graft_* expression family for SQL/expr use in this
     * session (idempotent).

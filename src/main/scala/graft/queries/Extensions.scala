@@ -1561,6 +1561,47 @@ object Extensions {
       WHERE n_shared >= 10 ORDER BY doc_id, bench_id
     """.trim))
 
+  /** The bloom-pre-filtered twin of `text_decontaminate`: same synthetic
+    * leak, same exact answer (the oracle is literally the exact SQL),
+    * but candidacy is decided by a scan-side bloom probe instead of
+    * joining every corpus shingle — at 100 TB the difference between
+    * probing a literal bitset and streaming the whole corpus's postings
+    * through a broadcast hash join. The no-false-negative prune and the
+    * frame equality with the exact operator are pinned in ExtOpsSpec.
+    */
+  val textBloomDecontaminate = Q(
+    "text_bloom_decontaminate",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val corpus = d.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("xx "), col("text")).as("text"))
+      graft.ext.TextOps.bloomContaminationPairs(corpus, bench, "doc_id", "text",
+          n = 8, minOverlap = 10)
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+    Some(s"""
+      WITH norm AS (SELECT doc_id, $NormW AS w FROM documents),
+      bench AS (SELECT doc_id AS bench_id,
+                  list_distinct(list_transform(range(len(w) - 7),
+                    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] ||
+                         ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8])) AS s
+                FROM norm WHERE len(w) >= 8 AND doc_id % 97 = 0),
+      corpn AS (SELECT doc_id + 100000 AS doc_id,
+                  string_split(regexp_replace(trim(lower('xx ' || text)), '\\s+', ' ', 'g'), ' ') AS w
+                FROM documents),
+      corp AS (SELECT doc_id,
+                 list_distinct(list_transform(range(len(w) - 7),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] ||
+                        ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8])) AS s
+               FROM corpn WHERE len(w) >= 8),
+      p AS (SELECT c.doc_id, b.bench_id,
+              len(list_filter(c.s, x -> list_contains(b.s, x)))::BIGINT AS n_shared
+            FROM corp c CROSS JOIN bench b)
+      SELECT doc_id, bench_id, n_shared FROM p
+      WHERE n_shared >= 10 ORDER BY doc_id, bench_id
+    """.trim))
+
   /** Corpus-global line dedup over a deterministically "lined" corpus:
     * the raw documents carry no newlines, so the test vector injects the
     * crawl-boilerplate shape — a cookie banner above every 7th doc, a
@@ -1757,7 +1798,8 @@ object Extensions {
     annQuantizedTopk,
     textLangid, textLangidTrigram, textQuality, textTokens, textSubwordTokens,
     textPackSubword, textFingerprint, textTfidf,
-    textPiiRedact, textChunkDedup, textRepetition, textDecontaminate, textLmScore,
+    textPiiRedact, textChunkDedup, textRepetition, textDecontaminate,
+    textBloomDecontaminate, textLmScore,
     textLineDedup, textGopherRules, textDsirWeights, textRepeatedSpans,
     mediaMeta, mediaFrames, mediaPhashPairs, mediaPhashClusters,
     pipelineCorpusClean, pipelineDatasetCard)

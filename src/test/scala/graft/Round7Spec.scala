@@ -370,4 +370,52 @@ class Round7Spec extends SparkSpec {
     // weights are finite and n_words matches the corpus word count
     assert(w.filter(col("dsir_logw").isNull || isnan(col("dsir_logw"))).count() === 0L)
   }
+
+  // ---- bloom-pre-filtered decontamination --------------------------------
+
+  test("BloomBits: inserted members always hit; disjoint probes mostly miss") {
+    val members = Array.tabulate(5000)(i => (i * 2654435761L) ^ 0x9e3779b97f4a7c15L)
+    val bits = graft.functions.BloomBits.build(members, k = 5)
+    // no false negatives, ever — this is what makes the prune lossless
+    assert(members.forall(graft.functions.BloomBits.contains(_, bits, 5)))
+    // ~16 bits/element, k=5 ⇒ sub-percent false-positive rate
+    val fp = (1 to 20000).map(i => (i * 0xbf58476d1ce4e5b9L) + 17L)
+      .count(h => !members.contains(h) && graft.functions.BloomBits.contains(h, bits, 5))
+    assert(fp < 200, s"false-positive count $fp out of 20000 is not sub-percent")
+    // corpus-sized build side fails loudly, not silently
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.BloomBits.build(new Array[Long](graft.functions.BloomBits.MaxBuild + 1), 5)
+    }
+    assert(e.getMessage.contains("bounded eval set"))
+  }
+
+  test("bloomContaminationPairs equals the exact operator and prunes before verify") {
+    val d = graft.etl.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    val corpus = d.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(lit("xx "), col("text")).as("text"))
+    val exact = graft.ext.TextOps.contaminationPairs(corpus, bench,
+      "doc_id", "text", n = 8, minOverlap = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val bloom = graft.ext.TextOps.bloomContaminationPairs(corpus, bench,
+      "doc_id", "text", n = 8, minOverlap = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bloom === exact)
+    assert(exact.nonEmpty, "synthetic leak must surface pairs or the test is vacuous")
+  }
+
+  test("bloom hit count bounds the true pair overlap from above (no false negatives)") {
+    val phrase = (1 to 12).map(i => s"w$i").mkString(" ")
+    val bench = Seq((100L, phrase)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"lead in words $phrase"),                    // all 5 bench 8-grams
+      (2L, (20 to 40).map(i => s"x$i").mkString(" "))) // zero overlap
+      .toDF("doc_id", "text")
+    // minOverlap = 5 keeps doc 1 (5 true shared grams) — the bloom path
+    // must agree with the exact one at the boundary value
+    val got = graft.ext.TextOps.bloomContaminationPairs(corpus, bench,
+      "doc_id", "text", n = 8, minOverlap = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 100L, 5L)))
+  }
 }
