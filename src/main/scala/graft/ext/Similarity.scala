@@ -325,6 +325,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Two-stage retrieval's second stage: an approximate shortlist (any
+    * `(query_id, neighbor_id)` frame from a compressed tier) re-ranked
+    * by EXACT cosine over the ORIGINAL vectors. This is the standard
+    * serving composition — the compressed index exists to recall ~k'
+    * candidates cheaply, and full-precision scoring of just those k'
+    * rows restores the ranking the compression blurred. The shortlist is
+    * tiny (n_queries × k'), so it BROADCASTS into the corpus-side id
+    * join: the corpus contributes only the matched rows, and exact
+    * cosines are computed for shortlist rows alone — never a full scan
+    * of original vectors, which is exactly the cost the compressed tier
+    * was built to avoid.
+    */
+  def rerankExact(shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val sl = shortlist.select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cv.join(broadcast(sl), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("sim", round(expr("graft_cosine(__qv, __cv)"), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   // ---- product quantization ----------------------------------------------
 
   /** Product-quantization codebook: the vector space is split into `m`

@@ -639,7 +639,20 @@ object Extensions {
     * paid, never the answer.
     */
   private def ivfPqOracleSql: String = s"""
-      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
+      WITH $ivfPqCandidateCtes
+      SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM p) WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim
+
+  /** The IVF-PQ candidate chain up to `p` = (query_id, neighbor_id,
+    * compressed-domain sim) — shared by the top-k oracles above and the
+    * exact re-rank oracle below, which consumes `p` as its shortlist.
+    */
+  private def ivfPqCandidateCtes: String = s"""
+      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
       corp_a AS (
         SELECT vec_id, cid FROM (
           SELECT e.vec_id, t.cid,
@@ -683,13 +696,7 @@ object Extensions {
         WHERE rn <= 3),
       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ${sqlCos("q.embedding", "c.embedding")} AS sim
-            FROM q_a q JOIN corp c ON q.cid = c.cid AND q.vec_id <> c.vec_id)
-      SELECT query_id, neighbor_id, rank, sim FROM (
-        SELECT query_id, neighbor_id, sim,
-               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        FROM p) WHERE rank <= 5
-      ORDER BY query_id, rank
-    """.trim
+            FROM q_a q JOIN corp c ON q.cid = c.cid AND q.vec_id <> c.vec_id)""".trim
 
   val annIvfPq = Q(
     "ann_ivfpq_topk",
@@ -721,6 +728,43 @@ object Extensions {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(ivfPqOracleSql))
+
+  /** Two-stage retrieval: the persisted IVF-PQ index recalls a k'=15
+    * shortlist per query (compressed-domain ranking), then EXACT cosine
+    * over the ORIGINAL vectors re-ranks just those 15 rows down to
+    * top-5. This is how every production vector store actually answers
+    * queries — the compressed tier buys recall per byte, the exact
+    * re-rank restores the ordering quantization blurred, and the
+    * full-precision vectors are touched only for n_queries × k' rows
+    * (a broadcast-sized id join), never a corpus scan.
+    */
+  val annRerankExact = Q(
+    "ann_rerank_exact",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val (idxDir, model) = ensureIvfPqIndex(s, dir)
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val shortlist = Similarity.serveIvfPq(s, s.read.parquet(idxDir), qs,
+        servingCentroids(s, dir), model,
+        "vec_id", "embedding", "vec_id", "embedding", k = 15, nprobe = 3)
+      Similarity.rerankExact(shortlist, emb, qs, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $ivfPqCandidateCtes,
+      sl AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+               FROM p) WHERE rank <= 15),
+      rr AS (SELECT s.query_id, s.neighbor_id, ${sqlCos("qe.embedding", "ce.embedding")} AS sim
+             FROM sl s JOIN embeddings qe ON qe.vec_id = s.query_id
+                       JOIN embeddings ce ON ce.vec_id = s.neighbor_id)
+      SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM rr) WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
 
   /** IVF range search — radius-bounded retrieval (every probed-list
     * neighbor with cosine ≥ 0.2) instead of a fixed top-k: the serving
@@ -1793,7 +1837,7 @@ object Extensions {
     dedupSimhash, dedupSimhashPairs,
     dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupSemantic, dedupFuzzy,
     annBrute, annLsh, annIvf, annIvfQuantized, annIndexServe, annPq, annIvfPq,
-    annIvfPqServe, annRangeSearch,
+    annIvfPqServe, annRerankExact, annRangeSearch,
     annFilteredTopk, annKmeansAssign, annKmeansIter, annQuantize,
     annQuantizedTopk,
     textLangid, textLangidTrigram, textQuality, textTokens, textSubwordTokens,

@@ -130,6 +130,28 @@ class Round7Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("exact re-rank of the IVF-PQ shortlist: recall never below the compressed ranking, sims exact") {
+    val exact = graft.queries.Registry.queries("ann_cosine_topk")(spark, sf)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    val served = graft.queries.Registry.queries("ann_ivfpq_serve")(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val reranked = graft.queries.Registry.queries("ann_rerank_exact")(spark, sf)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val rerankSet = reranked.map(t => (t._1, t._2)).toSet
+    // the widened shortlist (k'=15) re-ranked by true cosine can only
+    // recover pairs the compressed top-5 missed, never lose them
+    val rServe = (exactSet & served).size.toDouble / exactSet.size
+    val rRerank = (exactSet & rerankSet).size.toDouble / exactSet.size
+    assert(rRerank >= rServe, s"rerank recall $rRerank < serve recall $rServe")
+    // and the re-ranked sims ARE the exact cosines, bit-for-bit at 9 dp
+    val exactSim = exact.map(t => (t._1, t._2) -> t._3).toMap
+    val mismatched = reranked.filter { case (q, n, s) =>
+      exactSim.get((q, n)).exists(_ != s)
+    }
+    assert(mismatched.isEmpty, mismatched.take(3).mkString(", "))
+  }
+
   test("hash-min CC fails loudly on a long chain instead of returning wrong labels") {
     // a 30-hop path: diameter 30 > the 25-round budget. Silent
     // truncation handed out wrong cluster ids (caught at sf0.1 by the
