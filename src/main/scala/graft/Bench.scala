@@ -53,6 +53,7 @@ object Bench {
       // measure probing, not the one-time build
       graft.queries.Extensions.ensureIvfInt8Index(spark, sfDir)
       graft.queries.Extensions.ensureIvfPqIndex(spark, sfDir)
+      graft.queries.Extensions.ensureDedupIndex(spark, sfDir)
     } catch { case _: Throwable => () }
     // Fixed name order: Map iteration order shifts as the registry
     // grows, and whichever query runs first absorbs any residual

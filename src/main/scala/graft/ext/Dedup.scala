@@ -89,20 +89,73 @@ object Dedup {
     s"array(${mins.mkString(", ")})"
   }
 
-  /** (id, band) rows: the signature cut into bands of `rowsPerBand`
-    * hashes; docs sharing any band key are near-dup candidates.
+  /** SQL expression building the array of LSH band keys from `__sig` —
+    * shared by the exploded [[minhashBands]] shape and the one-row-per-doc
+    * [[buildBandIndex]] shape so both produce identical keys.
     */
-  def minhashBands(df: DataFrame, idCol: String, textCol: String,
-      rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+  private def bandArrayExpr(rowsPerBand: Int): String = {
     val nBands = SeedsA.length / rowsPerBand
     val bandExprs = (0 until nBands).map { j =>
       val parts = (0 until rowsPerBand)
         .map(r => s"cast(__sig[${j * rowsPerBand + r}] as string)").mkString(", '_', ")
       s"concat('$j:', $parts)"
     }
+    s"array(${bandExprs.mkString(", ")})"
+  }
+
+  /** (id, band) rows: the signature cut into bands of `rowsPerBand`
+    * hashes; docs sharing any band key are near-dup candidates.
+    */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+      rowsPerBand: Int = 2, k: Int = 3): DataFrame =
     withShingleHashes(df, textCol, k)
       .withColumn("__sig", expr("graft_minhash_sig(__hashes)"))
-      .select(col(idCol), explode(expr(s"array(${bandExprs.mkString(", ")})")).as("band"))
+      .select(col(idCol), explode(expr(bandArrayExpr(rowsPerBand))).as("band"))
+
+  /** Near-dup fingerprint INDEX: one row per historical doc carrying its
+    * LSH band keys plus the distinct shingle-hash set the verify stage
+    * needs — everything an incremental probe requires, so the corpus
+    * TEXT is never read again after ingest. This is the dedup analog of
+    * the persisted ANN index: at 100 TB you do not re-shingle 100 TB on
+    * every re-crawl; you probe the new shard (a few TB) against this
+    * table. Index size is O(docs × (8 band strings + distinct 3-gram
+    * hashes)) — the hashes dominate at ~4 bytes/word, ~1-2% of text.
+    */
+  def buildBandIndex(df: DataFrame, idCol: String, textCol: String,
+      rowsPerBand: Int = 2, k: Int = 3): DataFrame =
+    withShingleHashes(df, textCol, k)
+      .withColumn("__sig", expr("graft_minhash_sig(__hashes)"))
+      .select(col(idCol), expr(bandArrayExpr(rowsPerBand)).as("bands"),
+        array_distinct(col("__hashes")).as("hset"))
+
+  /** Incremental near-dedup: probe a NEW shard against a stored
+    * fingerprint index. Shard fingerprints are computed scan-side (the
+    * only text read), candidates come from one band-key join against the
+    * exploded index, and the verify stage computes EXACT distinct-hash
+    * Jaccard from the sets both sides already carry. Candidate volume is
+    * bounded by band-bucket sizes exactly as in the batch LSH path, and
+    * equals the batch pipeline's cross-shard pairs (Round7Spec pins
+    * incremental ≡ batch-restricted).
+    */
+  def probeBandIndex(index: DataFrame, shard: DataFrame, idCol: String,
+      textCol: String, threshold: Double, k: Int = 3): DataFrame = {
+    val idx = index.select(col(idCol).as("dup_of"),
+      col("bands").as("__ba"), col("hset").as("__ha"))
+    // shard fingerprints feed both the band join and the verify join —
+    // checkpoint so the shingle+minhash pipeline runs once per shard doc
+    val sh = buildBandIndex(shard, idCol, textCol, k = k).localCheckpoint()
+    val cands = idx.select(col("dup_of"), explode(col("__ba")).as("band"))
+      .join(sh.select(col(idCol), explode(col("bands")).as("band")).hint("shuffle_hash"),
+        "band")
+      .select(col("dup_of"), col(idCol)).distinct()
+    cands
+      .join(idx.select(col("dup_of"), col("__ha")), "dup_of")
+      .join(sh.select(col(idCol), col("hset").as("__hb")), idCol)
+      .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__ha")) + size(col("__hb")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), col("dup_of"), col("jaccard"))
   }
 
   /** LSH candidate pairs: self-join on the band key, ordered ids,

@@ -272,6 +272,55 @@ object Extensions {
       ORDER BY doc_a, doc_b
     """.trim))
 
+  /** Build-if-absent the persisted near-dup fingerprint index over the
+    * HISTORICAL corpus (the plain documents table). Like the ANN
+    * indexes, this is a once-per-corpus ingest artifact, warmed by
+    * Bench's ingest phase so the serving query is billed only its probe.
+    */
+  def ensureDedupIndex(s: SparkSession, dir: String): String =
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "dedup_band_index") { d =>
+      Dedup.buildBandIndex(Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text").write.parquet(d)
+    }
+
+  /** Incremental (re-crawl) near-dedup: the historical corpus was
+    * fingerprinted ONCE into a persisted band index; a new shard — here
+    * the perturbed +100000 copies, i.e. a crawl that re-collected every
+    * historical doc with one word prepended — is probed against the
+    * stored index. The shard is the only text that gets shingled; the
+    * index contributes band keys and verify sets from parquet. At
+    * 100 TB this is the difference between re-shingling the corpus per
+    * ingest and touching only the new few TB. The oracle replays the
+    * full batch LSH pipeline and keeps the cross-shard pairs — so
+    * incremental must equal batch-restricted, pair for pair, with exact
+    * distinct-hash Jaccard ≥ 0.5 verification on both sides.
+    */
+  val dedupIndexProbe = Q(
+    "dedup_index_probe",
+    (s, dir) => {
+      val idxDir = ensureDedupIndex(s, dir)
+      val shard = Tables(s, dir, "documents")
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("xx "), col("text")).as("text"))
+      Dedup.probeBandIndex(s.read.parquet(idxDir), shard, "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("doc_id"), col("dup_of"))
+    },
+    Some(s"""
+      WITH $minhashPairsCtes,
+      dh AS (SELECT doc_id, list_distinct(hs) AS ds FROM hs),
+      cp AS (SELECT doc_a AS dup_of, doc_b AS doc_id FROM pairs
+             WHERE doc_a < 100000 AND doc_b >= 100000),
+      v AS (SELECT cp.doc_id, cp.dup_of,
+              len(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
+              len(a.ds) + len(b.ds) AS tot
+            FROM cp JOIN dh a ON a.doc_id = cp.dup_of
+                    JOIN dh b ON b.doc_id = cp.doc_id)
+      SELECT doc_id, dup_of, inter::DOUBLE / (tot - inter) AS jaccard
+      FROM v WHERE inter::DOUBLE / (tot - inter) >= 0.5
+      ORDER BY doc_id, dup_of
+    """.trim))
+
   // ---- similarity search -------------------------------------------------
 
   /** DuckDB cosine over list columns — sequential left-fold sums, same
@@ -1835,7 +1884,8 @@ object Extensions {
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupStreamPairs, dedupClusters, dedupClustersStar,
     dedupSimhash, dedupSimhashPairs,
-    dedupJaccard, dedupJaccardLsh, dedupEmbedding, dedupSemantic, dedupFuzzy,
+    dedupJaccard, dedupJaccardLsh, dedupIndexProbe, dedupEmbedding, dedupSemantic,
+    dedupFuzzy,
     annBrute, annLsh, annIvf, annIvfQuantized, annIndexServe, annPq, annIvfPq,
     annIvfPqServe, annRerankExact, annRangeSearch,
     annFilteredTopk, annKmeansAssign, annKmeansIter, annQuantize,

@@ -152,6 +152,48 @@ class Round7Spec extends SparkSpec {
     assert(mismatched.isEmpty, mismatched.take(3).mkString(", "))
   }
 
+  // ---- persisted dedup fingerprint index ---------------------------------
+
+  test("incremental index probe equals the batch LSH pipeline restricted to cross-shard pairs") {
+    val docs = graft.etl.Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val shard = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(lit("xx "), col("text")).as("text"))
+    val idx = graft.ext.Dedup.buildBandIndex(docs, "doc_id", "text").localCheckpoint()
+    val probed = graft.ext.Dedup.probeBandIndex(idx, shard, "doc_id", "text", threshold = 0.5)
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    // the batch path over the combined corpus, keeping only pairs that
+    // cross the historical/shard boundary — incremental must find
+    // exactly these (candidates come from the same band family, verify
+    // from the same distinct-hash sets)
+    val all = docs.unionByName(shard)
+    val cands = graft.ext.Dedup.minhashCandidatePairs(all, "doc_id", "text")
+      .filter(col("doc_a") < 100000L && col("doc_b") >= 100000L)
+    val hsets = graft.ext.Dedup.buildBandIndex(all, "doc_id", "text")
+      .select(col("doc_id"), col("hset"))
+    val batch = cands
+      .join(hsets.select(col("doc_id").as("doc_a"), col("hset").as("__ha")), "doc_a")
+      .join(hsets.select(col("doc_id").as("doc_b"), col("hset").as("__hb")), "doc_b")
+      .withColumn("__i", size(array_intersect(col("__ha"), col("__hb"))))
+      .filter(col("__i").cast("double") /
+        (size(col("__ha")) + size(col("__hb")) - col("__i")) >= 0.5)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"))
+      .as[(Long, Long)].collect().toSet
+    assert(probed === batch)
+    assert(probed.nonEmpty)
+  }
+
+  test("dedup_index_probe plan shingles only the shard; index side reads parquet") {
+    graft.queries.Registry.queries("dedup_index_probe")(spark, sf).count()
+    val plan = graft.queries.Registry.queries("dedup_index_probe")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exactly one fingerprint pipeline (the shard); the historical side
+    // must contribute bands/hsets from the stored artifact, not re-shingle
+    val nSig = "graft_minhash_sig".r.findAllIn(plan).length
+    assert(nSig <= 1, s"$nSig minhash pipelines in probe plan:\n${plan.take(1500)}")
+    assert(plan.contains("dedup_band_index"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("hash-min CC fails loudly on a long chain instead of returning wrong labels") {
     // a 30-hop path: diameter 30 > the 25-round budget. Silent
     // truncation handed out wrong cluster ids (caught at sf0.1 by the
