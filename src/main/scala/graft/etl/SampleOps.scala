@@ -101,4 +101,35 @@ object SampleOps {
       .filter(col("__m").isNotNull && (h % col("__m")) === 0)
       .select(col(idCol), col(stratumCol))
   }
+
+  /** Temperature-flattened mixture weights — the multilingual sampling
+    * recipe (mT5/XLM-R): a stratum with corpus share p gets sampling
+    * weight w ∝ p^alpha, alpha < 1 up-weighting the tail so
+    * low-resource strata are not drowned by the head. Output is one row
+    * per stratum: its share `p`, flattened weight `w`, and the
+    * resampling `boost` = w/p a mixing step applies as a per-stratum
+    * rate (boost > 1 ⇒ up-sample).
+    *
+    * The only corpus-scale work is one count aggregation; everything
+    * after runs on the stratum frame (a handful of rows), where the
+    * 1-row totals join back via broadcast. Double sums fold in sorted
+    * order (a left fold over `sort_array`) so the normalization is
+    * partition-order-independent and engine-portable — a plain double
+    * `sum` would float-drift with shuffle order.
+    */
+  def temperatureWeights(df: DataFrame, stratumCol: String,
+      alpha: Double): DataFrame = {
+    val g = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val nt = g.agg(sum(col("n_docs")).cast("double").as("__nt"))
+    val p0 = g.crossJoin(broadcast(nt))
+      .withColumn("p", col("n_docs").cast("double") / col("__nt"))
+      .withColumn("__wr", pow(col("p"), lit(alpha)))
+    val wt = p0.agg(aggregate(sort_array(collect_list(col("__wr"))),
+      lit(0.0), (a, x) => a + x).as("__wt"))
+    p0.crossJoin(broadcast(wt))
+      .withColumn("w", col("__wr") / col("__wt"))
+      .select(col(stratumCol), col("n_docs"), round(col("p"), 9).as("p"),
+        round(col("w"), 9).as("w"),
+        round(col("w") / col("p"), 9).as("boost"))
+  }
 }

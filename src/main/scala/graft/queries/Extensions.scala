@@ -1183,6 +1183,65 @@ object Extensions {
       ORDER BY doc_id
     """.trim))
 
+  /** Temperature-flattened language-mixture weights (alpha = 0.3, the
+    * mT5 setting): per-language corpus share p, flattened sampling
+    * weight w ∝ p^0.3, and the up/down-sampling boost w/p a mixing step
+    * applies. One corpus-scale count; the normalization runs on the
+    * per-language frame via broadcast 1-row totals, double sums folded
+    * in sorted order so the result is partition-order-independent.
+    */
+  val textMixtureTemperature = Q(
+    "text_mixture_temperature",
+    (s, dir) =>
+      graft.etl.SampleOps.temperatureWeights(
+          Tables(s, dir, "documents"), "lang", alpha = 0.3)
+        .orderBy(col("lang")),
+    Some("""
+      WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang),
+      n AS (SELECT sum(n_docs)::DOUBLE AS nt FROM g),
+      p AS (SELECT lang, n_docs, n_docs::DOUBLE / nt AS p,
+                   pow(n_docs::DOUBLE / nt, 0.3) AS wr
+            FROM g, n),
+      t AS (SELECT list_sum(list_sort(list(wr))) AS wt FROM p)
+      SELECT lang, n_docs, round(p, 9) AS p, round(wr / wt, 9) AS w,
+             round((wr / wt) / p, 9) AS boost
+      FROM p, t ORDER BY lang
+    """.trim))
+
+  /** Tokenizer fertility accounting: subword tokens per character by
+    * language — the compression-ratio signal pipelines use to budget
+    * mixtures in TOKENS (what training consumes) rather than bytes, and
+    * to spot languages the vocabulary serves poorly (high fertility =
+    * the tokenizer shatters that language). Integer sums over the
+    * per-doc token counts from the same greedy tokenizer kernel; the
+    * oracle re-runs the tokenizer as a recursive CTE and re-aggregates.
+    */
+  val textTokenFertility = Q(
+    "text_token_fertility",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+      TextOps.subwordTokens(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_subwords")).as("total_subwords"),
+          sum(col("n_chars")).as("total_chars"),
+          round(sum(col("n_subwords")).cast("double") /
+            sum(col("n_chars")), 9).as("fertility"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH RECURSIVE $subwordRecCtes,
+      cnt AS (SELECT d.doc_id, d.lang, d.n_chars,
+                     coalesce(a.n_subwords, 0)::BIGINT AS n_subwords
+              FROM documents d LEFT JOIN agg a USING (doc_id))
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             sum(n_subwords)::BIGINT AS total_subwords,
+             sum(n_chars)::BIGINT AS total_chars,
+             round(sum(n_subwords)::DOUBLE / sum(n_chars), 9) AS fertility
+      FROM cnt GROUP BY lang ORDER BY lang
+    """.trim))
+
   /** Context packing metered by SUBWORD tokens — what a pretraining
     * pipeline actually budgets (whitespace words undercount by the
     * subword blow-up factor). Same distributed prefix-sum cut as
@@ -1891,6 +1950,7 @@ object Extensions {
     annFilteredTopk, annKmeansAssign, annKmeansIter, annQuantize,
     annQuantizedTopk,
     textLangid, textLangidTrigram, textQuality, textTokens, textSubwordTokens,
+    textMixtureTemperature, textTokenFertility,
     textPackSubword, textFingerprint, textTfidf,
     textPiiRedact, textChunkDedup, textRepetition, textDecontaminate,
     textBloomDecontaminate, textLmScore,

@@ -152,6 +152,18 @@ class Round7Spec extends SparkSpec {
     assert(mismatched.isEmpty, mismatched.take(3).mkString(", "))
   }
 
+  test("temperature mixture: w sums to 1, tail boosted, head damped, alpha=1 is identity") {
+    val d = graft.etl.Tables(spark, sf, "documents")
+    val w = graft.etl.SampleOps.temperatureWeights(d, "lang", alpha = 0.3)
+      .select("lang", "n_docs", "p", "w", "boost").collect()
+    assert(math.abs(w.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+    assert(w.minBy(_.getLong(1)).getDouble(4) > 1.0, "rarest lang must be up-sampled")
+    assert(w.maxBy(_.getLong(1)).getDouble(4) < 1.0, "head lang must be down-sampled")
+    graft.etl.SampleOps.temperatureWeights(d, "lang", alpha = 1.0).collect()
+      .foreach(r => assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9,
+        s"alpha=1 must leave shares unchanged: $r"))
+  }
+
   // ---- persisted dedup fingerprint index ---------------------------------
 
   test("incremental index probe equals the batch LSH pipeline restricted to cross-shard pairs") {
