@@ -207,6 +207,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Batch near-dup pairs computed ENTIRELY from a stored fingerprint
+    * index — no text access: band keys propose (exploded self-join,
+    * ordered ids), the stored distinct-hash sets verify with exact
+    * Jaccard. This is the periodic full-dedup job once a corpus is
+    * indexed — re-running it costs the index scan, never a re-shingle.
+    */
+  def indexSelfPairs(index: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val bands = index.select(col(idCol), explode(col("bands")).as("band"))
+      .localCheckpoint()
+    val cands = bands.select(col(idCol).as("doc_a"), col("band"))
+      .join(bands.select(col(idCol).as("doc_b"), col("band").as("band_b"))
+          .hint("shuffle_hash"),
+        col("band") === col("band_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(index.select(col(idCol).as("doc_a"), col("hset").as("__ha")), "doc_a")
+      .join(index.select(col(idCol).as("doc_b"), col("hset").as("__hb")), "doc_b")
+      .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__ha")) + size(col("__hb")) - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Incremental cluster maintenance, attach step: each probed shard doc
+    * adopts the MIN cluster label among its verified historical matches;
+    * unmatched docs open singleton clusters labeled by their own id.
+    * One groupBy on the (tiny) verified-pair frame plus a left join on
+    * shard ids — the full corpus is never re-clustered. When two matched
+    * historical clusters disagree, min-label is the same tie-break the
+    * batch algorithms use; a periodic [[connectedComponentsStar]] over
+    * accumulated pairs reconciles cross-cluster merges, exactly like a
+    * deferred union-find compaction.
+    */
+  def attachToClusters(shard: DataFrame, probePairs: DataFrame,
+      clusters: DataFrame, idCol: String): DataFrame = {
+    val att = probePairs
+      .join(clusters.select(col(idCol).as("dup_of"), col("cluster_id")), "dup_of")
+      .groupBy(col(idCol))
+      .agg(min(col("cluster_id")).as("cluster_id"),
+        count(lit(1)).as("n_matched"))
+    shard.select(col(idCol)).join(att, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+  }
+
   /** Connected components over an undirected candidate-pair graph:
     * hash-min label propagation to a fixpoint. Each round every vertex
     * takes the min label among itself and its neighbors — one shuffled

@@ -321,6 +321,77 @@ object Extensions {
       ORDER BY doc_id, dup_of
     """.trim))
 
+  /** Build-if-absent the persisted HISTORICAL cluster assignment: batch
+    * near-dup pairs computed from the stored fingerprint index (no text
+    * access) clustered by the O(log n) star algorithm, written once at
+    * ingest like the index itself.
+    */
+  def ensureDedupClusters(s: SparkSession, dir: String): String = {
+    val idxDir = ensureDedupIndex(s, dir)
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "dedup_clusters_hist") { d =>
+      val idx = s.read.parquet(idxDir)
+      val pairs = Dedup.indexSelfPairs(idx, "doc_id", threshold = 0.5)
+      Dedup.clusterAssignmentStar(
+        Tables(s, dir, "documents").select(col("doc_id")), pairs, "doc_id")
+        .write.parquet(d)
+    }
+  }
+
+  /** Incremental cluster maintenance: the historical corpus carries a
+    * persisted cluster assignment (built once from the fingerprint
+    * index); a new shard's verified probe pairs attach each new doc to
+    * the MIN cluster among its historical matches, unmatched docs open
+    * singleton clusters. The whole query touches shard text once plus
+    * two stored artifacts — the 100 TB corpus is neither re-shingled nor
+    * re-clustered on ingest. The oracle recomputes historical clusters
+    * as a transitive closure over hash-verified in-history pairs, then
+    * replays the attach join, so both the persisted assignment and the
+    * attach semantics are pinned.
+    */
+  val dedupIndexAttach = Q(
+    "dedup_index_attach",
+    (s, dir) => {
+      val idxDir = ensureDedupIndex(s, dir)
+      val clusDir = ensureDedupClusters(s, dir)
+      val shard = Tables(s, dir, "documents")
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("xx "), col("text")).as("text"))
+      val pairs = Dedup.probeBandIndex(s.read.parquet(idxDir), shard,
+        "doc_id", "text", threshold = 0.5)
+      Dedup.attachToClusters(shard, pairs, s.read.parquet(clusDir), "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairsCtes,
+      dh AS (SELECT doc_id, list_distinct(hs) AS ds FROM hs),
+      jac AS (SELECT doc_a, doc_b,
+                len(list_filter(a.ds, x -> list_contains(b.ds, x)))::DOUBLE /
+                (len(a.ds) + len(b.ds)
+                 - len(list_filter(a.ds, x -> list_contains(b.ds, x)))) AS j
+              FROM pairs JOIN dh a ON a.doc_id = doc_a
+                         JOIN dh b ON b.doc_id = doc_b),
+      hv AS (SELECT doc_a, doc_b FROM jac
+             WHERE doc_a < 100000 AND doc_b < 100000 AND j >= 0.5),
+      edges AS (SELECT doc_a AS es, doc_b AS ed FROM hv
+                UNION SELECT doc_b, doc_a FROM hv),
+      reach(es, ed) AS (SELECT es, ed FROM edges
+                        UNION SELECT r.es, e.ed FROM reach r JOIN edges e ON r.ed = e.es),
+      comp AS (SELECT es AS doc_id, min(ed) AS mn FROM reach GROUP BY es),
+      histclus AS (SELECT d.doc_id, coalesce(least(c.mn, d.doc_id), d.doc_id) AS cluster_id
+                   FROM documents d LEFT JOIN comp c USING (doc_id)),
+      cpv AS (SELECT doc_b AS doc_id, doc_a AS dup_of FROM jac
+              WHERE doc_a < 100000 AND doc_b >= 100000 AND j >= 0.5),
+      att AS (SELECT cpv.doc_id, min(h.cluster_id) AS cluster_id,
+                     count(*)::BIGINT AS n_matched
+              FROM cpv JOIN histclus h ON h.doc_id = cpv.dup_of
+              GROUP BY cpv.doc_id)
+      SELECT sh.doc_id, coalesce(a.cluster_id, sh.doc_id) AS cluster_id,
+             coalesce(a.n_matched, 0)::BIGINT AS n_matched
+      FROM (SELECT doc_id + 100000 AS doc_id FROM documents) sh
+      LEFT JOIN att a USING (doc_id)
+      ORDER BY doc_id
+    """.trim))
+
   // ---- similarity search -------------------------------------------------
 
   /** DuckDB cosine over list columns — sequential left-fold sums, same
@@ -1943,8 +2014,8 @@ object Extensions {
   def all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupStreamPairs, dedupClusters, dedupClustersStar,
     dedupSimhash, dedupSimhashPairs,
-    dedupJaccard, dedupJaccardLsh, dedupIndexProbe, dedupEmbedding, dedupSemantic,
-    dedupFuzzy,
+    dedupJaccard, dedupJaccardLsh, dedupIndexProbe, dedupIndexAttach,
+    dedupEmbedding, dedupSemantic, dedupFuzzy,
     annBrute, annLsh, annIvf, annIvfQuantized, annIndexServe, annPq, annIvfPq,
     annIvfPqServe, annRerankExact, annRangeSearch,
     annFilteredTopk, annKmeansAssign, annKmeansIter, annQuantize,

@@ -206,6 +206,25 @@ class Round7Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("cluster attach invariants: matched docs adopt valid historical labels, unmatched self-label") {
+    val out = graft.queries.Registry.queries("dedup_index_attach")(spark, sf)
+      .select("doc_id", "cluster_id", "n_matched").as[(Long, Long, Long)].collect()
+    val clusDir = graft.queries.Extensions.ensureDedupClusters(spark, sf)
+    val histLabels = spark.read.parquet(clusDir)
+      .select("cluster_id").as[Long].collect().toSet
+    out.foreach { case (id, c, m) =>
+      if (m == 0L) assert(c === id, s"unmatched $id must self-label, got $c")
+      else {
+        assert(c < 100000L, s"attached $id got non-historical label $c")
+        assert(histLabels.contains(c), s"attached $id got unknown label $c")
+      }
+    }
+    // every shard doc here is a perturbed copy of a historical doc, so
+    // near-all must attach (the stragglers are sub-3-word docs with no bands)
+    val matched = out.count(_._3 > 0L).toDouble / out.length
+    assert(matched >= 0.9, s"only ${(matched * 100).round}% of the shard attached")
+  }
+
   test("hash-min CC fails loudly on a long chain instead of returning wrong labels") {
     // a 30-hop path: diameter 30 > the 25-round budget. Silent
     // truncation handed out wrong cluster ids (caught at sf0.1 by the
