@@ -25,6 +25,43 @@ object EventOps {
     * hash partitioning carries the whole funnel, and stage tables
     * shrink monotonically (completions only lose members).
     */
+  /** Gap-based sessionization to a row-level session frame: one row per
+    * (entity, session) with boundaries and event counts. A new session
+    * starts when the microsecond gap to the previous event is >= the
+    * gap (strict-less-than keeps a session alive — exactly
+    * `session_window`'s merge rule, so the streaming twin
+    * `StreamingOps.streamingSessionize` finalizes byte-identical
+    * sessions; the earlier `q8_sessionize` count op keeps the legacy
+    * seconds-truncated semantics).
+    *
+    * Plan shape: one hash partitioning on the entity carries both the
+    * lag/running-sum window pass and the session aggregate — Catalyst
+    * reuses the exchange, so the whole operator is a single shuffle of
+    * the event log no matter how many sessions it yields. At 100 TB the
+    * window state per task is one row (lag-1 + running sum), never a
+    * buffered partition.
+    */
+  def sessionize(events: DataFrame, entityCol: String, tsCol: String,
+      tieBreakCol: String, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieBreakCol))
+    // NTZ → TIMESTAMP is a no-op under the engine's pinned UTC session
+    // timezone; unix_micros needs the instant type.
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    events
+      .withColumn("__prev_us", lag(us, 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev_us").isNull ||
+          us - col("__prev_us") >= gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new_session")).over(w))
+      .groupBy(col(entityCol), col("session_seq"))
+      .agg(
+        min(col(tsCol)).as("started_at"),
+        max(col(tsCol)).as("ended_at"),
+        count(lit(1)).as("n_events"))
+  }
+
   def funnel(events: DataFrame, entityCol: String, typeCol: String,
       tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")

@@ -27,13 +27,21 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, name), {
       if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 cannot read
-        // natively; read the raw int64 nanos and truncate to micros — the
-        // same conversion DuckDB applies, so oracle values line up.
+        // events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+        // Spark 4 cannot read natively — and TIMESTAMP(MICROS), depending
+        // on the fixture generation. Resolve by the schema actually on
+        // disk: nanos arrive as int64 (nanosAsLong) and truncate to
+        // micros — the same conversion DuckDB applies, so oracle values
+        // line up — while micros just normalize to TIMESTAMP_NTZ.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$sfDir/$name.parquet")
-          .withColumn("ts",
+        val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+        val tsIsLong = raw.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType
+        if (tsIsLong)
+          raw.withColumn("ts",
             timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        else
+          raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
       } else {
         spark.read.parquet(s"$sfDir/$name.parquet")
       }

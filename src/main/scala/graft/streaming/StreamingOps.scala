@@ -465,4 +465,25 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  /** Streaming gap-sessionization: the built-in `session_window` keyed
+    * on the entity merges events whose gap is strictly under `gap` —
+    * the same rule as the batch `EventOps.sessionize`, so a finalized
+    * session here is byte-identical to the batch row (started_at =
+    * window start = min ts; ended_at = max ts; the window's `end` is
+    * max ts + gap by definition and is dropped). Append mode: a session
+    * emits exactly once, when the watermark passes its close — the
+    * streaming state per key is the set of OPEN windows only, so state
+    * size is bounded by concurrent-session count, not stream length.
+    */
+  def streamingSessionize(events: DataFrame, entityCol: String, tsCol: String,
+      gap: String, delay: String): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(col(entityCol), session_window(col(tsCol), gap))
+      .agg(
+        min(col(tsCol)).as("started_at"),
+        max(col(tsCol)).as("ended_at"),
+        count(lit(1)).as("n_events"))
+      .select(col(entityCol), col("started_at"), col("ended_at"), col("n_events"))
 }
