@@ -27,9 +27,9 @@ object EventOps {
     */
   /** Gap-based sessionization to a row-level session frame: one row per
     * (entity, session) with boundaries and event counts. A new session
-    * starts when the microsecond gap to the previous event is >= the
-    * gap (strict-less-than keeps a session alive — exactly
-    * `session_window`'s merge rule, so the streaming twin
+    * starts when the microsecond gap to the previous event EXCEEDS the
+    * gap (a gap of exactly the duration still merges — verified against
+    * `session_window`'s inclusive-end rule, so the streaming twin
     * `StreamingOps.streamingSessionize` finalizes byte-identical
     * sessions; the earlier `q8_sessionize` count op keeps the legacy
     * seconds-truncated semantics).
@@ -52,7 +52,7 @@ object EventOps {
       .withColumn("__prev_us", lag(us, 1).over(w))
       .withColumn("__new_session",
         when(col("__prev_us").isNull ||
-          us - col("__prev_us") >= gapSeconds * 1000000L, 1L)
+          us - col("__prev_us") > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum(col("__new_session")).over(w))
       .groupBy(col(entityCol), col("session_seq"))

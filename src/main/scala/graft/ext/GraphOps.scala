@@ -70,4 +70,57 @@ object GraphOps {
     }
     layers.reduce(_.unionByName(_))
   }
+
+  /** Fixed-iteration PageRank (damping 0.85) as pure DataFrame rounds —
+    * the link-analysis member of the iterative family next to BFS and
+    * the two connected-components variants.
+    *
+    * Cross-engine determinism contract (the k-means discipline): each
+    * node's outgoing contribution rounds once to 12 dp, the per-node
+    * inbound sum folds as exact DECIMAL(38,12) (order-independent —
+    * a double sum would diverge between partitionings and engines),
+    * and the new rank rounds once to 12 dp. Every other operand is an
+    * integer or an exact binary double (0.85, the 0.15/N base with N
+    * integer), so an unrolled SQL mirror reproduces ranks bit-for-bit.
+    *
+    * Scale shape: ranks are one row per node — always the small side —
+    * so each round is a broadcast join into the edge table plus one
+    * shuffled sum keyed by dst; the edge table itself never reshuffles
+    * (same key every round, exchange reuse). Nodes without in-links
+    * keep the base term via the left join; dangling-node mass is not
+    * redistributed (the classic simplification — both sides of the
+    * oracle drop it identically). localCheckpoint cuts lineage so the
+    * plan stays flat across rounds.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      broadcastBudgetRows: Long = 4000000L): DataFrame = {
+    require(iters >= 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", round(lit(1.0) / n, 12))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val r = if (n <= broadcastBudgetRows) broadcast(ranks) else ranks
+      val od = if (n <= broadcastBudgetRows) broadcast(outdeg) else outdeg
+      val contribs = edges
+        .join(r, col("src") === col("node"))
+        .join(od, "src")
+        .withColumn("__c", round(col("rank") / col("outdeg"), 12))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c").cast(dec)).cast("double").as("__in"))
+      ranks = nodes
+        .join(contribs, col("node") === col("dst"), "left")
+        .withColumn("rank",
+          round(lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0)), 12))
+        .select(col("node"), col("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

@@ -836,4 +836,45 @@ object Similarity {
     }
     assigned
   }
+
+  /** Deterministic ±1 sign matrix for the Johnson-Lindenstrauss random
+    * projection, derived from md5("k:j") — the same derivation an
+    * engine-neutral SQL mirror can reproduce (md5 is md5 everywhere),
+    * so no thousand-literal matrix ever crosses the plan/oracle seam.
+    * Sign is +1 iff the first hex nibble is 0..7 — an unbiased coin on
+    * a uniform hash.
+    */
+  def jlSigns(inDims: Int, outDims: Int): Array[Array[Int]] =
+    Array.tabulate(outDims, inDims) { (k, j) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$k:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) <= 7) 1 else -1
+    }
+
+  /** Johnson-Lindenstrauss random projection to `outDims` dimensions:
+    * a dense ±1 (Achlioptas) projection scaled by 1/√outDims, emitted
+    * in long form (id, dim, value) for engine-portable comparison.
+    *
+    * Scan-side only — the projection is a pure per-row expression over
+    * codegen'd left-assoc add chains (ascending j, matching the SQL
+    * mirror's sequential list_sum fold; float→double widening and ±1
+    * multiplication are IEEE-exact), so at 100 TB this is a map over
+    * the corpus with NO shuffle at all: dimensionality reduction
+    * happens at read time, and every downstream ANN/dedup stage pays
+    * 16 doubles per row instead of 64 floats.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, outDims: Int): DataFrame = {
+    val signs = jlSigns(inDims, outDims)
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val dims = (0 until outDims).map { k =>
+      val terms = (0 until inDims).map { j =>
+        val e = element_at(col(vecCol), j + 1).cast("double")
+        if (signs(k)(j) > 0) e else -e
+      }
+      round(terms.reduceLeft(_ + _) * scale, 9)
+    }
+    df.select(col(idCol), posexplode(array(dims: _*)).as(Seq("dim", "value")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("value"))
+  }
 }

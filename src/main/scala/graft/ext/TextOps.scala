@@ -594,4 +594,78 @@ object TextOps {
         size(col("__toks")).cast("long").as("n_subwords"),
         md5(array_join(col("__toks"), "|")).as("tokens_md5"))
   }
+
+  // ---- BM25 ranked retrieval ----------------------------------------------
+
+  /** Inverted-index postings: one row per (term, doc, term-frequency),
+    * carrying the doc length so scoring never re-touches the corpus.
+    * Two shuffled aggregates (dl per doc, tf per (doc, term)) that share
+    * the doc-id partitioning; the result is the postings-list layout
+    * every search engine persists — build once at ingest, probe per
+    * query (the ANN index tier's build/serve split, applied to text).
+    */
+  def buildInvertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .join(dl, idCol)
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+  }
+
+  /** Corpus-level stats the scorer needs besides the postings: doc
+    * count and summed doc length (avgdl derives as a double division of
+    * these two exact integers — no float aggregate to diverge).
+    */
+  def corpusStats(postings: DataFrame, idCol: String): DataFrame =
+    postings.groupBy(col(idCol)).agg(first(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).cast("long").as("sum_dl"))
+
+  /** BM25 top-k over postings already filtered to the query's terms.
+    * Every input to the score is an integer (tf, dl, df, N, sum_dl), so
+    * both engines evaluate the identical IEEE expression; the one
+    * transcendental (ln) gets bit-identical operands, each per-term
+    * score rounds once to 9 dp, and the per-doc sum is an exact
+    * DECIMAL(27,9) fold — the established cross-engine float contract.
+    * Constants k1=1.2, b=0.75 are fixed so the formula text (and thus
+    * literal binary doubles) can match the oracle exactly.
+    *
+    * Plan shape: df(term) is a tiny per-term count off the filtered
+    * postings; the scoring join broadcasts it; ranking is
+    * TakeOrderedAndProject (orderBy.limit) — never a single-partition
+    * window over all matching docs — with row_number applied only to
+    * the k survivors.
+    */
+  def bm25RankFromPostings(postings: DataFrame, stats: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df_docs") + lit(0.5)) / (col("df_docs") + lit(0.5)))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val sat = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val scored = postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__score_t", round(idf * sat, 9))
+      .groupBy(col(idCol))
+      .agg(sum(col("__score_t").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+        .cast("double").as("score"))
+    val topk = scored.orderBy(col("score").desc, col(idCol)).limit(k)
+    topk.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+      .select(col("rank"), col(idCol), col("score"))
+  }
+
+  /** End-to-end BM25 (tokenize → postings → score) for the from-corpus
+    * query; the serve path reads persisted postings instead and joins
+    * the same scorer.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    val postings = buildInvertedIndex(df, idCol, textCol)
+    val stats = corpusStats(postings, idCol)
+    bm25RankFromPostings(postings.filter(col("term").isInCollection(queryTerms)),
+      stats, idCol, k)
+  }
 }

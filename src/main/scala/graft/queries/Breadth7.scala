@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   */
 object Breadth7 {
 
-  /** Row-level gap sessions (30-minute gap, microsecond-strict — the
-    * `session_window` merge rule): one row per (user, session) with
+  /** Row-level gap sessions (30-minute gap at microsecond precision,
+    * exact-gap merges — the `session_window` inclusive-end merge rule):
+    * one row per (user, session) with
     * boundaries and event count. The whole operator is one shuffle of
     * the event log on user_id (window pass + session aggregate share
     * the exchange). `q8_sessionize` keeps the legacy seconds-truncated
@@ -35,7 +36,7 @@ object Breadth7 {
       f AS (
         SELECT user_id, ts, event_id,
                CASE WHEN prev_us IS NULL
-                         OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+                         OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
         FROM g),
       sn AS (
         SELECT user_id, ts,
@@ -48,5 +49,234 @@ object Breadth7 {
       ORDER BY user_id, session_seq
     """.trim))
 
-  def all: Seq[Q] = Seq(q53SessionStats)
+  // ---- BM25 ranked retrieval ---------------------------------------------
+
+  /** The fixed query for the BM25 pair: terms that actually occur in the
+    * corpus, so tf differences (not mere presence) drive the ranking.
+    */
+  private val Bm25Terms = Seq("vector", "stream", "filter")
+
+  /** DuckDB mirror of the BM25 pipeline: identical integer inputs,
+    * identical IEEE expression text (1.2/2.2 parse to the same binary
+    * doubles in both engines; 0.75/0.25 are exact), per-term round to
+    * 9 dp, exact DECIMAL(27,9) per-doc fold.
+    */
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""
+      WITH norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM documents),
+      t AS (SELECT doc_id, unnest(w) AS term FROM norm),
+      dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+             WHERE term IN ($inList) GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+      sc AS (SELECT tf.doc_id,
+               round(ln(1.0::DOUBLE + (n_docs - df_docs + 0.5::DOUBLE) / (df_docs + 0.5::DOUBLE)) *
+                     ((tf * 2.2::DOUBLE) /
+                      (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+                        (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))))), 9) AS score_t
+             FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      agg AS (SELECT doc_id, CAST(sum(CAST(score_t AS DECIMAL(27,9))) AS DOUBLE) AS score
+              FROM sc GROUP BY doc_id),
+      topk AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT $k)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank, doc_id, score
+      FROM topk ORDER BY rank
+    """.trim
+  }
+
+  /** BM25 ranked retrieval, end-to-end from the corpus: tokenize →
+    * postings → score → top-k. The term filter lands before the tf
+    * aggregate, so only query-term postings ever shuffle; ranking is
+    * TakeOrderedAndProject, never a global window.
+    */
+  val textBm25 = Q(
+    "text_bm25_topk",
+    (s, dir) =>
+      graft.ext.TextOps.bm25TopK(Tables(s, dir, "documents"),
+          "doc_id", "text", Bm25Terms, k = 25)
+        .orderBy(col("rank")),
+    Some(bm25Sql(Bm25Terms, 25)))
+
+  /** Build-if-absent persisted inverted index + stats (the text twin of
+    * the ANN serving tier): postings parquet keyed by term, one-row
+    * stats table. Built once per corpus at ingest (Bench warms it), so
+    * serve queries only probe.
+    */
+  def ensureTextIndex(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val docs = Tables(s, dir, "documents")
+    val posts = graft.etl.LayoutOps.ensureRunDir(s, dir, "text_inv_index") { d =>
+      graft.ext.TextOps.buildInvertedIndex(docs, "doc_id", "text").write.parquet(d)
+    }
+    val stats = graft.etl.LayoutOps.ensureRunDir(s, dir, "text_inv_stats") { d =>
+      graft.ext.TextOps.corpusStats(s.read.parquet(posts), "doc_id").write.parquet(d)
+    }
+    (posts, stats)
+  }
+
+  /** BM25 serving path: probe the persisted postings (term predicate
+    * pushed to the parquet scan — the plan never tokenizes the corpus)
+    * and score with the same ranking machinery, so the oracle is the
+    * same SQL as the from-corpus query.
+    */
+  val textIndexServe = Q(
+    "text_index_serve",
+    (s, dir) => {
+      val (postsDir, statsDir) = ensureTextIndex(s, dir)
+      graft.ext.TextOps.bm25RankFromPostings(
+          s.read.parquet(postsDir).filter(col("term").isInCollection(Bm25Terms)),
+          s.read.parquet(statsDir), "doc_id", k = 25)
+        .orderBy(col("rank"))
+    },
+    Some(bm25Sql(Bm25Terms, 25)))
+
+  // ---- PageRank ----------------------------------------------------------
+
+  /** Unrolled DuckDB mirror of GraphOps.pageRank: r0..rN as chained
+    * CTEs (recursive CTEs cannot aggregate in the recursive term, so
+    * the fixed iteration count unrolls — 5 rounds is 5 copies of the
+    * same two CTEs). Arithmetic matches the Spark side literally:
+    * round-12dp contributions, exact DECIMAL(38,12) inbound fold,
+    * round-12dp rank update.
+    */
+  private def pageRankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT dst, CAST(sum(CAST(round(rank / outdeg, 12) AS DECIMAL(38,12))) AS DOUBLE) AS inr
+             FROM edges JOIN r${i - 1} ON src = node JOIN outdeg USING (src) GROUP BY dst),
+      r$i AS (SELECT node, round((1.0::DOUBLE - 0.85::DOUBLE) / n + 0.85::DOUBLE * coalesce(inr, 0.0::DOUBLE), 12) AS rank
+             FROM nodes CROSS JOIN nn LEFT JOIN c$i ON node = dst)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH edges AS (SELECT DISTINCT c_nationkey::BIGINT AS src, s_nationkey::BIGINT AS dst
+                     FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+                     JOIN supplier ON l_suppkey = s_suppkey),
+      nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      r0 AS (SELECT node, round(1.0::DOUBLE / n, 12) AS rank FROM nodes CROSS JOIN nn),
+      $rounds
+      SELECT node, rank FROM r$iters ORDER BY node
+    """.trim
+  }
+
+  /** PageRank over the customer-nation → supplier-nation trade graph
+    * (distinct nation pairs that actually traded, via customer ⋈ orders
+    * ⋈ lineitem ⋈ supplier — dimension joins broadcast, the fact table
+    * never reshuffles). The edge list is checkpointed once so the
+    * 5 ranking rounds iterate over a materialized ~N² nation-pair
+    * table, not a re-executed 4-way join.
+    */
+  val q54PageRank = Q(
+    "q54_pagerank",
+    (s, dir) => {
+      val edges = Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      graft.ext.GraphOps.pageRank(edges, iters = 5)
+        .orderBy(col("node"))
+    },
+    Some(pageRankSql(5)))
+
+  // ---- random projection -------------------------------------------------
+
+  /** Johnson-Lindenstrauss ±1 projection 64 → 16 dims, long form. Both
+    * engines derive the sign matrix from md5("k:j") and fold the dot
+    * product in ascending-j order (codegen'd add chain ↔ list_sum's
+    * sequential fold), so values are bit-identical; Round8Spec pins the
+    * JL guarantee itself (projected cosine tracks exact cosine).
+    */
+  val annRandomProjection = Q(
+    "ann_random_projection",
+    (s, dir) =>
+      graft.ext.Similarity.randomProjection(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", inDims = 64, outDims = 16)
+        .orderBy(col("vec_id"), col("dim")),
+    Some("""
+      WITH m AS (SELECT k FROM range(16) t(k)),
+      p AS (SELECT e.vec_id, m.k AS dim,
+              round(list_sum(list_transform(range(64), j ->
+                e.embedding[j+1]::DOUBLE *
+                (CASE WHEN substr(md5(m.k::VARCHAR || ':' || j::VARCHAR), 1, 1) <= '7'
+                      THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END))) * 0.25::DOUBLE, 9) AS value
+            FROM embeddings e CROSS JOIN m)
+      SELECT vec_id, dim::BIGINT AS dim, value FROM p ORDER BY vec_id, dim
+    """.trim))
+
+  // ---- centroid-distance outliers ----------------------------------------
+
+  /** Embedding quality filter by prototypicality: every vector scores
+    * against its assigned centroid's exact-decimal cluster mean; a
+    * vector more than 0.05 below its cluster's mean similarity is
+    * flagged. The assignment is the zero-shuffle scan-side argmax
+    * (inlined scale-fixed centroids); the per-cluster means are k rows
+    * broadcast back — so at 100 TB the whole filter is one corpus pass
+    * plus one k-row aggregate, the SemDeDup/CLIP-filter dataflow.
+    */
+  val annCentroidOutliers = Q(
+    "ann_centroid_outliers",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") % 250 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = graft.ext.Similarity.kmeansAssign(s, emb, cent,
+          "vec_id", "embedding", "cid", "cv")
+        .select(col("vec_id"), col("cluster"), col("sim"))
+      val means = assigned.groupBy(col("cluster"))
+        .agg((sum(col("sim").cast(org.apache.spark.sql.types.DecimalType(15, 9)))
+          .cast("double") / count(lit(1))).as("avg_sim"))
+      assigned.join(broadcast(means), "cluster")
+        .withColumn("is_outlier",
+          when(col("sim") < col("avg_sim") - lit(0.05), 1L).otherwise(0L))
+        .select(col("vec_id"), col("cluster"), col("sim"), col("is_outlier"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id % 250 = 0 AND vec_id < 5000),
+      a AS (SELECT vec_id, cid, sim,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM (SELECT e.vec_id, c.cid, ${Extensions.sqlCos("e.embedding", "c.cv")} AS sim
+                  FROM embeddings e, cent c)),
+      asg AS (SELECT vec_id, cid AS cluster, sim FROM a WHERE rn = 1),
+      m AS (SELECT cluster, CAST(sum(CAST(sim AS DECIMAL(15,9))) AS DOUBLE) / count(*) AS avg_sim
+            FROM asg GROUP BY cluster)
+      SELECT vec_id, cluster, sim,
+             (CASE WHEN sim < avg_sim - 0.05::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS is_outlier
+      FROM asg JOIN m USING (cluster) ORDER BY vec_id
+    """.trim))
+
+  // ---- train/val/test split ----------------------------------------------
+
+  /** Deterministic 80/10/10 split by content-independent id hash — the
+    * standard leak-proof dataset split (same doc always lands in the
+    * same split, regardless of corpus size, partitioning, or insertion
+    * order). Scan-side expression, zero shuffle.
+    */
+  val textSplitAssign = Q(
+    "text_split_assign",
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("__b", graft.ext.Dedup.hash32(col("doc_id").cast("string")) % 100)
+        .withColumn("split",
+          when(col("__b") < 80, "train").when(col("__b") < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, lang,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, lang,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+            FROM documents)
+      ORDER BY doc_id
+    """.trim))
+
+  def all: Seq[Q] = Seq(q53SessionStats, textBm25, textIndexServe, q54PageRank,
+    annRandomProjection, annCentroidOutliers, textSplitAssign)
 }

@@ -398,7 +398,7 @@ object Extensions {
     * op order as the codegen'd CosineSimilarity kernel, rounded to 9dp
     * in both engines.
     */
-  private def sqlCos(a: String, b: String): String =
+  private[queries] def sqlCos(a: String, b: String): String =
     s"""round(
        list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE)) /
        (sqrt(list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE))) *

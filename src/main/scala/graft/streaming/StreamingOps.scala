@@ -467,8 +467,8 @@ object StreamingOps {
   }
 
   /** Streaming gap-sessionization: the built-in `session_window` keyed
-    * on the entity merges events whose gap is strictly under `gap` —
-    * the same rule as the batch `EventOps.sessionize`, so a finalized
+    * on the entity merges events whose gap is at most `gap` (inclusive
+    * end) — the same rule as the batch `EventOps.sessionize`, so a finalized
     * session here is byte-identical to the batch row (started_at =
     * window start = min ts; ended_at = max ts; the window's `end` is
     * max ts + gap by definition and is dropped). Append mode: a session
