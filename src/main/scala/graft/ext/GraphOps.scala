@@ -71,6 +71,43 @@ object GraphOps {
     layers.reduce(_.unionByName(_))
   }
 
+  /** Synchronous label propagation: seed nodes keep their label; every
+    * other node takes the majority label among its neighbors' current
+    * labels each round (vote-count desc, smallest label breaks ties —
+    * computed as a commutative max over (votes, -label) structs, so
+    * map-side partial aggregation cannot reorder results). Nodes with
+    * no labeled neighbor stay null for the round — label mass only
+    * grows outward from the seeds, the semi-supervised auto-labeling
+    * recipe over a kNN graph.
+    *
+    * Scale shape: each round is one join of the edge list against the
+    * current label frame (both keyed on node id — one partitioning
+    * carries every round, exchange reuse) plus a two-level aggregate.
+    * The label frame is one row per node — never wider — and
+    * localCheckpoint cuts lineage per round.
+    */
+  def labelPropagate(pairs: DataFrame, seeds: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val seeded = nodes.join(seeds, Seq("node"), "left")
+    var labels = seeded.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nbr = labels.filter(col("label").isNotNull)
+        .select(col("node").as("dst"), col("label").as("__nl"))
+      val best = pairs.join(nbr, "dst")
+        .groupBy(col("src"), col("__nl"))
+        .agg(count(lit(1)).as("__votes"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("__votes"), (-col("__nl")).as("__neg"))).as("__b"))
+        .select(col("src").as("node"), (-col("__b").getField("__neg")).as("__prop"))
+      labels = seeded
+        .join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("__prop")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Fixed-iteration PageRank (damping 0.85) as pure DataFrame rounds —
     * the link-analysis member of the iterative family next to BFS and
     * the two connected-components variants.

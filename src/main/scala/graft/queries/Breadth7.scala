@@ -277,6 +277,110 @@ object Breadth7 {
       ORDER BY doc_id
     """.trim))
 
+  // ---- label propagation -------------------------------------------------
+
+  /** Semi-supervised label propagation over an IVF-list-scoped kNN
+    * graph: 20% of vectors keep their true label as seeds, every other
+    * vector takes the majority label among its top-3 within-list
+    * neighbors, two synchronous rounds. The graph build is the
+    * scale-safe propose stage (coarse lists whose size is bounded, so
+    * candidate volume stays near-linear — the SemDeDup/dedup discipline
+    * applied to auto-labeling); the propagation rounds join edge list
+    * to label frame on one key.
+    */
+  val graphLabelProp = Q(
+    "graph_label_prop",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.VectorExpressions.register(s)
+      val emb = Tables(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = graft.ext.Similarity.coarseAssignJoin(s, emb, cent,
+          "vec_id", "embedding", "cid", "cv")
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+        .localCheckpoint()
+      val a = assigned.select(col("vec_id").as("src"),
+        col("embedding").as("__sv"), col("cluster"))
+      val b = assigned.select(col("vec_id").as("dst"),
+        col("embedding").as("__dv"), col("cluster"))
+      val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+      val pairs = a.hint("shuffle_hash").join(b, "cluster")
+        .filter(col("src") =!= col("dst"))
+        .withColumn("sim", round(expr("graft_cosine(__sv, __dv)"), 9))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("src"), col("dst"))
+      val seeds = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("node"), col("label").cast("long").as("label"))
+      val nodes = emb.select(col("vec_id").as("node"))
+      graft.ext.GraphOps.labelPropagate(pairs, seeds, nodes, rounds = 2)
+        .orderBy(col("node"))
+    },
+    Some {
+      def voteRound(i: Int): String =
+        s"""v$i AS (SELECT p.src, l.label AS nbr_label, count(*) AS votes
+             FROM pairs p JOIN l${i - 1} l ON p.dst = l.node
+             WHERE l.label IS NOT NULL GROUP BY p.src, l.label),
+      b$i AS (SELECT src AS node, nbr_label AS prop_label FROM (
+               SELECT src, nbr_label,
+                      row_number() OVER (PARTITION BY src ORDER BY votes DESC, nbr_label) AS rn
+               FROM v$i) WHERE rn = 1),
+      l$i AS (SELECT n.node, coalesce(s.label, b.prop_label) AS label
+             FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+             LEFT JOIN b$i b ON n.node = b.node)"""
+      s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id % 37 = 0 AND vec_id < 5000),
+      asg AS (SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, t.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+                FROM embeddings e, cent t) WHERE rn = 1),
+      cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                      ${Extensions.sqlCos("a.embedding", "b.embedding")} AS sim
+               FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+      pairs AS (SELECT src, dst FROM (
+                 SELECT src, dst,
+                        row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn
+                 FROM cand) WHERE rn <= 3),
+      seeds AS (SELECT vec_id AS node, label::BIGINT AS label FROM embeddings
+                WHERE vec_id % 5 = 0),
+      nodes AS (SELECT vec_id AS node FROM embeddings),
+      l0 AS (SELECT n.node, s.label FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+      ${voteRound(1)},
+      ${voteRound(2)}
+      SELECT node, label FROM l2 ORDER BY node
+    """.trim
+    })
+
+  // ---- SCD2 as-of (time travel) ------------------------------------------
+
+  /** Point-in-time read over the SCD2 history frame (u5): the version
+    * of every key valid at the probe instant — `valid_from <= t AND
+    * (valid_to IS NULL OR valid_to > t)`, the standard time-travel
+    * predicate. Reuses u5's build verbatim (Spark fn and oracle SQL
+    * both), so the two queries can never drift; the filter is a
+    * scan-side predicate over the history table, no extra shuffle.
+    */
+  val u9Scd2Asof = Q(
+    "u9_scd2_asof",
+    (s, dir) => {
+      val t = lit("2000-06-01 00:00:00").cast("timestamp")
+      AuditMerge.u05.fn(s, dir)
+        .filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    },
+    Some(s"""
+      SELECT * FROM (
+        ${AuditMerge.u05.oracle.get}
+      ) WHERE valid_from <= TIMESTAMP '2000-06-01 00:00:00'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '2000-06-01 00:00:00')
+      ORDER BY o_orderkey, valid_from
+    """.trim))
+
   def all: Seq[Q] = Seq(q53SessionStats, textBm25, textIndexServe, q54PageRank,
-    annRandomProjection, annCentroidOutliers, textSplitAssign)
+    annRandomProjection, annCentroidOutliers, textSplitAssign, graphLabelProp,
+    u9Scd2Asof)
 }

@@ -1309,7 +1309,7 @@ object Extensions {
       SELECT lang, count(*)::BIGINT AS n_docs,
              sum(n_subwords)::BIGINT AS total_subwords,
              sum(n_chars)::BIGINT AS total_chars,
-             round(sum(n_subwords)::DOUBLE / sum(n_chars), 9) AS fertility
+             round(sum(n_subwords)::DOUBLE / sum(n_chars)::DOUBLE, 9) AS fertility
       FROM cnt GROUP BY lang ORDER BY lang
     """.trim))
 

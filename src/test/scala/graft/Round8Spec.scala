@@ -210,6 +210,108 @@ class Round8Spec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(1200))
   }
 
+  // ---- label propagation -------------------------------------------------
+
+  test("label propagation recovers cluster labels on geometry-correlated data") {
+    // the fixture's labels are random w.r.t. embedding geometry (checked:
+    // same-label mean cosine ≈ cross-label), so accuracy pins need a
+    // corpus where labels ARE the geometry: 3 orthogonal-axis clusters,
+    // 30 points each, label = cluster, seeds = every 3rd point
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(spark)
+    val pts = (0 until 90).map { i =>
+      val c = i % 3
+      val base = Array.fill(9)(0.05f * ((i * 7 % 5) - 2))
+      base(c * 3) = 1.0f            // dominant axis per cluster
+      base(c * 3 + 1) = 0.3f * ((i % 4) - 1)
+      (i.toLong, base.toSeq, c.toLong)
+    }
+    val emb = pts.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val cent = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assigned = Similarity.coarseAssignJoin(spark, emb, cent,
+        "vec_id", "embedding", "cid", "cv")
+      .select(col("vec_id"), col("embedding"), col("cluster")).localCheckpoint()
+    val a = assigned.select(col("vec_id").as("src"), col("embedding").as("__sv"), col("cluster"))
+    val b = assigned.select(col("vec_id").as("dst"), col("embedding").as("__dv"), col("cluster"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    val pairs = a.join(b, "cluster").filter(col("src") =!= col("dst"))
+      .withColumn("sim", round(expr("graft_cosine(__sv, __dv)"), 9))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("src"), col("dst"))
+    // seeds must hit every cluster: i % 9 ∈ {0,1,2} picks one member of
+    // each residue class (cluster id is i % 3, so i%3==0 would seed
+    // only cluster 0 — the whole of which is then already labeled)
+    val seeds = emb.filter(col("vec_id") % 9 < 3)
+      .select(col("vec_id").as("node"), col("label"))
+    val nodes = emb.select(col("vec_id").as("node"))
+    val out = GraphOps.labelPropagate(pairs, seeds, nodes, 4)
+      .join(emb.select(col("vec_id").as("node"), col("label").as("truth")), "node")
+    val nCovered = out.filter(col("label").isNotNull).count()
+    val acc = out.filter(col("label") === col("truth")).count().toDouble / nCovered
+    assert(nCovered > 70, s"only $nCovered of 90 covered after 4 rounds")
+    assert(acc > 0.95, s"cluster-label accuracy $acc over $nCovered")
+  }
+
+  test("label propagation covers most held-out fixture nodes in 2 rounds") {
+    val out = graft.queries.Registry.queries("graph_label_prop")(spark, sf)
+    val covered = out.filter(col("node") % 5 =!= 0 && col("label").isNotNull).count()
+    assert(covered > 200, s"propagation covered only $covered of 400 held-out nodes")
+  }
+
+  test("label propagation is monotone: more rounds never lose coverage, seeds never change") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val seeds = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("node"), col("label").cast("long").as("label"))
+    val nodes = emb.select(col("vec_id").as("node"))
+    // tiny deterministic chain graph: 1-2-3-4, seed at 1 and 4
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val chainSeeds = Seq((1L, 10L), (4L, 40L)).toDF("node", "label")
+    val chainNodes = (1L to 4L).toDF("node")
+    val r1 = GraphOps.labelPropagate(pairs, chainSeeds, chainNodes, 1)
+      .as[(Long, Option[Long])].collect().toMap
+    val r2 = GraphOps.labelPropagate(pairs, chainSeeds, chainNodes, 2)
+      .as[(Long, Option[Long])].collect().toMap
+    // seeds keep their own labels through every round
+    assert(r1(1L) === Some(10L) && r1(4L) === Some(40L))
+    assert(r2(1L) === Some(10L) && r2(4L) === Some(40L))
+    // round 1: node 2 sees labeled neighbor 1 (10), node 3 sees 4 (40)
+    assert(r1(2L) === Some(10L) && r1(3L) === Some(40L))
+    // round 2: node 2's neighbors are {1:10, 3:40} → tie → smallest label
+    assert(r2(2L) === Some(10L), r2.toString)
+    // coverage is monotone on the real graph too
+    val c1 = GraphOps.labelPropagate(
+      graphPairs(emb), seeds, nodes, 1).filter(col("label").isNotNull).count()
+    val c2 = GraphOps.labelPropagate(
+      graphPairs(emb), seeds, nodes, 2).filter(col("label").isNotNull).count()
+    assert(c2 >= c1, s"coverage shrank: $c1 -> $c2")
+  }
+
+  /** The same IVF-list-scoped top-3 kNN graph the registry query builds. */
+  private def graphPairs(emb: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(spark)
+    val cent = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val assigned = Similarity.coarseAssignJoin(spark, emb, cent,
+        "vec_id", "embedding", "cid", "cv")
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .localCheckpoint()
+    val a = assigned.select(col("vec_id").as("src"),
+      col("embedding").as("__sv"), col("cluster"))
+    val b = assigned.select(col("vec_id").as("dst"),
+      col("embedding").as("__dv"), col("cluster"))
+    val w = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    a.hint("shuffle_hash").join(b, "cluster")
+      .filter(col("src") =!= col("dst"))
+      .withColumn("sim", round(expr("graft_cosine(__sv, __dv)"), 9))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("src"), col("dst"))
+  }
+
   // ---- centroid outliers -------------------------------------------------
 
   test("centroid outliers flag exactly the below-mean-minus-margin tail") {
