@@ -71,6 +71,53 @@ object GraphOps {
     layers.reduce(_.unionByName(_))
   }
 
+  /** Per-node triangle counts via degree-ordered edge orientation — the
+    * MapReduce-classic trick that keeps the wedge join tractable on
+    * skewed graphs: every undirected edge points from its
+    * (degree, id)-smaller endpoint to the larger, so a hub of degree d
+    * contributes wedges only through its FEW lower-degree neighbors
+    * (O(m^1.5) wedges total, vs O(d²) per hub under naive id ordering —
+    * at 100 TB the difference between a bounded shuffle and a
+    * star-join explosion). Wedge (x→y, x→z with y<z in the same order)
+    * closes iff oriented edge y→z exists; each triangle is enumerated
+    * exactly once, then credited to all three corners.
+    *
+    * Both joins key on node ids (wedge build on x, closure probe on
+    * the (y,z) pair), so the plan is two hash joins + one aggregate.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): x → y iff (deg_x, x) < (deg_y, y)
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+        .otherwise(col("v")).as("x"),
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+        .otherwise(col("u")).as("y"))
+      .localCheckpoint()
+    // wedges at the (deg,id)-minimum corner: pairs of out-neighbors of
+    // x, labeled y < z BY ID (the orientation order of the closing edge
+    // is unknown at this point, so the closure probe checks both)
+    val wedges = oriented.select(col("x"), col("y"))
+      .join(oriented.select(col("x"), col("y").as("z")), "x")
+      .filter(col("y") < col("z"))
+    val triangles = wedges.join(
+      oriented.select(col("x").as("y"), col("y").as("z")), Seq("y", "z"))
+      .unionByName( // closing edge may be oriented z→y
+        wedges.join(oriented.select(col("x").as("z"), col("y").as("y")), Seq("y", "z")))
+    triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Synchronous label propagation: seed nodes keep their label; every
     * other node takes the majority label among its neighbors' current
     * labels each round (vote-count desc, smallest label breaks ties —

@@ -380,7 +380,53 @@ object Breadth7 {
       ORDER BY o_orderkey, valid_from
     """.trim))
 
+  // ---- triangle counting -------------------------------------------------
+
+  /** Shared edge CTE: the customer-nation → supplier-nation trade graph
+    * (same derivation as q54_pagerank).
+    */
+  private val TradeEdgesCte =
+    """edges AS (SELECT DISTINCT c_nationkey::BIGINT AS src, s_nationkey::BIGINT AS dst
+                 FROM customer JOIN orders ON c_custkey = o_custkey
+                 JOIN lineitem ON l_orderkey = o_orderkey
+                 JOIN supplier ON l_suppkey = s_suppkey)"""
+
+  /** Per-node triangle participation on the trade graph, via the
+    * degree-ordered orientation (each triangle enumerated once at its
+    * (deg, id)-minimum corner — the skew-safe O(m^1.5) wedge bound).
+    */
+  val graphTriangles = Q(
+    "graph_triangles",
+    (s, dir) => {
+      val edges = Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      graft.ext.GraphOps.triangleCounts(edges).orderBy(col("node"))
+    },
+    Some(s"""
+      WITH $TradeEdgesCte,
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM edges WHERE src <> dst),
+      deg AS (SELECT node, count(*) AS deg FROM
+                (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+              GROUP BY node),
+      o AS (SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS x,
+                   CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS y
+            FROM und e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+      w AS (SELECT a.x, a.y, b.y AS z FROM o a JOIN o b USING (x) WHERE a.y < b.y),
+      tri AS (SELECT w.x, w.y, w.z FROM w
+              JOIN o ON (o.x = w.y AND o.y = w.z) OR (o.x = w.z AND o.y = w.y))
+      SELECT node, count(*) AS n_triangles FROM
+        (SELECT unnest([x, y, z]) AS node FROM tri)
+      GROUP BY node ORDER BY node
+    """.trim))
+
   def all: Seq[Q] = Seq(q53SessionStats, textBm25, textIndexServe, q54PageRank,
     annRandomProjection, annCentroidOutliers, textSplitAssign, graphLabelProp,
-    u9Scd2Asof)
+    u9Scd2Asof, graphTriangles)
 }

@@ -39,6 +39,9 @@ object BenchDetail {
       graft.etl.LayoutOps.ensurePartitionedOrders(spark, sfDir)
       graft.queries.Extensions.ensureIvfInt8Index(spark, sfDir)
       graft.queries.Extensions.ensureIvfPqIndex(spark, sfDir)
+      graft.queries.Extensions.ensureDedupIndex(spark, sfDir)
+      graft.queries.Extensions.ensureDedupClusters(spark, sfDir)
+      graft.queries.Breadth7.ensureTextIndex(spark, sfDir)
     } catch { case _: Throwable => () }
     // a query that crashes must NOT record its (near-zero) failure-path
     // timing — in the committed regression artifact that would read as a

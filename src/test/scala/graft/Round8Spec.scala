@@ -312,6 +312,22 @@ class Round8Spec extends SparkSpec {
       .select(col("src"), col("dst"))
   }
 
+  // ---- triangles ---------------------------------------------------------
+
+  test("triangleCounts: shared-edge triangles, hubs, and direction noise") {
+    // triangles {1,2,3} and {2,3,4} share edge 2-3; node 5 is a pendant;
+    // edges arrive directed both ways and duplicated (must canonicalize)
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 2L),
+      (2L, 3L), (5L, 1L), (6L, 6L)) // dup edge + self-loop noise
+      .toDF("src", "dst")
+    val got = GraphOps.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), got.toString)
+    // global invariant: participation sums to 3 × triangle count
+    assert(got.values.sum === 6L)
+  }
+
   // ---- centroid outliers -------------------------------------------------
 
   test("centroid outliers flag exactly the below-mean-minus-margin tail") {
