@@ -720,6 +720,70 @@ object BloomBits {
   }
 }
 
+/** Johnson-Lindenstrauss ±1 projection as a codegen'd kernel: the
+  * 16-dim expression-tree formulation (16 × 64 element_at terms inside
+  * a posexplode Generate) is too large for whole-stage codegen and
+  * falls back to interpreted eval (~1.9 s at sf0.1); this kernel is the
+  * same ascending-j left fold as a tight loop with the sign matrix as a
+  * plan reference object — bit-identical output (0.0 + t0 == t0, so
+  * the explicit accumulator matches the add chain), scan speed, O(1)
+  * plan size.
+  */
+case class JlProject(child: Expression, signs: Array[Array[Int]], scale: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"jl project expects array<float|double>, got ${t.catalogString}")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    JlProject.compute(v.asInstanceOf[ArrayData], signs, scale, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jlSigns", signs, "int[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.JlProject.compute($c, $ref, $scale, $elemIsFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object JlProject {
+  def compute(vec: ArrayData, signs: Array[Array[Int]], scale: Double,
+      isFloat: Boolean): ArrayData = {
+    val outDims = signs.length
+    val inDims = if (outDims == 0) 0 else signs(0).length
+    require(vec.numElements() == inDims,
+      s"jl project input has ${vec.numElements()} dims, sign matrix expects $inDims")
+    val out = new Array[Double](outDims)
+    var k = 0
+    while (k < outDims) {
+      val row = signs(k)
+      var acc = 0.0
+      var j = 0
+      while (j < inDims) {
+        if (vec.isNullAt(j)) throw new IllegalArgumentException(
+          s"null element at dim $j in jl project input")
+        val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        acc = if (row(j) > 0) acc + x else acc - x
+        j += 1
+      }
+      out(k) = java.math.BigDecimal.valueOf(acc * scale)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   /** Registers the graft_* expression family for SQL/expr use in this
     * session (idempotent).
