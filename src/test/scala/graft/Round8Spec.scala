@@ -293,7 +293,7 @@ class Round8Spec extends SparkSpec {
   private def graphPairs(emb: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorExpressions.register(spark)
-    val cent = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000)
+    val cent = emb.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val assigned = Similarity.coarseAssignJoin(spark, emb, cent,
         "vec_id", "embedding", "cid", "cv")

@@ -83,6 +83,19 @@ import org.apache.spark.sql.functions._
   * (label predicate inside the probe join), dedup_semantic 4.6s
   * (sign-bucket pairs → CC → canonical keep over a 100k-vector
   * duplicate-dense corpus).
+  *
+  * Round-8 additions at replicas=10: q53_session_stats 1.8s emitting
+  * 955k sessions from 2M events (the one user-keyed shuffle carries
+  * window pass + aggregate); text_bm25_topk 3.0s over 50k docs and
+  * text_index_serve 5.4s including the one-time 10×-postings build
+  * (probe alone is sub-second); q54_pagerank 5.3s / graph_triangles
+  * 2.7s (both dominated by the linear 6M-lineitem edge derivation —
+  * the nation graph itself is flat); graph_label_prop 12.4s at 50k
+  * vectors (≈11× the sf0.1 cost at 10× the corpus — the corpus-
+  * proportional centroid sample keeps within-list kNN pair volume
+  * near-linear, same discipline as the dedup propose);
+  * ann_random_projection 0.25s for 320k projected rows (codegen'd
+  * kernel, pure scan); ann_centroid_outliers 1.8s.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -161,7 +174,15 @@ object ScaleSmoke {
       // kernel + packing prefix sum
       "ann_index_serve", "ann_ivfpq_serve", "dedup_stream_pairs",
       "media_phash_pairs", "media_phash_clusters",
-      "text_subword_tokens", "text_pack_subword") ++
+      "text_subword_tokens", "text_pack_subword",
+      // round-8 ops: single-shuffle sessionization over 10× events,
+      // BM25 corpus + persisted-postings serve, trade-graph PageRank /
+      // triangles (edge derivation linear in lineitem, graph itself
+      // nation-small), corpus-proportional-list label propagation,
+      // codegen'd JL projection (pure scan), centroid outliers
+      "q53_session_stats", "text_bm25_topk", "text_index_serve",
+      "q54_pagerank", "graph_triangles", "graph_label_prop",
+      "ann_random_projection", "ann_centroid_outliers") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     heavy.foreach { name =>
       val t0 = System.nanoTime()
