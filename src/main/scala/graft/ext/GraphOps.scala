@@ -118,6 +118,49 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core by iterative peeling: drop every node whose degree in the
+    * CURRENT edge set is below k, restrict the edges to survivors,
+    * repeat. Stops at `maxPeels` or at the fixpoint, whichever is
+    * first — and because a converged round removes nothing, a fixed
+    * `maxPeels`-round unrolled SQL mirror produces the identical edge
+    * set whether or not convergence came early (extra peels are no-ops).
+    * Returns (node, deg) over the final edge set.
+    *
+    * Each peel is one degree aggregate + two semi-join restrictions,
+    * all keyed on node ids; edge sets only shrink, and localCheckpoint
+    * caps lineage, so a peel's cost is bounded by the surviving
+    * subgraph — the degeneracy-peeling shape that holds at any scale.
+    */
+  def kCore(edges: DataFrame, k: Int, maxPeels: Int): DataFrame = {
+    require(k >= 1 && maxPeels >= 0)
+    var und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint()
+    var edgeCount = und.count()
+    var peel = 0
+    var stable = false
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    while (peel < maxPeels && !stable) {
+      val keep = degrees(und).filter(col("deg") >= k).select(col("node"))
+      val next = und
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val nextCount = next.count()
+      // isolated nodes never appear in the edge set, so an unchanged
+      // edge count means an unchanged degree table — fixpoint
+      stable = nextCount == edgeCount
+      und = next
+      edgeCount = nextCount
+      peel += 1
+    }
+    degrees(und)
+  }
+
   /** Synchronous label propagation: seed nodes keep their label; every
     * other node takes the majority label among its neighbors' current
     * labels each round (vote-count desc, smallest label breaks ties —

@@ -274,4 +274,34 @@ object Multimodal {
       }
     ds.toDF("doc_id", "embedding")
   }
+
+  /** Per-window energy over the media byte stream — the audio-pipeline
+    * primitive (silence trimming, voice-activity windows) applied to
+    * the opaque byte column: non-overlapping `frame`-byte windows, each
+    * reporting sample count, integer sum-of-squares energy (unsigned
+    * 8-bit samples — exact, order-free), and RMS (one sqrt over an
+    * integer ratio, rounded to 9 dp — both engines see identical
+    * operands). Scan-side byte slicing like sampleFrames: no shuffle,
+    * one row per window, linear at any corpus size.
+    *
+    * Operates on the text column directly (byte == char on the ASCII
+    * corpus, asserted in ExtOpsSpec) so the DuckDB oracle can replay it
+    * with ord(substring(...)).
+    */
+  def frameEnergy(df: DataFrame, idCol: String, textCol: String,
+      frame: Int = 64): DataFrame = {
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, int(ceil(length($textCol) / $frame.0)) - 1),
+            i -> substring($textCol, i * $frame + 1, $frame))"""))
+        .as(Seq("frame_no", "__chunk")))
+      .withColumn("n_samples", length(col("__chunk")).cast("long"))
+      .withColumn("energy", expr(
+        """aggregate(transform(sequence(1, length(__chunk)),
+             p -> ascii(substring(__chunk, p, 1)) * ascii(substring(__chunk, p, 1))),
+           0L, (a, x) -> a + cast(x as bigint))"""))
+      .select(col(idCol), col("frame_no").cast("long").as("frame_no"),
+        col("n_samples"), col("energy"),
+        round(sqrt(col("energy").cast("double") / col("n_samples")), 9).as("rms"))
+  }
 }

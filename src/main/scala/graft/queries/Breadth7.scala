@@ -432,7 +432,78 @@ object Breadth7 {
       GROUP BY node ORDER BY node
     """.trim))
 
+  // ---- k-core ------------------------------------------------------------
+
+  /** 40-core of the bipartite customer–supplier purchase graph
+    * (supplier ids offset so the spaces are disjoint): three peels of
+    * degree-<k removal, reporting the surviving nodes' degrees. The
+    * Spark side stops early at the fixpoint; the oracle always unrolls
+    * three peels — identical by construction, since a converged peel
+    * removes nothing.
+    */
+  val graphKcore = Q(
+    "graph_kcore",
+    (s, dir) => {
+      val edges = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey") + 100000L).cast("long").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      graft.ext.GraphOps.kCore(edges, k = 40, maxPeels = 3)
+        .orderBy(col("node"))
+    },
+    Some {
+      def peel(i: Int): String =
+        s"""d$i AS (SELECT node, count(*) AS deg FROM
+                 (SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+               GROUP BY node),
+      k$i AS (SELECT node FROM d$i WHERE deg >= 40),
+      e$i AS (SELECT u, v FROM e${i - 1}
+             WHERE u IN (SELECT node FROM k$i) AND v IN (SELECT node FROM k$i))"""
+      s"""
+      WITH e0 AS (SELECT DISTINCT o_custkey::BIGINT AS u,
+                         (l_suppkey + 100000)::BIGINT AS v
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      ${peel(1)},
+      ${peel(2)},
+      ${peel(3)}
+      SELECT node, count(*) AS deg FROM
+        (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+      GROUP BY node ORDER BY node
+    """.trim
+    })
+
+  // ---- media frame energy ------------------------------------------------
+
+  /** Windowed byte-stream energy over the media column (64-byte
+    * non-overlapping windows): sample count, integer sum-of-squares,
+    * and 9 dp RMS per window — the audio silence/VAD primitive on the
+    * opaque-bytes plumbing, scan-side like media_frames.
+    */
+  val mediaFrameEnergy = Q(
+    "media_frame_energy",
+    (s, dir) =>
+      graft.ext.Multimodal.frameEnergy(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("frame_no")),
+    Some("""
+      WITH f AS (SELECT doc_id, text,
+                        unnest(range((length(text) + 63) // 64)) AS frame_no
+                 FROM documents WHERE length(text) > 0),
+      c AS (SELECT doc_id, frame_no,
+                   substring(text, (frame_no * 64 + 1)::INT, 64) AS chunk
+            FROM f),
+      e AS (SELECT doc_id, frame_no, length(chunk)::BIGINT AS n_samples,
+                   list_sum(list_transform(range(1, length(chunk) + 1),
+                     p -> ord(substring(chunk, p::INT, 1)) *
+                          ord(substring(chunk, p::INT, 1))))::BIGINT AS energy
+            FROM c)
+      SELECT doc_id, frame_no, n_samples, energy,
+             round(sqrt(energy::DOUBLE / n_samples), 9) AS rms
+      FROM e ORDER BY doc_id, frame_no
+    """.trim))
+
   def all: Seq[Q] = Seq(q53SessionStats, textBm25, textIndexServe, q54PageRank,
     annRandomProjection, annCentroidOutliers, textSplitAssign, graphLabelProp,
-    u9Scd2Asof, graphTriangles)
+    u9Scd2Asof, graphTriangles, graphKcore, mediaFrameEnergy)
 }

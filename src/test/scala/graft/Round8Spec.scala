@@ -328,6 +328,36 @@ class Round8Spec extends SparkSpec {
     assert(got.values.sum === 6L)
   }
 
+  test("kCore peels pendants and converges to the clique core") {
+    // 4-clique {1,2,3,4} + chain 4-5-6: k=3 must peel 5 and 6 (5's
+    // degree drops to 1 after 6 goes, so the SECOND peel removes it —
+    // the cascade the iteration exists for), keeping the clique at deg 3
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = GraphOps.kCore(edges, k = 3, maxPeels = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+    // early fixpoint: more peel budget cannot change the answer
+    val more = GraphOps.kCore(edges, k = 3, maxPeels = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(more === got)
+    // k above the max clique empties the graph
+    assert(GraphOps.kCore(edges, k = 4, maxPeels = 5).count() === 0L)
+  }
+
+  test("frameEnergy: constant bytes give rms == byte value, tail window partial") {
+    // 'AAAA' (65) then 'BB' (66) with frame=4: window 0 full, window 1
+    // is the 2-byte tail
+    val df = Seq((1L, "AAAABB")).toDF("doc_id", "text")
+    val got = graft.ext.Multimodal.frameEnergy(df, "doc_id", "text", frame = 4)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(got.length === 2)
+    val (_, f0, n0, e0, r0) = got(0)
+    assert(f0 === 0L && n0 === 4L && e0 === 4L * 65 * 65 && r0 === 65.0)
+    val (_, f1, n1, e1, r1) = got(1)
+    assert(f1 === 1L && n1 === 2L && e1 === 2L * 66 * 66 && r1 === 66.0)
+  }
+
   // ---- centroid outliers -------------------------------------------------
 
   test("centroid outliers flag exactly the below-mean-minus-margin tail") {
