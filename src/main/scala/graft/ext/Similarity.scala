@@ -688,7 +688,28 @@ object Similarity {
     */
   def ivfFilteredTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame =
+    ivfLabelTopK(spark, corpus, queries, centroids, idCol, vecCol, labelCol,
+      centIdCol, centVecCol, k, nprobe, sameLabel = true)
+
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * most-similar vectors whose label DIFFERS — the filtered search's
+    * probe join with the label predicate inverted. The hardest
+    * negatives are by definition the nearest cross-label points, which
+    * filter-during-search surfaces directly (a post-top-k filter would
+    * have to over-fetch and refill whenever a neighborhood is
+    * label-pure).
+    */
+  def ivfHardNegatives(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame =
+    ivfLabelTopK(spark, corpus, queries, centroids, idCol, vecCol, labelCol,
+      centIdCol, centVecCol, k, nprobe, sameLabel = false)
+
+  private def ivfLabelTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      centIdCol: String, centVecCol: String, k: Int, nprobe: Int,
+      sameLabel: Boolean): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
     val q = withProbeLists(queries.select(col(idCol).as("query_id"),
@@ -697,10 +718,12 @@ object Similarity {
     val c = withProbeLists(corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv2"), col(labelCol).as("__cl")),
       "__cv2", "neighbor_list", cents, 1)
+    val labelPred =
+      if (sameLabel) col("__ql") === col("__cl") else col("__ql") =!= col("__cl")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q),
         col("query_list") === col("neighbor_list") &&
-          col("__ql") === col("__cl") &&
+          labelPred &&
           col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(expr("graft_cosine(__qv, __cv2)"), 9))
       .withColumn("rank", row_number().over(w))

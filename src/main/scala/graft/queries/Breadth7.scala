@@ -503,7 +503,89 @@ object Breadth7 {
       FROM e ORDER BY doc_id, frame_no
     """.trim))
 
+  // ---- hard-negative mining ----------------------------------------------
+
+  /** Contrastive hard negatives: per anchor, the 3 most-similar vectors
+    * with a DIFFERENT label, mined inside the IVF probe join (the
+    * filtered search's predicate inverted — never a post-top-k refilter,
+    * which would over-fetch and refill on label-pure neighborhoods).
+    */
+  val annHardNegatives = Q(
+    "ann_hard_negatives",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.ext.Similarity.ivfHardNegatives(s, emb,
+          emb.filter(col("vec_id") % 100 === 0),
+          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
+          "vec_id", "embedding", "label", "vec_id", "embedding", k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id % 37 = 0 AND vec_id < 5000),
+      corp_a AS (
+        SELECT vec_id, embedding, label, cid FROM (
+          SELECT e.vec_id, e.embedding, e.label, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t)
+        WHERE rn = 1),
+      q_a AS (
+        SELECT vec_id, embedding, label, cid FROM (
+          SELECT e.vec_id, e.embedding, e.label, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
+        WHERE rn <= 2),
+      p AS (SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+                   ${Extensions.sqlCos("q.embedding", "c.embedding")} AS sim
+            FROM q_a q JOIN corp_a c
+              ON q.cid = c.cid AND q.label <> c.label AND q.vec_id <> c.vec_id)
+      SELECT query_id, label, neighbor_id, rank, sim FROM (
+        SELECT query_id, label, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM p) WHERE rank <= 3
+      ORDER BY query_id, rank
+    """.trim))
+
+  // ---- temporal SCD2 dimension join --------------------------------------
+
+  /** Point-in-time dimension join: every order joins the SCD2 status
+    * version valid AT ITS OWN order date (`valid_from <= t < valid_to`,
+    * null-open tail) — the lakehouse temporal join, built on the same
+    * u5 history frame. Plan: equi join on the key carries the work; the
+    * interval predicate is a post-join filter on the (at most 2)
+    * version rows per key, so cost is the one key-partitioned shuffle
+    * regardless of history depth per key.
+    */
+  val u10Scd2TemporalJoin = Q(
+    "u10_scd2_temporal_join",
+    (s, dir) => {
+      val hist = AuditMerge.u05.fn(s, dir)
+        .select(col("o_orderkey").as("hk"), col("o_orderstatus").as("status_at_order"),
+          col("valid_from"), col("valid_to"))
+      val facts = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("__t"))
+      facts.join(hist, col("o_orderkey") === col("hk") &&
+          col("valid_from") <= col("__t") &&
+          (col("valid_to").isNull || col("valid_to") > col("__t")))
+        .select(col("o_orderkey"), col("__t").cast("date").as("o_orderdate"),
+          col("status_at_order"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""
+      SELECT o.o_orderkey, o.o_orderdate::DATE AS o_orderdate,
+             h.o_orderstatus AS status_at_order
+      FROM orders o JOIN (
+        ${AuditMerge.u05.oracle.get}
+      ) h ON o.o_orderkey = h.o_orderkey
+         AND h.valid_from <= o.o_orderdate::TIMESTAMP
+         AND (h.valid_to IS NULL OR h.valid_to > o.o_orderdate::TIMESTAMP)
+      ORDER BY o.o_orderkey
+    """.trim))
+
   def all: Seq[Q] = Seq(q53SessionStats, textBm25, textIndexServe, q54PageRank,
     annRandomProjection, annCentroidOutliers, textSplitAssign, graphLabelProp,
-    u9Scd2Asof, graphTriangles, graphKcore, mediaFrameEnergy)
+    u9Scd2Asof, graphTriangles, graphKcore, mediaFrameEnergy, annHardNegatives,
+    u10Scd2TemporalJoin)
 }

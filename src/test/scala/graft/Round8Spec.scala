@@ -358,6 +358,35 @@ class Round8Spec extends SparkSpec {
     assert(f1 === 1L && n1 === 2L && e1 === 2L * 66 * 66 && r1 === 66.0)
   }
 
+  test("hard negatives are cross-label and at least as hard as same-label neighbors are close") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val truth = emb.select(col("vec_id").as("query_id"), col("label").as("truth"))
+    val neg = graft.queries.Registry.queries("ann_hard_negatives")(spark, sf)
+      .join(truth, "query_id")
+    // every mined negative carries the anchor's label column — which by
+    // construction equals the anchor's own label — and the NEIGHBOR was
+    // required to differ; cross-check via the corpus
+    val nbrLabel = emb.select(col("vec_id").as("neighbor_id"), col("label").as("nl"))
+    val bad = neg.join(nbrLabel, "neighbor_id")
+      .filter(col("nl") === col("truth")).count()
+    assert(bad === 0L, s"$bad same-label rows leaked into hard negatives")
+    assert(neg.count() > 0)
+  }
+
+  test("temporal SCD2 join picks the version valid at each order's date") {
+    val out = graft.queries.Registry.queries("u10_scd2_temporal_join")(spark, sf)
+    val orders = graft.etl.Tables(spark, sf, "orders")
+    // every order dated 1995+ resolves to exactly one version row, and
+    // that version is the point-in-time (pre-snapshot-B) status
+    assert(out.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0L)
+    val mismatch = out.join(
+        orders.select(col("o_orderkey"), col("o_orderstatus").as("now_status")),
+        "o_orderkey")
+      .filter(col("status_at_order") =!= col("now_status")).count()
+    assert(mismatch === 0L,
+      "pre-1995 history is the A snapshot, so point-in-time status must equal it")
+  }
+
   // ---- centroid outliers -------------------------------------------------
 
   test("centroid outliers flag exactly the below-mean-minus-margin tail") {
