@@ -584,8 +584,49 @@ object Breadth7 {
       ORDER BY o.o_orderkey
     """.trim))
 
+  // ---- MAD anomaly detection (dq5) ---------------------------------------
+
+  /** Robust time-series anomaly detection on the daily-revenue series:
+    * a day is anomalous when its revenue sits more than 3 scaled MADs
+    * (median absolute deviation × 1.4826, the normal-consistency
+    * constant) from the median — the robust z-score every pipeline
+    * health monitor runs, immune to the very outliers it hunts (unlike
+    * dq4's mean/stddev drift check). Revenue aggregates as exact
+    * DECIMAL money; median/MAD are exact interpolated percentiles over
+    * identical inputs in both engines, broadcast back as 1-row scalars.
+    */
+  val dq5MadAnomalies = Q(
+    "dq5_mad_anomaly_days",
+    (s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(Q.moneySum(col("o_totalprice")).as("rev"))
+      val stats = daily.agg(
+        expr("percentile(rev, 0.5)").as("med"))
+      val withDev = daily.crossJoin(broadcast(stats))
+        .withColumn("adev", abs(col("rev") - col("med")))
+      val mad = withDev.agg(expr("percentile(adev, 0.5)").as("mad"))
+      withDev.crossJoin(broadcast(mad))
+        .filter(col("adev") > lit(3.0) * (col("mad") * lit(1.4826)))
+        .select(col("d"), col("rev"), col("med"),
+          round(col("adev") / (col("mad") * lit(1.4826)), 9).as("robust_z"))
+        .orderBy(col("d"))
+    },
+    Some("""
+      WITH daily AS (SELECT o_orderdate::DATE AS d,
+                            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+                     FROM orders GROUP BY 1),
+      st AS (SELECT quantile_cont(rev, 0.5) AS med FROM daily),
+      dev AS (SELECT d, rev, med, abs(rev - med) AS adev FROM daily CROSS JOIN st),
+      m AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+      SELECT d, rev, med, round(adev / (mad * 1.4826::DOUBLE), 9) AS robust_z
+      FROM dev CROSS JOIN m
+      WHERE adev > 3.0::DOUBLE * (mad * 1.4826::DOUBLE)
+      ORDER BY d
+    """.trim))
+
   def all: Seq[Q] = Seq(q53SessionStats, textBm25, textIndexServe, q54PageRank,
     annRandomProjection, annCentroidOutliers, textSplitAssign, graphLabelProp,
     u9Scd2Asof, graphTriangles, graphKcore, mediaFrameEnergy, annHardNegatives,
-    u10Scd2TemporalJoin)
+    u10Scd2TemporalJoin, dq5MadAnomalies)
 }
