@@ -668,4 +668,37 @@ object TextOps {
     bm25RankFromPostings(postings.filter(col("term").isInCollection(queryTerms)),
       stats, idCol, k)
   }
+
+  /** Batch BM25: a whole query TABLE (query_id, term) scores in one
+    * pass — the broadcast query set probes the postings on the term
+    * key, df(term) comes from the postings restricted to the query
+    * vocabulary (a semi join, still term-keyed), and ranking windows
+    * per query over candidates only. One postings shuffle serves every
+    * query simultaneously — the batch-serving shape, not q sequential
+    * searches.
+    */
+  def bm25MultiRank(postings: DataFrame, stats: DataFrame,
+      queryTerms: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = queryTerms.select(col("term")).distinct()
+    val hits = postings.join(broadcast(vocab), "term")
+    val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df_docs") + lit(0.5)) / (col("df_docs") + lit(0.5)))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val sat = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
+    hits
+      .join(broadcast(queryTerms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__score_t", round(idf * sat, 9))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__score_t").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+        .cast("double").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
 }

@@ -625,8 +625,63 @@ object Breadth7 {
       ORDER BY d
     """.trim))
 
+  // ---- batch BM25 --------------------------------------------------------
+
+  /** The fixed query batch for the multi-query run: three queries of
+    * two-to-three terms each.
+    */
+  private val MultiQueries: Seq[(Long, String)] = Seq(
+    1L -> "vector", 1L -> "stream",
+    2L -> "filter", 2L -> "hash",
+    3L -> "customer", 3L -> "window", 3L -> "spark")
+
+  /** Batch retrieval: a whole query table scores against the persisted
+    * postings in ONE pass — the broadcast query vocabulary probes the
+    * term-keyed postings, df comes from the same probe, ranking windows
+    * per query. q queries cost one postings shuffle, not q searches.
+    */
+  val textBm25Multi = Q(
+    "text_bm25_multi",
+    (s, dir) => {
+      import s.implicits._
+      val (postsDir, statsDir) = ensureTextIndex(s, dir)
+      val qt = MultiQueries.toDF("query_id", "term")
+      graft.ext.TextOps.bm25MultiRank(
+          s.read.parquet(postsDir), s.read.parquet(statsDir), qt, "doc_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val values = MultiQueries.map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+      s"""
+      WITH norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM documents),
+      t AS (SELECT doc_id, unnest(w) AS term FROM norm),
+      dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+      qt(query_id, term) AS (SELECT * FROM (VALUES $values)),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+             WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+      sc AS (SELECT qt.query_id, tf.doc_id,
+               round(ln(1.0::DOUBLE + (n_docs - df_docs + 0.5::DOUBLE) / (df_docs + 0.5::DOUBLE)) *
+                     ((tf * 2.2::DOUBLE) /
+                      (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+                        (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))))), 9) AS score_t
+             FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+             JOIN dl USING (doc_id) CROSS JOIN stats),
+      agg AS (SELECT query_id, doc_id,
+                     CAST(sum(CAST(score_t AS DECIMAL(27,9))) AS DOUBLE) AS score
+              FROM sc GROUP BY query_id, doc_id),
+      r AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rn
+            FROM agg)
+      SELECT query_id, rn AS rank, doc_id, score FROM r WHERE rn <= 5
+      ORDER BY query_id, rank
+    """.trim
+    })
+
   def all: Seq[Q] = Seq(q53SessionStats, textBm25, textIndexServe, q54PageRank,
     annRandomProjection, annCentroidOutliers, textSplitAssign, graphLabelProp,
     u9Scd2Asof, graphTriangles, graphKcore, mediaFrameEnergy, annHardNegatives,
-    u10Scd2TemporalJoin, dq5MadAnomalies)
+    u10Scd2TemporalJoin, dq5MadAnomalies, textBm25Multi)
 }

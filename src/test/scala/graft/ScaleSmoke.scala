@@ -95,7 +95,11 @@ import org.apache.spark.sql.functions._
   * proportional centroid sample keeps within-list kNN pair volume
   * near-linear, same discipline as the dedup propose);
   * ann_random_projection 0.25s for 320k projected rows (codegen'd
-  * kernel, pure scan); ann_centroid_outliers 1.8s.
+  * kernel, pure scan); ann_centroid_outliers 1.8s; graph_kcore 5.7s
+  * peeling the 240k-edge purchase graph to a 7962-node 40-core (each
+  * peel one degree aggregate + two semi joins, edge sets only
+  * shrink); media_frame_energy 0.41s for 257k windows (scan-side
+  * slicing).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
