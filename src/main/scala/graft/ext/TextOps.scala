@@ -595,6 +595,44 @@ object TextOps {
         md5(array_join(col("__toks"), "|")).as("tokens_md5"))
   }
 
+  /** Bigram language-model quality score — the n-gram step up from
+    * [[lmScore]]'s unigram model: every document's mean negative
+    * log-likelihood under add-1-smoothed bigram probabilities trained
+    * on the corpus itself, p(w2|w1) = (c(w1,w2)+1) / (prefix(w1)+V).
+    * Word order now matters (scrambled text scores worse than fluent
+    * text with the same unigram profile — exactly what the unigram
+    * model cannot see).
+    *
+    * Plan shape: bigram extraction is scan-side; the two count tables
+    * shuffle on (w1,w2) / w1 — the same term-keyed aggregates as
+    * TF-IDF with AQE handling hot-prefix skew; V is a 1-row broadcast.
+    * Determinism: per-bigram −ln rounds to 9 dp, per-doc sums fold as
+    * DECIMAL(27,9), one double division — the lmScore contract.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = df.select(col(idCol), words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(0, size(__w) - 2),
+           i -> struct(element_at(__w, i + 1) AS w1, element_at(__w, i + 2) AS w2))"""))
+        .as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val bigramCounts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val prefixCounts = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = df.select(explode(words(col(textCol))).as("__t"))
+      .agg(countDistinct(col("__t")).as("v"))
+    pairs
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(prefixCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll",
+        round(-log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")), 9))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__nll").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+          .cast("double") / count(lit(1))).as("bigram_nll"))
+  }
+
   // ---- BM25 ranked retrieval ----------------------------------------------
 
   /** Inverted-index postings: one row per (term, doc, term-frequency),

@@ -625,6 +625,72 @@ object Breadth7 {
       ORDER BY d
     """.trim))
 
+  // ---- bigram LM ---------------------------------------------------------
+
+  /** Bigram-LM fluency score per document (order-sensitive — the
+    * upgrade over text_lm_score's unigram model). Same transcendental
+    * contract: 9 dp −ln per bigram, exact decimal per-doc fold.
+    */
+  val textBigramLm = Q(
+    "text_bigram_lm",
+    (s, dir) =>
+      graft.ext.TextOps.bigramLmScore(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM documents),
+      pairs AS (SELECT doc_id, p['a'] AS w1, p['b'] AS w2 FROM (
+                  SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+                    i -> {'a': w[i+1], 'b': w[i+2]})) AS p
+                  FROM norm WHERE len(w) >= 2)),
+      bc AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+      pc AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+      vv AS (SELECT count(DISTINCT t) AS v FROM
+               (SELECT unnest(w) AS t FROM norm)),
+      sc AS (SELECT pairs.doc_id,
+               round(-ln((c2 + 1)::DOUBLE / (c1 + v)::DOUBLE), 9) AS nll
+             FROM pairs JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN vv)
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(CAST(nll AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS bigram_nll
+      FROM sc GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
+  // ---- winsorization -----------------------------------------------------
+
+  /** Winsorized feature prep: clamp order totals to the exact
+    * interpolated [p01, p99] band — the standard outlier-robust
+    * normalization before statistics or model features. The two
+    * percentiles are a 1-row broadcast; the clamp is a scan-side
+    * projection, so the op costs one aggregate pass + one scan at any
+    * scale. Flags count the clipped tails for auditability.
+    */
+  val q55Winsorize = Q(
+    "q55_winsorize",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val pct = o.agg(
+        expr("percentile(o_totalprice, 0.01)").as("p01"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      o.crossJoin(broadcast(pct))
+        .select(col("o_orderkey"),
+          round(greatest(col("p01"), least(col("p99"), col("o_totalprice"))), 9)
+            .as("price_winsor"),
+          when(col("o_totalprice") < col("p01"), 1L)
+            .when(col("o_totalprice") > col("p99"), 2L)
+            .otherwise(0L).as("clip_flag"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH pct AS (SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+                          quantile_cont(o_totalprice, 0.99) AS p99
+                   FROM orders)
+      SELECT o_orderkey,
+             round(greatest(p01, least(p99, o_totalprice)), 9) AS price_winsor,
+             (CASE WHEN o_totalprice < p01 THEN 1
+                   WHEN o_totalprice > p99 THEN 2 ELSE 0 END)::BIGINT AS clip_flag
+      FROM orders CROSS JOIN pct
+      ORDER BY o_orderkey
+    """.trim))
+
   // ---- batch BM25 --------------------------------------------------------
 
   /** The fixed query batch for the multi-query run: three queries of
@@ -683,5 +749,6 @@ object Breadth7 {
   def all: Seq[Q] = Seq(q53SessionStats, textBm25, textIndexServe, q54PageRank,
     annRandomProjection, annCentroidOutliers, textSplitAssign, graphLabelProp,
     u9Scd2Asof, graphTriangles, graphKcore, mediaFrameEnergy, annHardNegatives,
-    u10Scd2TemporalJoin, dq5MadAnomalies, textBm25Multi)
+    u10Scd2TemporalJoin, dq5MadAnomalies, textBm25Multi, q55Winsorize,
+    textBigramLm)
 }

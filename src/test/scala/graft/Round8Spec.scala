@@ -75,6 +75,45 @@ class Round8Spec extends SparkSpec {
     assert(joined.filter(col("n53") =!= col("n_sessions")).count() === 0L)
   }
 
+  test("sessionize partitions the event log: counts conserve, boundaries order, gaps split") {
+    val ev = graft.etl.Tables(spark, sf, "events")
+    val sessions = graft.etl.EventOps.sessionize(ev, "user_id", "ts", "event_id", 1800L)
+      .localCheckpoint()
+    // every event lands in exactly one session
+    val perUser = sessions.groupBy("user_id").agg(sum("n_events").as("se"))
+    val evPerUser = ev.groupBy("user_id").agg(count(lit(1)).as("ne"))
+    assert(perUser.join(evPerUser, "user_id")
+      .filter(col("se") =!= col("ne")).count() === 0L)
+    // boundaries are ordered and consecutive sessions are > gap apart
+    assert(sessions.filter(col("started_at") > col("ended_at")).count() === 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_seq")
+    val gaps = sessions
+      .withColumn("prev_end", lag(col("ended_at"), 1).over(w))
+      .filter(col("prev_end").isNotNull)
+      .filter(unix_micros(col("started_at").cast("timestamp")) -
+        unix_micros(col("prev_end").cast("timestamp")) <= 1800L * 1000000L)
+    assert(gaps.count() === 0L, "adjacent sessions closer than the gap must have merged")
+  }
+
+  test("bigram LM is order-sensitive: scrambled text scores worse than fluent text") {
+    // 10 fluent docs share the same bigram patterns; the scrambled doc
+    // has the same unigram profile as doc 1 but reversed-order bigrams
+    val fluent = (1L to 10L).map(i => (i, "alpha beta gamma delta alpha beta gamma delta"))
+    val scrambled = Seq((99L, "delta gamma beta alpha delta gamma beta alpha"))
+    val df = (fluent ++ scrambled).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(99L) > out(1L),
+      s"scrambled ${out(99L)} must out-NLL fluent ${out(1L)}")
+    // unigram model CANNOT separate them (same word multiset)
+    val uni = TextOps.lmScore(df, "doc_id", "text")
+      .select(col("doc_id"), col("avg_nll"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(uni(99L) - uni(1L)) < 1e-9,
+      "unigram score should be blind to order — this is the bigram op's value")
+  }
+
   // ---- BM25 tier ---------------------------------------------------------
 
   test("text_index_serve plan never tokenizes the corpus and pushes the term filter") {

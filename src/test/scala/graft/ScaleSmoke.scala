@@ -187,7 +187,8 @@ object ScaleSmoke {
       "q53_session_stats", "text_bm25_topk", "text_index_serve",
       "q54_pagerank", "graph_triangles", "graph_label_prop",
       "ann_random_projection", "ann_centroid_outliers",
-      "graph_kcore", "media_frame_energy") ++
+      "graph_kcore", "media_frame_energy",
+      "text_bigram_lm", "q55_winsorize", "text_bm25_multi") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     heavy.foreach { name =>
       val t0 = System.nanoTime()
