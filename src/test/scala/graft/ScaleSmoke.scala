@@ -100,6 +100,18 @@ import org.apache.spark.sql.functions._
   * peel one degree aggregate + two semi joins, edge sets only
   * shrink); media_frame_energy 0.41s for 257k windows (scan-side
   * slicing).
+  *
+  * Round-8 ops at replicas=20 (≈sf2: 12M lineitem, 100k docs, 4M
+  * events, 100k vectors): q53_session_stats 1.8s for 1.9M sessions —
+  * FLAT vs 10× (user population grows, per-user work doesn't, and the
+  * single user-keyed shuffle parallelizes); text_bm25_topk 5.5s /
+  * serve 4.1s / multi 2.4s (linear in postings); q54_pagerank 4.3s /
+  * graph_triangles 2.3s (edge-derivation bound); graph_label_prop
+  * 10.7s at 100k vectors — SUB-linear vs 10×, the corpus-proportional
+  * centroid set holding list sizes flat; text_bigram_lm 5.0s at 100k
+  * docs; q55_winsorize 0.5s over 3M rows (scan + 1-row broadcast);
+  * dedup propose ratio 24.7 at 20× (target ~20 — the mild excess is
+  * the replication-clique densification, not plan growth).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -190,7 +202,12 @@ object ScaleSmoke {
       "graph_kcore", "media_frame_energy",
       "text_bigram_lm", "q55_winsorize", "text_bm25_multi") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
-    heavy.foreach { name =>
+    // optional arg 2+: name substrings selecting a subset (targeted
+    // reruns of one family without paying the whole sweep)
+    val selected =
+      if (args.length >= 2) heavy.filter(n => args.drop(1).exists(n.contains))
+      else heavy
+    selected.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
       println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%12d rows")
