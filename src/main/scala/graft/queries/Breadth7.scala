@@ -691,6 +691,38 @@ object Breadth7 {
       ORDER BY o_orderkey
     """.trim))
 
+  // ---- quantile transform ------------------------------------------------
+
+  /** Rank-based quantile transform per group — the uniform-izing
+    * feature prep (sklearn's QuantileTransformer shape): percent_rank
+    * maps each price to [0,1] within its return-flag group, ntile
+    * buckets it into deciles. The window orders on a UNIQUE key
+    * (value, orderkey, linenumber) so both rank functions are
+    * deterministic under ties in the value; one group-keyed shuffle
+    * carries both window functions.
+    */
+  val q56QuantileTransform = Q(
+    "q56_quantile_transform",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(percent_rank().over(w), 9).as("pct_rank"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             round(percent_rank() OVER w, 9) AS pct_rank,
+             (ntile(10) OVER w)::BIGINT AS decile
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      ORDER BY l_orderkey, l_linenumber
+    """.trim))
+
   // ---- batch BM25 --------------------------------------------------------
 
   /** The fixed query batch for the multi-query run: three queries of
@@ -750,5 +782,5 @@ object Breadth7 {
     annRandomProjection, annCentroidOutliers, textSplitAssign, graphLabelProp,
     u9Scd2Asof, graphTriangles, graphKcore, mediaFrameEnergy, annHardNegatives,
     u10Scd2TemporalJoin, dq5MadAnomalies, textBm25Multi, q55Winsorize,
-    textBigramLm)
+    textBigramLm, q56QuantileTransform)
 }
