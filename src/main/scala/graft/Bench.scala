@@ -55,6 +55,7 @@ object Bench {
       graft.queries.Extensions.ensureIvfPqIndex(spark, sfDir)
       graft.queries.Extensions.ensureDedupIndex(spark, sfDir)
       graft.queries.Extensions.ensureDedupClusters(spark, sfDir)
+      graft.queries.Extensions.ensurePhashClusters(spark, sfDir)
       graft.queries.Breadth7.ensureTextIndex(spark, sfDir)
     } catch { case _: Throwable => () }
     // Fixed name order: Map iteration order shifts as the registry

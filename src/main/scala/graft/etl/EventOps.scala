@@ -45,6 +45,10 @@ object EventOps {
       tieBreakCol: String, gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieBreakCol))
+    // explicit ROWS frame: the default is RANGE-UNBOUNDED-PRECEDING,
+    // which would include peer rows if (ts, tieBreak) ever repeated and
+    // diverge from the oracle's ROWS frame and the streaming twin
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // NTZ → TIMESTAMP is a no-op under the engine's pinned UTC session
     // timezone; unix_micros needs the instant type.
     val us = unix_micros(col(tsCol).cast("timestamp"))
@@ -54,7 +58,7 @@ object EventOps {
         when(col("__prev_us").isNull ||
           us - col("__prev_us") > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
-      .withColumn("session_seq", sum(col("__new_session")).over(w))
+      .withColumn("session_seq", sum(col("__new_session")).over(wRows))
       .groupBy(col(entityCol), col("session_seq"))
       .agg(
         min(col(tsCol)).as("started_at"),

@@ -1,0 +1,151 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics.
+  *
+  * Spark's built-in `percentile` is a TypedImperativeAggregate whose
+  * buffer is a value→count map merged onto ONE task: over a row-scale,
+  * near-distinct column (prices, latencies) the merged buffer is O(n)
+  * on a single executor — fine at sf0.1, OOM at 100 TB. `approx_
+  * percentile` bounds memory but changes answers. These helpers keep
+  * the EXACT interpolated-percentile contract (`quantile_cont`
+  * semantics, bit-identical to Spark's `percentile` formula) with
+  * bounded per-task state, by the same prefix-sum discipline as
+  * [[SampleOps.ppsSystematicSample]]:
+  *
+  *   1. collapse rows to a value histogram (`groupBy(value) → count` —
+  *      a shuffled agg with map-side partials, never a big buffer);
+  *   2. range-partition the histogram by (group, value) and compute
+  *      per-partition running counts; per-(partition, group) totals are
+  *      a tiny frame (≤ partitions × groups rows) whose windowed prefix
+  *      sum yields broadcast offsets — so every distinct value learns
+  *      its global 0-indexed rank interval [start, end) in parallel;
+  *   3. the target rank r = p·(n−1) falls inside exactly one (or, for
+  *      interpolation, two) of those intervals — a filter + one more
+  *      tiny aggregate, not a sort.
+  *
+  * Every stage is linear-parallel in the data; the only single-task
+  * frames are (partitions × groups) rows. Reference behavior matched:
+  * quantile/median calls in /root/reference/etl.py-style summaries.
+  */
+object StatOps {
+
+  /** Per-group cumulative value histogram (a distributed exact CDF).
+    *
+    * Returns one row per distinct (group, value):
+    * {{{
+    *   groupCols..., __v     value (cast to double)
+    *                 __c     count of rows with this value
+    *                 __start 0-indexed rank of the first such row
+    *                         within its group (value ascending)
+    *                 __end   __start + __c
+    *                 __n     total rows in the group
+    * }}}
+    * Null values are dropped (the `percentile` aggregate ignores them).
+    * The prefix sum is computed per range partition with broadcast
+    * partition offsets — no global-sort window, no low-NDV partition
+    * key over the full table.
+    */
+  def groupedCdf(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).cast("double").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val parts = hist
+      .repartitionByRange(g :+ col("__v"): _*)
+      .withColumn("__pid", spark_partition_id())
+    // per-(partition, group) totals: ≤ shufflePartitions × |groups| rows,
+    // so the windows below run on a frame that fits one task at any scale
+    val partTotals = parts.groupBy(col("__pid") +: g: _*)
+      .agg(sum(col("__c")).as("__pc"))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = partTotals
+      .withColumn("__off", coalesce(sum(col("__pc")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__pc")).over(wTot))
+      .drop("__pc")
+    // range partitioning puts a group's values on ascending __pid, so
+    // the per-partition running count + the partition offset is the
+    // group-global rank — computed in parallel across partitions
+    val wRun = Window.partitionBy(col("__pid") +: g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn("__end", sum(col("__c")).over(wRun) + col("__off"))
+      .withColumn("__start", col("__end") - col("__c"))
+      .select(g ++ Seq(col("__v"), col("__c"), col("__start"), col("__end"),
+        col("__n")): _*)
+  }
+
+  /** Per-group running sum (ROWS UNBOUNDED PRECEDING → CURRENT ROW)
+    * without a low-NDV-partition window: the classic cumulative metric
+    * over a fact table, computed by the same distributed prefix-sum
+    * discipline as [[groupedCdf]] — range-partition on (group, order),
+    * per-partition running sums, broadcast per-(partition, group)
+    * offsets. `orderCols` must be unique within a group (a ROWS frame
+    * over duplicate keys split across range partitions would be
+    * order-dependent); the fact table never funnels through
+    * |groups| reducer tasks.
+    */
+  def withRunningSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, outCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val parts = df.repartitionByRange(g ++ orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val partTotals = parts.groupBy(col("__pid") +: g: _*)
+      .agg(sum(col(valueCol)).as("__pc"))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partTotals
+      .withColumn("__off", coalesce(sum(col("__pc")).over(wOff), lit(0L)))
+      .drop("__pc")
+    val wRun = Window.partitionBy(col("__pid") +: g: _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn(outCol, sum(col(valueCol)).over(wRun) + col("__off"))
+      .drop("__pid")
+  }
+
+  /** Exact interpolated percentiles per group — `quantile_cont`
+    * semantics, bit-identical to Spark's `percentile` / DuckDB's
+    * `quantile_cont` linear interpolation
+    * `(hi − r)·x_lo + (r − lo)·x_hi` at rank `r = p·(n−1)` — with
+    * bounded per-task memory (see class doc). One output row per
+    * group, one double column per requested `(name, p)`.
+    */
+  def percentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    val cdf = groupedCdf(df, groupCols, valueCol)
+    // the interval [start, end) covering an index holds that index's
+    // value; r's floor and ceil indexes bracket the interpolation
+    val aggs = ps.flatMap { case (name, p) =>
+      val r = lit(p) * (col("__n") - 1).cast("double")
+      val lo = floor(r)
+      val hi = ceil(r)
+      Seq(
+        max(when(col("__start") <= lo && lo < col("__end"), col("__v")))
+          .as(s"__lo_$name"),
+        max(when(col("__start") <= hi && hi < col("__end"), col("__v")))
+          .as(s"__hi_$name"),
+        max(r).as(s"__r_$name"))
+    }
+    val folded = cdf.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val out = ps.map { case (name, _) =>
+      val r = col(s"__r_$name")
+      val lo = floor(r)
+      val hi = ceil(r)
+      when(lo === hi, col(s"__lo_$name"))
+        .otherwise((hi - r) * col(s"__lo_$name") + (r - lo) * col(s"__hi_$name"))
+        .as(name)
+    }
+    folded.select(groupCols.map(col) ++ out: _*)
+  }
+}

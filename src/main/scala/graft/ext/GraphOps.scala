@@ -219,9 +219,14 @@ object GraphOps {
     * oracle drop it identically). localCheckpoint cuts lineage so the
     * plan stays flat across rounds.
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+  def pageRank(edgesRaw: DataFrame, iters: Int, damping: Double = 0.85,
       broadcastBudgetRows: Long = 4000000L): DataFrame = {
     require(iters >= 0)
+    // canonicalize like the sibling triangleCounts/kCore: duplicate
+    // edges would multiply contributions. Self-loops are KEPT — a
+    // self-loop feeds a node's rank back to itself, which both engines
+    // (and the unrolled oracle) reproduce identically.
+    val edges = edgesRaw.select(col("src"), col("dst")).distinct()
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()

@@ -643,7 +643,12 @@ object TextOps {
     * query (the ANN index tier's build/serve split, applied to text).
     */
   def buildInvertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // `split("")` yields [""] — drop it so an empty/whitespace doc has
+    // NO postings (which also makes an empty re-crawl a deletion in
+    // mergeInvertedIndex); non-empty docs never produce empty tokens
+    // (normText collapses+trims whitespace)
     val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .join(dl, idCol)
@@ -657,6 +662,47 @@ object TextOps {
   def corpusStats(postings: DataFrame, idCol: String): DataFrame =
     postings.groupBy(col(idCol)).agg(first(col("dl")).as("__dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).cast("long").as("sum_dl"))
+
+  /** Incremental inverted-index maintenance — the text twin of the
+    * near-dup fingerprint index's probe path, and the U2 upsert
+    * discipline applied to the index tier: merge a delta corpus into a
+    * persisted (postings, stats) pair without re-tokenizing the stored
+    * corpus. A delta doc_id already in the index is a re-crawl — its
+    * old postings are replaced wholesale (delta ids anti-join the
+    * stored postings; the delta id set broadcasts, so the "removal" is
+    * a scan-side filter of the index, never an index shuffle); unseen
+    * ids append. Stats update by exact counter deltas (− re-crawled
+    * docs' (1, dl), + delta docs' (1, dl)) — the 100 TB index is never
+    * re-aggregated. A re-crawl that tokenizes to zero words is a
+    * deletion: its postings vanish and the counters drop it.
+    *
+    * Contract (Round9Spec + the text_index_merge oracle): serving the
+    * merged index ≡ rebuilding from the union corpus, postings-for-
+    * postings and stat-for-stat.
+    */
+  def mergeInvertedIndex(postings: DataFrame, stats: DataFrame,
+      deltaDocs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val deltaPosts = buildInvertedIndex(deltaDocs, idCol, textCol)
+    val deltaIds = deltaDocs.select(col(idCol)).distinct()
+    // the using-column anti join reorders doc_id first; restore the
+    // (term, id, tf, dl) postings layout so merged ≡ built column-for-column
+    val merged = postings.join(broadcast(deltaIds), Seq(idCol), "left_anti")
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+      .unionByName(deltaPosts)
+    val removed = postings.join(broadcast(deltaIds), Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(first(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("__rm_docs"),
+        coalesce(sum(col("__dl")), lit(0L)).cast("long").as("__rm_dl"))
+    val added = deltaPosts
+      .groupBy(col(idCol)).agg(first(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("__add_docs"),
+        coalesce(sum(col("__dl")), lit(0L)).cast("long").as("__add_dl"))
+    val mergedStats = stats.crossJoin(broadcast(removed)).crossJoin(broadcast(added))
+      .select(
+        (col("n_docs") - col("__rm_docs") + col("__add_docs")).as("n_docs"),
+        (col("sum_dl") - col("__rm_dl") + col("__add_dl")).cast("long").as("sum_dl"))
+    (merged, mergedStats)
+  }
 
   /** BM25 top-k over postings already filtered to the query's terms.
     * Every input to the score is an integer (tf, dl, df, N, sum_dl), so
@@ -718,7 +764,11 @@ object TextOps {
   def bm25MultiRank(postings: DataFrame, stats: DataFrame,
       queryTerms: DataFrame, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vocab = queryTerms.select(col("term")).distinct()
+    // dedupe the query table too, not just its vocabulary: a repeated
+    // (query_id, term) row would silently double-count that term's
+    // score in the per-doc fold
+    val qt = queryTerms.select(col("query_id"), col("term")).distinct()
+    val vocab = qt.select(col("term")).distinct()
     val hits = postings.join(broadcast(vocab), "term")
     val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val idf = log(lit(1.0) +
@@ -728,7 +778,7 @@ object TextOps {
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
     hits
-      .join(broadcast(queryTerms), "term")
+      .join(broadcast(qt), "term")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("__score_t", round(idf * sat, 9))

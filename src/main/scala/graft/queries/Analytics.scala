@@ -289,16 +289,19 @@ object Analytics {
     """.trim))
 
   /** Exact percentiles (linear interpolation — same definition as
-    * quantile_cont).
+    * quantile_cont), via [[graft.etl.StatOps.percentiles]]' distributed
+    * prefix-sum order statistics rather than the builtin `percentile`
+    * aggregate: over a near-distinct price column the builtin's
+    * value→count buffer merges O(n) state onto a single task — fine at
+    * sf0.1, OOM at 100 TB. Identical interpolation formula, bounded
+    * per-task memory.
     */
   val q9Percentiles = Q(
     "q9_percentiles",
     (s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("median_price"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+      graft.etl.StatOps.percentiles(Tables(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq("median_price" -> 0.5, "p90_price" -> 0.9))
         .orderBy(col("l_returnflag")),
     Some("""
       SELECT l_returnflag,

@@ -435,17 +435,39 @@ object Breadth2 {
     * real ties): rank/dense_rank stay deterministic under ties because
     * they depend on the sort VALUE; percent_rank/cume_dist are exact
     * integer ratios, bit-equal across engines.
+    *
+    * NOT a window partitioned by the 5-value priority over the raw
+    * table (that sorts the whole fact table into 5 reducer tasks).
+    * Every one of the four rank functions here depends ONLY on the
+    * (priority, status) pair counts — a ≤15-cell domain — so they
+    * compute on the aggregated count frame (rank = 1 + preceding
+    * count, dense_rank = position among distinct statuses,
+    * percent_rank/cume_dist = the standard integer ratios) and
+    * broadcast-join back: one map-side-partial aggregate plus a
+    * scan-side join, no fact-table sort at any scale.
     */
   val w5RankFamily = Q(
     "w5_rank_family",
     (s, dir) => {
-      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderstatus"))
-      Tables(s, dir, "orders")
-        .select(col("o_orderkey"),
-          rank().over(w).cast("long").as("rnk"),
-          dense_rank().over(w).cast("long").as("drnk"),
-          percent_rank().over(w).as("prnk"),
-          cume_dist().over(w).as("cd"))
+      val o = Tables(s, dir, "orders")
+      val wOrd = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderstatus"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("o_orderpriority"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranks = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .withColumn("__cum", sum(col("__c")).over(wCum))
+        .withColumn("rnk", col("__cum") - col("__c") + 1)
+        .withColumn("drnk", row_number().over(wOrd).cast("long"))
+        .withColumn("prnk", when(col("__n") > 1,
+          (col("rnk") - 1).cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(0.0))
+        .withColumn("cd", col("__cum").cast("double") / col("__n").cast("double"))
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          col("rnk"), col("drnk"), col("prnk"), col("cd"))
+      o.join(broadcast(ranks), Seq("o_orderpriority", "o_orderstatus"))
+        .select(col("o_orderkey"), col("rnk"), col("drnk"), col("prnk"), col("cd"))
         .orderBy(col("o_orderkey"))
     },
     Some("""

@@ -293,9 +293,14 @@ object Breadth4 {
 
   /** Running DISTINCT count over a window — a composition neither engine
     * supports natively (no DISTINCT inside window frames): flag each
-    * (priority, custkey)'s first order via row_number, then running-sum
-    * the flags. Order is total (date, then unique orderkey), so the
-    * running values are deterministic row-by-row.
+    * (priority, custkey)'s first order via row_number (a high-NDV
+    * partition key — parallel), then running-sum the flags. The running
+    * sum is NOT a window partitioned by the 5-value priority (that
+    * funnels the fact table through 5 reducer tasks): it is
+    * [[graft.etl.StatOps.withRunningSum]]'s distributed prefix sum —
+    * range-partition on (priority, date, orderkey), per-partition
+    * running sums, broadcast offsets. Order is total (date, then unique
+    * orderkey), so the running values are deterministic row-by-row.
     */
   val q44RunningDistinct = Q(
     "q44_running_distinct_custs",
@@ -305,12 +310,11 @@ object Breadth4 {
         .filter(col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
       val firstSeen = Window.partitionBy(col("o_orderpriority"), col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val running = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      o.withColumn("__new", when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
-        .select(col("o_orderkey"), col("o_orderpriority"),
-          sum(col("__new")).over(running).as("n_distinct_custs"))
+      val flagged = o
+        .withColumn("__new", when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      graft.etl.StatOps.withRunningSum(flagged, Seq("o_orderpriority"),
+          Seq("o_orderdate", "o_orderkey"), "__new", "n_distinct_custs")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("n_distinct_custs"))
         .orderBy(col("o_orderkey"))
     },
     Some("""

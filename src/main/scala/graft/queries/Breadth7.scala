@@ -61,10 +61,11 @@ object Breadth7 {
     * doubles in both engines; 0.75/0.25 are exact), per-term round to
     * 9 dp, exact DECIMAL(27,9) per-doc fold.
     */
-  private def bm25Sql(terms: Seq[String], k: Int): String = {
+  private def bm25Sql(terms: Seq[String], k: Int, source: String = "documents",
+      pre: String = ""): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     s"""
-      WITH norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM documents),
+      WITH ${pre}norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM $source),
       t AS (SELECT doc_id, unnest(w) AS term FROM norm),
       dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
       stats AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
@@ -659,17 +660,20 @@ object Breadth7 {
   /** Winsorized feature prep: clamp order totals to the exact
     * interpolated [p01, p99] band — the standard outlier-robust
     * normalization before statistics or model features. The two
-    * percentiles are a 1-row broadcast; the clamp is a scan-side
-    * projection, so the op costs one aggregate pass + one scan at any
-    * scale. Flags count the clipped tails for auditability.
+    * percentiles come from [[graft.etl.StatOps.percentiles]]'
+    * distributed prefix-sum order statistics (NOT the builtin
+    * `percentile`, whose value→count buffer merges O(n) state onto one
+    * task over a near-distinct price column); they broadcast back as a
+    * 1-row frame and the clamp is a scan-side projection, so the op
+    * costs histogram + tiny-frame prefix sums + one scan at any scale.
+    * Flags count the clipped tails for auditability.
     */
   val q55Winsorize = Q(
     "q55_winsorize",
     (s, dir) => {
       val o = Tables(s, dir, "orders")
-      val pct = o.agg(
-        expr("percentile(o_totalprice, 0.01)").as("p01"),
-        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      val pct = graft.etl.StatOps.percentiles(o, Nil, "o_totalprice",
+        Seq("p01" -> 0.01, "p99" -> 0.99))
       o.crossJoin(broadcast(pct))
         .select(col("o_orderkey"),
           round(greatest(col("p01"), least(col("p99"), col("o_totalprice"))), 9)
@@ -696,21 +700,46 @@ object Breadth7 {
   /** Rank-based quantile transform per group — the uniform-izing
     * feature prep (sklearn's QuantileTransformer shape): percent_rank
     * maps each price to [0,1] within its return-flag group, ntile
-    * buckets it into deciles. The window orders on a UNIQUE key
-    * (value, orderkey, linenumber) so both rank functions are
-    * deterministic under ties in the value; one group-keyed shuffle
-    * carries both window functions.
+    * buckets it into deciles, ties in the price broken on the UNIQUE
+    * (orderkey, linenumber) key so both are deterministic.
+    *
+    * NOT computed as a window partitioned by the 3-value return flag —
+    * that plan sorts the whole fact table into 3 reducer tasks (the
+    * classic low-NDV window scale-killer; n/3 rows through one task at
+    * 100 TB). Instead the group-global rank decomposes into
+    * `__start(flag, price)` — each value's rank interval from
+    * [[graft.etl.StatOps.groupedCdf]]'s distributed prefix sum — plus a
+    * within-value row_number whose (flag, price) partition key is
+    * near-unique, so every stage is parallel in n. percent_rank
+    * ≡ rank0/(n−1) and the ntile bucket comes closed-form from rank0
+    * and n (first n%10 buckets hold ⌈n/10⌉ rows), matching the window
+    * semantics exactly — Round9Spec pins the equivalence against the
+    * real window functions.
     */
   val q56QuantileTransform = Q(
     "q56_quantile_transform",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      Tables(s, dir, "lineitem")
+      val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          round(percent_rank().over(w), 9).as("pct_rank"),
-          ntile(10).over(w).cast("long").as("decile"))
+          col("l_extendedprice"))
+      val cdf = graft.etl.StatOps.groupedCdf(li, Seq("l_returnflag"), "l_extendedprice")
+        .select(col("l_returnflag").as("__g"), col("__v"), col("__start"), col("__n"))
+      val wv = Window.partitionBy(col("l_returnflag"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      li.join(cdf, col("l_returnflag") === col("__g") &&
+          col("l_extendedprice").cast("double") === col("__v"))
+        .withColumn("__rank0", col("__start") + row_number().over(wv) - 1)
+        .withColumn("__bs", expr("__n div 10"))       // base bucket size
+        .withColumn("__rem", col("__n") % 10)          // first __rem buckets get +1
+        .withColumn("__thr", col("__rem") * (col("__bs") + 1))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("__rank0").cast("double") / (col("__n") - 1).cast("double"), 9)
+            .as("pct_rank"),
+          when(col("__rank0") < col("__thr"),
+              expr("__rank0 div (__bs + 1)") + 1)
+            .otherwise(col("__rem") + expr("(__rank0 - __thr) div __bs") + 1)
+            .cast("long").as("decile"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
     Some("""
@@ -722,6 +751,53 @@ object Breadth7 {
                    ORDER BY l_extendedprice, l_orderkey, l_linenumber)
       ORDER BY l_orderkey, l_linenumber
     """.trim))
+
+  // ---- incremental index maintenance -------------------------------------
+
+  /** The fixed delta for the index-merge query: docs 0–49 re-crawled
+    * with changed text (same ids — the upsert path), docs 50–99
+    * re-collected under fresh +100000 ids (the append path).
+    */
+  private def bm25Delta(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables(s, dir, "documents")
+    docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), concat(lit("xx "), col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("xx "), col("text")).as("text")))
+  }
+
+  /** Incremental BM25 index maintenance: merge the delta corpus's
+    * postings into the PERSISTED inverted index
+    * ([[graft.ext.TextOps.mergeInvertedIndex]] — broadcast-anti upsert
+    * on (term, doc_id), stats by exact counter deltas) and serve the
+    * standard query from the merged index. Only the delta is ever
+    * tokenized; the stored corpus contributes postings from parquet.
+    * The oracle rebuilds from the union corpus — merged-then-served
+    * must equal rebuilt-then-served, which pins both the merge
+    * semantics and the counter math (Round9Spec additionally pins the
+    * full merged postings/stats frames, not just the top-k).
+    */
+  val textIndexMerge = Q(
+    "text_index_merge",
+    (s, dir) => {
+      val (postsDir, statsDir) = ensureTextIndex(s, dir)
+      val (mergedPosts, mergedStats) = graft.ext.TextOps.mergeInvertedIndex(
+        s.read.parquet(postsDir), s.read.parquet(statsDir),
+        bm25Delta(s, dir), "doc_id", "text")
+      graft.ext.TextOps.bm25RankFromPostings(
+          mergedPosts.filter(col("term").isInCollection(Bm25Terms)),
+          mergedStats, "doc_id", k = 25)
+        .orderBy(col("rank"))
+    },
+    Some(bm25Sql(Bm25Terms, 25, source = "corpus", pre = """corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 50
+        UNION ALL
+        SELECT doc_id, 'xx ' || text FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, 'xx ' || text FROM documents
+        WHERE doc_id >= 50 AND doc_id < 100),
+      """)))
 
   // ---- batch BM25 --------------------------------------------------------
 
@@ -782,5 +858,5 @@ object Breadth7 {
     annRandomProjection, annCentroidOutliers, textSplitAssign, graphLabelProp,
     u9Scd2Asof, graphTriangles, graphKcore, mediaFrameEnergy, annHardNegatives,
     u10Scd2TemporalJoin, dq5MadAnomalies, textBm25Multi, q55Winsorize,
-    textBigramLm, q56QuantileTransform)
+    textBigramLm, q56QuantileTransform, textIndexMerge)
 }

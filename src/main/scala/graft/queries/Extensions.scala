@@ -1449,14 +1449,32 @@ object Extensions {
     * recursive-CTE oracle recomputes the exact transitive closure, so
     * component assignment — not just the pair set — is pinned.
     */
-  val mediaPhashClusters = Q(
-    "media_phash_clusters",
-    (s, dir) => {
+  /** Build-if-absent the persisted phash cluster assignment (and its
+    * per-cluster size table): hash + pigeonhole pairs + star-contraction
+    * CC run ONCE per corpus at ingest — the same build/serve split the
+    * ANN and BM25 tiers use. Benched three rounds as the slowest query
+    * precisely because it recomputed this chain per call.
+    */
+  def ensurePhashClusters(s: SparkSession, dir: String): (String, String) = {
+    val assign = graft.etl.LayoutOps.ensureRunDir(s, dir, "media_phash_clusters") { d =>
       val docs = augmentedDocs(s, dir, perturb = true)
       val pairs = graft.ext.Dedup.hammingPairs64(
         graft.ext.Multimodal.bytePHash(docs, "doc_id", "text"),
         "doc_id", maxHamming = 7)
-      Dedup.clusterAssignmentStar(docs, pairs, "doc_id").orderBy(col("doc_id"))
+      Dedup.clusterAssignmentStar(docs, pairs, "doc_id").write.parquet(d)
+    }
+    val sizes = graft.etl.LayoutOps.ensureRunDir(s, dir, "media_phash_sizes") { d =>
+      s.read.parquet(assign).groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members")).write.parquet(d)
+    }
+    (assign, sizes)
+  }
+
+  val mediaPhashClusters = Q(
+    "media_phash_clusters",
+    (s, dir) => {
+      val (assignDir, _) = ensurePhashClusters(s, dir)
+      s.read.parquet(assignDir).orderBy(col("doc_id"))
     },
     Some(s"""
       WITH RECURSIVE $phashPairsCtes,
@@ -1467,6 +1485,48 @@ object Extensions {
       comp AS (SELECT es AS doc_id, min(ed) AS mn FROM reach GROUP BY es)
       SELECT a.doc_id, coalesce(least(c.mn, a.doc_id), a.doc_id) AS cluster_id
       FROM aug a LEFT JOIN comp c USING (doc_id)
+      ORDER BY doc_id
+    """.trim))
+
+  /** Fixed probe set for the phash serving path: ten originals plus
+    * their ten perturbed copies.
+    */
+  private val PhashProbeIds: Seq[Long] = (0L to 9L) ++ (100000L to 100009L)
+
+  /** Phash cluster SERVING: point lookups against the two persisted
+    * ingest artifacts — each probe doc's cluster plus that cluster's
+    * member count ("how many near-duplicates does this image have").
+    * The probe IN-filter pushes to the assignment parquet scan and the
+    * k-row size table joins broadcast: no hashing, no pair join, no CC
+    * round ever runs at serve time (the plan touches only the stored
+    * tables — Round9Spec asserts no phash kernel in the plan). The
+    * oracle replays the full build chain restricted to the probes, so
+    * the persisted artifact's CONTENT — not just the lookup — is pinned.
+    */
+  val mediaPhashServe = Q(
+    "media_phash_serve",
+    (s, dir) => {
+      val (assignDir, sizesDir) = ensurePhashClusters(s, dir)
+      s.read.parquet(assignDir)
+        .filter(col("doc_id").isInCollection(PhashProbeIds))
+        .join(broadcast(s.read.parquet(sizesDir)), "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("n_members"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $phashPairsCtes,
+      edges AS (SELECT doc_a AS es, doc_b AS ed FROM ppairs
+                UNION SELECT doc_b, doc_a FROM ppairs),
+      reach(es, ed) AS (SELECT es, ed FROM edges
+                        UNION SELECT r.es, e.ed FROM reach r JOIN edges e ON r.ed = e.es),
+      comp AS (SELECT es AS doc_id, min(ed) AS mn FROM reach GROUP BY es),
+      assign AS (SELECT a.doc_id, coalesce(least(c.mn, a.doc_id), a.doc_id) AS cluster_id
+                 FROM aug a LEFT JOIN comp c USING (doc_id)),
+      sizes AS (SELECT cluster_id, count(*)::BIGINT AS n_members
+                FROM assign GROUP BY cluster_id)
+      SELECT doc_id, cluster_id, n_members
+      FROM assign JOIN sizes USING (cluster_id)
+      WHERE doc_id IN (${PhashProbeIds.mkString(", ")})
       ORDER BY doc_id
     """.trim))
 
@@ -2026,6 +2086,6 @@ object Extensions {
     textPiiRedact, textChunkDedup, textRepetition, textDecontaminate,
     textBloomDecontaminate, textLmScore,
     textLineDedup, textGopherRules, textDsirWeights, textRepeatedSpans,
-    mediaMeta, mediaFrames, mediaPhashPairs, mediaPhashClusters,
+    mediaMeta, mediaFrames, mediaPhashPairs, mediaPhashClusters, mediaPhashServe,
     pipelineCorpusClean, pipelineDatasetCard)
 }

@@ -1,0 +1,162 @@
+package graft
+
+import graft.etl.StatOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: distributed exact order statistics replacing the
+  * O(n)-buffer builtin `percentile` (q55/q9) and the low-NDV-partition
+  * window (q56) — equivalence pins against the builtins they replace,
+  * plus plan-shape assertions that the scale hazards are actually gone.
+  */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- StatOps.percentiles ≡ builtin percentile --------------------------
+
+  test("StatOps.percentiles matches builtin percentile bit-for-bit (grouped)") {
+    val li = graft.etl.Tables(spark, sf, "lineitem")
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.0)").as("p00"),
+        expr("percentile(l_extendedprice, 1.0)").as("p100"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val dist = StatOps.percentiles(li, Seq("l_returnflag"), "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p00" -> 0.0, "p100" -> 1.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(dist === builtin) // exact == on doubles: same interpolation formula
+  }
+
+  test("StatOps.percentiles matches builtin percentile bit-for-bit (global)") {
+    val o = graft.etl.Tables(spark, sf, "orders")
+    val Array(b) = o.agg(expr("percentile(o_totalprice, 0.01)").as("p01"),
+      expr("percentile(o_totalprice, 0.99)").as("p99")).collect()
+    val Array(d) = StatOps.percentiles(o, Nil, "o_totalprice",
+      Seq("p01" -> 0.01, "p99" -> 0.99)).collect()
+    assert(d.getDouble(0) === b.getDouble(0) && d.getDouble(1) === b.getDouble(1))
+  }
+
+  test("StatOps ignores nulls and handles heavy ties like the builtin") {
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", null),
+      ("b", 5.0), ("b", null), ("b", 5.0),
+      ("c", 7.5)).toDF("g", "v")
+    val builtin = df.groupBy($"g")
+      .agg(expr("percentile(v, 0.25)").as("q1"), expr("percentile(v, 0.5)").as("q2"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val dist = StatOps.percentiles(df, Seq("g"), "v",
+        Seq("q1" -> 0.25, "q2" -> 0.5))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(dist === builtin)
+  }
+
+  test("groupedCdf: contiguous [start,end) intervals partition each group") {
+    val li = graft.etl.Tables(spark, sf, "lineitem")
+    val cdf = StatOps.groupedCdf(li, Seq("l_returnflag"), "l_extendedprice")
+    val rows = cdf.orderBy($"l_returnflag", $"__v")
+      .select($"l_returnflag", $"__c", $"__start", $"__end", $"__n")
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (g, rs) =>
+      val n = rs.head.getLong(4)
+      assert(rs.forall(_.getLong(4) == n), s"$g: __n not constant")
+      var expect = 0L
+      rs.foreach { r =>
+        assert(r.getLong(2) == expect, s"$g: gap at ${r.getLong(2)} != $expect")
+        assert(r.getLong(3) == r.getLong(2) + r.getLong(1))
+        expect = r.getLong(3)
+      }
+      assert(expect == n, s"$g: intervals cover $expect of $n rows")
+    }
+  }
+
+  // ---- q56 CDF-based transform ≡ real window functions -------------------
+
+  test("q56 quantile transform matches percent_rank/ntile window semantics") {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val viaWindow = graft.etl.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        ntile(10).over(w).cast("long").as("decile"))
+    val viaCdf = graft.queries.Breadth7.q56QuantileTransform.fn(spark, sf)
+    assert(viaCdf.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaCdf).isEmpty,
+      "CDF-based transform diverges from the window formulation")
+  }
+
+  // ---- plan-shape: the scale hazards are gone ----------------------------
+
+  test("q55/q9 plans carry no builtin Percentile aggregate") {
+    Seq("q55_winsorize", "q9_percentiles").foreach { name =>
+      val plan = graft.queries.Registry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("percentile("),
+        s"$name still plans the O(n)-buffer percentile:\n${plan.take(800)}")
+    }
+  }
+
+  test("mergeInvertedIndex ≡ rebuild from the union corpus (postings + stats)") {
+    import graft.ext.TextOps
+    val docs = graft.etl.Tables(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val base = TextOps.buildInvertedIndex(docs, "doc_id", "text")
+    val stats = TextOps.corpusStats(base, "doc_id")
+    // re-crawl 0–9 with changed text, append 10–19 under fresh ids,
+    // and DELETE doc 0 via a re-crawl that tokenizes to nothing
+    val delta = docs.filter($"doc_id" > 0 && $"doc_id" < 10)
+      .select($"doc_id", concat(lit("zz "), $"text").as("text"))
+      .unionByName(docs.filter($"doc_id" >= 10 && $"doc_id" < 20)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+      .unionByName(docs.filter($"doc_id" === 0)
+        .select($"doc_id", lit("   ").as("text")))
+    val (mergedPosts, mergedStats) =
+      TextOps.mergeInvertedIndex(base, stats, delta, "doc_id", "text")
+    val union = docs.filter($"doc_id" >= 20 || ($"doc_id" >= 10 && $"doc_id" < 20))
+      .unionByName(docs.filter($"doc_id" > 0 && $"doc_id" < 10)
+        .select($"doc_id", concat(lit("zz "), $"text").as("text")))
+      .unionByName(docs.filter($"doc_id" >= 10 && $"doc_id" < 20)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+    val rebuiltPosts = TextOps.buildInvertedIndex(union, "doc_id", "text")
+    assert(mergedPosts.exceptAll(rebuiltPosts).isEmpty &&
+      rebuiltPosts.exceptAll(mergedPosts).isEmpty,
+      "merged postings diverge from a rebuild")
+    val Array(ms) = mergedStats.collect()
+    val Array(rs) = TextOps.corpusStats(rebuiltPosts, "doc_id").collect()
+    assert(ms.getLong(0) === rs.getLong(0) && ms.getLong(1) === rs.getLong(1),
+      s"merged stats $ms != rebuilt $rs")
+  }
+
+  test("media_phash_serve touches only the stored artifacts — no phash kernel, no CC") {
+    val qe = graft.queries.Registry.queries("media_phash_serve")(spark, sf)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("byte_phash"),
+      s"serve plan re-hashes the corpus:\n${plan.take(800)}")
+    // pushed-down probe filter on the assignment scan, broadcast sizes
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(qe.optimizedPlan.toString.contains("doc_id IN") ||
+      plan.contains("In(doc_id"), plan.take(800))
+  }
+
+  test("q56 plans no window partitioned solely by the 3-value return flag") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = graft.queries.Registry.queries("q56_quantile_transform")(spark, sf)
+      .queryExecution.optimizedPlan
+    // windows keyed only on the 3-value flag are fine over tiny
+    // aggregated frames (the prefix-sum offsets); the hazard is one
+    // directly over the un-aggregated fact table
+    val lowNdv = plan.collect {
+      case w: LWindow if w.partitionSpec.forall {
+        case a: AttributeReference => a.name == "l_returnflag"
+        case _ => false
+      } && w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(lowNdv.isEmpty,
+      s"q56 still sorts the fact table into 3 reducer partitions: $lowNdv")
+  }
+}

@@ -91,6 +91,53 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("registry-wide plan hygiene: no O(n)-buffer percentile over row-scale columns") {
+    // Spark's exact `percentile` merges a value→count buffer onto ONE
+    // task — O(n) memory over a near-distinct (row-scale) column. It is
+    // only admissible over bounded domains (daily aggregates, small-int
+    // word counts). Row-scale percentiles must use StatOps.percentiles'
+    // distributed prefix-sum order statistics (this rule shipped two
+    // offenders in round 8: q55_winsorize, q9_percentiles).
+    val sf = "/root/testdata/sf0.001"
+    val boundedDomainOk = Set(
+      "dq5_mad_anomaly_days",   // percentile over ~365 daily aggregate rows
+      "pipeline_dataset_card")  // percentile over small-int word counts
+    val offenders = graft.queries.Registry.all.flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.optimizedPlan.toString
+      if (plan.contains("percentile(") && !boundedDomainOk(q.name)) Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"exact percentile over a row-scale column (single-task O(n) buffer " +
+        s"at 100 TB — use StatOps.percentiles): ${offenders.mkString(", ")}")
+  }
+
+  test("registry-wide plan hygiene: no low-NDV window over an un-aggregated fact table") {
+    // A window partitioned only on a known handful-of-values column
+    // sorts the whole input into that many reducer tasks (n/3 rows
+    // through one task at 100 TB). Over a tiny aggregated frame the
+    // same shape is fine — so only windows with NO Aggregate below
+    // them are flagged (this rule shipped one offender in round 8:
+    // q56_quantile_transform's 3-partition percent_rank).
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val sf = "/root/testdata/sf0.001"
+    val lowNdvCols = Set("l_returnflag", "l_linestatus", "o_orderstatus",
+      "o_orderpriority", "l_shipmode", "event_type", "lang", "split")
+    val offenders = graft.queries.Registry.all.flatMap { q =>
+      q.fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty && w.partitionSpec.forall {
+          case a: AttributeReference => lowNdvCols(a.name)
+          case _ => false
+        } && w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+          s"${q.name}: ${w.partitionSpec.mkString(",")}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"low-NDV-partition window over an un-aggregated input (single-task " +
+        s"sort at scale): ${offenders.mkString("; ")}")
+  }
+
   test("TPC-H-pattern queries broadcast their dimension/aggregate sides") {
     // the explicit broadcast() hints must survive planning: the brand
     // parts + thresholds (q27), the HAVING aggregate (q28), the scalar
