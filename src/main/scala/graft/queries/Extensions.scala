@@ -813,7 +813,7 @@ object Extensions {
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
           FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
-        WHERE rn <= 3),
+        WHERE rn <= 5),
       p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ${sqlCos("q.embedding", "c.embedding")} AS sim
             FROM q_a q JOIN corp c ON q.cid = c.cid AND q.vec_id <> c.vec_id)""".trim
@@ -825,7 +825,7 @@ object Extensions {
       Similarity.ivfPqTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
           emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
           emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000),
-          "vec_id", "embedding", "vec_id", "embedding", m = 16, k = 5, nprobe = 3)
+          "vec_id", "embedding", "vec_id", "embedding", m = 16, k = 5, nprobe = 5)
         .orderBy(col("query_id"), col("rank"))
     },
     Some(ivfPqOracleSql))
@@ -844,7 +844,7 @@ object Extensions {
       val (idxDir, model) = ensureIvfPqIndex(s, dir)
       Similarity.serveIvfPq(s, s.read.parquet(idxDir),
           emb.filter(col("vec_id") % 100 === 0), servingCentroids(s, dir), model,
-          "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 3)
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 5)
         .orderBy(col("query_id"), col("rank"))
     },
     Some(ivfPqOracleSql))
@@ -866,7 +866,7 @@ object Extensions {
       val qs = emb.filter(col("vec_id") % 100 === 0)
       val shortlist = Similarity.serveIvfPq(s, s.read.parquet(idxDir), qs,
         servingCentroids(s, dir), model,
-        "vec_id", "embedding", "vec_id", "embedding", k = 15, nprobe = 3)
+        "vec_id", "embedding", "vec_id", "embedding", k = 15, nprobe = 5)
       Similarity.rerankExact(shortlist, emb, qs, "vec_id", "embedding", k = 5)
         .orderBy(col("query_id"), col("rank"))
     },

@@ -58,17 +58,19 @@ class Round7Spec extends SparkSpec {
 
   // ---- residual IVF-PQ ---------------------------------------------------
 
-  test("residual IVF-PQ recall@5 clears 0.2 at sf0.1 (raw-vector codes measured 0.12-0.14)") {
+  test("residual IVF-PQ recall@5 clears 0.3 at sf0.1 (raw-vector codes measured 0.12-0.14)") {
     val sf01 = "/root/testdata/sf0.1"
     val exact = graft.queries.Registry.queries("ann_cosine_topk")(spark, sf01)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivfpq = graft.queries.Registry.queries("ann_ivfpq_topk")(spark, sf01)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
-    // residual encoding + m=16 sub-spaces + nprobe=3: measured 0.23 —
-    // near the coarse probe's own ceiling, vs 0.12-0.14 for raw codes
+    // residual encoding + m=16 sub-spaces + nprobe=5: measured 0.34 at
+    // r9 (nprobe=3 gave 0.23 against a coarse-probe ceiling of 0.30;
+    // widening the probe to 5 lists = 3.7% of the corpus raises the
+    // ceiling to 0.43), vs 0.12-0.14 for raw-vector codes
     val recall = (exact & ivfpq).size.toDouble / exact.size
-    assert(recall >= 0.2, s"residual IVF-PQ recall@5: $recall")
+    assert(recall >= 0.3, s"residual IVF-PQ recall@5: $recall")
   }
 
   test("residual reconstruction beats raw-vector reconstruction at equal knobs") {
