@@ -112,6 +112,25 @@ import org.apache.spark.sql.functions._
   * docs; q55_winsorize 0.5s over 3M rows (scan + 1-row broadcast);
   * dedup propose ratio 24.7 at 20× (target ~20 — the mild excess is
   * the replication-clique densification, not plan growth).
+  *
+  * Round-9 additions at replicas=10 (1.5M orders, 6M lineitem, 1M aug
+  * docs): the distributed order statistics hold their parallel shape —
+  * q9_percentiles 2.9s / q55_winsorize 2.9s (the value-histogram
+  * prefix sum costs a bounded shuffle instead of the builtin
+  * percentile's O(n) single-task buffer — the constant is higher at
+  * sf1, the memory is flat at any scale), q56_quantile_transform 5.2s
+  * emitting 6M transformed rows (CDF join + near-unique-key window,
+  * every stage parallel in n); w5_rank_family 0.70s (15-cell count
+  * frame + broadcast join back — faster than the old 5-partition
+  * window at 10× and immune to 100×); q44_running_distinct_custs
+  * 0.70s (prefix-sum running sum); text_index_merge 5.9s including
+  * the one-time 10× postings build (the merge itself is delta-bounded:
+  * broadcast-anti upsert + counter-delta stats); media_phash_serve
+  * 32s = the one-time 10× cluster BUILD (hash+pairs+CC over the
+  * replication-clique corpus — same O(k²) pair artifact as
+  * media_phash_clusters' 33s above) + a sub-second probe; at sf0.1
+  * Bench the build lands in ingest warm-up and the serve query
+  * measures 0.1-0.3s.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -200,7 +219,15 @@ object ScaleSmoke {
       "q54_pagerank", "graph_triangles", "graph_label_prop",
       "ann_random_projection", "ann_centroid_outliers",
       "graph_kcore", "media_frame_energy",
-      "text_bigram_lm", "q55_winsorize", "text_bm25_multi") ++
+      "text_bigram_lm", "q55_winsorize", "text_bm25_multi",
+      // round-9 ops: distributed exact order statistics (prefix-sum
+      // CDF over the value histogram — the builtin percentile's O(n)
+      // single-task buffer is exactly what these exist to avoid at
+      // scale), rank family from the 15-cell count frame, prefix-sum
+      // running distinct, incremental postings merge, phash serving
+      "q9_percentiles", "q56_quantile_transform", "w5_rank_family",
+      "q44_running_distinct_custs", "text_index_merge",
+      "media_phash_serve") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
