@@ -616,6 +616,35 @@ object Similarity {
       .select(col(idCol), col("list"), col("codes"))
   }
 
+  /** Incremental IVF-PQ index maintenance — the ANN leg of the
+    * incremental-maintenance triangle (near-dup fingerprint index:
+    * [[graft.ext.Dedup.probeBandIndex]]; BM25 postings:
+    * [[graft.ext.TextOps.mergeInvertedIndex]]): merge a delta corpus
+    * into a persisted index by coarse-assigning + residual-encoding
+    * ONLY the delta with the SAME frozen coarse centroids and codebook
+    * the build used (the quantizer is a trained model, not a function
+    * of the indexed rows — re-deriving it per ingest would silently
+    * re-encode history). A delta id already indexed is a re-crawl: its
+    * stored entry is replaced (broadcast-anti on the delta id set — a
+    * scan-side filter of the stored index, never an index shuffle);
+    * unseen ids append to their lists.
+    *
+    * Contract (Round9Spec + the ann_index_merge oracle): serving the
+    * merged index ≡ building from the union corpus with the same
+    * model, entry for entry.
+    */
+  def mergeIvfPqIndex(spark: SparkSession, index: DataFrame,
+      deltaCorpus: DataFrame, centroids: DataFrame, model: PqModel,
+      idCol: String, vecCol: String, centIdCol: String,
+      centVecCol: String): DataFrame = {
+    val deltaIdx = buildIvfPqIndex(spark, deltaCorpus, centroids, model,
+      idCol, vecCol, centIdCol, centVecCol)
+    val deltaIds = deltaCorpus.select(col(idCol)).distinct()
+    index.join(broadcast(deltaIds), Seq(idCol), "left_anti")
+      .select(col(idCol), col("list"), col("codes"))
+      .unionByName(deltaIdx)
+  }
+
   /** Probe-only SERVE over a persisted IVF-PQ index: stored codes
     * decode scan-side — centroid plus decoded residual, so the plan
     * contains [[graft.functions.PqDecode]] but never the encode kernel

@@ -758,8 +758,8 @@ object Extensions {
     * point — the build/serve split changes WHERE the encode cost is
     * paid, never the answer.
     */
-  private def ivfPqOracleSql: String = s"""
-      WITH $ivfPqCandidateCtes
+  private def ivfPqOracleSql(corpus: String = "embeddings", pre: String = ""): String = s"""
+      WITH ${ivfPqCandidateCtes(corpus, pre)}
       SELECT query_id, neighbor_id, rank, sim FROM (
         SELECT query_id, neighbor_id, sim,
                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -768,22 +768,26 @@ object Extensions {
     """.trim
 
   /** The IVF-PQ candidate chain up to `p` = (query_id, neighbor_id,
-    * compressed-domain sim) — shared by the top-k oracles above and the
-    * exact re-rank oracle below, which consumes `p` as its shortlist.
+    * compressed-domain sim) — shared by the top-k oracles above, the
+    * exact re-rank oracle below (which consumes `p` as its shortlist),
+    * and the incremental-merge oracle (which swaps the indexed corpus
+    * for the merged one via `corpus`/`pre` while queries, centroids,
+    * and codebook training rows stay fixed — the model is frozen).
     */
-  private def ivfPqCandidateCtes: String = s"""
-      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
+  private def ivfPqCandidateCtes(corpus: String = "embeddings",
+      pre: String = ""): String = s"""
+      ${pre}cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
       corp_a AS (
         SELECT vec_id, cid FROM (
           SELECT e.vec_id, t.cid,
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
-          FROM embeddings e, cent t)
+          FROM $corpus e, cent t)
         WHERE rn = 1),
       resid AS (SELECT e.vec_id, a.cid,
                   list_transform(range(len(e.embedding)),
                     i -> e.embedding[i+1]::DOUBLE - t.cv[i+1]::DOUBLE) AS r
-                FROM embeddings e JOIN corp_a a USING (vec_id)
+                FROM $corpus e JOIN corp_a a USING (vec_id)
                 JOIN cent t ON t.cid = a.cid),
       cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r
               FROM resid WHERE vec_id % 5 = 0 AND vec_id < 5000),
@@ -828,7 +832,7 @@ object Extensions {
           "vec_id", "embedding", "vec_id", "embedding", m = 16, k = 5, nprobe = 5)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(ivfPqOracleSql))
+    Some(ivfPqOracleSql()))
 
   /** The compressed-index serving tier end-to-end: residual PQ codes +
     * list ids persisted once (`Similarity.buildIvfPqIndex` through the
@@ -847,7 +851,7 @@ object Extensions {
           "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 5)
         .orderBy(col("query_id"), col("rank"))
     },
-    Some(ivfPqOracleSql))
+    Some(ivfPqOracleSql()))
 
   /** Two-stage retrieval: the persisted IVF-PQ index recalls a k'=15
     * shortlist per query (compressed-domain ranking), then EXACT cosine
@@ -871,7 +875,7 @@ object Extensions {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
-      WITH $ivfPqCandidateCtes,
+      WITH ${ivfPqCandidateCtes()},
       sl AS (SELECT query_id, neighbor_id FROM (
                SELECT query_id, neighbor_id,
                       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
@@ -885,6 +889,53 @@ object Extensions {
         FROM rr) WHERE rank <= 5
       ORDER BY query_id, rank
     """.trim))
+
+  /** Incremental ANN index maintenance — the third leg of the
+    * incremental-maintenance triangle (near-dup fingerprint index:
+    * `dedup_index_probe`; BM25 postings: `text_index_merge`): a delta
+    * shard merges into the PERSISTED IVF-PQ index via
+    * [[Similarity.mergeIvfPqIndex]] — only the delta coarse-assigns and
+    * residual-encodes (with the frozen centroids + codebook), re-crawled
+    * ids replace their stored entries through a broadcast-anti filter,
+    * fresh ids append — then the standard query set serves from the
+    * merged index. The delta here: ids ≡3 (mod 10) below 400 re-crawled
+    * with their successor's vector (a changed embedding both engines
+    * can derive without float arithmetic), ids ≡7 (mod 10) re-collected
+    * under +1000000. The oracle rebuilds the index from the union
+    * corpus with the same model — merged-then-served must equal
+    * rebuilt-then-served, pinning both the upsert and the model-frozen
+    * encode.
+    */
+  val annIndexMerge = Q(
+    "ann_index_merge",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val (idxDir, model) = ensureIvfPqIndex(s, dir)
+      val recrawl = emb.as("a")
+        .join(emb.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .filter(col("a.vec_id") % 10 === 3 && col("a.vec_id") < 400)
+        .select(col("a.vec_id").as("vec_id"), col("b.embedding").as("embedding"))
+      val fresh = emb.filter(col("vec_id") % 10 === 7)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val merged = Similarity.mergeIvfPqIndex(s, s.read.parquet(idxDir),
+        recrawl.unionByName(fresh), servingCentroids(s, dir), model,
+        "vec_id", "embedding", "vec_id", "embedding")
+      Similarity.serveIvfPq(s, merged, emb.filter(col("vec_id") % 100 === 0),
+          servingCentroids(s, dir), model,
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(ivfPqOracleSql(corpus = "mcorp", pre = """mcorp AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE NOT (vec_id % 10 = 3 AND vec_id < 400)
+        UNION ALL
+        SELECT a.vec_id, b.embedding FROM embeddings a
+        JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 10 = 3 AND a.vec_id < 400
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+        WHERE vec_id % 10 = 7),
+      """)))
 
   /** IVF range search — radius-bounded retrieval (every probed-list
     * neighbor with cosine ≥ 0.2) instead of a fixed top-k: the serving
@@ -2077,7 +2128,7 @@ object Extensions {
     dedupJaccard, dedupJaccardLsh, dedupIndexProbe, dedupIndexAttach,
     dedupEmbedding, dedupSemantic, dedupFuzzy,
     annBrute, annLsh, annIvf, annIvfQuantized, annIndexServe, annPq, annIvfPq,
-    annIvfPqServe, annRerankExact, annRangeSearch,
+    annIvfPqServe, annRerankExact, annIndexMerge, annRangeSearch,
     annFilteredTopk, annKmeansAssign, annKmeansIter, annQuantize,
     annQuantizedTopk,
     textLangid, textLangidTrigram, textQuality, textTokens, textSubwordTokens,

@@ -130,6 +130,32 @@ class Round9Spec extends SparkSpec {
       s"merged stats $ms != rebuilt $rs")
   }
 
+  test("mergeIvfPqIndex ≡ rebuild from the union corpus (full index frame)") {
+    import graft.ext.Similarity
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val cents = emb.filter($"vec_id" % 37 === 0 && $"vec_id" < 5000)
+    val model = Similarity.ivfPqResidualModel(
+      emb.filter($"vec_id" % 5 === 0 && $"vec_id" < 5000), cents,
+      "vec_id", "embedding", "vec_id", "embedding", m = 16)
+    val base = Similarity.buildIvfPqIndex(spark, emb, cents, model,
+      "vec_id", "embedding", "vec_id", "embedding").localCheckpoint()
+    val recrawl = emb.as("a").join(emb.as("b"), $"b.vec_id" === $"a.vec_id" + 1)
+      .filter($"a.vec_id" % 10 === 3 && $"a.vec_id" < 400)
+      .select($"a.vec_id".as("vec_id"), $"b.embedding".as("embedding"))
+    val fresh = emb.filter($"vec_id" % 10 === 7)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val merged = Similarity.mergeIvfPqIndex(spark, base,
+      recrawl.unionByName(fresh), cents, model,
+      "vec_id", "embedding", "vec_id", "embedding")
+    val union = emb.filter(!($"vec_id" % 10 === 3 && $"vec_id" < 400))
+      .select($"vec_id", $"embedding")
+      .unionByName(recrawl).unionByName(fresh)
+    val rebuilt = Similarity.buildIvfPqIndex(spark, union, cents, model,
+      "vec_id", "embedding", "vec_id", "embedding")
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty,
+      "merged IVF-PQ index diverges from a rebuild")
+  }
+
   test("media_phash_serve touches only the stored artifacts — no phash kernel, no CC") {
     val qe = graft.queries.Registry.queries("media_phash_serve")(spark, sf)
       .queryExecution

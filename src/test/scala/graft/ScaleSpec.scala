@@ -124,17 +124,19 @@ class ScaleSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val lowNdvCols = Set("l_returnflag", "l_linestatus", "o_orderstatus",
       "o_orderpriority", "l_shipmode", "event_type", "lang", "split")
+    // a window with NO partition key at all is the degenerate case of
+    // the same hazard: ALL rows through one reducer task
     val offenders = graft.queries.Registry.all.flatMap { q =>
       q.fn(spark, sf).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.nonEmpty && w.partitionSpec.forall {
+        case w: LWindow if w.partitionSpec.forall {
           case a: AttributeReference => lowNdvCols(a.name)
           case _ => false
         } && w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
-          s"${q.name}: ${w.partitionSpec.mkString(",")}"
+          s"${q.name}: [${w.partitionSpec.mkString(",")}]"
       }
     }
     assert(offenders.isEmpty,
-      s"low-NDV-partition window over an un-aggregated input (single-task " +
+      s"low-NDV/global window over an un-aggregated input (single-task " +
         s"sort at scale): ${offenders.mkString("; ")}")
   }
 
