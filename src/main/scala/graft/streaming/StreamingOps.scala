@@ -486,4 +486,78 @@ object StreamingOps {
         max(col(tsCol)).as("ended_at"),
         count(lit(1)).as("n_events"))
       .select(col(entityCol), col("started_at"), col("ended_at"), col("n_events"))
+
+  /** One arriving (re-)crawled document version; `seq` is the source's
+    * monotone version number for the doc (crawl timestamp, offset…).
+    */
+  final case class DocIn(doc_id: Long, seq: Long, text: String)
+
+  /** One posting of a doc version, tagged with its `seq` so a sink
+    * upsert keeps each doc's latest version. Every ACCEPTED version
+    * additionally emits one `term=""`/`tf=0` marker row: the sink then
+    * knows the doc's latest seq even when that version tokenizes to
+    * zero words — which is how a re-crawl-to-empty DELETES a doc's
+    * postings (the batch twin `TextOps.mergeInvertedIndex` has the
+    * same deletion rule).
+    */
+  final case class PostingOut(term: String, doc_id: Long, tf: Long, dl: Long,
+      seq: Long)
+
+  /** Per-doc state for the streaming postings maintainer: one long (the
+    * latest accepted seq). The postings themselves leave the operator
+    * immediately — state stays O(1) per doc no matter how often it is
+    * re-crawled.
+    */
+  class PostingsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, DocIn, PostingOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var latest: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DocIn],
+        timerValues: TimerValues): Iterator[PostingOut] = {
+      // only the newest arrival in the batch can win; older versions
+      // (and out-of-order replays of already-accepted seqs) are ignored
+      val newest = rows.maxBy(_.seq)
+      if (latest.exists() && newest.seq <= latest.get()) Iterator.empty
+      else {
+        latest.update(newest.seq)
+        // Scala-side replica of TextOps.words (Dedup.normText + split,
+        // empty tokens dropped) — pinned equal to the batch build in
+        // Round9Spec
+        val toks = newest.text.toLowerCase.trim.replaceAll("\\s+", " ")
+          .split(" ").filter(_.nonEmpty)
+        val marker = PostingOut("", newest.doc_id, 0L, toks.length.toLong, newest.seq)
+        val counts = toks.groupBy(identity).toSeq.sortBy(_._1)
+        Iterator(marker) ++ counts.iterator.map { case (t, g) =>
+          PostingOut(t, newest.doc_id, g.length.toLong, toks.length.toLong, newest.seq)
+        }
+      }
+    }
+  }
+
+  /** Streaming inverted-index maintenance — the incremental face of the
+    * batch [[graft.ext.TextOps.mergeInvertedIndex]]: document versions
+    * arrive on a stream, each doc's LATEST version emits its postings
+    * (plus a seq marker), and a downstream upsert sink keeps max-seq
+    * rows per doc — so the served index converges to exactly the batch
+    * build over each doc's final text (Round9Spec pins the
+    * equivalence, re-crawls and deletions included). State is one long
+    * per doc; tokenization happens once per accepted version, never
+    * for the already-indexed corpus.
+    */
+  def streamingPostings(stream: DataFrame): org.apache.spark.sql.Dataset[PostingOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("doc_id").cast("long").as("doc_id"),
+        col("seq").cast("long").as("seq"), col("text")).as[DocIn]
+      .groupByKey(_.doc_id)
+      .transformWithState(new PostingsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }

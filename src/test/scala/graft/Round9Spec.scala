@@ -130,6 +130,51 @@ class Round9Spec extends SparkSpec {
       s"merged stats $ms != rebuilt $rs")
   }
 
+  test("streamingPostings converges to the batch index build (re-crawls + deletions)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB provider (multi-column-
+    // family state); restore whatever the suite had afterwards
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val stream = MemoryStream[(Long, Long, String)]
+    val out = StreamingOps.streamingPostings(stream.toDS().toDF("doc_id", "seq", "text"))
+    val q = out.writeStream.format("memory").queryName("sposts")
+      .outputMode("append").start()
+    stream.addData((1L, 1L, "Alpha beta  beta"), (2L, 1L, "gamma delta"),
+      (3L, 1L, "keep me"))
+    q.processAllAvailable()
+    // doc 1 re-crawled (normalization exercised), doc 3 re-crawled to
+    // whitespace (deletion), doc 2 gets an out-of-order STALE version
+    stream.addData((1L, 2L, "alpha ALPHA new"), (3L, 2L, "   "),
+      (2L, 0L, "stale ignored"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sposts")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // the sink upsert rule: keep each doc's max-seq rows; term rows of
+    // that version are the doc's postings (none ⇒ deleted)
+    val served = rows.groupBy(_._2).values.flatMap { rs =>
+      val mx = rs.map(_._5).max
+      rs.filter(r => r._5 == mx && r._1.nonEmpty)
+    }.map(r => (r._1, r._2, r._3, r._4)).toSet
+    val finalCorpus = Seq((1L, "alpha ALPHA new"), (2L, "gamma delta"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val batch = graft.ext.TextOps.buildInvertedIndex(finalCorpus, "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(served === batch, s"served=$served batch=$batch")
+    // the deletion is visible: doc 3's latest marker has seq 2, dl 0
+    val d3 = rows.filter(r => r._2 == 3L && r._1.isEmpty).maxBy(_._5)
+    assert(d3._5 === 2L && d3._4 === 0L, d3.toString)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("mergeIvfPqIndex ≡ rebuild from the union corpus (full index frame)") {
     import graft.ext.Similarity
     val emb = graft.etl.Tables(spark, sf, "embeddings")
