@@ -304,4 +304,29 @@ object Multimodal {
         col("n_samples"), col("energy"),
         round(sqrt(col("energy").cast("double") / col("n_samples")), 9).as("rms"))
   }
+
+  /** Scene-change segmentation over the windowed byte-stream energy:
+    * a cut wherever the frame-to-frame RMS jump exceeds `threshold`
+    * (the shot-boundary / audio-segment primitive on the opaque-bytes
+    * plumbing — a real build swaps the byte energy for decoded frame
+    * histograms without touching this dataflow). `scene_no` is the
+    * 0-based running count of cuts per media item.
+    *
+    * Scale: the window partitions on the media id — row-scale NDV, so
+    * per-partition work is one item's frames; ROWS frame pinned so tie
+    * semantics match the oracle regardless of duplicate frame keys.
+    */
+  def sceneChanges(df: DataFrame, idCol: String, textCol: String,
+      frame: Int = 64, threshold: Double = 12.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_no"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frameEnergy(df, idCol, textCol, frame)
+      .withColumn("__prev", lag(col("rms"), 1).over(w))
+      .withColumn("__cut",
+        when(col("__prev").isNull ||
+          abs(col("rms") - col("__prev")) > threshold, 1L).otherwise(0L))
+      .withColumn("scene_no", sum(col("__cut")).over(wRows) - lit(1L))
+      .select(col(idCol), col("frame_no"), col("rms"), col("scene_no"))
+  }
 }

@@ -87,6 +87,26 @@ object TextOps {
           + (lit(1.0) - col("punct_ratio")) * 0.2, 9))
   }
 
+  /** Model-based quality scoring: a fixed linear classifier over the
+    * [[withQuality]] features — the shape of fasttext-style quality
+    * filtering (CCNet / Gopher pipelines), with deterministic built-in
+    * weights standing in for trained ones (a production build loads the
+    * weight vector from a model table; the scoring dataflow — scan-side
+    * saturating features → dot product → sigmoid → threshold — is
+    * identical). Adds `logit`, `prob`, `keep`; everything stays inside
+    * whole-stage codegen, no shuffle.
+    */
+  def withModelQuality(df: DataFrame, textCol: String): DataFrame =
+    withQuality(df, textCol)
+      .withColumn("logit", round(
+        lit(2.0) * least(col("stop_ratio") * 5.0, lit(1.0)) +
+          lit(1.5) * least(col("avg_word_len") / 8.0, lit(1.0)) -
+          lit(3.0) * col("punct_ratio") +
+          lit(0.5) * least(col("n_words").cast("double") / 200.0, lit(1.0)) -
+          lit(1.2), 9))
+      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 9))
+      .withColumn("keep", (col("prob") >= 0.5).cast("long"))
+
   /** Whitespace tokens and a BPE-ish regex token count (letter runs,
     * digit runs, single non-alphanumerics).
     */
@@ -788,5 +808,62 @@ object TextOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+
+  // ---- BPE tokenizer induction -------------------------------------------
+
+  /** Learn `rounds` byte-pair-encoding merges over the corpus (Sennrich
+    * et al. 2016): reduce the corpus to a word-frequency table, spell
+    * each word as '|'-delimited symbols ("low" → "|l|o|w|"), and per
+    * round (a) count adjacent symbol pairs weighted by word frequency,
+    * (b) pick the most frequent pair (ties: lexicographic), (c) rewrite
+    * every occurrence "|a|b|" → "|ab|". The rewrite is `replace` applied
+    * to fixpoint (5 nested passes — a word of ≤64 chars converges in
+    * ≤6): a single left-to-right pass misses the second of two touching
+    * occurrences because the shared '|' delimiter is consumed by the
+    * first match. Returns the learned merge table (round, left_sym,
+    * right_sym, pair_cnt).
+    *
+    * Scale posture (100 TB): the corpus-size work is the initial word
+    * count — one map-side-combining aggregate; every merge round runs
+    * over the DISTINCT-word table (vocabulary-bounded, not corpus-
+    * bounded) with one pair-count shuffle and a broadcast 1-row merge
+    * rule. This is exactly how production BPE trainers scale: corpus →
+    * word histogram once, then iterate on the histogram.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    var words = docs
+      .select(explode(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")).as("seq"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = words
+        .withColumn("__syms", expr("filter(split(seq, '\\\\|'), x -> x != '')"))
+        .filter(size(col("__syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(__syms) - 1),
+               i -> struct(__syms[i - 1] AS l, __syms[i] AS r))""")).as("p"))
+        .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("left_sym"), col("right_sym"))
+        .limit(1)
+        .select(lit(r.toLong).as("merge_round"), col("left_sym"), col("right_sym"),
+          col("pair_cnt"))
+        .localCheckpoint()
+      merges += best
+      val rule = broadcast(best.select(
+        concat(lit("|"), col("left_sym"), lit("|"), col("right_sym"), lit("|")).as("__pat"),
+        concat(lit("|"), col("left_sym"), col("right_sym"), lit("|")).as("__rep")))
+      val merged = Iterator.iterate(col("seq"))(s =>
+        replace(s, col("__pat"), col("__rep"))).drop(5).next()
+      words = words.crossJoin(rule)
+        .select(merged.as("seq"), col("cnt"))
+        .localCheckpoint()
+    }
+    merges.result().reduce(_ unionByName _).orderBy(col("merge_round"))
   }
 }

@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.etl.Tables
+import graft.ext.{Dedup, SketchOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-9 breadth: scene-change segmentation on the media byte-stream,
+  * model-based quality filtering (fasttext-shaped linear classifier),
+  * train/test leakage detection across assigned splits, a mergeable
+  * count-min frequency sketch with an exact SQL twin, per-dimension
+  * embedding statistics (the whitening/anisotropy diagnostic), and BPE
+  * tokenizer induction — each with the scale posture documented inline.
+  */
+object Breadth8 {
+
+  /** Scene cuts from frame-to-frame RMS jumps (threshold 12.0) plus a
+    * 0-based running scene index per media item. One shuffle on the
+    * media id (row-scale NDV — the q53 window discipline, not a
+    * low-NDV partition); frames never leave their item's partition.
+    */
+  val mediaSceneChanges = Q(
+    "media_scene_changes",
+    (s, dir) =>
+      graft.ext.Multimodal.sceneChanges(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("frame_no")),
+    Some("""
+      WITH f AS (SELECT doc_id, text,
+                        unnest(range((length(text) + 63) // 64)) AS frame_no
+                 FROM documents WHERE length(text) > 0),
+      c AS (SELECT doc_id, frame_no,
+                   substring(text, (frame_no * 64 + 1)::INT, 64) AS chunk
+            FROM f),
+      e AS (SELECT doc_id, frame_no, length(chunk)::BIGINT AS n_samples,
+                   list_sum(list_transform(range(1, length(chunk) + 1),
+                     p -> ord(substring(chunk, p::INT, 1)) *
+                          ord(substring(chunk, p::INT, 1))))::BIGINT AS energy
+            FROM c),
+      r AS (SELECT doc_id, frame_no,
+                   round(sqrt(energy::DOUBLE / n_samples), 9) AS rms
+            FROM e),
+      d AS (SELECT doc_id, frame_no, rms,
+                   lag(rms) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev
+            FROM r),
+      s AS (SELECT doc_id, frame_no, rms,
+                   CASE WHEN prev IS NULL OR abs(rms - prev) > 12.0
+                        THEN 1 ELSE 0 END AS cut
+            FROM d)
+      SELECT doc_id, frame_no, rms,
+             (sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS scene_no
+      FROM s ORDER BY doc_id, frame_no
+    """.trim))
+
+  /** Model-based quality filtering: fixed-weight linear classifier over
+    * the quality features (see [[TextOps.withModelQuality]]); scan-side,
+    * fully codegen'd, no shuffle.
+    */
+  val textQualityModel = Q(
+    "text_quality_model",
+    (s, dir) =>
+      TextOps.withModelQuality(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("logit"), col("prob"), col("keep"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH n AS (SELECT doc_id, text, ${Extensions.NormW} AS w FROM documents),
+      m AS (SELECT doc_id,
+              len(w)::BIGINT AS n_words,
+              length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+              length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(w) AS avg_word_len,
+              ${Extensions.sqlHits(TextOps.StopEn)}::DOUBLE / len(w) AS stop_ratio
+            FROM n),
+      l AS (SELECT doc_id,
+              round(2.0 * least(stop_ratio * 5.0, 1.0)
+                  + 1.5 * least(avg_word_len / 8.0, 1.0)
+                  - 3.0 * punct_ratio
+                  + 0.5 * least(n_words / 200.0, 1.0)
+                  - 1.2, 9) AS logit
+            FROM m),
+      p AS (SELECT doc_id, logit,
+              round(1.0 / (1.0 + exp(-logit)), 9) AS prob FROM l)
+      SELECT doc_id, logit, prob,
+             (CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS keep
+      FROM p ORDER BY doc_id
+    """.trim))
+
+  /** Train/test contamination check: content fingerprints (md5 of the
+    * normalized text) that appear in MORE THAN ONE assigned split — the
+    * leak a near-dup-unaware splitter creates. Runs over the augmented
+    * corpus (whose exact duplicates straddle splits by construction of
+    * the id-hash assignment). One fingerprint-keyed aggregate; at
+    * 100 TB this is the same single-shuffle shape as exact dedup.
+    */
+  val textSplitLeakage = Q(
+    "text_split_leakage",
+    (s, dir) => {
+      val d = Extensions.augmentedDocs(s, dir, perturb = false)
+        .withColumn("fingerprint", md5(Dedup.normText(col("text"))))
+        .withColumn("__b", Dedup.hash32(col("doc_id").cast("string")) % 100)
+        .withColumn("split",
+          when(col("__b") < 80, "train").when(col("__b") < 90, "val").otherwise("test"))
+      d.groupBy(col("fingerprint"))
+        .agg(countDistinct(col("split")).as("n_splits"),
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          concat_ws(",", array_sort(collect_set(col("split")))).as("splits"))
+        .filter(col("n_splits") >= 2)
+        .orderBy(col("fingerprint"))
+    },
+    Some(s"""
+      WITH ${Extensions.augCte(perturb = false)},
+      t AS (SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM (SELECT doc_id, text,
+                    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+                  FROM aug))
+      SELECT fingerprint, count(DISTINCT split) AS n_splits, count(*) AS n_docs,
+             min(doc_id) AS first_doc,
+             string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+      FROM t GROUP BY fingerprint HAVING count(DISTINCT split) >= 2
+      ORDER BY fingerprint
+    """.trim))
+
+  /** Count-min heavy hitters: the corpus word histogram sketched into a
+    * 3×64 mergeable cell grid, point-estimated for the exact top-15
+    * words (est >= exact always; equality when no full-row collision).
+    * The cell table is constant-size regardless of corpus scale and
+    * merges across partitions/days by cell addition — the q34 HLL
+    * discipline for frequencies, here with an exact md5-replayable twin
+    * so the driver hash-checks the whole grid path, not just bounds.
+    */
+  val sketchCmsTopk = Q(
+    "sketch_cms_topk",
+    (s, dir) => {
+      val wc = Tables(s, dir, "documents")
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+      val cells = SketchOps.cmsCells(wc, "word", "exact_cnt", depth = 3, width = 64)
+      val top = wc.orderBy(col("exact_cnt").desc, col("word")).limit(15)
+      SketchOps.cmsEstimate(cells, top, "word", depth = 3, width = 64)
+        .join(top, "word")
+        .select(col("word"), col("exact_cnt"), col("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("word"))
+    },
+    Some("""
+      WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                 FROM documents),
+      wc AS (SELECT word, count(*) AS exact_cnt FROM w GROUP BY word),
+      rows3 AS (SELECT unnest([0, 1, 2]) AS row),
+      cells AS (SELECT r.row,
+                  ('0x' || substr(md5('cms' || r.row::VARCHAR || '|' || word), 1, 8))::BIGINT % 64 AS bucket,
+                  sum(exact_cnt)::BIGINT AS cell
+                FROM wc, rows3 r GROUP BY 1, 2),
+      top AS (SELECT word, exact_cnt FROM wc
+              ORDER BY exact_cnt DESC, word LIMIT 15),
+      probes AS (SELECT word, r.row,
+                   ('0x' || substr(md5('cms' || r.row::VARCHAR || '|' || word), 1, 8))::BIGINT % 64 AS bucket
+                 FROM top, rows3 r),
+      est AS (SELECT word, min(cell) AS cms_est
+              FROM probes JOIN cells USING (row, bucket) GROUP BY word)
+      SELECT t.word, t.exact_cnt, e.cms_est
+      FROM top t JOIN est e USING (word)
+      ORDER BY exact_cnt DESC, word
+    """.trim))
+
+  /** Per-dimension embedding statistics (mean/std): the anisotropy and
+    * whitening diagnostic. Sums are 9-dp-rounded DECIMAL(27,9) — exact
+    * and order-independent (the kmeans centroid discipline) — divided
+    * once in double. One map-side-combining aggregate on (dim): the
+    * group count equals the embedding width, and partial aggregation
+    * means low key NDV is harmless here (unlike a window partition).
+    */
+  val annDimStats = Q(
+    "ann_dim_stats",
+    (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xd", col("x").cast("double"))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("xd"), 9).cast(DecimalType(27, 9))).as("__sx"),
+          sum(round(col("xd") * col("xd"), 9).cast(DecimalType(27, 9))).as("__sxx"))
+        .select(col("dim"), col("n"),
+          round(col("__sx").cast("double") / col("n"), 9).as("mean"),
+          round(sqrt(greatest(
+            col("__sxx").cast("double") / col("n") -
+              (col("__sx").cast("double") / col("n")) *
+              (col("__sx").cast("double") / col("n")),
+            lit(0.0))), 9).as("std"))
+        .orderBy(col("dim")),
+    Some("""
+      WITH x AS (SELECT i AS dim, embedding[(i + 1)::INT]::DOUBLE AS xd
+                 FROM embeddings, unnest(range(len(embedding))) AS u(i)),
+      a AS (SELECT dim, count(*) AS n,
+              sum(CAST(round(xd, 9) AS DECIMAL(27, 9))) AS sx,
+              sum(CAST(round(xd * xd, 9) AS DECIMAL(27, 9))) AS sxx
+            FROM x GROUP BY dim)
+      SELECT dim, n, round(sx::DOUBLE / n, 9) AS mean,
+             round(sqrt(greatest(
+               sxx::DOUBLE / n - (sx::DOUBLE / n) * (sx::DOUBLE / n), 0.0)), 9) AS std
+      FROM a ORDER BY dim
+    """.trim))
+
+  // ---- BPE tokenizer induction -------------------------------------------
+
+  private def bpeRoundCtes(i: Int): String = {
+    val prev = s"wc${i - 1}"
+    s"""p$i AS (
+        SELECT s[j] AS left_sym, s[j + 1] AS right_sym, sum(cnt)::BIGINT AS pair_cnt
+        FROM (SELECT list_filter(str_split(seq, '|'), x -> x <> '') AS s, cnt
+              FROM $prev),
+             unnest(range(1, len(s))) AS u(j)
+        GROUP BY 1, 2),
+      best$i AS (SELECT left_sym, right_sym, pair_cnt FROM p$i
+                 ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT 1),
+      wc$i AS (
+        SELECT replace(replace(replace(replace(replace(seq, pat, rep),
+                 pat, rep), pat, rep), pat, rep), pat, rep) AS seq, cnt
+        FROM $prev, (SELECT '|' || left_sym || '|' || right_sym || '|' AS pat,
+                            '|' || left_sym || right_sym || '|' AS rep
+                     FROM best$i) b)"""
+  }
+
+  /** Three rounds of BPE merge learning over the corpus word histogram
+    * (see [[TextOps.bpeMerges]] for semantics and the 100 TB posture:
+    * corpus → word histogram once, then vocabulary-bounded rounds).
+    * Both engines apply the merge rewrite as exactly five nested
+    * `replace` passes, so the twin is equal by construction even before
+    * the fixpoint argument.
+    */
+  val textBpeMerges = Q(
+    "text_bpe_merges",
+    (s, dir) =>
+      TextOps.bpeMerges(Tables(s, dir, "documents"), "text", rounds = 3),
+    Some(s"""
+      WITH wc0 AS (
+        SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS seq,
+               count(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents)
+        GROUP BY 1),
+      ${bpeRoundCtes(1)},
+      ${bpeRoundCtes(2)},
+      ${bpeRoundCtes(3)}
+      SELECT merge_round, left_sym, right_sym, pair_cnt FROM (
+        SELECT 1::BIGINT AS merge_round, * FROM best1
+        UNION ALL SELECT 2::BIGINT, * FROM best2
+        UNION ALL SELECT 3::BIGINT, * FROM best3)
+      ORDER BY merge_round
+    """.trim))
+
+  def all: Seq[Q] = Seq(mediaSceneChanges, textQualityModel, textSplitLeakage,
+    sketchCmsTopk, annDimStats, textBpeMerges)
+}

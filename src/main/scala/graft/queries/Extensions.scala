@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Extensions {
 
-  private def augmentedDocs(s: SparkSession, dir: String, perturb: Boolean): DataFrame = {
+  private[queries] def augmentedDocs(s: SparkSession, dir: String, perturb: Boolean): DataFrame = {
     val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
     val copies = d
       .withColumn("doc_id", col("doc_id") + 100000L)
@@ -25,7 +25,7 @@ object Extensions {
     d.unionByName(copies)
   }
 
-  private def augCte(perturb: Boolean): String = {
+  private[queries] def augCte(perturb: Boolean): String = {
     val t = if (perturb) "'xx ' || text" else "text"
     s"""aug AS (
       SELECT doc_id, text, lang FROM documents
@@ -1157,8 +1157,8 @@ object Extensions {
 
   // ---- text analysis -----------------------------------------------------
 
-  private def sqlList(xs: Seq[String]): String = xs.mkString("['", "', '", "']")
-  private def sqlHits(stops: Seq[String]): String =
+  private[queries] def sqlList(xs: Seq[String]): String = xs.mkString("['", "', '", "']")
+  private[queries] def sqlHits(stops: Seq[String]): String =
     s"len(list_filter(w, x -> list_contains(${sqlList(stops)}, x)))::BIGINT"
 
   val textLangid = Q(

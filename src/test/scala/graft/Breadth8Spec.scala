@@ -1,0 +1,112 @@
+package graft
+
+import graft.ext.{SketchOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-9 breadth pins: BPE merge learning (hand-computed toy corpus),
+  * count-min sketch bounds + mergeability, scene-change segmentation
+  * invariants, and the linear quality classifier's threshold contract.
+  */
+class Breadth8Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- BPE ---------------------------------------------------------------
+
+  test("bpeMerges learns the hand-computed merges on a toy corpus") {
+    // words: low x3, lower, lowest, new, newer
+    // r1: (l,o)=5 ties (o,w)=5, lexicographic -> (l,o)
+    // r2: (lo,w)=5
+    // r3: ties at 2: (e,r),(e,w),(low,e),(n,e) -> (e,r)
+    val docs = Seq("low low low lower lowest", "new newer").toDF("text")
+    val m = TextOps.bpeMerges(docs, "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq((1L, "l", "o", 5L), (2L, "lo", "w", 5L), (3L, "e", "r", 2L)))
+  }
+
+  test("bpeMerges rewrite merges touching occurrences (fixpoint replace)") {
+    // "ababab" spelled |a|b|a|b|a|b| : single-pass replace would merge
+    // only alternate occurrences; the 5-pass fixpoint must take all 3,
+    // making (ab,ab) the round-2 winner.
+    val docs = Seq("ababab ababab cd").toDF("text")
+    val m = TextOps.bpeMerges(docs, "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) === ((1L, "a", "b", 6L)))
+    assert(m(1) === ((2L, "ab", "ab", 4L))) // 2 adjacent (ab,ab) pairs per word occurrence
+  }
+
+  // ---- count-min sketch --------------------------------------------------
+
+  test("CMS estimate upper-bounds the exact count for every candidate") {
+    val wc = graft.etl.Tables(spark, sf, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val cells = SketchOps.cmsCells(wc, "word", "cnt", depth = 3, width = 64)
+    val est = SketchOps.cmsEstimate(cells, wc, "word", depth = 3, width = 64)
+      .join(wc, "word")
+    assert(est.filter(col("cms_est") < col("cnt")).count() === 0L)
+  }
+
+  test("CMS cells are mergeable: cells(A)+cells(B) == cells(A union B)") {
+    val docs = graft.etl.Tables(spark, sf, "documents")
+    def wc(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = SketchOps.cmsCells(wc(a), "word", "cnt", 3, 64)
+      .unionByName(SketchOps.cmsCells(wc(b), "word", "cnt", 3, 64))
+      .groupBy(col("row"), col("bucket")).agg(sum(col("cell")).as("cell"))
+    val full = SketchOps.cmsCells(wc(docs), "word", "cnt", 3, 64)
+    assert(merged.join(full, Seq("row", "bucket"), "full_outer")
+      .filter(not(merged("cell") <=> full("cell"))).count() === 0L)
+  }
+
+  test("CMS estimate is exact when no key collides in all rows") {
+    val wc = Seq(("alpha", 10L), ("beta", 3L)).toDF("word", "cnt")
+    val cells = SketchOps.cmsCells(wc, "word", "cnt", 3, 64)
+    val est = SketchOps.cmsEstimate(cells, wc, "word", 3, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("alpha" -> 10L, "beta" -> 3L))
+  }
+
+  // ---- scene changes -----------------------------------------------------
+
+  test("sceneChanges: scene_no starts at 0, is nondecreasing, steps by at most 1") {
+    val sc = graft.ext.Multimodal
+      .sceneChanges(graft.etl.Tables(spark, sf, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"), col("frame_no")).collect()
+    val byDoc = sc.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rows) =>
+      val scenes = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(scenes.head === 0L)
+      scenes.sliding(2).foreach { case Array(p, n) =>
+        assert(n === p || n === p + 1)
+      case _ => ()
+      }
+    }
+  }
+
+  // ---- linear quality classifier -----------------------------------------
+
+  test("withModelQuality: keep == (prob >= 0.5) and prob strictly inside (0,1)") {
+    val q = TextOps.withModelQuality(graft.etl.Tables(spark, sf, "documents"), "text")
+    assert(q.filter((col("prob") >= 0.5) =!= (col("keep") === 1L)).count() === 0L)
+    assert(q.filter(col("prob") <= 0.0 || col("prob") >= 1.0).count() === 0L)
+  }
+
+  // ---- split leakage -----------------------------------------------------
+
+  test("split leakage rows always span >= 2 splits and list them sorted") {
+    val leak = graft.queries.Breadth8.textSplitLeakage.fn(spark, sf)
+    val rows = leak.collect()
+    assert(rows.nonEmpty) // augmented corpus has cross-split exact dups
+    rows.foreach { r =>
+      val nSplits = r.getLong(1)
+      val splits = r.getString(4).split(",")
+      assert(nSplits >= 2L && splits.length.toLong === nSplits)
+      assert(splits.sorted.sameElements(splits))
+    }
+  }
+}
