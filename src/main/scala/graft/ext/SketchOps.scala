@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object SketchOps {
 
-  private def bucket(keyCol: String, row: Int, width: Int) =
+  /** Row-salted bucket for row `row` of a width-`width` grid —
+    * engine-portable (md5-32), replayed verbatim by the SQL twins.
+    */
+  def cmsBucket(keyCol: String, row: Int, width: Int) =
     Dedup.hash32(concat(lit(s"cms$row|"), col(keyCol))) % width
+
+  private def bucket(keyCol: String, row: Int, width: Int) =
+    cmsBucket(keyCol, row, width)
 
   /** Build the d×w cell table from a weighted key table (key, weight).
     * One union of d scan-side projections, one hash aggregate.
@@ -52,5 +58,23 @@ object SketchOps {
       .join(broadcast(cells), Seq("row", "bucket"))
       .groupBy(col(keyCol))
       .agg(min(col("cell")).as("cms_est"))
+  }
+
+  /** Streaming maintenance of the cell grid: one occurrence per input
+    * row, cells as a standard streaming aggregate (complete/update
+    * mode). State is the d×w grid — CONSTANT regardless of stream
+    * volume, the whole point of sketching a stream — and equals the
+    * batch [[cmsCells]] grid over the same rows (pinned in
+    * Breadth8Spec).
+    */
+  def streamingCmsCells(keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    (0 until depth)
+      .map(r => keys.select(lit(r.toLong).as("row"),
+        bucket(keyCol, r, width).as("bucket")))
+      .reduce(_ unionByName _)
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cell"))
   }
 }

@@ -165,6 +165,66 @@ object Breadth8 {
       ORDER BY exact_cnt DESC, word
     """.trim))
 
+  /** Incremental sketch maintenance, driver-graded: the corpus arrives
+    * as two partitions (base: doc_id % 10 != 0; delta: % 10 == 0), each
+    * sketched independently; the merged grid is cell-wise addition —
+    * never a corpus rescan — and serves point estimates for the union's
+    * top-10 words. The U2-merge discipline applied to the frequency
+    * sketch (Breadth8Spec pins merged == full-build cell-for-cell; this
+    * oracle covers the merge path itself end-to-end).
+    */
+  val sketchCmsMerge = Q(
+    "sketch_cms_merge",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def wc(d: org.apache.spark.sql.DataFrame) = d
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+      val base = SketchOps.cmsCells(wc(docs.filter(col("doc_id") % 10 =!= 0)),
+        "word", "exact_cnt", depth = 3, width = 64)
+      val delta = SketchOps.cmsCells(wc(docs.filter(col("doc_id") % 10 === 0)),
+        "word", "exact_cnt", depth = 3, width = 64)
+      val merged = base.unionByName(delta)
+        .groupBy(col("row"), col("bucket")).agg(sum(col("cell")).as("cell"))
+      val full = wc(docs)
+      val top = full.orderBy(col("exact_cnt").desc, col("word")).limit(10)
+      SketchOps.cmsEstimate(merged, top, "word", depth = 3, width = 64)
+        .join(top, "word")
+        .select(col("word"), col("exact_cnt"), col("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("word"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                 FROM documents),
+      rows3 AS (SELECT unnest([0, 1, 2]) AS row),
+      wcb AS (SELECT word, count(*) AS cnt FROM w WHERE doc_id % 10 <> 0 GROUP BY word),
+      wcd AS (SELECT word, count(*) AS cnt FROM w WHERE doc_id % 10 = 0 GROUP BY word),
+      parts AS (
+        SELECT r.row,
+               ('0x' || substr(md5('cms' || r.row::VARCHAR || '|' || word), 1, 8))::BIGINT % 64 AS bucket,
+               sum(cnt)::BIGINT AS cell
+        FROM wcb, rows3 r GROUP BY 1, 2
+        UNION ALL
+        SELECT r.row,
+               ('0x' || substr(md5('cms' || r.row::VARCHAR || '|' || word), 1, 8))::BIGINT % 64 AS bucket,
+               sum(cnt)::BIGINT AS cell
+        FROM wcd, rows3 r GROUP BY 1, 2),
+      cells AS (SELECT row, bucket, sum(cell)::BIGINT AS cell
+                FROM parts GROUP BY 1, 2),
+      wc AS (SELECT word, count(*) AS exact_cnt FROM w GROUP BY word),
+      top AS (SELECT word, exact_cnt FROM wc
+              ORDER BY exact_cnt DESC, word LIMIT 10),
+      probes AS (SELECT word, r.row,
+                   ('0x' || substr(md5('cms' || r.row::VARCHAR || '|' || word), 1, 8))::BIGINT % 64 AS bucket
+                 FROM top, rows3 r),
+      est AS (SELECT word, min(cell) AS cms_est
+              FROM probes JOIN cells USING (row, bucket) GROUP BY word)
+      SELECT t.word, t.exact_cnt, e.cms_est
+      FROM top t JOIN est e USING (word)
+      ORDER BY exact_cnt DESC, word
+    """.trim))
+
   /** Per-dimension embedding statistics (mean/std): the anisotropy and
     * whitening diagnostic. Sums are 9-dp-rounded DECIMAL(27,9) — exact
     * and order-independent (the kmeans centroid discipline) — divided
@@ -252,5 +312,5 @@ object Breadth8 {
     """.trim))
 
   def all: Seq[Q] = Seq(mediaSceneChanges, textQualityModel, textSplitLeakage,
-    sketchCmsTopk, annDimStats, textBpeMerges)
+    sketchCmsTopk, sketchCmsMerge, annDimStats, textBpeMerges)
 }

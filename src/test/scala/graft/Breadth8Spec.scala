@@ -63,6 +63,29 @@ class Breadth8Spec extends SparkSpec {
       .filter(not(merged("cell") <=> full("cell"))).count() === 0L)
   }
 
+  test("streaming CMS cells equal the batch grid over the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[String]
+    val cells = graft.ext.SketchOps.streamingCmsCells(
+      stream.toDS().toDF("word"), "word", depth = 3, width = 64)
+    val q = cells.writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    val keys = Seq("alpha", "beta", "alpha", "gamma", "alpha", "beta")
+    stream.addData(keys.take(3): _*)
+    q.processAllAvailable()
+    stream.addData(keys.drop(3): _*) // second batch updates the same grid
+    q.processAllAvailable()
+    val streamed = spark.table("cms_cells")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val batch = graft.ext.SketchOps.cmsCells(
+      keys.toDF("word").groupBy("word").agg(count(lit(1)).as("cnt")),
+      "word", "cnt", 3, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("CMS estimate is exact when no key collides in all rows") {
     val wc = Seq(("alpha", 10L), ("beta", 3L)).toDF("word", "cnt")
     val cells = SketchOps.cmsCells(wc, "word", "cnt", 3, 64)

@@ -131,6 +131,17 @@ import org.apache.spark.sql.functions._
   * media_phash_clusters' 33s above) + a sub-second probe; at sf0.1
   * Bench the build lands in ingest warm-up and the serve query
   * measures 0.1-0.3s.
+  *
+  * Round-9 breadth at replicas=10 (50k docs, 500k vectors): all six
+  * ~linear vs their sf0.1 cost — text_bpe_merges 4.5s (the corpus-
+  * size term is the one word-histogram aggregate; the three merge
+  * rounds iterate on the vocabulary-bounded histogram, which
+  * replication barely grows); sketch_cms_topk 3.9s (histogram +
+  * constant-size 3x64 grid); media_scene_changes 0.72s for 257k
+  * frames (id-partitioned window); text_split_leakage 1.1s / 4.9k
+  * leaked fingerprints (one fingerprint-keyed aggregate);
+  * ann_dim_stats 0.40s over 32M (dim,x) pairs (map-side-combining
+  * 64-group aggregate); text_quality_model 0.17s (pure scan).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -227,7 +238,12 @@ object ScaleSmoke {
       // running distinct, incremental postings merge, phash serving
       "q9_percentiles", "q56_quantile_transform", "w5_rank_family",
       "q44_running_distinct_custs", "text_index_merge",
-      "media_phash_serve") ++
+      "media_phash_serve",
+      // round-9 breadth: BPE rounds over the vocabulary-bounded word
+      // histogram, constant-size CMS grid, id-partitioned scene window,
+      // fingerprint-keyed leakage aggregate, (dim)-keyed decimal stats
+      "text_bpe_merges", "sketch_cms_topk", "media_scene_changes",
+      "text_split_leakage", "ann_dim_stats", "text_quality_model") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
