@@ -47,6 +47,78 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Maximal-marginal-relevance diversified selection (Carbonell &
+    * Goldstein 1998): per query, greedily pick k items from the top-
+    * `nCand` relevance candidates, each step maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_selected` — the diversified
+    * retrieval / training-batch de-redundancy op. Step 1 is pure
+    * relevance; ties break on candidate id.
+    *
+    * Scale: candidate generation here is the brute baseline (broadcast
+    * queries — swap in the IVF probe for the 100 TB path; the MMR
+    * rounds are agnostic to where candidates came from). Each greedy
+    * round touches only the bounded per-query candidate frame
+    * (≤ nCand rows/query, joins and windows all partitioned on
+    * query_id — row-scale NDV), so the k−1 rounds cost k−1 bounded
+    * shuffles regardless of corpus size.
+    */
+  def mmrSelect(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCand: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1 && nCand >= k)
+    // λ quantized to tenths so the MMR combine is exact integer
+    // arithmetic on the 9-dp-scaled similarities: a double
+    // 0.7·rel − 0.3·ms can land within an ulp of a 9-dp half boundary
+    // and round differently across engines (observed in dev); integers
+    // cannot.
+    val lamNum = math.round(lambda * 10).toInt
+    require(lamNum >= 1 && lamNum <= 9 && math.abs(lamNum / 10.0 - lambda) < 1e-12,
+      s"lambda must be a tenth in (0,1), got $lambda")
+    VectorExpressions.register(spark)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__cv"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cand_id"))
+    val cand = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("rel", round(expr("graft_cosine(__qv, __cv)"), 9))
+      .withColumn("__rn", row_number().over(wRel))
+      .filter(col("__rn") <= nCand)
+      .select(col("query_id"), col("cand_id"), col("rel"), col("__cv"))
+      .localCheckpoint()
+    var selected = cand
+      .withColumn("__rn", row_number().over(wRel))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("cand_id"), col("rel"),
+        col("rel").as("mmr"), lit(1L).as("step"), col("__cv"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val sel = selected.select(col("query_id"), col("cand_id").as("__sid"),
+        col("__cv").as("__sv"))
+      val remaining = cand.join(
+        selected.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      val wMmr = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("cand_id"))
+      val pick = remaining
+        .join(sel, "query_id")
+        .withColumn("__s", round(expr("graft_cosine(__cv, __sv)"), 9))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(first(col("rel")).as("rel"), first(col("__cv")).as("__cv"),
+          max(col("__s")).as("__ms"))
+        .withColumn("mmr",
+          ((lit(lamNum.toLong) * round(col("rel") * 1e9, 0).cast("long") -
+            lit((10 - lamNum).toLong) * round(col("__ms") * 1e9, 0).cast("long"))
+            .cast("double") / lit(1.0e10)))
+        .withColumn("__rn", row_number().over(wMmr))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("rel"), col("mmr"),
+          lit(r.toLong).as("step"), col("__cv"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("query_id"), col("step"), col("cand_id"),
+      col("rel"), col("mmr"))
+  }
+
   /** Deterministic ±1 hyperplane weight for (table, bit, dim): md5
     * parity of the coordinate triple. A constant at plan-build time —
     * both the Spark expression and the DuckDB oracle inline the SAME

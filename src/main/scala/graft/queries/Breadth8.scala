@@ -263,6 +263,64 @@ object Breadth8 {
       FROM a ORDER BY dim
     """.trim))
 
+  // ---- MMR diversified selection -----------------------------------------
+
+  private def mmrRoundCtes(r: Int): String = {
+    val prev = s"selu${r - 1}"
+    s"""m$r AS (
+        SELECT c.query_id, c.cand_id, max(${Extensions.sqlCos("c.cv", "s.sv")}) AS ms
+        FROM cand c JOIN (SELECT query_id, cv AS sv FROM $prev) s USING (query_id)
+        WHERE NOT EXISTS (SELECT 1 FROM $prev x
+                          WHERE x.query_id = c.query_id AND x.cand_id = c.cand_id)
+        GROUP BY 1, 2),
+      p$r AS (
+        SELECT query_id, cand_id, rel, mmr, $r::BIGINT AS step, cv FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY mmr DESC, cand_id) AS rn FROM (
+            SELECT c.query_id, c.cand_id, c.rel, c.cv,
+                   (7 * CAST(round(c.rel * 1000000000, 0) AS BIGINT)
+                    - 3 * CAST(round(m.ms * 1000000000, 0) AS BIGINT)) / 1e10 AS mmr
+            FROM m$r m JOIN cand c USING (query_id, cand_id)))
+        WHERE rn = 1),
+      selu$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$r)"""
+  }
+
+  /** MMR top-5 from the 25 most-relevant candidates per query, λ=0.7
+    * (see [[graft.ext.Similarity.mmrSelect]]): diversified retrieval /
+    * batch de-redundancy. The oracle unrolls the four greedy rounds.
+    */
+  val annMmrDiversify = Q(
+    "ann_mmr_diversify",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.ext.Similarity.mmrSelect(s, emb,
+          emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5, nCand = 25, lambda = 0.7)
+        .orderBy(col("query_id"), col("step"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 WHERE vec_id % 100 = 0),
+      c0 AS (SELECT q.query_id, e.vec_id AS cand_id,
+                    ${Extensions.sqlCos("e.embedding", "q.qv")} AS rel,
+                    e.embedding AS cv
+             FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+      cand AS (SELECT query_id, cand_id, rel, cv FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, cand_id) AS rn FROM c0)
+               WHERE rn <= 25),
+      selu1 AS (SELECT query_id, cand_id, rel, rel AS mmr, 1::BIGINT AS step, cv
+                FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand_id) AS rn FROM cand)
+                WHERE rn = 1),
+      ${mmrRoundCtes(2)},
+      ${mmrRoundCtes(3)},
+      ${mmrRoundCtes(4)},
+      ${mmrRoundCtes(5)}
+      SELECT query_id, step, cand_id, rel, mmr FROM selu5
+      ORDER BY query_id, step
+    """.trim))
+
   // ---- BPE tokenizer induction -------------------------------------------
 
   private def bpeRoundCtes(i: Int): String = {
@@ -312,5 +370,5 @@ object Breadth8 {
     """.trim))
 
   def all: Seq[Q] = Seq(mediaSceneChanges, textQualityModel, textSplitLeakage,
-    sketchCmsTopk, sketchCmsMerge, annDimStats, textBpeMerges)
+    sketchCmsTopk, sketchCmsMerge, annDimStats, annMmrDiversify, textBpeMerges)
 }

@@ -111,6 +111,27 @@ class Breadth8Spec extends SparkSpec {
     }
   }
 
+  // ---- MMR ---------------------------------------------------------------
+
+  test("mmrSelect: k distinct picks per query, steps 1..k, scores non-increasing from step 2") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val sel = graft.ext.Similarity.mmrSelect(spark, emb,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, nCand = 25, lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    sel.groupBy(_._1).foreach { case (_, rows) =>
+      val byStep = rows.sortBy(_._2)
+      assert(byStep.map(_._2).toSeq === (1L to 5L))
+      assert(byStep.map(_._3).distinct.length === 5) // diversified = no repeats
+      // the greedy max over a shrinking set with a growing penalty is
+      // non-increasing once the penalty term exists (step >= 2)
+      byStep.drop(1).map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(b <= a + 1e-12)
+        case _           => ()
+      }
+    }
+  }
+
   // ---- linear quality classifier -----------------------------------------
 
   test("withModelQuality: keep == (prob >= 0.5) and prob strictly inside (0,1)") {
