@@ -98,12 +98,20 @@ object TextOps {
     */
   def withModelQuality(df: DataFrame, textCol: String): DataFrame =
     withQuality(df, textCol)
-      .withColumn("logit", round(
+      // logit stays UNROUNDED: every term is +,-,*,/,least over integer
+      // ratios, so both engines produce the bit-identical double — while
+      // round-to-9dp would reintroduce the decimal-half-boundary hazard
+      // (a logit of exactly 0.5000390625 rounded differently across
+      // engines in dev at sf0.1: Spark rounds the shortest decimal
+      // string HALF_UP, DuckDB rounds the binary value, which sits
+      // below the half). Only prob rounds, because exp() is the one
+      // op libms may differ on.
+      .withColumn("logit",
         lit(2.0) * least(col("stop_ratio") * 5.0, lit(1.0)) +
           lit(1.5) * least(col("avg_word_len") / 8.0, lit(1.0)) -
           lit(3.0) * col("punct_ratio") +
           lit(0.5) * least(col("n_words").cast("double") / 200.0, lit(1.0)) -
-          lit(1.2), 9))
+          lit(1.2))
       .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 9))
       .withColumn("keep", (col("prob") >= 0.5).cast("long"))
 

@@ -71,11 +71,11 @@ object Breadth8 {
               ${Extensions.sqlHits(TextOps.StopEn)}::DOUBLE / len(w) AS stop_ratio
             FROM n),
       l AS (SELECT doc_id,
-              round(2.0 * least(stop_ratio * 5.0, 1.0)
+              2.0 * least(stop_ratio * 5.0, 1.0)
                   + 1.5 * least(avg_word_len / 8.0, 1.0)
                   - 3.0 * punct_ratio
                   + 0.5 * least(n_words / 200.0, 1.0)
-                  - 1.2, 9) AS logit
+                  - 1.2 AS logit
             FROM m),
       p AS (SELECT doc_id, logit,
               round(1.0 / (1.0 + exp(-logit)), 9) AS prob FROM l)
@@ -134,9 +134,13 @@ object Breadth8 {
   val sketchCmsTopk = Q(
     "sketch_cms_topk",
     (s, dir) => {
+      // the histogram materializes ONCE (plan-audited: without the
+      // checkpoint every downstream reference — 3 cell rows, top-k,
+      // 3 probe rows — re-scanned the corpus)
       val wc = Tables(s, dir, "documents")
         .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+        .localCheckpoint()
       val cells = SketchOps.cmsCells(wc, "word", "exact_cnt", depth = 3, width = 64)
       val top = wc.orderBy(col("exact_cnt").desc, col("word")).limit(15)
       SketchOps.cmsEstimate(cells, top, "word", depth = 3, width = 64)
@@ -176,17 +180,21 @@ object Breadth8 {
   val sketchCmsMerge = Q(
     "sketch_cms_merge",
     (s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      // one corpus scan: the (partition, word) stream checkpoints once
+      // and base/delta/full histograms all derive from it
+      val words = Tables(s, dir, "documents")
+        .select((col("doc_id") % 10 === 0).as("__delta"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .localCheckpoint()
       def wc(d: org.apache.spark.sql.DataFrame) = d
-        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
-      val base = SketchOps.cmsCells(wc(docs.filter(col("doc_id") % 10 =!= 0)),
+      val base = SketchOps.cmsCells(wc(words.filter(!col("__delta"))),
         "word", "exact_cnt", depth = 3, width = 64)
-      val delta = SketchOps.cmsCells(wc(docs.filter(col("doc_id") % 10 === 0)),
+      val delta = SketchOps.cmsCells(wc(words.filter(col("__delta"))),
         "word", "exact_cnt", depth = 3, width = 64)
       val merged = base.unionByName(delta)
         .groupBy(col("row"), col("bucket")).agg(sum(col("cell")).as("cell"))
-      val full = wc(docs)
+      val full = wc(words).localCheckpoint()
       val top = full.orderBy(col("exact_cnt").desc, col("word")).limit(10)
       SketchOps.cmsEstimate(merged, top, "word", depth = 3, width = 64)
         .join(top, "word")

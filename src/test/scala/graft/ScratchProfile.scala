@@ -35,22 +35,13 @@ object ScratchProfile {
       try graft.etl.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
 
-    // current shape: IVF-PQ recall grid over (m, nprobe) at sfDir
-    import org.apache.spark.sql.functions._
-    val emb = graft.etl.Tables(spark, sfDir, "embeddings")
-    val exact = graft.ext.Similarity.bruteForceTopK(spark, emb,
-        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    for (m <- Seq(8, 16); np <- Seq(2, 3)) {
-      val got = graft.ext.Similarity.ivfPqTopK(spark, emb,
-          emb.filter(col("vec_id") % 100 === 0),
-          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
-          emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000),
-          "vec_id", "embedding", "vec_id", "embedding", m = m, k = 5, nprobe = np)
-        .select("query_id", "neighbor_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(f"m=$m np=$np recall=${(exact & got).size.toDouble / exact.size}%.3f")
+    // current shape: explain(formatted) audit of the round-9 breadth
+    // queries — grep the printed plans for broadcast/pushdown/partition
+    // properties
+    for (name <- Seq("ann_dim_stats", "sketch_cms_topk", "ann_mmr_diversify",
+        "media_scene_changes", "text_split_leakage", "text_bpe_merges")) {
+      println(s"================ $name ================")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
