@@ -271,6 +271,26 @@ object Breadth8 {
       FROM a ORDER BY dim
     """.trim))
 
+  /** Mergeable approximate percentiles: `percentile_approx` (the
+    * Greenwald-Khanna-style quantile summary) over the same row-scale
+    * column whose EXACT path is StatOps.percentiles — the
+    * bounded-memory, partial-aggregating sketch a 100 TB pipeline uses
+    * when the contract tolerates approximation (the q10/q34 sketch
+    * discipline applied to quantiles). Estimates are engine-specific →
+    * rows-only at the driver; Breadth8Spec pins relative error vs the
+    * exact distributed order statistics at ≤ 0.5%.
+    */
+  val q57ApproxPercentile = Q(
+    "q57_approx_percentile",
+    (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile_approx(o_totalprice, 0.5, 10000)").as("p50_approx"),
+          expr("percentile_approx(o_totalprice, 0.9, 10000)").as("p90_approx"))
+        .orderBy(col("o_orderpriority")),
+    None)
+
   // ---- MMR diversified selection -----------------------------------------
 
   private def mmrRoundCtes(r: Int): String = {
@@ -378,5 +398,6 @@ object Breadth8 {
     """.trim))
 
   def all: Seq[Q] = Seq(mediaSceneChanges, textQualityModel, textSplitLeakage,
-    sketchCmsTopk, sketchCmsMerge, annDimStats, annMmrDiversify, textBpeMerges)
+    sketchCmsTopk, sketchCmsMerge, annDimStats, annMmrDiversify, textBpeMerges,
+    q57ApproxPercentile)
 }

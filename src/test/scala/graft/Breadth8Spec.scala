@@ -140,6 +140,31 @@ class Breadth8Spec extends SparkSpec {
     assert(q.filter(col("prob") <= 0.0 || col("prob") >= 1.0).count() === 0L)
   }
 
+  // ---- approx percentiles ------------------------------------------------
+
+  test("percentile_approx lands inside the exact [q-0.02, q+0.02] order-statistic bracket") {
+    // GK returns an ACTUAL data value with bounded RANK error (not the
+    // interpolated quantile_cont value StatOps reports), so the right
+    // pin is a rank bracket: the sketch's answer must sit between the
+    // exact 48th/52nd (88th/92nd) percentiles. On small groups the
+    // value-relative gap between adjacent order statistics can be
+    // percents — a value-relative pin would flake.
+    val o = graft.etl.Tables(spark, sf, "orders")
+    val approx = graft.queries.Breadth8.q57ApproxPercentile.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val exact = graft.etl.StatOps.percentiles(o, Seq("o_orderpriority"),
+        "o_totalprice",
+        Seq("lo50" -> 0.48, "hi50" -> 0.52, "lo90" -> 0.88, "hi90" -> 0.92))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (lo50, hi50, lo90, hi90)) =>
+      val (a50, a90) = approx(k)
+      assert(a50 >= lo50 && a50 <= hi50, s"$k p50: $a50 outside [$lo50, $hi50]")
+      assert(a90 >= lo90 && a90 <= hi90, s"$k p90: $a90 outside [$lo90, $hi90]")
+    }
+  }
+
   // ---- split leakage -----------------------------------------------------
 
   test("split leakage rows always span >= 2 splits and list them sorted") {
