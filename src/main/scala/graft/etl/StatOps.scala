@@ -51,10 +51,15 @@ object StatOps {
     */
   def groupedCdf(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val g = groupCols.map(col)
+    // checkpoint the histogram before range partitioning:
+    // repartitionByRange samples its input to pick boundaries, which
+    // re-evaluates the whole upstream aggregate a second time (measured
+    // ~2x on the sf0.1 percentile queries)
     val hist = df
       .filter(col(valueCol).isNotNull)
       .groupBy(g :+ col(valueCol).cast("double").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val parts = hist
       .repartitionByRange(g :+ col("__v"): _*)
       .withColumn("__pid", spark_partition_id())
@@ -95,7 +100,10 @@ object StatOps {
   def withRunningSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
       valueCol: String, outCol: String): DataFrame = {
     val g = groupCols.map(col)
-    val parts = df.repartitionByRange(g ++ orderCols.map(col): _*)
+    // same double-evaluation guard as groupedCdf: the range partitioner
+    // samples its input, re-running any non-trivial upstream plan
+    val parts = df.localCheckpoint()
+      .repartitionByRange(g ++ orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
     val partTotals = parts.groupBy(col("__pid") +: g: _*)
       .agg(sum(col(valueCol)).as("__pc"))

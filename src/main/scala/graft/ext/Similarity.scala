@@ -47,6 +47,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) across two exact
+    * retrievers — cosine and Euclidean, which genuinely disagree when
+    * vector norms vary — the hybrid-search combiner
+    * (`Σ 1/(rrfK + rank_i)`, absent rankings contribute 0). Fusion
+    * needs only the two (query_id, id, rank) frames, so any retriever
+    * pair (BM25 + dense, exact + PQ) plugs into the same join; ranks
+    * are small integers, making the fused score identical doubles in
+    * both engines with no rounding step.
+    *
+    * Scale: both rankings and the fusion join are query_id-partitioned
+    * over ≤ kPool rows/query; the corpus-size work is the two scoring
+    * scans (broadcast queries — swap IVF probes in at 100 TB).
+    */
+  def rankFusionTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, kPool: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && kPool >= k)
+    VectorExpressions.register(spark)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", round(expr("graft_cosine(__qv, __cv)"), 9))
+      .withColumn("__l2", round(sqrt(expr(
+        """aggregate(zip_with(__qv, __cv,
+             (x, y) -> (cast(x as double) - cast(y as double))
+                       * (cast(x as double) - cast(y as double))),
+           cast(0.0 as double), (a, x) -> a + x)""")), 9))
+      .localCheckpoint()
+    def ranked(orderCol: Column, name: String) = scored
+      .withColumn(name, row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(orderCol, col("neighbor_id"))).cast("long"))
+      .filter(col(name) <= kPool)
+      .select(col("query_id"), col("neighbor_id"), col(name))
+    val byCos = ranked(col("__cos").desc, "rank_cos")
+    val byL2 = ranked(col("__l2").asc, "rank_l2")
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    byCos.join(byL2, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rank_cos")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rank_l2")), lit(0.0)))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("rrf_score"))
+  }
+
   /** Maximal-marginal-relevance diversified selection (Carbonell &
     * Goldstein 1998): per query, greedily pick k items from the top-
     * `nCand` relevance candidates, each step maximizing

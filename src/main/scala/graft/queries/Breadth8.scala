@@ -349,6 +349,52 @@ object Breadth8 {
       ORDER BY query_id, step
     """.trim))
 
+  /** Reciprocal-rank fusion of the cosine and Euclidean rankings
+    * (top-20 pools, k=60 fusion constant, top-5 fused) — see
+    * [[graft.ext.Similarity.rankFusionTopK]]. The hybrid-search
+    * combiner over retrievers that genuinely disagree on this corpus
+    * (vector norms vary), with the fused score exact in both engines
+    * because ranks are small integers.
+    */
+  val annRankFusion = Q(
+    "ann_rank_fusion",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.ext.Similarity.rankFusionTopK(s, emb,
+          emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5, kPool = 20)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 WHERE vec_id % 100 = 0),
+      sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                    ${Extensions.sqlCos("e.embedding", "q.qv")} AS cosv,
+                    round(sqrt(list_sum(list_transform(range(len(q.qv)), i ->
+                      (q.qv[i+1]::DOUBLE - e.embedding[i+1]::DOUBLE)
+                      * (q.qv[i+1]::DOUBLE - e.embedding[i+1]::DOUBLE)))), 9) AS l2v
+             FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+      rc AS (SELECT query_id, neighbor_id, rn::BIGINT AS rank_cos FROM (
+               SELECT query_id, neighbor_id, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosv DESC, neighbor_id) AS rn
+               FROM sc) WHERE rn <= 20),
+      rl AS (SELECT query_id, neighbor_id, rn::BIGINT AS rank_l2 FROM (
+               SELECT query_id, neighbor_id, row_number() OVER (
+                 PARTITION BY query_id ORDER BY l2v ASC, neighbor_id) AS rn
+               FROM sc) WHERE rn <= 20),
+      f AS (SELECT coalesce(rc.query_id, rl.query_id) AS query_id,
+                   coalesce(rc.neighbor_id, rl.neighbor_id) AS neighbor_id,
+                   coalesce(1.0 / (60.0 + rank_cos), 0.0)
+                     + coalesce(1.0 / (60.0 + rank_l2), 0.0) AS rrf_score
+            FROM rc FULL OUTER JOIN rl
+              ON rc.query_id = rl.query_id AND rc.neighbor_id = rl.neighbor_id)
+      SELECT query_id, rank, neighbor_id, rrf_score FROM (
+        SELECT query_id, neighbor_id, rrf_score, row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id)::BIGINT AS rank
+        FROM f) WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
   // ---- BPE tokenizer induction -------------------------------------------
 
   private def bpeRoundCtes(i: Int): String = {
@@ -398,6 +444,6 @@ object Breadth8 {
     """.trim))
 
   def all: Seq[Q] = Seq(mediaSceneChanges, textQualityModel, textSplitLeakage,
-    sketchCmsTopk, sketchCmsMerge, annDimStats, annMmrDiversify, textBpeMerges,
-    q57ApproxPercentile)
+    sketchCmsTopk, sketchCmsMerge, annDimStats, annMmrDiversify, annRankFusion,
+    textBpeMerges, q57ApproxPercentile)
 }

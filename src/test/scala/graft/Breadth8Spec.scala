@@ -132,6 +132,26 @@ class Breadth8Spec extends SparkSpec {
     }
   }
 
+  // ---- rank fusion -------------------------------------------------------
+
+  test("rankFusionTopK: retrievers genuinely disagree; fused picks come from the pools") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val fused = graft.ext.Similarity.rankFusionTopK(spark, emb, q,
+      "vec_id", "embedding", k = 5, kPool = 20)
+    val cosTop = graft.ext.Similarity.bruteForceTopK(spark, emb, q,
+        "vec_id", "embedding", k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = fused.collect()
+    // max possible score is both rank-1 slots: 2/61
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 2.0 / 61 + 1e-12))
+    // on this corpus the L2 ranking must actually differ from cosine
+    // somewhere (vector norms vary) — otherwise the op tests nothing
+    val fusedSet = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(fusedSet.exists(p => !cosTop.contains(p)) ||
+      rows.exists(r => r.getDouble(3) < 2.0 / 61 - 1e-12))
+  }
+
   // ---- linear quality classifier -----------------------------------------
 
   test("withModelQuality: keep == (prob >= 0.5) and prob strictly inside (0,1)") {
