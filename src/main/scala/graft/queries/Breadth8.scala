@@ -123,6 +123,43 @@ object Breadth8 {
       ORDER BY fingerprint
     """.trim))
 
+  /** Leakage-SAFE split assignment — the fix for what
+    * `text_split_leakage` detects: every doc inherits the split of its
+    * duplicate-cluster representative (min doc id per content
+    * fingerprint), so same-content docs can never straddle splits
+    * (Breadth8Spec pins zero leakage over these splits). Plan: the
+    * fingerprint aggregate and the join back share one
+    * fingerprint-keyed shuffle — exact dedup's shape plus an equi
+    * join, still a single data-movement pass at 100 TB.
+    */
+  val textSplitByCluster = Q(
+    "text_split_by_cluster",
+    (s, dir) => {
+      val d = Extensions.augmentedDocs(s, dir, perturb = false)
+        .withColumn("fingerprint", md5(Dedup.normText(col("text"))))
+      val rep = d.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("rep_id"))
+      d.join(rep, "fingerprint")
+        .withColumn("__b", Dedup.hash32(col("rep_id").cast("string")) % 100)
+        .withColumn("split",
+          when(col("__b") < 80, "train").when(col("__b") < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("fingerprint"), col("rep_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${Extensions.augCte(perturb = false)},
+      t AS (SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM aug),
+      r AS (SELECT fingerprint, min(doc_id) AS rep_id FROM t GROUP BY fingerprint),
+      j AS (SELECT t.doc_id, t.fingerprint, r.rep_id,
+              ('0x' || substr(md5(r.rep_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+            FROM t JOIN r USING (fingerprint))
+      SELECT doc_id, fingerprint, rep_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM j ORDER BY doc_id
+    """.trim))
+
   /** Count-min heavy hitters: the corpus word histogram sketched into a
     * 3×64 mergeable cell grid, point-estimated for the exact top-15
     * words (est >= exact always; equality when no full-row collision).
@@ -180,21 +217,22 @@ object Breadth8 {
   val sketchCmsMerge = Q(
     "sketch_cms_merge",
     (s, dir) => {
-      // one corpus scan: the (partition, word) stream checkpoints once
-      // and base/delta/full histograms all derive from it
-      val words = Tables(s, dir, "documents")
+      // one corpus scan, and the checkpoint holds the COMPACT
+      // per-(partition, word) histogram, not the exploded word stream
+      // (checkpointing the stream measured 20 s at 10× vs ~4 s here);
+      // base/delta/full histograms all derive from it
+      val wcPart = Tables(s, dir, "documents")
         .select((col("doc_id") % 10 === 0).as("__delta"),
           explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy(col("__delta"), col("word")).agg(count(lit(1)).as("exact_cnt"))
         .localCheckpoint()
-      def wc(d: org.apache.spark.sql.DataFrame) = d
-        .groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
-      val base = SketchOps.cmsCells(wc(words.filter(!col("__delta"))),
+      val base = SketchOps.cmsCells(wcPart.filter(!col("__delta")),
         "word", "exact_cnt", depth = 3, width = 64)
-      val delta = SketchOps.cmsCells(wc(words.filter(col("__delta"))),
+      val delta = SketchOps.cmsCells(wcPart.filter(col("__delta")),
         "word", "exact_cnt", depth = 3, width = 64)
       val merged = base.unionByName(delta)
         .groupBy(col("row"), col("bucket")).agg(sum(col("cell")).as("cell"))
-      val full = wc(words).localCheckpoint()
+      val full = wcPart.groupBy(col("word")).agg(sum(col("exact_cnt")).as("exact_cnt"))
       val top = full.orderBy(col("exact_cnt").desc, col("word")).limit(10)
       SketchOps.cmsEstimate(merged, top, "word", depth = 3, width = 64)
         .join(top, "word")
@@ -444,6 +482,6 @@ object Breadth8 {
     """.trim))
 
   def all: Seq[Q] = Seq(mediaSceneChanges, textQualityModel, textSplitLeakage,
-    sketchCmsTopk, sketchCmsMerge, annDimStats, annMmrDiversify, annRankFusion,
-    textBpeMerges, q57ApproxPercentile)
+    textSplitByCluster, sketchCmsTopk, sketchCmsMerge, annDimStats,
+    annMmrDiversify, annRankFusion, textBpeMerges, q57ApproxPercentile)
 }

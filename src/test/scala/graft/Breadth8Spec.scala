@@ -187,6 +187,16 @@ class Breadth8Spec extends SparkSpec {
 
   // ---- split leakage -----------------------------------------------------
 
+  test("cluster-aware splits leak NOTHING: every fingerprint lands in one split") {
+    val splits = graft.queries.Breadth8.textSplitByCluster.fn(spark, sf)
+    assert(splits.groupBy(col("fingerprint"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count() === 0L)
+    // and the id-hash splitter DOES leak on the same corpus — the two
+    // queries demonstrate the bug and the fix as a pair
+    assert(graft.queries.Breadth8.textSplitLeakage.fn(spark, sf).count() > 0L)
+  }
+
   test("split leakage rows always span >= 2 splits and list them sorted") {
     val leak = graft.queries.Breadth8.textSplitLeakage.fn(spark, sf)
     val rows = leak.collect()

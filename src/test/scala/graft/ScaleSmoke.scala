@@ -142,6 +142,12 @@ import org.apache.spark.sql.functions._
   * leaked fingerprints (one fingerprint-keyed aggregate);
   * ann_dim_stats 0.40s over 32M (dim,x) pairs (map-side-combining
   * 64-group aggregate); text_quality_model 0.17s (pure scan).
+  * Late round-9 at replicas=10: sketch_cms_merge 4.3s (after moving
+  * the checkpoint from the exploded word stream — 20s — to the
+  * compact per-partition histogram); text_split_by_cluster 5.0s for
+  * 100k cluster-consistent assignments (one fingerprint-keyed
+  * shuffle); q57_approx_percentile 0.44s (GK partials, no histogram
+  * shuffle at all — the approximate counterpart's whole point).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -243,7 +249,14 @@ object ScaleSmoke {
       // histogram, constant-size CMS grid, id-partitioned scene window,
       // fingerprint-keyed leakage aggregate, (dim)-keyed decimal stats
       "text_bpe_merges", "sketch_cms_topk", "media_scene_changes",
-      "text_split_leakage", "ann_dim_stats", "text_quality_model") ++
+      "text_split_leakage", "ann_dim_stats", "text_quality_model",
+      // round-9 late: incremental sketch merge, GK quantile sketch
+      // (ann_rank_fusion is excluded like the brute cosine baseline:
+      // its candidate stage here is the deliberate quadratic brute
+      // scorer — the fusion join itself is pool-bounded, and the scale
+      // path swaps IVF-probe rankings in)
+      "sketch_cms_merge", "q57_approx_percentile",
+      "text_split_by_cluster") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
