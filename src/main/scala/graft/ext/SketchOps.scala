@@ -46,7 +46,9 @@ object SketchOps {
 
   /** Point estimates for a candidate key table: min over the d probed
     * cells. The cell table is broadcast (d×w rows by construction);
-    * candidates never shuffle.
+    * candidates never shuffle. An empty probed cell reads as 0 (left
+    * join, not inner — a key the sketch never saw must estimate 0, and
+    * an inner join would silently take the min over fewer rows).
     */
   def cmsEstimate(cells: DataFrame, candidates: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
@@ -55,9 +57,9 @@ object SketchOps {
       .map(r => candidates.select(col(keyCol), lit(r.toLong).as("row"),
         bucket(keyCol, r, width).as("bucket")))
       .reduce(_ unionByName _)
-      .join(broadcast(cells), Seq("row", "bucket"))
+      .join(broadcast(cells), Seq("row", "bucket"), "left_outer")
       .groupBy(col(keyCol))
-      .agg(min(col("cell")).as("cms_est"))
+      .agg(min(coalesce(col("cell"), lit(0L))).as("cms_est"))
   }
 
   /** Streaming maintenance of the cell grid: one occurrence per input

@@ -94,6 +94,18 @@ class Breadth8Spec extends SparkSpec {
     assert(est === Map("alpha" -> 10L, "beta" -> 3L))
   }
 
+  test("CMS estimates 0 for a key the sketch never saw (unless it collides everywhere)") {
+    val wc = Seq(("alpha", 10L)).toDF("word", "cnt")
+    val cells = SketchOps.cmsCells(wc, "word", "cnt", 3, 64)
+    val unseen = Seq("never-inserted-key").toDF("word")
+    val est = SketchOps.cmsEstimate(cells, unseen, "word", 3, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a single inserted key cannot fill all 3 of the probe's cells
+    // (different salts -> different buckets with overwhelming odds; the
+    // fixture keys verified disjoint), so the min must see an empty cell
+    assert(est === Map("never-inserted-key" -> 0L))
+  }
+
   // ---- scene changes -----------------------------------------------------
 
   test("sceneChanges: scene_no starts at 0, is nondecreasing, steps by at most 1") {
