@@ -271,6 +271,57 @@ object Breadth8 {
       ORDER BY exact_cnt DESC, word
     """.trim))
 
+  /** Incremental k-means, the model twin of the index merges: base and
+    * delta corpora each reduce to per-(cluster, dim) sufficient
+    * statistics (decimal-exact coordinate sums + counts) against the
+    * FIXED centroid model; the merged centroid update is statistic
+    * addition — never a corpus rescan — and equals the full-corpus
+    * recompute exactly (decimal sums are associative; Breadth8Spec pins
+    * it). This is the mini-batch/distributed centroid-update shape: at
+    * 100 TB each partition ships k×dims rows, the merge is
+    * constant-size.
+    */
+  val annKmeansMerge = Q(
+    "ann_kmeans_merge",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000)
+      def stats(part: org.apache.spark.sql.DataFrame) =
+        graft.ext.Similarity.kmeansAssign(s, part, cents,
+            "vec_id", "embedding", "vec_id", "embedding")
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+          .agg(sum(round(col("x").cast("double"), 9)
+            .cast(DecimalType(27, 9))).as("__s"), count(lit(1)).as("n"))
+      stats(emb.filter(col("vec_id") % 10 =!= 0))
+        .unionByName(stats(emb.filter(col("vec_id") % 10 === 0)))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("__s")).as("__s"), sum(col("n")).as("n"))
+        .select(col("cluster"), col("dim"), col("n"),
+          round(col("__s").cast("double") / col("n"), 9).as("mean"))
+        .orderBy(col("cluster"), col("dim"))
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id % 37 = 0 AND vec_id < 5000),
+      a AS (SELECT vec_id, embedding, is_delta, cid FROM (
+              SELECT e.vec_id, e.embedding, (e.vec_id % 10 = 0) AS is_delta, t.cid,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+              FROM embeddings e, cent t) WHERE rn = 1),
+      x AS (SELECT cid AS cluster, i AS dim, embedding[(i + 1)::INT]::DOUBLE AS xd,
+                   is_delta
+            FROM a, unnest(range(len(embedding))) AS u(i)),
+      s AS (SELECT cluster, dim, is_delta,
+                   sum(CAST(round(xd, 9) AS DECIMAL(27, 9))) AS s,
+                   count(*) AS n
+            FROM x GROUP BY 1, 2, 3),
+      m AS (SELECT cluster, dim, sum(s) AS s, sum(n)::BIGINT AS n
+            FROM s GROUP BY 1, 2)
+      SELECT cluster, dim, n, round(s::DOUBLE / n, 9) AS mean
+      FROM m ORDER BY cluster, dim
+    """.trim))
+
   /** Per-dimension embedding statistics (mean/std): the anisotropy and
     * whitening diagnostic. Sums are 9-dp-rounded DECIMAL(27,9) — exact
     * and order-independent (the kmeans centroid discipline) — divided
@@ -483,5 +534,6 @@ object Breadth8 {
 
   def all: Seq[Q] = Seq(mediaSceneChanges, textQualityModel, textSplitLeakage,
     textSplitByCluster, sketchCmsTopk, sketchCmsMerge, annDimStats,
-    annMmrDiversify, annRankFusion, textBpeMerges, q57ApproxPercentile)
+    annKmeansMerge, annMmrDiversify, annRankFusion, textBpeMerges,
+    q57ApproxPercentile)
 }

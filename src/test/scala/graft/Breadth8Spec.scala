@@ -106,6 +106,25 @@ class Breadth8Spec extends SparkSpec {
     assert(est === Map("never-inserted-key" -> 0L))
   }
 
+  // ---- incremental k-means -----------------------------------------------
+
+  test("merged k-means sufficient statistics equal the full-corpus recompute") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val cents = emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000)
+    val full = graft.ext.Similarity.kmeansAssign(spark, emb, cents,
+        "vec_id", "embedding", "vec_id", "embedding")
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("x").cast("double"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(27, 9))).cast("double")
+          / count(lit(1)), 9).as("mean"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val merged = graft.queries.Breadth8.annKmeansMerge.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(merged === full) // decimal sums are associative — exact equality
+  }
+
   // ---- scene changes -----------------------------------------------------
 
   test("sceneChanges: scene_no starts at 0, is nondecreasing, steps by at most 1") {

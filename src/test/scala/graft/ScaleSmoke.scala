@@ -142,6 +142,15 @@ import org.apache.spark.sql.functions._
   * leaked fingerprints (one fingerprint-keyed aggregate);
   * ann_dim_stats 0.40s over 32M (dim,x) pairs (map-side-combining
   * 64-group aggregate); text_quality_model 0.17s (pure scan).
+  * Round-9 ops at replicas=20 (≈sf2: 3M orders, 12M lineitem, 100k
+  * docs): the scale-safe rewrites are FLAT vs 10× — q9_percentiles
+  * 2.9s (2.9 at 10×), q55_winsorize 3.1s, q56_quantile_transform
+  * 4.9s emitting 12M transformed rows (5.2 at 10×) — the distributed
+  * CDF's cost is histogram-bounded, not corpus-bounded, exactly the
+  * 100× claim; text_bpe_merges 2.6s (vocabulary saturates, rounds
+  * cost ~nothing more), sketch grid builds 0.7-1.1s, scene cuts 0.5s
+  * for 514k frames, split-by-cluster 2.3s for 200k docs, dim stats
+  * 0.46s, GK quantile sketch 0.29s.
   * Late round-9 at replicas=10: sketch_cms_merge 4.3s (after moving
   * the checkpoint from the exploded word stream — 20s — to the
   * compact per-partition histogram); text_split_by_cluster 5.0s for
@@ -256,7 +265,7 @@ object ScaleSmoke {
       // scorer — the fusion join itself is pool-bounded, and the scale
       // path swaps IVF-probe rankings in)
       "sketch_cms_merge", "q57_approx_percentile",
-      "text_split_by_cluster") ++
+      "text_split_by_cluster", "ann_kmeans_merge") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
