@@ -297,8 +297,12 @@ object Breadth8 {
         .unionByName(stats(emb.filter(col("vec_id") % 10 === 0)))
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(col("__s")).as("__s"), sum(col("n")).as("n"))
+        // mean stays UNROUNDED: exact decimal sum -> double cast -> one
+        // IEEE divide is bit-identical in both engines, while a 9-dp
+        // round re-introduces the decimal-half-boundary divergence
+        // (observed at sf0.1: a mean of ...2655 rounded differently)
         .select(col("cluster"), col("dim"), col("n"),
-          round(col("__s").cast("double") / col("n"), 9).as("mean"))
+          (col("__s").cast("double") / col("n")).as("mean"))
         .orderBy(col("cluster"), col("dim"))
     },
     Some(s"""
@@ -318,7 +322,7 @@ object Breadth8 {
             FROM x GROUP BY 1, 2, 3),
       m AS (SELECT cluster, dim, sum(s) AS s, sum(n)::BIGINT AS n
             FROM s GROUP BY 1, 2)
-      SELECT cluster, dim, n, round(s::DOUBLE / n, 9) AS mean
+      SELECT cluster, dim, n, s::DOUBLE / n AS mean
       FROM m ORDER BY cluster, dim
     """.trim))
 

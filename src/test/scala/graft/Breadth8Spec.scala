@@ -116,9 +116,9 @@ class Breadth8Spec extends SparkSpec {
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),
-        round(sum(round(col("x").cast("double"), 9)
+        (sum(round(col("x").cast("double"), 9)
           .cast(org.apache.spark.sql.types.DecimalType(27, 9))).cast("double")
-          / count(lit(1)), 9).as("mean"))
+          / count(lit(1))).as("mean"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     val merged = graft.queries.Breadth8.annKmeansMerge.fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
