@@ -848,7 +848,8 @@ object TextOps {
         col("cnt"))
       .localCheckpoint()
     val merges = Seq.newBuilder[DataFrame]
-    for (r <- 1 to rounds) {
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
       val best = words
         .withColumn("__syms", expr("filter(split(seq, '\\\\|'), x -> x != '')"))
         .filter(size(col("__syms")) >= 2)
@@ -862,6 +863,11 @@ object TextOps {
         .select(lit(r.toLong).as("merge_round"), col("left_sym"), col("right_sym"),
           col("pair_cnt"))
         .localCheckpoint()
+      // a fully-merged vocabulary has no adjacent pairs left: stop
+      // instead of cross-joining an empty rule (which would wipe the
+      // histogram) — the output then has fewer than `rounds` rows
+      if (best.isEmpty) { exhausted = true }
+      else {
       merges += best
       val rule = broadcast(best.select(
         concat(lit("|"), col("left_sym"), lit("|"), col("right_sym"), lit("|")).as("__pat"),
@@ -871,7 +877,10 @@ object TextOps {
       words = words.crossJoin(rule)
         .select(merged.as("seq"), col("cnt"))
         .localCheckpoint()
+      }
     }
-    merges.result().reduce(_ unionByName _).orderBy(col("merge_round"))
+    val ms = merges.result()
+    require(ms.nonEmpty, "corpus has no adjacent symbol pairs to merge")
+    ms.reduce(_ unionByName _).orderBy(col("merge_round"))
   }
 }

@@ -270,4 +270,82 @@ class PropertySpec extends SparkSpec {
       assert(got(id) === expect, s"vec $id: kernel ${got(id)} vs reference $expect")
     }
   }
+  // ---- model-based BPE check ---------------------------------------------
+
+  /** Reference BPE: single left-to-right greedy merge pass per round
+    * over an in-memory word histogram — the semantics the distributed
+    * fixpoint-replace implementation must reproduce exactly.
+    */
+  private def refBpe(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var syms: Map[Vector[String], Long] =
+      words.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((s, c) <- syms; i <- 0 until s.length - 1) pc((s(i), s(i + 1))) += c
+      if (pc.isEmpty) done = true
+      else {
+        val ((bl, br), bc) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((bl, br, bc))
+        syms = syms.map { case (s, c) =>
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == bl && s(i + 1) == br) { buf += bl + br; i += 2 }
+            else { buf += s(i); i += 1 }
+          }
+          (buf.result(), c)
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("distributed BPE equals the in-memory greedy reference on random corpora") {
+    // small alphabet -> dense runs and touching occurrences, the cases
+    // where fixpoint-replace and a naive single replace pass diverge
+    val word: Gen[String] = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpus: Gen[List[String]] = Gen.choose(5, 25).flatMap(Gen.listOfN(_, word))
+    samples(corpus, 12).zipWithIndex.foreach { case (ws, i) =>
+      val wc = ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val expect = refBpe(wc, rounds = 3)
+      if (expect.nonEmpty) {
+        val got = TextOps.bpeMerges(Seq(ws.mkString(" ")).toDF("text"), "text", rounds = 3)
+          .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+        assert(got === expect, s"corpus #$i: $ws")
+      }
+    }
+  }
+
+  // ---- CMS properties over random weighted tables ------------------------
+
+  test("CMS upper bound and mergeability hold on random weighted key tables") {
+    val entry: Gen[(String, Long)] = for {
+      k <- Gen.choose(1, 6).flatMap(Gen.listOfN(_, Gen.alphaLowerChar)).map(_.mkString)
+      w <- Gen.choose(1L, 100L)
+    } yield (k, w)
+    val table: Gen[List[(String, Long)]] = Gen.choose(3, 30).flatMap(Gen.listOfN(_, entry))
+    samples(table, 6).foreach { raw =>
+      val wc = raw.groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }.toSeq
+      val df = wc.toDF("word", "cnt")
+      val cells = graft.ext.SketchOps.cmsCells(df, "word", "cnt", 3, 32)
+      val est = graft.ext.SketchOps.cmsEstimate(cells, df, "word", 3, 32)
+        .join(df, "word")
+      assert(est.filter(col("cms_est") < col("cnt")).count() === 0L)
+      // split at an arbitrary boundary: cells merge by addition
+      val (a, b) = wc.splitAt(wc.length / 2)
+      if (a.nonEmpty && b.nonEmpty) {
+        val merged = graft.ext.SketchOps.cmsCells(a.toDF("word", "cnt"), "word", "cnt", 3, 32)
+          .unionByName(graft.ext.SketchOps.cmsCells(b.toDF("word", "cnt"), "word", "cnt", 3, 32))
+          .groupBy(col("row"), col("bucket")).agg(sum(col("cell")).as("cell"))
+        val full = graft.ext.SketchOps.cmsCells(df, "word", "cnt", 3, 32)
+        assert(merged.join(full, Seq("row", "bucket"), "full_outer")
+          .filter(not(merged("cell") <=> full("cell"))).count() === 0L)
+      }
+    }
+  }
 }
