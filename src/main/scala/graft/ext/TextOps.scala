@@ -258,6 +258,66 @@ object TextOps {
       .select(col(idCol), col("rn"), col("term"), col("tf"), col("df_docs"), col("tfidf"))
   }
 
+  /** Sparse TF-IDF all-pairs similarity join (the classic similarity
+    * self-join): documents become sparse TF-IDF vectors and pairs score
+    * by cosine via a TERM-KEYED join — only docs sharing a term ever
+    * meet, and terms with document frequency above `maxDf` are pruned
+    * from pair GENERATION (the standard frequent-term cut: a term in
+    * half the corpus contributes nothing to discrimination but df²
+    * candidate pairs). The cosine is computed entirely in the pruned
+    * subspace — norms over the df-capped terms too — so a pair of
+    * near-identical docs scores ≈ 1 regardless of how many frequent
+    * terms were cut (full-vector norms would deflate every score by
+    * the pruned mass and make the threshold meaningless).
+    *
+    * Scale: pair volume is Σ_t df_t² ≤ maxDf · |postings| — linear in
+    * the corpus with a constant bound, the same propose discipline as
+    * the MinHash bands; one term shuffle + one (doc_a, doc_b) reduce.
+    * Dot/norm sums use the BM25 decimal discipline (9-dp-rounded
+    * ln-derived products, DECIMAL(27,9) accumulation — exact and
+    * order-independent).
+    */
+  def tfidfSimilarPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, minSim: Double, ngram: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // terms are word n-gram shingles: on a small-vocabulary corpus
+    // unigrams are all frequent (the sf0.01 fixture has 31 distinct
+    // words, min df 25 — every term would be pruned) while shingles
+    // recover discriminative context, exactly as in the MinHash family
+    val sh = (0 until ngram).map(j => s"__w[i+$j]").mkString(", ")
+    val shingleable = docs.withColumn("__w", words(col(textCol)))
+      .filter(size(col("__w")) >= ngram)
+      .localCheckpoint()
+    val terms = shingleable
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__w) - $ngram), i -> concat_ws(' ', $sh))")).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    // n_docs counts the docs that actually enter the shingle space
+    val n = shingleable.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("w",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df_docs") + 1)), 9))
+      .localCheckpoint() // reused by norms and both join sides
+    val pruned = w.filter(col("df_docs") <= maxDf)
+    val norms = pruned.groupBy(col(idCol))
+      .agg(round(sqrt(sum(round(col("w") * col("w"), 9)
+        .cast(DecimalType(27, 9))).cast("double")), 9).as("nrm"))
+    val aSide = pruned.select(col("term"), col(idCol).as("doc_a"), col("w").as("wa"))
+    val bSide = pruned.select(col("term"), col(idCol).as("doc_b"), col("w").as("wb"))
+    aSide.join(bSide, "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(round(col("wa") * col("wb"), 9)
+        .cast(DecimalType(27, 9))).cast("double").as("dot"))
+      .join(norms.select(col(idCol).as("doc_a"), col("nrm").as("__na")), "doc_a")
+      .join(norms.select(col(idCol).as("doc_b"), col("nrm").as("__nb")), "doc_b")
+      .withColumn("sim", round(col("dot") / (col("__na") * col("__nb")), 9))
+      .filter(col("sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
+  }
+
   /** CCNet-style unigram language-model quality score: each document's
     * mean negative log-likelihood under an add-1-smoothed unigram model
     * trained on the corpus itself (p(w) = (count(w)+1)/(total+vocab)).

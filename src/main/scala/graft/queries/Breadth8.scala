@@ -160,6 +160,46 @@ object Breadth8 {
       FROM j ORDER BY doc_id
     """.trim))
 
+  /** Sparse TF-IDF similarity self-join over the perturbed augmented
+    * corpus (df ≤ 20 pair generation, cosine ≥ 0.5) — see
+    * [[TextOps.tfidfSimilarPairs]]. The weighted-vector complement to
+    * the MinHash/simhash set-overlap propose stages.
+    */
+  val dedupTfidfPairs = Q(
+    "dedup_tfidf_pairs",
+    (s, dir) =>
+      TextOps.tfidfSimilarPairs(Extensions.augmentedDocs(s, dir, perturb = true),
+          "doc_id", "text", maxDf = 20, minSim = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH ${Extensions.augCte(perturb = true)},
+      norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM aug
+               WHERE len(${Extensions.NormW}) >= 3),
+      t AS (SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS term
+            FROM norm, unnest(range(1, len(w) - 1)) AS u(i)),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM norm),
+      wt AS (SELECT tf.doc_id, tf.term, dfq.df_docs,
+               round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (dfq.df_docs + 1)), 9) AS w
+             FROM tf JOIN dfq USING (term) CROSS JOIN n),
+      pr AS (SELECT * FROM wt WHERE df_docs <= 20),
+      nrm AS (SELECT doc_id,
+                round(sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(27, 9)))
+                  AS DOUBLE)), 9) AS nrm
+              FROM pr GROUP BY doc_id),
+      d AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(27, 9))) AS DOUBLE) AS dot
+            FROM pr a JOIN pr b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      s AS (SELECT doc_a, doc_b,
+              round(dot / (na.nrm * nb.nrm), 9) AS sim
+            FROM d JOIN nrm na ON na.doc_id = d.doc_a
+                   JOIN nrm nb ON nb.doc_id = d.doc_b)
+      SELECT doc_a, doc_b, sim FROM s WHERE sim >= 0.5
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   /** Count-min heavy hitters: the corpus word histogram sketched into a
     * 3×64 mergeable cell grid, point-estimated for the exact top-15
     * words (est >= exact always; equality when no full-row collision).
@@ -537,7 +577,7 @@ object Breadth8 {
     """.trim))
 
   def all: Seq[Q] = Seq(mediaSceneChanges, textQualityModel, textSplitLeakage,
-    textSplitByCluster, sketchCmsTopk, sketchCmsMerge, annDimStats,
-    annKmeansMerge, annMmrDiversify, annRankFusion, textBpeMerges,
-    q57ApproxPercentile)
+    textSplitByCluster, dedupTfidfPairs, sketchCmsTopk, sketchCmsMerge,
+    annDimStats, annKmeansMerge, annMmrDiversify, annRankFusion,
+    textBpeMerges, q57ApproxPercentile)
 }

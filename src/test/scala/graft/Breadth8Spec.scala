@@ -191,6 +191,21 @@ class Breadth8Spec extends SparkSpec {
     assert(q.filter(col("prob") <= 0.0 || col("prob") >= 1.0).count() === 0L)
   }
 
+  // ---- TF-IDF similarity join --------------------------------------------
+
+  test("tfidfSimilarPairs finds every perturbed copy pair at high similarity") {
+    val pairs = graft.queries.Breadth8.dedupTfidfPairs.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every original with >= 3+2 words pairs with its "xx "-prefixed copy
+    val eligible = graft.etl.Tables(spark, sf, "documents")
+      .filter(size(split(graft.ext.Dedup.normText(col("text")), " ")) >= 3)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    eligible.foreach { id =>
+      val sim = pairs.get((id, id + 100000L))
+      assert(sim.exists(_ >= 0.5), s"doc $id: copy pair missing or weak ($sim)")
+    }
+  }
+
   // ---- approx percentiles ------------------------------------------------
 
   test("percentile_approx lands inside the exact [q-0.02, q+0.02] order-statistic bracket") {

@@ -151,6 +151,11 @@ import org.apache.spark.sql.functions._
   * cost ~nothing more), sketch grid builds 0.7-1.1s, scene cuts 0.5s
   * for 514k frames, split-by-cluster 2.3s for 200k docs, dim stats
   * 0.46s, GK quantile sketch 0.29s.
+  * dedup_tfidf_pairs at replicas=10: 18.3s / 51k pairs — the
+  * replication-clique output artifact shared by every pair-listing op,
+  * but 20× fewer pairs than the lang-bucket jaccard because the df cap
+  * self-limits: replication multiplies every shingle's df toward the
+  * cut, pruning exactly the shingles that would explode.
   * Late round-9 at replicas=10: sketch_cms_merge 4.3s (after moving
   * the checkpoint from the exploded word stream — 20s — to the
   * compact per-partition histogram); text_split_by_cluster 5.0s for
@@ -265,7 +270,11 @@ object ScaleSmoke {
       // scorer — the fusion join itself is pool-bounded, and the scale
       // path swaps IVF-probe rankings in)
       "sketch_cms_merge", "q57_approx_percentile",
-      "text_split_by_cluster", "ann_kmeans_merge") ++
+      "text_split_by_cluster", "ann_kmeans_merge",
+      // shingle-TFIDF sim join: the df cap SELF-limits under
+      // replication (copies multiply every shingle's df toward the
+      // cut), unlike the unbounded lang-bucket jaccard
+      "dedup_tfidf_pairs") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
