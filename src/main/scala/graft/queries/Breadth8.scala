@@ -7,10 +7,15 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Round-9 breadth: scene-change segmentation on the media byte-stream,
   * model-based quality filtering (fasttext-shaped linear classifier),
-  * train/test leakage detection across assigned splits, a mergeable
-  * count-min frequency sketch with an exact SQL twin, per-dimension
-  * embedding statistics (the whitening/anisotropy diagnostic), and BPE
-  * tokenizer induction — each with the scale posture documented inline.
+  * train/test leakage detection AND the leakage-safe cluster-aware
+  * splitter that fixes it, a mergeable count-min frequency sketch with
+  * an exact SQL twin (top-k + incremental base/delta merge),
+  * per-dimension embedding statistics (the whitening/anisotropy
+  * diagnostic), incremental k-means sufficient-statistic merging, MMR
+  * diversified selection, reciprocal-rank fusion across retrievers,
+  * sparse TF-IDF similarity self-join over trigram shingles, BPE
+  * tokenizer induction, and mergeable approximate percentiles — each
+  * with the scale posture documented inline.
   */
 object Breadth8 {
 
