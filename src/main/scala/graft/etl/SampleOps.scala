@@ -117,6 +117,30 @@ object SampleOps {
     * partition-order-independent and engine-portable — a plain double
     * `sum` would float-drift with shuffle order.
     */
+  /** Weighted random sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, 2006): each row draws a deterministic uniform u ∈ (0, 1]
+    * from the md5 of its id and scores key = ln(u) / w; the top-n keys
+    * ARE a weight-proportional sample without replacement (ln(u)/w is
+    * monotone in u^(1/w), the A-ES key). Unlike [[ppsSystematicSample]]
+    * this needs no global prefix sum — selection is a distributed
+    * top-n (`TakeOrdered`: per-partition heaps of n, driver merge of
+    * one heap per partition), the cheapest possible plan at 100 TB.
+    *
+    * The key rounds to 12 dp with the row id as tie-break, so the
+    * selected set is reproducible across engines, runs, and
+    * partitionings — a rand()-keyed sample is none of those.
+    */
+  def weightedSampleTopN(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val u = (h + 1).cast("double") / lit(4294967296.0)
+    df.withColumn("sel_key",
+        round(log(u) / col(weightCol).cast("double"), 12))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(n)
+  }
+
   def temperatureWeights(df: DataFrame, stratumCol: String,
       alpha: Double): DataFrame = {
     val g = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))

@@ -607,6 +607,50 @@ object Dedup {
     * scored); precision is exact because the threshold test runs on the
     * true Jaccard, not the signature estimate.
     */
+  /** Directed near-CONTAINMENT pairs: (contained, container) where
+    * |A∩B| / |A| ≥ threshold over distinct k-shingle hash sets — the
+    * boilerplate/quotation detector Jaccard misses (a short doc fully
+    * embedded in a long one has high containment but LOW Jaccard, so a
+    * MinHash-band propose would never surface it). Candidates instead
+    * come from RARE shingles (document frequency ≤ maxDf): if A ⊆ B
+    * then every shingle of A — including its rare ones — appears in B,
+    * so any contained doc with at least one rare shingle is proposed;
+    * only boilerplate-only docs (all shingles common) escape, which is
+    * the explicit df-cap contract, loud in the signature. Pair volume
+    * is maxDf-bounded-linear in corpus size (each rare shingle emits
+    * ≤ maxDf·(maxDf−1)/2 pairs), the same scale argument as the TF-IDF
+    * propose.
+    *
+    * Both directions of every undirected candidate are scored from one
+    * joined frame; the shingle-hash sets materialize once and feed
+    * both join sides.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDf: Int = 20, k: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val sets = withWords(df, textCol, k)
+      .withColumn("__hs", array_distinct(expr(s"graft_shingle_hashes64(__words, $k)")))
+      .select(col(idCol), col("__hs"))
+      .localCheckpoint()
+    val posts = sets.select(col(idCol), explode(col("__hs")).as("__h"))
+    val dfreq = posts.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val rare = posts.join(dfreq.filter(col("__df") <= maxDf), "__h")
+    val cands = rare.select(col("__h"), col(idCol).as("doc_a"))
+      .join(rare.select(col("__h"), col(idCol).as("doc_b")), "__h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val scored = cands
+      .join(sets.select(col(idCol).as("doc_a"), col("__hs").as("__ha")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("__hs").as("__hb")), "doc_b")
+      .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
+    val ab = scored.select(col("doc_a").as("contained"), col("doc_b").as("container"),
+      round(col("__inter").cast("double") / size(col("__ha")), 9).as("containment"))
+    val ba = scored.select(col("doc_b").as("contained"), col("doc_a").as("container"),
+      round(col("__inter").cast("double") / size(col("__hb")), 9).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= threshold)
+  }
+
   def ngramJaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)

@@ -804,7 +804,7 @@ object Breadth7 {
   /** The fixed query batch for the multi-query run: three queries of
     * two-to-three terms each.
     */
-  private val MultiQueries: Seq[(Long, String)] = Seq(
+  private[queries] val MultiQueries: Seq[(Long, String)] = Seq(
     1L -> "vector", 1L -> "stream",
     2L -> "filter", 2L -> "hash",
     3L -> "customer", 3L -> "window", 3L -> "spark")

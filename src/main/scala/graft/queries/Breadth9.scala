@@ -1,0 +1,535 @@
+package graft.queries
+
+import graft.etl.{SampleOps, Tables}
+import graft.ext.{Dedup, EvalOps, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-9 second wave: the retrieval-evaluation harness (recall/MRR/
+  * nDCG over a ranked run vs derived qrels), binary sign-quantized
+  * Hamming ANN with exact rerank (the 32×-compression serving tier),
+  * and Efraimidis–Spirakis weighted sampling without replacement (the
+  * top-n complement to the q47 prefix-sum PPS design).
+  */
+object Breadth9 {
+
+  /** Retrieval evaluation: run the standard three-query BM25 batch at
+    * k=10 against the persisted inverted index, derive AND-semantics
+    * qrels from the corpus itself (relevant ⇔ doc contains every query
+    * term), and report per-query recall@10 / MRR@10 / binary nDCG@10 —
+    * the offline gate every retrieval tier passes before its output
+    * feeds training-data selection.
+    *
+    * Scale: the run is q×10 rows; qrels probe the term-keyed corpus
+    * with a broadcast query vocabulary; every metric aggregate is
+    * per-query over ≤10 rows. See [[graft.ext.EvalOps]].
+    */
+  val evalRetrievalMetrics = Q(
+    "eval_retrieval_metrics",
+    (s, dir) => {
+      import s.implicits._
+      val (postsDir, statsDir) = Breadth7.ensureTextIndex(s, dir)
+      val qt = Breadth7.MultiQueries.toDF("query_id", "term")
+      val run = TextOps.bm25MultiRank(
+          s.read.parquet(postsDir), s.read.parquet(statsDir), qt, "doc_id", k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val qrels = EvalOps.andQrels(Tables(s, dir, "documents"), qt, "doc_id", "text")
+      EvalOps.retrievalMetrics(run, qrels, "doc_id", k = 10)
+        .orderBy(col("query_id"))
+    },
+    Some {
+      val values = Breadth7.MultiQueries
+        .map { case (q, t) => s"($q::BIGINT, '$t')" }.mkString(", ")
+      s"""
+      WITH norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM documents),
+      t AS (SELECT doc_id, unnest(w) AS term FROM norm),
+      dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+      qt(query_id, term) AS (SELECT * FROM (VALUES $values)),
+      qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+             WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+      sc AS (SELECT qt.query_id, tf.doc_id,
+               round(ln(1.0::DOUBLE + (n_docs - df_docs + 0.5::DOUBLE) / (df_docs + 0.5::DOUBLE)) *
+                     ((tf * 2.2::DOUBLE) /
+                      (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+                        (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))))), 9) AS score_t
+             FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+             JOIN dl USING (doc_id) CROSS JOIN stats),
+      agg AS (SELECT query_id, doc_id,
+                     CAST(sum(CAST(score_t AS DECIMAL(27,9))) AS DOUBLE) AS score
+              FROM sc GROUP BY query_id, doc_id),
+      run AS (SELECT query_id, doc_id, rn AS rank FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id) AS rn
+                FROM agg) WHERE rn <= 10),
+      dterm AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM norm),
+      relc AS (SELECT qt.query_id, dterm.doc_id, count(*) AS c
+               FROM dterm JOIN qt USING (term) GROUP BY 1, 2),
+      rel AS (SELECT query_id, doc_id FROM relc JOIN qn USING (query_id)
+              WHERE c = n_terms),
+      nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
+      hits AS (SELECT run.query_id, run.rank
+               FROM run JOIN rel USING (query_id, doc_id)),
+      ha AS (SELECT query_id, count(*) AS n_hit,
+                    round(1.0 / min(rank), 9) AS mrr,
+                    CAST(sum(CAST(round(ln(2.0::DOUBLE) / ln(rank + 1.0::DOUBLE), 9)
+                      AS DECIMAL(27,9))) AS DOUBLE) AS dcg
+             FROM hits GROUP BY query_id),
+      base AS (SELECT DISTINCT query_id FROM run),
+      m AS (SELECT b.query_id,
+                   coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+                   coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+                   coalesce(h.mrr, 0.0::DOUBLE) AS mrr,
+                   coalesce(h.dcg, 0.0::DOUBLE) AS dcg
+            FROM base b LEFT JOIN nrel n USING (query_id)
+                 LEFT JOIN ha h USING (query_id)),
+      i AS (SELECT query_id, n_rel, n_hit, mrr, dcg,
+              CASE WHEN n_rel = 0 THEN 0.0::DOUBLE ELSE
+                CAST(list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+                  i -> CAST(round(ln(2.0::DOUBLE) / ln(i + 1.0::DOUBLE), 9)
+                    AS DECIMAL(27,9)))) AS DOUBLE) END AS idcg
+            FROM m)
+      SELECT query_id, n_rel, n_hit,
+             CASE WHEN n_rel = 0 THEN 0.0::DOUBLE
+                  ELSE round(n_hit::DOUBLE / n_rel, 9) END AS recall,
+             mrr,
+             CASE WHEN idcg = 0.0 THEN 0.0::DOUBLE
+                  ELSE round(dcg / idcg, 9) END AS ndcg
+      FROM i ORDER BY query_id
+    """.trim
+    })
+
+  /** Binary-rescoring ANN: sign-quantize 64-dim embeddings to one
+    * BIGINT word, Hamming top-20 propose (`bit_count(xor)` over 8-byte
+    * words — 32× less memory traffic than float cosine), exact cosine
+    * rerank to top-5. See [[Similarity.binaryHammingTopK]]; the oracle
+    * counts sign mismatches per dimension, which equals the popcount of
+    * the packed XOR by construction.
+    */
+  val annBinaryTopk = Q(
+    "ann_binary_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.binaryHammingTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", kCand = 20, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 WHERE vec_id % 100 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      h AS (SELECT query_id, neighbor_id, qv, cv,
+              list_sum(list_transform(range(len(qv)), i ->
+                CASE WHEN (qv[i+1] > 0) <> (cv[i+1] > 0) THEN 1 ELSE 0 END))::BIGINT AS hamming
+            FROM q, c WHERE query_id <> neighbor_id),
+      cand AS (SELECT * FROM (
+                 SELECT query_id, neighbor_id, qv, cv, hamming,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY hamming, neighbor_id) AS hr
+                 FROM h) WHERE hr <= 20),
+      sc AS (SELECT query_id, neighbor_id, hamming,
+                    ${Extensions.sqlCos("qv", "cv")} AS sim
+             FROM cand),
+      r AS (SELECT query_id, neighbor_id, hamming, sim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sc)
+      SELECT query_id, rank::BIGINT AS rank, neighbor_id, hamming, sim
+      FROM r WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
+  /** Weighted sample without replacement (A-ES): 25 orders selected
+    * with probability proportional to `o_totalprice` via the
+    * deterministic key ln(u)/w, u md5-derived — a distributed top-n
+    * (per-partition heaps), no global sort, no prefix sum.
+    */
+  val q58WeightedSample = Q(
+    "q58_weighted_sample",
+    (s, dir) =>
+      SampleOps.weightedSampleTopN(
+          Tables(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "o_orderkey", "o_totalprice", n = 25)
+        .orderBy(col("o_orderkey")),
+    Some("""
+      WITH k AS (SELECT o_orderkey, o_totalprice,
+                   round(ln((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                       + 1)::DOUBLE / 4294967296.0) / o_totalprice, 12) AS sel_key
+                 FROM orders),
+      top AS (SELECT * FROM k ORDER BY sel_key DESC, o_orderkey LIMIT 25)
+      SELECT o_orderkey, o_totalprice, sel_key FROM top ORDER BY o_orderkey
+    """.trim))
+
+  /** Classification evaluation of the model-based quality filter
+    * against the rule-based Gopher labels: confusion counts +
+    * precision/recall/F1/accuracy in one row. This is the gate a
+    * model-based filter passes before replacing (or augmenting) the
+    * rule set it was distilled from. Both label columns are scan-side
+    * projections; the doc_id join is AQE-broadcast at small scale and
+    * an id-keyed shuffle at 100 TB; the confusion aggregate is one
+    * map-side-combined pass.
+    */
+  val evalQualityConfusion = Q(
+    "eval_quality_confusion",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pred = TextOps.withModelQuality(docs, "text")
+        .select(col("doc_id"), col("keep").cast("long").as("__p"))
+      val truth = TextOps.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("long").as("__t"))
+      def cell(p: Int, t: Int) =
+        sum(when(col("__p") === p && col("__t") === t, 1L).otherwise(0L))
+      pred.join(truth, "doc_id")
+        .agg(cell(1, 1).as("tp"), cell(1, 0).as("fp"),
+          cell(0, 1).as("fn"), cell(0, 0).as("tn"))
+        .withColumn("precision",
+          when(col("tp") + col("fp") === 0, lit(0.0))
+            .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 9)))
+        .withColumn("recall",
+          when(col("tp") + col("fn") === 0, lit(0.0))
+            .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 9)))
+        .withColumn("f1",
+          when(col("precision") + col("recall") === 0.0, lit(0.0))
+            .otherwise(round(lit(2.0) * col("precision") * col("recall") /
+              (col("precision") + col("recall")), 9)))
+        .withColumn("accuracy",
+          round((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn")), 9))
+    },
+    Some(s"""
+      WITH n AS (SELECT doc_id, text, ${Extensions.NormW} AS w FROM documents),
+      m AS (SELECT doc_id,
+              len(w)::BIGINT AS n_words,
+              length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+              length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(w) AS avg_word_len,
+              ${Extensions.sqlHits(TextOps.StopEn)}::DOUBLE / len(w) AS stop_ratio
+            FROM n),
+      l AS (SELECT doc_id,
+              2.0 * least(stop_ratio * 5.0, 1.0)
+                  + 1.5 * least(avg_word_len / 8.0, 1.0)
+                  - 3.0 * punct_ratio
+                  + 0.5 * least(n_words / 200.0, 1.0)
+                  - 1.2 AS logit
+            FROM m),
+      pred AS (SELECT doc_id,
+                 CASE WHEN round(1.0 / (1.0 + exp(-logit)), 9) >= 0.5
+                   THEN 1 ELSE 0 END AS p
+               FROM l),
+      g0 AS (SELECT doc_id, ${Extensions.NormW} AS w,
+               len(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS nc
+             FROM documents),
+      g1 AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+               (nc - (len(w) - 1))::BIGINT AS n_word_chars,
+               len(list_filter([${TextOps.StopEn.map(w => s"'$w'").mkString(", ")}],
+                 s -> list_contains(w, s)))::BIGINT AS n_stop_distinct
+             FROM g0),
+      truth AS (SELECT doc_id,
+                  (CASE WHEN n_words >= 30 AND n_words <= 100000 THEN 1 ELSE 0 END) *
+                  (CASE WHEN n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words THEN 1 ELSE 0 END) *
+                  (CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END) AS t
+                FROM g1),
+      c AS (SELECT
+              sum(CASE WHEN p = 1 AND t = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+              sum(CASE WHEN p = 1 AND t = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+              sum(CASE WHEN p = 0 AND t = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+              sum(CASE WHEN p = 0 AND t = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+            FROM pred JOIN truth USING (doc_id)),
+      pr AS (SELECT tp, fp, fn, tn,
+               CASE WHEN tp + fp = 0 THEN 0.0::DOUBLE
+                    ELSE round(tp::DOUBLE / (tp + fp), 9) END AS precision,
+               CASE WHEN tp + fn = 0 THEN 0.0::DOUBLE
+                    ELSE round(tp::DOUBLE / (tp + fn), 9) END AS recall
+             FROM c)
+      SELECT tp, fp, fn, tn, precision, recall,
+             CASE WHEN precision + recall = 0.0 THEN 0.0::DOUBLE
+                  ELSE round(2.0 * precision * recall / (precision + recall), 9) END AS f1,
+             round((tp + tn)::DOUBLE / (tp + fp + fn + tn), 9) AS accuracy
+      FROM pr ORDER BY tp
+    """.trim))
+
+  /** Calibration curve (reliability diagram) of the quality model's
+    * predicted probability vs the empirical Gopher-keep rate, in 10
+    * probability bins — the diagnostic that decides whether a filter
+    * threshold transfers across corpora. Mean probability sums the
+    * 9dp-rounded probs in exact DECIMAL so bin means are
+    * order-independent.
+    */
+  val evalModelCalibration = Q(
+    "eval_model_calibration",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables(s, dir, "documents")
+      val pred = TextOps.withModelQuality(docs, "text")
+        .select(col("doc_id"), col("prob"))
+      val truth = TextOps.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").cast("long").as("__t"))
+      pred.join(truth, "doc_id")
+        .withColumn("bin", least(floor(col("prob") * 10), lit(9.0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("prob").cast(DecimalType(27, 9))).cast("double") /
+            count(lit(1)), 9).as("mean_prob"),
+          round(sum(col("__t")).cast("double") / count(lit(1)), 9).as("keep_rate"))
+        .orderBy(col("bin"))
+    },
+    Some(s"""
+      WITH n AS (SELECT doc_id, text, ${Extensions.NormW} AS w FROM documents),
+      m AS (SELECT doc_id,
+              len(w)::BIGINT AS n_words,
+              length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+              length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(w) AS avg_word_len,
+              ${Extensions.sqlHits(TextOps.StopEn)}::DOUBLE / len(w) AS stop_ratio
+            FROM n),
+      l AS (SELECT doc_id,
+              2.0 * least(stop_ratio * 5.0, 1.0)
+                  + 1.5 * least(avg_word_len / 8.0, 1.0)
+                  - 3.0 * punct_ratio
+                  + 0.5 * least(n_words / 200.0, 1.0)
+                  - 1.2 AS logit
+            FROM m),
+      pred AS (SELECT doc_id, round(1.0 / (1.0 + exp(-logit)), 9) AS prob FROM l),
+      g0 AS (SELECT doc_id, ${Extensions.NormW} AS w,
+               len(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS nc
+             FROM documents),
+      g1 AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+               (nc - (len(w) - 1))::BIGINT AS n_word_chars,
+               len(list_filter([${TextOps.StopEn.map(w => s"'$w'").mkString(", ")}],
+                 s -> list_contains(w, s)))::BIGINT AS n_stop_distinct
+             FROM g0),
+      truth AS (SELECT doc_id,
+                  (CASE WHEN n_words >= 30 AND n_words <= 100000 THEN 1 ELSE 0 END) *
+                  (CASE WHEN n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words THEN 1 ELSE 0 END) *
+                  (CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END) AS t
+                FROM g1),
+      b AS (SELECT pred.doc_id, prob, t,
+              least(floor(prob * 10), 9.0)::BIGINT AS bin
+            FROM pred JOIN truth USING (doc_id))
+      SELECT bin, count(*) AS n,
+             round(CAST(sum(CAST(prob AS DECIMAL(27,9))) AS DOUBLE) / count(*), 9) AS mean_prob,
+             round(sum(t)::DOUBLE / count(*), 9) AS keep_rate
+      FROM b GROUP BY bin ORDER BY bin
+    """.trim))
+
+  /** XML scan/sink roundtrip on Spark 4's built-in XML source (S-row
+    * parity with the CSV/JSONL/ORC roundtrips): write an orders
+    * projection as XML, read it back under an explicit schema (schema
+    * inference on 100 TB of XML would be a second full scan), verify
+    * by aggregate against the original table. Java's shortest-repr
+    * double serialization roundtrips o_totalprice exactly.
+    */
+  val srcXmlRoundtrip = Q(
+    "src_xml_roundtrip",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val d = graft.etl.LayoutOps.ensureRunDir(s, dir, "orders_xml") { out =>
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.option("rowTag", "order").format("xml").save(out)
+      }
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderpriority", StringType)))
+      s.read.schema(schema).option("rowTag", "order").format("xml").load(d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          Q.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.trim))
+
+  /** CDC changelog application WITH tombstones — the missing third of
+    * the merge family (u2 upserts, u8 compacts a log, this one applies
+    * deletes): an ordered changelog of U/D ops folds into the base
+    * table, LATEST op per key winning (a U after a D resurrects the
+    * key; a D after a U kills it — the op-ORDER semantics a naive
+    * "deletes win" merge gets wrong, which the fixture exercises both
+    * ways). One window shuffle compacts the log (u8 shape), then an
+    * id-keyed anti join + union — no full-table rewrite beyond the
+    * touched keys' partitions at 100 TB.
+    *
+    * The changelog is derived deterministically from the orders table:
+    * md5-bucket 0 keys get U(seq 1) then D(seq 2) → net delete;
+    * bucket 1 keys get D(seq 1) then U(seq 2) → net update to
+    * status 'X'.
+    */
+  val u11CdcApply = Q(
+    "u11_cdc_apply",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10
+      val keyed = base.withColumn("__b", bucket)
+      val log = keyed.filter(col("__b") === 0)
+        .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+          lit("P").as("new_status"))
+        .unionByName(keyed.filter(col("__b") === 0)
+          .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+            lit(null: String).as("new_status")))
+        .unionByName(keyed.filter(col("__b") === 1)
+          .select(col("o_orderkey"), lit(1L).as("seq"), lit("D").as("op"),
+            lit(null: String).as("new_status")))
+        .unionByName(keyed.filter(col("__b") === 1)
+          .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+            lit("X").as("new_status")))
+      val wLatest = Window.partitionBy(col("o_orderkey")).orderBy(col("seq").desc)
+      val latest = log.withColumn("__rn", row_number().over(wLatest))
+        .filter(col("__rn") === 1)
+        .select(col("o_orderkey"), col("op"), col("new_status"))
+      val untouched = base.join(latest.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      val updated = base.join(latest.filter(col("op") === "U"), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("new_status").as("o_orderstatus"))
+      untouched.unionByName(updated).orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH keyed AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 10 AS b
+                     FROM orders),
+      log AS (
+        SELECT o_orderkey, 1::BIGINT AS seq, 'U' AS op, 'P' AS new_status
+        FROM keyed WHERE b = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'D', NULL FROM keyed WHERE b = 0
+        UNION ALL
+        SELECT o_orderkey, 1, 'D', NULL FROM keyed WHERE b = 1
+        UNION ALL
+        SELECT o_orderkey, 2, 'U', 'X' FROM keyed WHERE b = 1),
+      latest AS (SELECT o_orderkey, op, new_status FROM log
+                 QUALIFY row_number() OVER (PARTITION BY o_orderkey
+                                            ORDER BY seq DESC) = 1)
+      SELECT k.o_orderkey, k.o_custkey, k.o_orderstatus
+      FROM keyed k WHERE NOT EXISTS
+        (SELECT 1 FROM latest l WHERE l.o_orderkey = k.o_orderkey)
+      UNION ALL
+      SELECT k.o_orderkey, k.o_custkey, l.new_status AS o_orderstatus
+      FROM keyed k JOIN latest l USING (o_orderkey) WHERE l.op = 'U'
+      ORDER BY o_orderkey
+    """.trim))
+
+  /** Schema-evolution scan: two parquet generations of the same table
+    * (v2 adds a column), read in one pass with `mergeSchema` — the
+    * schema-on-read posture every long-lived 100 TB table needs (a
+    * backfill rewrite of old generations would be a full-table write).
+    * Missing columns surface as NULL; the aggregate buckets legacy
+    * rows under their own label to prove the NULL path.
+    */
+  val srcSchemaEvolution = Q(
+    "src_schema_evolution",
+    (s, dir) => {
+      val base = graft.etl.LayoutOps.ensureRunDir(s, dir, "orders_evo") { out =>
+        val o = Tables(s, dir, "orders")
+          .withColumn("__b",
+            conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 100)
+        o.filter(col("__b") < 50)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.parquet(s"$out/v1")
+        o.filter(col("__b") >= 50)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.parquet(s"$out/v2")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .withColumn("gen", coalesce(col("o_orderpriority"), lit("LEGACY")))
+        .groupBy(col("gen"))
+        .agg(count(lit(1)).as("n"), Q.moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("gen"))
+    },
+    Some("""
+      WITH keyed AS (SELECT o_orderkey, o_totalprice, o_orderpriority,
+                       ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 100 AS b
+                     FROM orders),
+      u AS (SELECT o_totalprice, NULL AS o_orderpriority FROM keyed WHERE b < 50
+            UNION ALL
+            SELECT o_totalprice, o_orderpriority FROM keyed WHERE b >= 50)
+      SELECT coalesce(o_orderpriority, 'LEGACY') AS gen, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM u GROUP BY 1 ORDER BY gen
+    """.trim))
+
+  /** Value window functions over explicit frames: first/last/nth value
+    * of the price within each customer's orders by date — completing
+    * the w1-w5 window family with the frame-sensitive value accessors
+    * (last_value needs the full-partition frame spelled out; the
+    * default RANGE frame would return the CURRENT row's value — the
+    * classic last_value trap, pinned here).
+    */
+  val w6ValueFunctions = Q(
+    "w6_value_functions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = byDate.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("first_price", first(col("o_totalprice")).over(full))
+        .withColumn("last_price", last(col("o_totalprice")).over(full))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(full))
+        .select(col("o_custkey"), col("o_orderkey"), col("first_price"),
+          col("last_price"), col("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             first_value(o_totalprice) OVER w AS first_price,
+             last_value(o_totalprice) OVER w AS last_price,
+             nth_value(o_totalprice, 2) OVER w AS second_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey
+    """.trim))
+
+  /** Directed containment dedup (boilerplate/quotation detection): the
+    * Jaccard family's blind spot — a short doc embedded in a long one
+    * has high containment but low Jaccard, so the MinHash-band propose
+    * would never surface it. Candidates come from rare shingles
+    * (df ≤ 20) instead; see [[Dedup.containmentPairs]]. The oracle
+    * replays the identical propose + score over shingle strings (the
+    * ngramJaccard same-sets argument).
+    */
+  val dedupContainment = Q(
+    "dedup_containment",
+    (s, dir) =>
+      Dedup.containmentPairs(Extensions.augmentedDocs(s, dir, perturb = true),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy(col("contained"), col("container")),
+    Some(s"""
+      WITH ${Extensions.augCte(perturb = true)},
+      norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM aug),
+      sh AS (SELECT doc_id, w FROM norm WHERE len(w) >= 3),
+      ss AS (SELECT doc_id,
+               list_distinct(list_transform(range(len(w) - 2),
+                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+             FROM sh),
+      posts AS (SELECT doc_id, unnest(s) AS g FROM ss),
+      dfq AS (SELECT g, count(*) AS df FROM posts GROUP BY g),
+      rare AS (SELECT doc_id, g FROM posts JOIN dfq USING (g) WHERE df <= 20),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id),
+      sc AS (SELECT doc_a, doc_b,
+               len(list_filter(x.s, e -> list_contains(y.s, e))) AS inter,
+               len(x.s) AS na, len(y.s) AS nb
+             FROM cand JOIN ss x ON x.doc_id = cand.doc_a
+                       JOIN ss y ON y.doc_id = cand.doc_b),
+      d AS (SELECT doc_a AS contained, doc_b AS container,
+              round(inter::DOUBLE / na, 9) AS containment FROM sc
+            UNION ALL
+            SELECT doc_b, doc_a, round(inter::DOUBLE / nb, 9) FROM sc)
+      SELECT contained, container, containment FROM d
+      WHERE containment >= 0.8
+      ORDER BY contained, container
+    """.trim))
+
+  def all: Seq[Q] = Seq(evalRetrievalMetrics, annBinaryTopk, q58WeightedSample,
+    evalQualityConfusion, evalModelCalibration, srcXmlRoundtrip,
+    u11CdcApply, srcSchemaEvolution, w6ValueFunctions, dedupContainment)
+}

@@ -1,0 +1,195 @@
+package graft
+
+import graft.etl.SampleOps
+import graft.ext.{EvalOps, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-9 second wave: retrieval-evaluation metrics (recall/MRR/nDCG),
+  * binary sign-quantized Hamming ANN, and A-ES weighted sampling —
+  * semantic pins the oracle hash check can't express (known-answer
+  * metric values, recall vs the exact ranker, partitioning
+  * invariance).
+  */
+class Round9bSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- retrieval metrics -------------------------------------------------
+
+  test("retrievalMetrics: perfect ranking scores recall=mrr=ndcg=1") {
+    val run = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+      .toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("query_id", "doc_id")
+    val Array(r) = EvalOps.retrievalMetrics(run, qrels, "doc_id", k = 10).collect()
+    assert(r.getAs[Long]("n_rel") === 3L && r.getAs[Long]("n_hit") === 3L)
+    assert(r.getAs[Double]("recall") === 1.0)
+    assert(r.getAs[Double]("mrr") === 1.0)
+    assert(r.getAs[Double]("ndcg") === 1.0)
+  }
+
+  test("retrievalMetrics: known-answer partial ranking") {
+    // relevant docs {10, 11, 12, 13}; run hits 11 at rank 2 and 13 at rank 4
+    val run = Seq((7L, 1L, 99L), (7L, 2L, 11L), (7L, 3L, 98L), (7L, 4L, 13L))
+      .toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((7L, 10L), (7L, 11L), (7L, 12L), (7L, 13L))
+      .toDF("query_id", "doc_id")
+    val Array(r) = EvalOps.retrievalMetrics(run, qrels, "doc_id", k = 10).collect()
+    assert(r.getAs[Double]("recall") === 0.5)
+    assert(r.getAs[Double]("mrr") === 0.5)
+    val ln2 = math.log(2.0)
+    def term(rank: Int) =
+      BigDecimal(ln2 / math.log(rank + 1.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val dcg = term(2) + term(4)
+    val idcg = (1 to 4).map(term).sum
+    val expected = BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ndcg") === expected)
+  }
+
+  test("retrievalMetrics: query with zero relevant docs reports zeros, not a dropped row") {
+    val run = Seq((1L, 1L, 10L), (2L, 1L, 10L)).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, 10L)).toDF("query_id", "doc_id")
+    val rows = EvalOps.retrievalMetrics(run, qrels, "doc_id", k = 10)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(rows.keySet === Set(1L, 2L))
+    val q2 = rows(2L)
+    assert(q2.getAs[Long]("n_rel") === 0L && q2.getAs[Double]("recall") === 0.0 &&
+      q2.getAs[Double]("mrr") === 0.0 && q2.getAs[Double]("ndcg") === 0.0)
+  }
+
+  test("andQrels: relevant iff the doc contains EVERY query term") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // both terms → relevant
+      (2L, "alpha alpha delta"), // missing beta
+      (3L, "beta  alpha"), // both (whitespace-normalized) → relevant
+      (4L, "gamma delta")).toDF("doc_id", "text")
+    val qt = Seq((1L, "alpha"), (1L, "beta")).toDF("query_id", "term")
+    val got = EvalOps.andQrels(docs, qt, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got === Set(1L, 3L))
+  }
+
+  // ---- binary Hamming ANN ------------------------------------------------
+
+  test("signWord packs all 64 sign bits (bit 63 = Long.MIN lands correctly)") {
+    val df = Seq(
+      (1L, Array.fill(64)(0.5f)), // all positive → all bits set → -1L
+      (2L, Array.fill(64)(-0.5f)), // none set → 0L
+      (3L, Array.tabulate(64)(i => if (i == 63) 0.5f else -0.5f)) // only bit 63
+    ).toDF("id", "v")
+    val got = df.withColumn("w", Similarity.signWord("v"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("w")).toMap
+    assert(got(1L) === -1L && got(2L) === 0L && got(3L) === Long.MinValue)
+  }
+
+  test("binaryHammingTopK: rerank recall@5 vs exact cosine on real embeddings") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(spark, emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallAt(kCand: Int): Double = {
+      val binary = Similarity.binaryHammingTopK(spark, emb, queries,
+          "vec_id", "embedding", kCand = kCand, k = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      binary.intersect(exact).size.toDouble / exact.size
+    }
+    assert(exact.nonEmpty)
+    // 64-bit sign sketch + top-20 rerank pool: comfortably above chance;
+    // pin the floor so a packing/popcount regression fails loudly
+    val r20 = recallAt(20)
+    assert(r20 >= 0.45, s"binary rescoring recall@5 $r20 < 0.45")
+    // an exact-top-5 member inside the pool always survives the cosine
+    // rerank (only 4 corpus rows can outscore it), so recall is
+    // monotone in the pool size — the serving knob a deployment turns
+    val r50 = recallAt(50)
+    assert(r50 >= r20, s"widening the Hamming pool dropped recall: $r50 < $r20")
+  }
+
+  test("binaryHammingTopK: hamming column is consistent with explicit sign disagreement") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings").limit(50).cache()
+    val got = Similarity.binaryHammingTopK(spark, emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", kCand = 10, k = 3).collect()
+    val vecs = emb.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    got.foreach { r =>
+      val q = vecs(r.getAs[Long]("query_id")); val c = vecs(r.getAs[Long]("neighbor_id"))
+      val expect = q.indices.count(i => (q(i) > 0) != (c(i) > 0))
+      assert(r.getAs[Long]("hamming") === expect.toLong)
+    }
+  }
+
+  // ---- A-ES weighted sampling --------------------------------------------
+
+  test("weightedSampleTopN is invariant under input partitioning") {
+    val o = graft.etl.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val a = SampleOps.weightedSampleTopN(o, "o_orderkey", "o_totalprice", 25)
+      .collect().map(_.getAs[Long]("o_orderkey")).toSet
+    val b = SampleOps.weightedSampleTopN(o.repartition(13), "o_orderkey", "o_totalprice", 25)
+      .collect().map(_.getAs[Long]("o_orderkey")).toSet
+    assert(a === b && a.size === 25)
+  }
+
+  test("weightedSampleTopN is weight-proportional: sample mean weight above population mean") {
+    val o = graft.etl.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val popMean = o.agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+    val sample = SampleOps.weightedSampleTopN(o, "o_orderkey", "o_totalprice", 50)
+    val sampMean = sample.agg(avg(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(sampMean > popMean,
+      s"PPS sample mean $sampMean should exceed population mean $popMean")
+  }
+
+  test("quality-model confusion matrix partitions the corpus and bounds the metrics") {
+    val Array(r) = graft.queries.Breadth9.evalQualityConfusion.fn(spark, sf).collect()
+    val n = graft.etl.Tables(spark, sf, "documents").count()
+    val total = r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("fn") + r.getAs[Long]("tn")
+    assert(total === n, "confusion cells must partition the corpus exactly")
+    Seq("precision", "recall", "f1", "accuracy").foreach { m =>
+      val v = r.getAs[Double](m)
+      assert(v >= 0.0 && v <= 1.0, s"$m=$v out of [0,1]")
+    }
+  }
+
+  test("calibration bins cover the corpus; mean_prob lies inside each bin") {
+    val rows = graft.queries.Breadth9.evalModelCalibration.fn(spark, sf).collect()
+    val n = graft.etl.Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === n)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin"); val mp = r.getAs[Double]("mean_prob")
+      assert(bin >= 0 && bin <= 9)
+      // bin 9 also absorbs prob == 1.0
+      assert(mp >= bin / 10.0 - 1e-9 && mp <= (bin + 1) / 10.0 + (if (bin == 9) 1e-9 else 1e-9),
+        s"mean_prob $mp outside bin $bin")
+      val rate = r.getAs[Double]("keep_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("xml roundtrip preserves rows and exact doubles") {
+    import org.apache.spark.sql.types._
+    val orders = graft.etl.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val out = java.nio.file.Files.createTempDirectory("xml_").toString + "/orders"
+    orders.write.option("rowTag", "order").format("xml").save(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType)))
+    val back = spark.read.schema(schema).option("rowTag", "order").format("xml").load(out)
+    assert(back.count() === orders.count())
+    // shortest-repr double serialization must roundtrip bit-for-bit
+    val diff = back.union(orders).except(back.intersect(orders))
+    assert(diff.isEmpty, "XML roundtrip changed at least one row")
+  }
+
+  test("weightedSampleTopN plans a TakeOrdered, not a global sort") {
+    val o = graft.etl.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plan = SampleOps.weightedSampleTopN(o, "o_orderkey", "o_totalprice", 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-n plan, got:\n$plan")
+  }
+}
