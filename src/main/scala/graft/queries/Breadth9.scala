@@ -529,7 +529,81 @@ object Breadth9 {
       ORDER BY contained, container
     """.trim))
 
+  /** Language-ID confusion matrix: the stopword-hit classifier's
+    * predictions scored against the corpus's ground-truth `lang` labels
+    * — one (label, prediction) cell per row with count and
+    * row-normalized fraction. The per-language recall lives on the
+    * diagonal; off-diagonal cells say WHICH confusions happen (the
+    * dashboard that decides whether a langid tier is good enough to
+    * route documents). Labels and predictions are both scan-side; the
+    * confusion aggregate is one map-side-combined groupBy over ≤
+    * |langs|² cells.
+    */
+  val evalLangidConfusion = Q(
+    "eval_langid_confusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pred = TextOps.withLangId(Tables(s, dir, "documents"), "text")
+        .select(col("lang"), col("lang_pred"))
+      val wl = Window.partitionBy(col("lang"))
+      pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac", round(col("n").cast("double") / sum(col("n")).over(wl), 9))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+    Some(s"""
+      WITH n AS (SELECT doc_id, lang, ${Extensions.NormW} AS w FROM documents),
+      p AS (SELECT doc_id, lang,
+              ${Extensions.sqlHits(TextOps.StopEn)} AS hits_en,
+              ${Extensions.sqlHits(TextOps.StopEs)} AS hits_es,
+              ${Extensions.sqlHits(TextOps.StopDe)} AS hits_de,
+              CASE WHEN hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+                   WHEN hits_es >= hits_de THEN 'es' ELSE 'de' END AS lang_pred
+            FROM n),
+      c AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2)
+      SELECT lang, lang_pred, n,
+             round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 9) AS frac
+      FROM c ORDER BY lang, lang_pred
+    """.trim))
+
+  /** Join-key skew preflight: per-key cardinalities of the intended
+    * shuffle key, reported as the hottest keys with their ratio to the
+    * mean — the diagnostic a 100 TB job runs BEFORE a keyed join to
+    * decide between plain shuffle, AQE skew split, and salting (j12 is
+    * the cure; this is the test that prescribes it). One
+    * map-side-combined count per key, then a distributed top-n; the
+    * mean arrives as a broadcast one-row aggregate, so nothing here
+    * ever materializes the key histogram on the driver.
+    */
+  val dq6KeySkew = Q(
+    "dq6_key_skew",
+    (s, dir) => {
+      val counts = Tables(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(
+        count(lit(1)).as("__n_keys"),
+        sum(col("cnt")).as("__total"))
+      counts.crossJoin(broadcast(stats))
+        .withColumn("mean_cnt",
+          round(col("__total").cast("double") / col("__n_keys"), 9))
+        .withColumn("skew_ratio", round(col("cnt").cast("double") / col("mean_cnt"), 9))
+        .select(col("l_suppkey"), col("cnt"), col("mean_cnt"), col("skew_ratio"))
+        .orderBy(col("skew_ratio").desc, col("l_suppkey"))
+        .limit(10)
+    },
+    Some("""
+      WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+      s AS (SELECT count(*) AS n_keys, sum(cnt) AS total FROM c),
+      r AS (SELECT l_suppkey, cnt,
+              round(total::DOUBLE / n_keys, 9) AS mean_cnt,
+              round(cnt::DOUBLE / round(total::DOUBLE / n_keys, 9), 9) AS skew_ratio
+            FROM c CROSS JOIN s)
+      SELECT l_suppkey, cnt, mean_cnt, skew_ratio FROM r
+      ORDER BY skew_ratio DESC, l_suppkey LIMIT 10
+    """.trim))
+
   def all: Seq[Q] = Seq(evalRetrievalMetrics, annBinaryTopk, q58WeightedSample,
     evalQualityConfusion, evalModelCalibration, srcXmlRoundtrip,
-    u11CdcApply, srcSchemaEvolution, w6ValueFunctions, dedupContainment)
+    u11CdcApply, srcSchemaEvolution, w6ValueFunctions, dedupContainment,
+    evalLangidConfusion, dq6KeySkew)
 }

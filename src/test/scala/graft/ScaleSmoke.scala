@@ -274,7 +274,16 @@ object ScaleSmoke {
       // shingle-TFIDF sim join: the df cap SELF-limits under
       // replication (copies multiply every shingle's df toward the
       // cut), unlike the unbounded lang-bucket jaccard
-      "dedup_tfidf_pairs") ++
+      "dedup_tfidf_pairs",
+      // round-9 third wave: rare-shingle containment propose (df cap
+      // self-limits under replication exactly like the TFIDF join),
+      // 8-byte-word Hamming propose + pool-bounded rerank, window
+      // log-compaction + anti-join CDC apply, q×10-row eval metrics
+      // over the persisted-index BM25 run, distributed top-n weighted
+      // sampling, confusion cells over scan-side labels
+      "dedup_containment", "ann_binary_topk", "u11_cdc_apply",
+      "eval_retrieval_metrics", "q58_weighted_sample",
+      "eval_langid_confusion", "w6_value_functions") ++
       (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
