@@ -1048,18 +1048,63 @@ object Similarity {
       .select(col(idCol), col("dim").cast("long").as("dim"), col("value"))
   }
 
+  /** IVF list rebalancing — the maintenance op a drifting corpus needs:
+    * ingest skews the coarse lists over time, and a hot list quietly
+    * turns every probe that touches it into a scan of n/k·skew rows.
+    * This op finds the `nSplit` largest lists and splits each by a
+    * deterministic 2-seed reassignment (seeds = the list's min- and
+    * max-id members; every member joins the cosine-nearer seed, ties to
+    * seed 1) — one cheap Lloyd-style refinement scoped to the hot lists
+    * only, replayable bit-for-bit by any engine because the seeds are
+    * id-picked, not sampled.
+    *
+    * Returns (cid, n_before, sub, n_members): the split outcome a
+    * maintenance job inspects before committing new centroids (the
+    * sub-centroid means themselves are [[lloydRound]]'s decimal-exact
+    * machinery applied to the sub-assignment).
+    *
+    * Scale: list sizes are one count aggregate; only hot-list members
+    * (broadcast-joined hot ids) are rescored, scan-side against two
+    * broadcast seed vectors; the output is ≤ 2·nSplit rows.
+    */
+  def ivfRebalanceSplit(spark: SparkSession, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nSplit: Int = 2): DataFrame = {
+    require(nSplit >= 1)
+    VectorExpressions.register(spark)
+    val asg = coarseAssignJoin(spark, corpus, centroids, idCol, vecCol, idCol, vecCol)
+    val sizes = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_before"))
+    val hot = sizes.orderBy(col("n_before").desc, col("cluster")).limit(nSplit)
+    val members = asg.select(col(idCol), col(vecCol), col("cluster"))
+      .join(broadcast(hot), "cluster")
+    val seeds = members.groupBy(col("cluster"))
+      .agg(min(col(idCol)).as("__s1"), max(col(idCol)).as("__s2"))
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    val seedVecs = seeds
+      .join(vecs.select(col(idCol).as("__s1"), col(vecCol).as("__v1")), "__s1")
+      .join(vecs.select(col(idCol).as("__s2"), col(vecCol).as("__v2")), "__s2")
+      .select(col("cluster"), col("__v1"), col("__v2"))
+    members
+      .join(broadcast(seedVecs), "cluster")
+      .withColumn("__c1", round(expr(s"graft_cosine($vecCol, __v1)"), 9))
+      .withColumn("__c2", round(expr(s"graft_cosine($vecCol, __v2)"), 9))
+      .withColumn("sub", when(col("__c1") >= col("__c2"), 0L).otherwise(1L))
+      .groupBy(col("cluster"), col("n_before"), col("sub"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster").as("cid"), col("n_before"), col("sub"), col("n_members"))
+  }
+
   /** One-bit sign quantization of a ≤64-dim embedding into a single
     * BIGINT word (bit i set iff dim i > 0) — the cheapest quantization
     * tier of all: 64 floats → 8 bytes, 32× smaller than float32.
-    * Disjoint powers of two sum without carries, so the additive fold
-    * IS the bitwise OR and stays inside whole-stage codegen (bit 63
-    * lands on Long.MIN_VALUE; adding it to a non-negative partial sum
-    * cannot overflow, so the fold is ANSI-safe).
+    * Backed by the codegen'd [[graft.functions.SignWord64]] kernel (a
+    * higher-order `aggregate` fold evaluates its lambda interpreted
+    * per element — 64 boxed closure calls per row on an 8-byte encode;
+    * Round9bSpec pins kernel ≡ HOF-fold equality).
     */
-  def signWord(vecColName: String): Column = expr(
-    s"""aggregate(sequence(0, size($vecColName) - 1), CAST(0 AS BIGINT),
-        (acc, i) -> acc + CASE WHEN CAST(element_at($vecColName, i + 1) AS DOUBLE) > 0.0D
-          THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)""")
+  def signWord(vecColName: String): Column = {
+    import org.apache.spark.sql.graft.PlanDf
+    PlanDf.column(graft.functions.SignWord64(PlanDf.expression(col(vecColName))))
+  }
 
   /** Binary-rescoring ANN: sign-quantize corpus and queries to 64-bit
     * words, take the `kCand` Hamming-nearest candidates per query

@@ -784,6 +784,57 @@ object JlProject {
   }
 }
 
+/** Packs the sign bits of a ≤64-dim numeric array into one BIGINT
+  * (bit i set iff element i > 0) — the binary-quantization encode
+  * kernel behind [[graft.ext.Similarity.binaryHammingTopK]]. A single
+  * codegen'd pass; the higher-order `aggregate` formulation evaluates
+  * its lambda interpreted per element (the JlProject rationale), which
+  * is 64 boxed closure calls per row on what is otherwise an 8-byte
+  * encode. Null elements leave their bit unset, matching the HOF
+  * CASE's null-comparison fall-through.
+  */
+case class SignWord64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign word expects array<float|double>, got ${t.catalogString}")
+  }
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    SignWord64.compute(v.asInstanceOf[ArrayData], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SignWord64.compute($c, $elemIsFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignWord64 {
+  def compute(vec: ArrayData, isFloat: Boolean): Long = {
+    val n = vec.numElements()
+    require(n <= 64, s"sign word packs at most 64 dims, got $n")
+    var w = 0L
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        if (x > 0.0) w |= (1L << i)
+      }
+      i += 1
+    }
+    w
+  }
+}
+
 object VectorExpressions {
   /** Registers the graft_* expression family for SQL/expr use in this
     * session (idempotent).
@@ -809,5 +860,7 @@ object VectorExpressions {
       "graft_subword_tokens", exprs => SubwordTokens(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_byte_phash", exprs => BytePHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_sign_word", exprs => SignWord64(exprs.head), "scala_udf")
   }
 }

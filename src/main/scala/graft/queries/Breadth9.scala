@@ -602,8 +602,85 @@ object Breadth9 {
       ORDER BY skew_ratio DESC, l_suppkey LIMIT 10
     """.trim))
 
+  /** IVF index maintenance: split the two largest coarse lists by a
+    * deterministic 2-seed reassignment (seeds = min/max-id members,
+    * cosine-nearer wins, ties to seed 1) — the rebalance a drifting
+    * corpus needs before hot lists turn probes into scans. See
+    * [[Similarity.ivfRebalanceSplit]]; same centroid model as
+    * ann_ivf_topk, so the oracle reuses its assignment replay.
+    */
+  val annIvfRebalance = Q(
+    "ann_ivf_rebalance",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfRebalanceSplit(s, emb,
+          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
+          "vec_id", "embedding", nSplit = 2)
+        .orderBy(col("cid"), col("sub"))
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id % 37 = 0 AND vec_id < 5000),
+      corp_a AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t)
+        WHERE rn = 1),
+      sizes AS (SELECT cid, count(*) AS n_before FROM corp_a GROUP BY cid),
+      hot AS (SELECT cid, n_before FROM sizes ORDER BY n_before DESC, cid LIMIT 2),
+      m AS (SELECT c.vec_id, c.embedding, c.cid, h.n_before
+            FROM corp_a c JOIN hot h USING (cid)),
+      seeds AS (SELECT cid, min(vec_id) AS s1, max(vec_id) AS s2 FROM m GROUP BY cid),
+      sv AS (SELECT s.cid, a.embedding AS v1, b.embedding AS v2 FROM seeds s
+             JOIN embeddings a ON a.vec_id = s.s1
+             JOIN embeddings b ON b.vec_id = s.s2),
+      asg AS (SELECT m.cid, m.n_before, m.vec_id,
+                CASE WHEN ${Extensions.sqlCos("m.embedding", "sv.v1")} >=
+                          ${Extensions.sqlCos("m.embedding", "sv.v2")}
+                     THEN 0 ELSE 1 END AS sub
+              FROM m JOIN sv ON sv.cid = m.cid)
+      SELECT cid, n_before, sub::BIGINT AS sub, count(*) AS n_members
+      FROM asg GROUP BY cid, n_before, sub ORDER BY cid, sub
+    """.trim))
+
+  /** Shard manifest: assign every document to one of 16 hash shards
+    * (md5 of the id — stable under corpus growth, unlike round-robin)
+    * and report per-shard doc/token/byte totals — the balance check a
+    * training job runs before writing N equal shards for the data
+    * loader. One scan + one 16-group aggregate; the manifest is what a
+    * writer would pass to `repartitionByRange`/`partitionBy`, and at
+    * 100 TB the balance numbers ARE the job plan (a skewed shard is a
+    * straggling trainer).
+    */
+  val q59ShardManifest = Q(
+    "q59_shard_manifest",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs
+        .withColumn("shard",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 16)
+        .withColumn("__tok", size(TextOps.words(col("text"))).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__tok")).as("n_tokens"),
+          sum(col("n_chars")).as("n_bytes"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, n_chars,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard,
+                   len(${Extensions.NormW})::BIGINT AS tok
+                 FROM documents)
+      SELECT shard, count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens,
+             sum(n_chars)::BIGINT AS n_bytes
+      FROM d GROUP BY shard ORDER BY shard
+    """.trim))
+
   def all: Seq[Q] = Seq(evalRetrievalMetrics, annBinaryTopk, q58WeightedSample,
     evalQualityConfusion, evalModelCalibration, srcXmlRoundtrip,
     u11CdcApply, srcSchemaEvolution, w6ValueFunctions, dedupContainment,
-    evalLangidConfusion, dq6KeySkew)
+    evalLangidConfusion, dq6KeySkew, annIvfRebalance, q59ShardManifest)
 }

@@ -197,6 +197,58 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming CDC apply sink — the streaming face of the u11 changelog
+    * fold (latest op per key wins; `D` is a tombstone, `U` carries the
+    * replacement payload). Each micro-batch of (idCol, seq, op,
+    * payload...) rows first compacts internally (max-seq row per key),
+    * then folds into the LATEST published version with the same
+    * untouched-anti-join ∪ updates shape as the batch operator, writing
+    * an immutable `v<batchId>` directory (the [[mergeSink]] versioning
+    * discipline: crash-retries re-merge against the last _SUCCESS-
+    * committed version, so a partially written vN never feeds itself).
+    *
+    * Cross-batch ordering is the CDC contract: stream order IS seq
+    * order between batches, so a later batch's op for a key replaces
+    * the earlier outcome — a U after a D resurrects the key, a D after
+    * a U kills it, exactly the two cases the batch fixture pins.
+    *
+    * `payloadCols` are the base table's non-key columns, in base
+    * column order; U rows must carry them all.
+    */
+  def cdcSink(stream: DataFrame, base0: DataFrame, idCol: String,
+      payloadCols: Seq[String], outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val root = new org.apache.hadoop.fs.Path(outDir)
+        val versions =
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root).toSeq.map(_.getPath.getName)
+            .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+            .filter(v => v < batchId &&
+              fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/v$v/_SUCCESS")))
+        val published =
+          if (versions.isEmpty) base0
+          else spark.read.parquet(s"$outDir/v${versions.max}")
+        val wLatest = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("seq").desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(wLatest))
+          .filter(col("__rn") === 1)
+        val untouched = published
+          .join(latest.select(col(idCol)), Seq(idCol), "left_anti")
+        val updated = latest.filter(col("op") === "U")
+          .select(col(idCol) +: payloadCols.map(col): _*)
+        untouched.unionByName(updated)
+          .write.mode("overwrite").parquet(s"$outDir/v$batchId")
+      }
+      .start()
+  }
+
   /** One tagged row of either as-of input: `side` is "l" (probe) or "r"
     * (reference). `v` carries the reference payload (ignored on lefts).
     */

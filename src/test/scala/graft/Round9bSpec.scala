@@ -83,6 +83,21 @@ class Round9bSpec extends SparkSpec {
     assert(got(1L) === -1L && got(2L) === 0L && got(3L) === Long.MinValue)
   }
 
+  test("SignWord64 kernel equals the HOF additive fold on real embeddings") {
+    // the declarative reference formula the kernel replaces: disjoint
+    // powers of two sum without carries, so the fold IS the bitwise OR
+    val hof = expr(
+      """aggregate(sequence(0, size(embedding) - 1), CAST(0 AS BIGINT),
+          (acc, i) -> acc + CASE WHEN CAST(element_at(embedding, i + 1) AS DOUBLE) > 0.0D
+            THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)""")
+    val mismatches = graft.etl.Tables(spark, sf, "embeddings")
+      .withColumn("__k", Similarity.signWord("embedding"))
+      .withColumn("__h", hof)
+      .filter(col("__k") =!= col("__h"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("binaryHammingTopK: rerank recall@5 vs exact cosine on real embeddings") {
     val emb = graft.etl.Tables(spark, sf, "embeddings")
     val queries = emb.filter(col("vec_id") % 10 === 0)
@@ -117,6 +132,32 @@ class Round9bSpec extends SparkSpec {
       val expect = q.indices.count(i => (q(i) > 0) != (c(i) > 0))
       assert(r.getAs[Long]("hamming") === expect.toLong)
     }
+  }
+
+  // ---- streaming CDC apply -----------------------------------------------
+
+  test("cdcSink: streamed changelog application equals the batch latest-wins fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "status")
+    val root = java.nio.file.Files.createTempDirectory("cdc_").toString
+    val stream = MemoryStream[(Long, Long, String, String)]
+    val q = graft.streaming.StreamingOps.cdcSink(
+      stream.toDF().toDF("id", "seq", "op", "status"),
+      base, "id", Seq("status"), s"$root/out", s"$root/ck")
+    // batch 0: within-batch latest-wins (key 1: U then D at higher seq
+    // -> net delete); key 2 plain update
+    stream.addData((1L, 1L, "U", "p"), (1L, 2L, "D", null),
+      (2L, 1L, "U", "x"))
+    q.processAllAvailable()
+    // batch 1: cross-batch replacement — key 1 resurrects (U after the
+    // batch-0 D), key 2 dies (D after the batch-0 U), key 4 updates
+    stream.addData((1L, 3L, "U", "z"), (2L, 2L, "D", null), (4L, 1L, "U", "w"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$root/out/v1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "z", 3L -> "c", 4L -> "w"))
   }
 
   // ---- A-ES weighted sampling --------------------------------------------
