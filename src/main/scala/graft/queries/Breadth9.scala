@@ -679,8 +679,66 @@ object Breadth9 {
       FROM d GROUP BY shard ORDER BY shard
     """.trim))
 
+  /** Dedup-propose evaluation: precision/recall of the MinHash band
+    * candidate generator against exact ground truth (all within-lang
+    * pairs with true shingle-Jaccard ≥ 0.5) — the eval harness applied
+    * to the dedup tier itself. Band recall is the number a pipeline
+    * tunes rows/bands against; precision here is PROPOSE precision
+    * (how much the exact verify stage must filter), the cost knob of
+    * every propose-then-verify design. One full-outer join of two
+    * pair frames + a one-row aggregate.
+    */
+  val evalDedupQuality = Q(
+    "eval_dedup_quality",
+    (s, dir) => {
+      val docs = Extensions.augmentedDocs(s, dir, perturb = true)
+      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", threshold = 0.5)
+        .select(col("doc_a"), col("doc_b")).withColumn("__t", lit(1L))
+      val proposed = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        .withColumn("__p", lit(1L))
+      truth.join(proposed, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+          sum(coalesce(col("__p"), lit(0L))).as("n_proposed"),
+          sum(coalesce(col("__t"), lit(0L)) * coalesce(col("__p"), lit(0L))).as("n_hit"))
+        .withColumn("precision",
+          when(col("n_proposed") === 0, lit(0.0))
+            .otherwise(round(col("n_hit").cast("double") / col("n_proposed"), 9)))
+        .withColumn("recall",
+          when(col("n_truth") === 0, lit(0.0))
+            .otherwise(round(col("n_hit").cast("double") / col("n_truth"), 9)))
+    },
+    Some(s"""
+      WITH ${Extensions.minhashPairsCtes},
+      tn AS (SELECT doc_id, lang, ${Extensions.NormW} AS w FROM aug),
+      tsh AS (SELECT doc_id, lang,
+                list_distinct(list_transform(range(len(w) - 2),
+                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+              FROM tn WHERE len(w) >= 3),
+      tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+               len(a.s) + len(b.s) AS tot
+             FROM tsh a JOIN tsh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+      truth AS (SELECT doc_a, doc_b FROM tp
+                WHERE inter::DOUBLE / (tot - inter) >= 0.5),
+      m AS (SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+                   CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS p
+            FROM truth t FULL OUTER JOIN pairs p
+              ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+      c AS (SELECT sum(t)::BIGINT AS n_truth, sum(p)::BIGINT AS n_proposed,
+                   sum(t * p)::BIGINT AS n_hit
+            FROM m)
+      SELECT n_truth, n_proposed, n_hit,
+             CASE WHEN n_proposed = 0 THEN 0.0::DOUBLE
+                  ELSE round(n_hit::DOUBLE / n_proposed, 9) END AS precision,
+             CASE WHEN n_truth = 0 THEN 0.0::DOUBLE
+                  ELSE round(n_hit::DOUBLE / n_truth, 9) END AS recall
+      FROM c ORDER BY n_truth
+    """.trim))
+
   def all: Seq[Q] = Seq(evalRetrievalMetrics, annBinaryTopk, q58WeightedSample,
     evalQualityConfusion, evalModelCalibration, srcXmlRoundtrip,
     u11CdcApply, srcSchemaEvolution, w6ValueFunctions, dedupContainment,
-    evalLangidConfusion, dq6KeySkew, annIvfRebalance, q59ShardManifest)
+    evalLangidConfusion, dq6KeySkew, annIvfRebalance, q59ShardManifest,
+    evalDedupQuality)
 }

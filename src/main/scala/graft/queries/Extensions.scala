@@ -52,7 +52,7 @@ object Extensions {
     * perturbed augmented corpus; ends with a `pairs` CTE (doc_a < doc_b,
     * distinct). Shared by the pair query and the cluster query.
     */
-  private def minhashPairsCtes: String = {
+  private[queries] def minhashPairsCtes: String = {
     val sigs = Dedup.SeedsA.zip(Dedup.SeedsB).map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % ${Dedup.HashPrime}))"
     }.mkString(",\n               ")

@@ -323,6 +323,35 @@ class PropertySpec extends SparkSpec {
 
   // ---- CMS properties over random weighted tables ------------------------
 
+  test("weightedSampleTopN matches an in-memory A-ES reference on random tables") {
+    // the reference replays the operator's exact arithmetic: md5-front
+    // uniform, ln(u)/w key, round-12 HALF_UP via BigDecimal.valueOf
+    // (Spark's Round implementation), top-n by (key desc, id)
+    def md5hex8(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val entry: Gen[(Long, Double)] = for {
+      id <- Gen.choose(0L, 100000L)
+      w <- Gen.choose(1, 100000000).map(_ / 100.0)
+    } yield (id, w)
+    val table: Gen[List[(Long, Double)]] = Gen.choose(5, 60).flatMap(Gen.listOfN(_, entry))
+    samples(table, 6).foreach { raw =>
+      val rows = raw.distinctBy(_._1)
+      val n = math.min(7, rows.size)
+      val expected = rows.map { case (id, w) =>
+        val u = (md5hex8(id.toString) + 1).toDouble / 4294967296.0
+        val key = java.math.BigDecimal.valueOf(math.log(u) / w)
+          .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+        (id, key)
+      }.sortBy { case (id, key) => (-key, id) }.take(n).map(_._1).toSet
+      val got = graft.etl.SampleOps
+        .weightedSampleTopN(rows.toDF("id", "w"), "id", "w", n)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected)
+    }
+  }
+
   test("CMS upper bound and mergeability hold on random weighted key tables") {
     val entry: Gen[(String, Long)] = for {
       k <- Gen.choose(1, 6).flatMap(Gen.listOfN(_, Gen.alphaLowerChar)).map(_.mkString)

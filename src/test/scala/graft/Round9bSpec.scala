@@ -134,6 +134,35 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  // ---- IVF rebalance -----------------------------------------------------
+
+  test("ivfRebalanceSplit: sub-assignments exactly partition each hot list") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val rows = graft.ext.Similarity.ivfRebalanceSplit(spark, emb,
+      emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding", nSplit = 2).collect()
+    val byCid = rows.groupBy(_.getAs[Long]("cid"))
+    assert(byCid.size === 2, s"expected 2 split lists, got ${byCid.size}")
+    byCid.foreach { case (cid, rs) =>
+      val nBefore = rs.head.getAs[Long]("n_before")
+      assert(rs.map(_.getAs[Long]("n_members")).sum === nBefore,
+        s"list $cid: sub counts must sum to n_before")
+      assert(rs.map(_.getAs[Long]("sub")).toSet.subsetOf(Set(0L, 1L)))
+    }
+  }
+
+  // ---- dedup propose evaluation ------------------------------------------
+
+  test("eval_dedup_quality: hit counts bounded and metrics in range") {
+    val Array(r) = graft.queries.Breadth9.evalDedupQuality.fn(spark, sf).collect()
+    val (t, p, h) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_proposed"),
+      r.getAs[Long]("n_hit"))
+    assert(h <= t && h <= p, "hits cannot exceed either side")
+    assert(t > 0, "fixture must contain true near-dup pairs")
+    Seq("precision", "recall").foreach { m =>
+      val v = r.getAs[Double](m); assert(v >= 0.0 && v <= 1.0, s"$m=$v")
+    }
+  }
+
   // ---- streaming CDC apply -----------------------------------------------
 
   test("cdcSink: streamed changelog application equals the batch latest-wins fold") {
