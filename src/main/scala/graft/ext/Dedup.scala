@@ -648,15 +648,23 @@ object Dedup {
         .as("__p"))
       .select(col("__p.doc_a"), col("__p.doc_b"))
       .distinct()
-    val scored = cands
+    // both directions emitted from ONE scored row via a 2-element array
+    // explode — a union of two selects over `scored` would re-run the
+    // whole propose+intersect pipeline per branch (plan-audited)
+    cands
       .join(sets.select(col(idCol).as("doc_a"), col("__hs").as("__ha")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("__hs").as("__hb")), "doc_b")
       .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
-    val ab = scored.select(col("doc_a").as("contained"), col("doc_b").as("container"),
-      round(col("__inter").cast("double") / size(col("__ha")), 9).as("containment"))
-    val ba = scored.select(col("doc_b").as("contained"), col("doc_a").as("container"),
-      round(col("__inter").cast("double") / size(col("__hb")), 9).as("containment"))
-    ab.unionByName(ba).filter(col("containment") >= threshold)
+      .withColumn("__ca", round(col("__inter").cast("double") / size(col("__ha")), 9))
+      .withColumn("__cb", round(col("__inter").cast("double") / size(col("__hb")), 9))
+      .select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          col("__ca").as("containment")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          col("__cb").as("containment")))).as("__d"))
+      .select(col("__d.contained").as("contained"), col("__d.container").as("container"),
+        col("__d.containment").as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   def ngramJaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,

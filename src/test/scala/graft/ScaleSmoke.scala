@@ -283,8 +283,13 @@ object ScaleSmoke {
       // sampling, confusion cells over scan-side labels
       "dedup_containment", "ann_binary_topk", "u11_cdc_apply",
       "eval_retrieval_metrics", "q58_weighted_sample",
-      "eval_langid_confusion", "w6_value_functions") ++
-      (if (replicas <= 10) Seq("dedup_ngram_jaccard") else Nil))
+      "eval_langid_confusion", "w6_value_functions",
+      // round-9 fourth wave: hot-list-scoped rescoring, 16-group
+      // manifest aggregate
+      "ann_ivf_rebalance", "q59_shard_manifest") ++
+      // the exact within-lang jaccard (ground truth of the dedup eval)
+      // shares ngram_jaccard's O(clique²) pair blowup under replication
+      (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
     val selected =
