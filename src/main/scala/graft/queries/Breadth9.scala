@@ -736,9 +736,98 @@ object Breadth9 {
       FROM c ORDER BY n_truth
     """.trim))
 
+  /** Weekly retention cohorts — the classic event-pipeline matrix:
+    * cohort = the ISO-agnostic week of a user's FIRST event (days
+    * since the corpus epoch ÷ 7, deterministic in both engines);
+    * retention(c, k) = distinct cohort-c users active in week c+k,
+    * as a fraction of the cohort. Two user-keyed aggregates (first
+    * event, then distinct-per-cell) — both map-side-combining; the
+    * cohort-size join is over a handful of rows. At 100 TB the only
+    * corpus-scale shuffle is the user key, which sessionization and
+    * the funnel already cluster by.
+    */
+  val q60RetentionCohorts = Q(
+    "q60_retention_cohorts",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts").cast("timestamp")).as("__d"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("__d")).as("__first"))
+        .withColumn("cohort_week",
+          floor(datediff(col("__first"), lit("2024-01-01").cast("date")) / 7).cast("long"))
+      val cells = ev.join(first, "user_id")
+        .withColumn("week_no", floor(datediff(col("__d"), col("__first")) / 7).cast("long"))
+        .groupBy(col("cohort_week"), col("week_no"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = cells.filter(col("week_no") === 0)
+        .select(col("cohort_week"), col("n_active").as("__cohort_size"))
+      cells.join(broadcast(sizes), "cohort_week")
+        .withColumn("retention",
+          round(col("n_active").cast("double") / col("__cohort_size"), 9))
+        .select(col("cohort_week"), col("week_no"), col("n_active"), col("retention"))
+        .orderBy(col("cohort_week"), col("week_no"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, ts::DATE AS d FROM events),
+      f AS (SELECT user_id, min(d) AS first_d FROM e GROUP BY user_id),
+      fc AS (SELECT user_id, first_d,
+               (date_diff('day', DATE '2024-01-01', first_d) // 7)::BIGINT AS cohort_week
+             FROM f),
+      cells AS (SELECT cohort_week,
+                  (date_diff('day', first_d, d) // 7)::BIGINT AS week_no,
+                  count(DISTINCT e.user_id) AS n_active
+                FROM e JOIN fc ON e.user_id = fc.user_id
+                GROUP BY 1, 2),
+      sz AS (SELECT cohort_week, n_active AS cohort_size FROM cells WHERE week_no = 0)
+      SELECT cohort_week, week_no, n_active,
+             round(n_active::DOUBLE / cohort_size, 9) AS retention
+      FROM cells JOIN sz USING (cohort_week)
+      ORDER BY cohort_week, week_no
+    """.trim))
+
+  /** Last-touch attribution: each purchase's value is attributed to
+    * the most recent preceding click/view by the same user ('direct'
+    * when none) — the j5 last-prior window generalized from one
+    * source type to a touch-type report. ONE user-keyed window pass
+    * carries the running last-touch state; the revenue report is a
+    * 3-row aggregate (DECIMAL(18,3), the events-value idiom).
+    */
+  val q61Attribution = Q(
+    "q61_attribution",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .withColumn("touch",
+          last(when(col("event_type").isin("click", "view"), col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("touch", coalesce(col("touch"), lit("direct")))
+        .groupBy(col("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 3))).cast("double").as("attributed_value"))
+        .orderBy(col("touch"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id, event_type, value,
+               coalesce(last_value(CASE WHEN event_type IN ('click', 'view')
+                          THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 'direct') AS touch
+        FROM events)
+      SELECT touch, count(*) AS n_purchases,
+             CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS attributed_value
+      FROM p WHERE event_type = 'purchase'
+      GROUP BY touch ORDER BY touch
+    """.trim))
+
   def all: Seq[Q] = Seq(evalRetrievalMetrics, annBinaryTopk, q58WeightedSample,
     evalQualityConfusion, evalModelCalibration, srcXmlRoundtrip,
     u11CdcApply, srcSchemaEvolution, w6ValueFunctions, dedupContainment,
     evalLangidConfusion, dq6KeySkew, annIvfRebalance, q59ShardManifest,
-    evalDedupQuality)
+    evalDedupQuality, q60RetentionCohorts, q61Attribution)
 }
