@@ -613,25 +613,38 @@ object Breadth9 {
     "ann_ivf_rebalance",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      Similarity.ivfRebalanceSplit(s, emb,
-          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
-          "vec_id", "embedding", nSplit = 2)
+      val idxDir = Extensions.ensureIvfInt8Index(s, dir)
+      Similarity.ivfRebalanceFromAssignments(s,
+          s.read.parquet(idxDir).select(col("vec_id"), col("list").as("cluster")),
+          emb, "vec_id", "embedding", nSplit = 2)
         .orderBy(col("cid"), col("sub"))
     },
     Some(s"""
-      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                    WHERE vec_id % 37 = 0 AND vec_id < 5000),
+      WITH qn AS (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+                  FROM embeddings),
+      cq AS (SELECT vec_id, round(amax / 127.0, 9) AS s,
+               CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                           x -> CAST(floor(x::DOUBLE / (amax / 127.0) + 0.5) AS INT))
+               END AS codes
+             FROM qn),
+      rec AS (SELECT vec_id, list_transform(range(len(codes)), i -> codes[i+1] * s) AS embedding
+              FROM cq),
+      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id % 37 = 0 AND vec_id < 5000),
       corp_a AS (
-        SELECT vec_id, embedding, cid FROM (
-          SELECT e.vec_id, e.embedding, t.cid,
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, t.cid,
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
-          FROM embeddings e, cent t)
+          FROM rec e, cent t)
         WHERE rn = 1),
       sizes AS (SELECT cid, count(*) AS n_before FROM corp_a GROUP BY cid),
       hot AS (SELECT cid, n_before FROM sizes ORDER BY n_before DESC, cid LIMIT 2),
-      m AS (SELECT c.vec_id, c.embedding, c.cid, h.n_before
-            FROM corp_a c JOIN hot h USING (cid)),
+      m AS (SELECT c.vec_id, e.embedding, c.cid, h.n_before
+            FROM corp_a c JOIN hot h USING (cid)
+            JOIN embeddings e ON e.vec_id = c.vec_id),
       seeds AS (SELECT cid, min(vec_id) AS s1, max(vec_id) AS s2 FROM m GROUP BY cid),
       sv AS (SELECT s.cid, a.embedding AS v1, b.embedding AS v2 FROM seeds s
              JOIN embeddings a ON a.vec_id = s.s1

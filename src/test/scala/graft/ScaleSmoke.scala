@@ -285,8 +285,9 @@ object ScaleSmoke {
       "eval_retrieval_metrics", "q58_weighted_sample",
       "eval_langid_confusion", "w6_value_functions",
       // round-9 fourth wave: hot-list-scoped rescoring, 16-group
-      // manifest aggregate
-      "ann_ivf_rebalance", "q59_shard_manifest") ++
+      // manifest aggregate, user-keyed cohort/attribution passes
+      "ann_ivf_rebalance", "q59_shard_manifest",
+      "q60_retention_cohorts", "q61_attribution") ++
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
