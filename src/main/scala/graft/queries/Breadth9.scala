@@ -838,9 +838,75 @@ object Breadth9 {
       GROUP BY touch ORDER BY touch
     """.trim))
 
+  /** Association mining (market-basket): part pairs co-occurring in
+    * ≥ 2 orders, with support, confidence(a→b) and lift — the
+    * frequent-itemset k=2 pass every recommendation bootstrap runs.
+    * The pair listing is per-basket combination generation (baskets
+    * are bounded — ~7 lineitems per order — so the O(k²) term is a
+    * constant per order, the scale-safe shape); part marginals
+    * broadcast back onto the surviving pairs only. Confidence/lift
+    * are exact integer ratios rounded once.
+    */
+  val q62BasketPairs = Q(
+    "q62_basket_pairs",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("__n_orders"))
+      val partCounts = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("__cnt"))
+      val baskets = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
+        .filter(size(col("__ps")) >= 2)
+      val pairs = baskets.select(explode(expr(
+          """flatten(transform(__ps, (a, i) ->
+               transform(slice(__ps, i + 2, size(__ps)), b ->
+                 struct(a AS part_a, b AS part_b))))""")).as("__p"))
+        .select(col("__p.part_a"), col("__p.part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_orders_both"))
+        .filter(col("n_orders_both") >= 2)
+      pairs
+        .join(broadcast(partCounts.select(col("l_partkey").as("part_a"),
+          col("__cnt").as("__ca"))), "part_a")
+        .join(broadcast(partCounts.select(col("l_partkey").as("part_b"),
+          col("__cnt").as("__cb"))), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("support",
+          round(col("n_orders_both").cast("double") / col("__n_orders"), 9))
+        .withColumn("confidence",
+          round(col("n_orders_both").cast("double") / col("__ca"), 9))
+        .withColumn("lift", round(col("n_orders_both").cast("double") *
+          col("__n_orders") / (col("__ca") * col("__cb")), 9))
+        .select(col("part_a"), col("part_b"), col("n_orders_both"),
+          col("support"), col("confidence"), col("lift"))
+        .orderBy(col("part_a"), col("part_b"))
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+      pc AS (SELECT l_partkey, count(*) AS cnt FROM li GROUP BY l_partkey),
+      p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_orders_both
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= 2)
+      SELECT part_a, part_b, n_orders_both,
+             round(n_orders_both::DOUBLE / n.n_orders, 9) AS support,
+             round(n_orders_both::DOUBLE / ca.cnt, 9) AS confidence,
+             round(n_orders_both::DOUBLE * n.n_orders / (ca.cnt * cb.cnt), 9) AS lift
+      FROM p
+      JOIN pc ca ON ca.l_partkey = p.part_a
+      JOIN pc cb ON cb.l_partkey = p.part_b
+      CROSS JOIN n
+      ORDER BY part_a, part_b
+    """.trim))
+
   def all: Seq[Q] = Seq(evalRetrievalMetrics, annBinaryTopk, q58WeightedSample,
     evalQualityConfusion, evalModelCalibration, srcXmlRoundtrip,
     u11CdcApply, srcSchemaEvolution, w6ValueFunctions, dedupContainment,
     evalLangidConfusion, dq6KeySkew, annIvfRebalance, q59ShardManifest,
-    evalDedupQuality, q60RetentionCohorts, q61Attribution)
+    evalDedupQuality, q60RetentionCohorts, q61Attribution, q62BasketPairs)
 }
