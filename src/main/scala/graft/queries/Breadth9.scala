@@ -4,11 +4,17 @@ import graft.etl.{SampleOps, Tables}
 import graft.ext.{Dedup, EvalOps, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
-/** Round-9 second wave: the retrieval-evaluation harness (recall/MRR/
-  * nDCG over a ranked run vs derived qrels), binary sign-quantized
-  * Hamming ANN with exact rerank (the 32×-compression serving tier),
-  * and Efraimidis–Spirakis weighted sampling without replacement (the
-  * top-n complement to the q47 prefix-sum PPS design).
+/** Round-9 continuation waves: the evaluation family (retrieval
+  * recall/MRR/nDCG vs derived qrels, quality-model confusion +
+  * calibration, langid confusion, dedup propose precision/recall),
+  * binary sign-quantized Hamming ANN with exact rerank (the
+  * 32×-compression serving tier), Efraimidis–Spirakis weighted
+  * sampling, CDC changelog application with tombstones,
+  * schema-evolution and XML sources, value window functions, directed
+  * containment dedup, IVF list rebalancing served from the persisted
+  * index, the key-skew preflight and shard manifest, and the
+  * event-analytics trio (retention cohorts, last-touch attribution,
+  * market-basket pairs).
   */
 object Breadth9 {
 
