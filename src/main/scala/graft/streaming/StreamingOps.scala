@@ -417,6 +417,46 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** One attribution event arrival ([[attributionStateful]]). */
+  final case class AttribIn(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String, value: Double)
+
+  /** A purchase attributed to its most recent preceding touch. */
+  final case class AttribOut(event_id: Long, user_id: Long, touch: String,
+      value: Double)
+
+  /** Streaming last-touch attribution — the incremental twin of the
+    * q61 batch window: per-user state carries the most recent
+    * click/view; each purchase is emitted the moment it arrives,
+    * attributed to that state ('direct' when none). Within a
+    * micro-batch rows process in (ts, event_id) order, so a touch
+    * attributes a later purchase of the same batch; across batches the
+    * state row carries over — the same strictly-preceding frame as the
+    * batch window, evaluated incrementally. State is ONE tiny row per
+    * live user (at scale, an event-time timeout reaps dormant users).
+    */
+  def attributionStateful(events: org.apache.spark.sql.Dataset[AttribIn],
+      touchTypes: Set[String] = Set("click", "view"))
+      : org.apache.spark.sql.Dataset[AttribOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    def fn(user: Long, rows: Iterator[AttribIn],
+        state: GroupState[String]): Iterator[AttribOut] = {
+      var out = List.empty[AttribOut]
+      var touch = state.getOption
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (e.event_type == "purchase")
+          out ::= AttribOut(e.event_id, user, touch.getOrElse("direct"), e.value)
+        else if (touchTypes.contains(e.event_type))
+          touch = Some(e.event_type)
+      }
+      touch.foreach(state.update)
+      out.reverseIterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** One funnel event arrival: `stage` is the 0-based index in the
     * funnel definition (mapped scan-side, so the processor is
     * definition-agnostic); `user_id` is the funnel entity.

@@ -217,6 +217,40 @@ class Round9bSpec extends SparkSpec {
     assert(got === Map(1L -> "z", 3L -> "c", 4L -> "w"))
   }
 
+  test("attributionStateful: streamed last-touch equals the batch window on real events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.StreamingOps.AttribIn
+    implicit val ctx = spark.sqlContext
+    val ev = graft.etl.Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+    // batch reference: the q61 strictly-preceding window, per purchase
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = ev
+      .withColumn("touch", coalesce(
+        last(when(col("event_type").isin("click", "view"), col("event_type")),
+          ignoreNulls = true).over(w), lit("direct")))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("touch"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("touch")).toMap
+    // stream the same events in two ts-ordered chunks (state must carry
+    // a batch-1 touch into a batch-2 purchase)
+    val rows = ev.as[AttribIn].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (chunk1, chunk2) = rows.splitAt(rows.length / 2)
+    val stream = MemoryStream[AttribIn]
+    val q = graft.streaming.StreamingOps.attributionStateful(stream.toDS())
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    stream.addData(chunk1.toIndexedSeq); q.processAllAvailable()
+    stream.addData(chunk2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("touch")).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   // ---- A-ES weighted sampling --------------------------------------------
 
   test("weightedSampleTopN is invariant under input partitioning") {
