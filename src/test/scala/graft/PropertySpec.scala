@@ -323,6 +323,87 @@ class PropertySpec extends SparkSpec {
 
   // ---- CMS properties over random weighted tables ------------------------
 
+  test("containmentPairs matches an in-memory set-math reference on random corpora") {
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val doc: Gen[String] = Gen.choose(0, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val corpus: Gen[List[String]] = Gen.choose(4, 14).flatMap(Gen.listOfN(_, doc))
+    samples(corpus, 5).zipWithIndex.foreach { case (texts, trial) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val maxDf = 4; val threshold = 0.5
+      // reference: distinct word-trigram STRING sets (the oracle's
+      // same-sets argument for the 64-bit hashed shingles)
+      val sets = docs.flatMap { case (id, t) =>
+        val w = t.split("\\s+").filter(_.nonEmpty)
+        if (w.length < 3) None
+        else Some(id -> w.sliding(3).map(_.mkString(" ")).toSet)
+      }.toMap
+      val df = sets.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+      val rare = df.filter(_._2 <= maxDf).keySet
+      val ids = sets.keys.toSeq.sorted
+      val expected = (for {
+        a <- ids; b <- ids if a < b
+        if sets(a).intersect(sets(b)).exists(rare)
+        inter = sets(a).intersect(sets(b)).size
+        d <- Seq((a, b, r9(inter.toDouble / sets(a).size)),
+          (b, a, r9(inter.toDouble / sets(b).size)))
+        if d._3 >= threshold
+      } yield d).toSet
+      val got = graft.ext.Dedup.containmentPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", threshold, maxDf)
+        .collect().map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container"),
+          r.getAs[Double]("containment"))).toSet
+      assert(got === expected, s"trial $trial corpus: $texts")
+    }
+  }
+
+  test("retrievalMetrics matches an in-memory reference on random runs and qrels") {
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val k = 10
+    val runGen: Gen[(Long, List[Long])] = for {
+      q <- Gen.choose(1L, 5L)
+      n <- Gen.choose(1, k)
+      docs <- Gen.listOfN(n * 2, Gen.choose(0L, 30L)).map(_.distinct.take(n))
+    } yield (q, docs)
+    val relGen: Gen[List[Long]] = Gen.choose(0, 12)
+      .flatMap(Gen.listOfN(_, Gen.choose(0L, 30L))).map(_.distinct)
+    samples(Gen.zip(Gen.listOfN(4, runGen), Gen.listOfN(4, relGen)), 5)
+      .foreach { case (runsRaw, relsRaw) =>
+        import org.apache.spark.sql.Row
+        val runs = runsRaw.groupBy(_._1).map { case (q, g) => q -> g.head._2 }.toSeq
+        val runRows = runs.flatMap { case (q, docs) =>
+          docs.zipWithIndex.map { case (d, i) => (q, (i + 1).toLong, d) } }
+        val qrels = runs.map(_._1).distinct.zip(relsRaw).flatMap {
+          case (q, rels) => rels.map(q -> _) }
+        val runDf = runRows.toDF("query_id", "rank", "doc_id")
+        val qrelDf = qrels.toDF("query_id", "doc_id")
+        val got = graft.ext.EvalOps.retrievalMetrics(runDf, qrelDf, "doc_id", k)
+          .collect().map(r => r.getAs[Long]("query_id") ->
+            (r.getAs[Long]("n_rel"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall"),
+             r.getAs[Double]("mrr"), r.getAs[Double]("ndcg"))).toMap
+        val relByQ = qrels.groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+        val ln2 = math.log(2.0)
+        def term(rank: Long) = BigDecimal(r9(ln2 / math.log(rank + 1.0)))
+        runs.foreach { case (q, docs) =>
+          val rel = relByQ.getOrElse(q, Set.empty)
+          val hits = docs.zipWithIndex.collect {
+            case (d, i) if rel(d) => (i + 1).toLong }
+          val nRel = rel.size.toLong
+          val recall = if (nRel == 0) 0.0 else r9(hits.size.toDouble / nRel)
+          val mrr = hits.headOption.map(r => r9(1.0 / r)).getOrElse(0.0)
+          val dcg = hits.map(term).sum.toDouble
+          val idcg = if (nRel == 0) 0.0
+            else (1L to math.min(nRel, k.toLong)).map(term).sum.toDouble
+          val ndcg = if (idcg == 0.0) 0.0 else r9(dcg / idcg)
+          assert(got(q) === ((nRel, hits.size.toLong, recall, mrr, ndcg)),
+            s"query $q run=$docs rel=$rel")
+        }
+      }
+  }
+
   test("weightedSampleTopN matches an in-memory A-ES reference on random tables") {
     // the reference replays the operator's exact arithmetic: md5-front
     // uniform, ln(u)/w key, round-12 HALF_UP via BigDecimal.valueOf
