@@ -910,9 +910,81 @@ object Breadth9 {
       ORDER BY part_a, part_b
     """.trim))
 
+  /** ANN-recall evaluation: per-query recall@5 of the IVF tier
+    * (nprobe=2) against the exact cosine ranker — the eval harness
+    * closing its fourth loop (retrieval, classifier, dedup, and now
+    * the vector index). Specs pin recall floors; this query makes the
+    * number a first-class, oracle-checked deliverable a deployment
+    * dashboards per index build. Both rankers are existing operators;
+    * the comparison is a (query, neighbor) semi join over ≤ q×5 rows.
+    */
+  val evalAnnRecall = Q(
+    "eval_ann_recall",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.bruteForceTopK(s, emb, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(s, emb, queries,
+          emb.filter(col("vec_id") % 37 === 0 && col("vec_id") < 5000),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(approx.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall", round(col("n_hit").cast("double") / 5, 9))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 WHERE vec_id % 100 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      ep AS (SELECT query_id, neighbor_id, ${Extensions.sqlCos("qv", "cv")} AS sim
+             FROM q, c WHERE query_id <> neighbor_id),
+      exact AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rank
+                  FROM ep) WHERE rank <= 5),
+      cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id % 37 = 0 AND vec_id < 5000),
+      corp_a AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t)
+        WHERE rn = 1),
+      q_a AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
+        WHERE rn <= 2),
+      ap AS (SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+                    ${Extensions.sqlCos("qa.embedding", "ca.embedding")} AS sim
+             FROM q_a qa JOIN corp_a ca ON qa.cid = ca.cid AND qa.vec_id <> ca.vec_id),
+      approx AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+                   FROM ap) WHERE rank <= 5)
+      SELECT e.query_id,
+             sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+             round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5, 9) AS recall
+      FROM exact e LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+      ORDER BY e.query_id
+    """.trim))
+
   def all: Seq[Q] = Seq(evalRetrievalMetrics, annBinaryTopk, q58WeightedSample,
     evalQualityConfusion, evalModelCalibration, srcXmlRoundtrip,
     u11CdcApply, srcSchemaEvolution, w6ValueFunctions, dedupContainment,
     evalLangidConfusion, dq6KeySkew, annIvfRebalance, q59ShardManifest,
-    evalDedupQuality, q60RetentionCohorts, q61Attribution, q62BasketPairs)
+    evalDedupQuality, q60RetentionCohorts, q61Attribution, q62BasketPairs,
+    evalAnnRecall)
 }
