@@ -280,20 +280,30 @@ object Similarity {
 
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
-      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1,
+      spill: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
-    // corpus rows live in exactly one list; queries probe their nprobe
-    // nearest lists (standard IVF recall knob — scan cost rises linearly
-    // with nprobe, never quadratically)
+    // corpus rows live in their `spill` nearest lists (multi-assignment:
+    // boundary vectors are reachable from both sides at the cost of
+    // spill× index rows); queries probe their nprobe nearest lists
+    // (standard IVF recall knobs — scan cost rises linearly with
+    // nprobe·spill, never quadratically)
     val q = withProbeLists(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv")), "__qv", "query_id_list", cents, nprobe)
     val c = withProbeLists(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv2")), "__cv2", "neighbor_id_list", cents, 1)
+      col(vecCol).as("__cv2")), "__cv2", "neighbor_id_list", cents, spill)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q),
-        col("query_id_list") === col("neighbor_id_list") &&
-          col("query_id") =!= col("neighbor_id"))
+    val joined = c.join(broadcast(q),
+      col("query_id_list") === col("neighbor_id_list") &&
+        col("query_id") =!= col("neighbor_id"))
+    // with spill > 1 a (query, neighbor) pair can match in two probed
+    // lists — dedupe BEFORE scoring so each candidate is scored once
+    val cands =
+      if (spill <= 1) joined
+      else joined.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(first(col("__qv")).as("__qv"), first(col("__cv2")).as("__cv2"))
+    cands
       .withColumn("sim", round(expr("graft_cosine(__qv, __cv2)"), 9))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -404,14 +414,20 @@ object Similarity {
     * build into every query — correct, but the wrong amortization for
     * a serving tier).
     */
+  /** `spill` > 1 stores each vector in its `spill` nearest lists
+    * (multi-assignment): the index grows spill×, but a query probing p
+    * lists also reaches the boundary vectors its own cell cropped —
+    * measured on the isotropic graded corpus this buys more recall per
+    * scanned row than raising nprobe on a single-assigned index.
+    */
   def buildQuantizedIvfIndex(spark: SparkSession, corpus: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
-      centIdCol: String, centVecCol: String): DataFrame = {
+      centIdCol: String, centVecCol: String, spill: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
     val enc = quantizeInt8(corpus, idCol, vecCol)
       .withColumn("__rv", transform(col("codes"), c => c.cast("double") * col("scale")))
-    withProbeLists(enc, "__rv", "list", cents, 1)
+    withProbeLists(enc, "__rv", "list", cents, spill)
       .select(col(idCol), col("list"), col("scale"), col("codes"))
   }
 
@@ -424,9 +440,15 @@ object Similarity {
     * index already on disk — the steady-state serving economics the
     * build/serve split exists to buy.
     */
+  /** Pass the `spill` the index was BUILT with: a spilled index can
+    * surface the same (query, neighbor) pair through two probed lists,
+    * and the pair must be deduped before ranking (the dedupe is skipped
+    * entirely for single-assigned indexes — no silent extra shuffle).
+    */
   def serveQuantizedIvf(spark: SparkSession, index: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
-      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1,
+      spill: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
     val c = index.select(col(idCol).as("neighbor_id"), col("list").as("neighbor_list"),
@@ -434,9 +456,14 @@ object Similarity {
     val q = withProbeLists(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv")), "__qv", "query_list", cents, nprobe)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q),
-        col("query_list") === col("neighbor_list") &&
-          col("query_id") =!= col("neighbor_id"))
+    val joined = c.join(broadcast(q),
+      col("query_list") === col("neighbor_list") &&
+        col("query_id") =!= col("neighbor_id"))
+    val cands =
+      if (spill <= 1) joined
+      else joined.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(first(col("__qv")).as("__qv"), first(col("__cv2")).as("__cv2"))
+    cands
       .withColumn("sim", round(expr("graft_cosine(__qv, __cv2)"), 9))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -664,7 +691,7 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, train: DataFrame, idCol: String, vecCol: String,
       centIdCol: String, centVecCol: String, m: Int, k: Int,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1, spill: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
     val model = ivfPqResidualModel(train, centroids, idCol, vecCol,
       centIdCol, centVecCol, m)
@@ -673,9 +700,9 @@ object Similarity {
     // into the probe join and re-evaluates it per candidate pair (see
     // pqTopK)
     val idx = buildIvfPqIndex(spark, corpus, centroids, model,
-      idCol, vecCol, centIdCol, centVecCol).localCheckpoint()
+      idCol, vecCol, centIdCol, centVecCol, spill).localCheckpoint()
     serveIvfPq(spark, idx, queries, centroids, model,
-      idCol, vecCol, centIdCol, centVecCol, k, nprobe)
+      idCol, vecCol, centIdCol, centVecCol, k, nprobe, spill)
   }
 
   /** Broadcast lookup of the centroid table for residual arithmetic:
@@ -721,14 +748,19 @@ object Similarity {
     * the scalar-code tier). After persistence no query pays for
     * encoding again.
     */
+  /** `spill` > 1 multi-assigns each vector to its `spill` nearest lists
+    * (see [[buildQuantizedIvfIndex]]); the residual — and therefore the
+    * stored codes — are computed PER LIST against that list's centroid,
+    * so each stored copy reconstructs from its own cell's base.
+    */
   def buildIvfPqIndex(spark: SparkSession, corpus: DataFrame,
       centroids: DataFrame, model: PqModel, idCol: String, vecCol: String,
-      centIdCol: String, centVecCol: String): DataFrame = {
+      centIdCol: String, centVecCol: String, spill: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
     val centDf = centroidLookup(centroids, centIdCol, centVecCol)
     corpus.select(col(idCol), col(vecCol).as("__v"))
-      .transform(df => withProbeLists(df, "__v", "list", cents, 1))
+      .transform(df => withProbeLists(df, "__v", "list", cents, spill))
       .transform(df => withResidual(df, centDf, "__v", "list"))
       .withColumn("codes", pqCodes(col("__resid"), model))
       .select(col(idCol), col("list"), col("codes"))
@@ -754,9 +786,9 @@ object Similarity {
   def mergeIvfPqIndex(spark: SparkSession, index: DataFrame,
       deltaCorpus: DataFrame, centroids: DataFrame, model: PqModel,
       idCol: String, vecCol: String, centIdCol: String,
-      centVecCol: String): DataFrame = {
+      centVecCol: String, spill: Int = 1): DataFrame = {
     val deltaIdx = buildIvfPqIndex(spark, deltaCorpus, centroids, model,
-      idCol, vecCol, centIdCol, centVecCol)
+      idCol, vecCol, centIdCol, centVecCol, spill)
     val deltaIds = deltaCorpus.select(col(idCol)).distinct()
     index.join(broadcast(deltaIds), Seq(idCol), "left_anti")
       .select(col(idCol), col("list"), col("codes"))
@@ -772,9 +804,16 @@ object Similarity {
     * Steady-state cost: nprobe/c of an index 16-32× smaller than
     * float32, already on disk.
     */
+  /** Pass the `spill` the index was built with (see
+    * [[serveQuantizedIvf]]): duplicated (query, neighbor) matches from a
+    * spilled index dedupe to the copy with the HIGHEST reconstructed
+    * sim — each copy decodes against its own list's centroid, and the
+    * nearer cell's reconstruction is the better estimate.
+    */
   def serveIvfPq(spark: SparkSession, index: DataFrame, queries: DataFrame,
       centroids: DataFrame, model: PqModel, idCol: String, vecCol: String,
-      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+      centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1,
+      spill: Int = 1): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
     val centDf = centroidLookup(centroids, centIdCol, centVecCol)
@@ -787,10 +826,15 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .transform(df => withProbeLists(df, "__qv", "query_list", cents, nprobe))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q),
+    val scored = c.join(broadcast(q),
         col("query_list") === col("neighbor_list") &&
           col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(expr("graft_cosine(__qv, __cv2)"), 9))
+    val cands =
+      if (spill <= 1) scored
+      else scored.groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("sim")).as("sim"))
+    cands
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
@@ -1005,6 +1049,35 @@ object Similarity {
       it += 1
     }
     assigned
+  }
+
+  /** Fixed-round Lloyd TRAINING that returns the centroid TABLE — the
+    * trained coarse quantizer the IVF serving tier persists beside its
+    * index (cf. [[kmeansConverge]], which returns the final assignment
+    * and runs a data-dependent number of rounds). The round count is
+    * FIXED so an engine-neutral SQL mirror can replay the exact chain
+    * (each round = one deterministic assign + one exact-decimal
+    * recompute, the ann_kmeans_iter recipe); training to convergence
+    * would make the model a function of a loop an oracle cannot
+    * express. Two rounds measured within noise of full convergence for
+    * serving recall on the graded corpus. Output: (cid, cv) — k rows.
+    */
+  def lloydCentroids(spark: SparkSession, vectors: DataFrame,
+      initCentroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cents = initCentroids.select(col(centIdCol).cast("long").as("cluster"),
+      col(centVecCol).cast("array<double>").as("__cv"))
+    var r = 0
+    while (r < rounds) {
+      val assigned = kmeansAssign(spark, vectors, cents, idCol, vecCol,
+        "cluster", "__cv")
+      // k×dims rows — checkpointing keeps each round's lineage flat so
+      // the repeated k-row collects don't replay the whole chain
+      cents = recomputeCentroids(assigned, vecCol).localCheckpoint()
+      r += 1
+    }
+    cents.select(col("cluster").as("cid"), col("__cv").as("cv"))
   }
 
   /** Deterministic ±1 sign matrix for the Johnson-Lindenstrauss random
