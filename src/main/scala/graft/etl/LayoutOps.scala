@@ -154,6 +154,63 @@ object LayoutOps {
     nFiles
   }
 
+  /** One version directory's pre-vacuum state and the action taken. */
+  final case class VersionVacuum(version: Long, committed: Boolean,
+      n_files: Long, n_bytes: Long, action: String)
+
+  /** Retention maintenance for a versioned sink root (the
+    * `mergeSink`/`cdcSink` `v<batchId>` layout, graft's MERGE-on-parquet
+    * stand-in for a table format's snapshot log): without it a
+    * long-running deployment accumulates one full table copy per
+    * micro-batch forever — at 100 TB the dominant storage line within a
+    * day. Policy, mirroring table-format VACUUM:
+    *
+    *  - the newest `keep` COMMITTED (`_SUCCESS`-marked) versions are
+    *    retained — keep ≥ 1 preserves the serving version, keep ≥ 2
+    *    also the one readers may still hold open;
+    *  - committed versions older than those are deleted (`expired`);
+    *  - an UNCOMMITTED version BELOW the newest committed one is crash
+    *    debris (its batch re-ran and committed under a later id) and is
+    *    deleted (`debris`); an uncommitted version ABOVE it may be a
+    *    writer mid-flight and is always left alone (`in_flight`).
+    *
+    * Driver-side work is FS metadata only (one listing per version);
+    * nothing is read or shuffled. Returns one report row per
+    * pre-vacuum version with its file/byte footprint and the action
+    * (`kept` / `expired` / `debris` / `in_flight`) — the numbers a
+    * maintenance job logs. Deletion runs strictly after the report is
+    * built, so the footprint columns describe the reclaimed space.
+    */
+  def vacuumVersions(spark: SparkSession, root: String, keep: Int): DataFrame = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions: Seq[(Long, Path, Boolean)] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .filter(_.getPath.getName.matches("v\\d+"))
+        .map(s => (s.getPath.getName.drop(1).toLong, s.getPath,
+          fs.exists(new Path(s.getPath, "_SUCCESS"))))
+        .sortBy(_._1)
+    val committed = versions.collect { case (v, _, true) => v }
+    val keepSet = committed.sorted.takeRight(keep).toSet
+    val newestCommitted = committed.sorted.lastOption.getOrElse(Long.MinValue)
+    val report = versions.map { case (v, path, ok) =>
+      val sum = fs.getContentSummary(path)
+      val action =
+        if (ok && keepSet(v)) "kept"
+        else if (ok) "expired"
+        else if (v < newestCommitted) "debris"
+        else "in_flight"
+      (VersionVacuum(v, ok, sum.getFileCount, sum.getLength, action), path)
+    }
+    report.foreach { case (r, path) =>
+      if (r.action == "expired" || r.action == "debris") fs.delete(path, true): Unit
+    }
+    import spark.implicits._
+    report.map(_._1).toDF()
+  }
+
   /** Morton (z-order) value of two non-negative keys: bit b of `x` lands
     * at position 2b, bit b of `y` at 2b+1. Callers mask the inputs to
     * `bits` (the interleave reads only the low `bits` bits). A plain

@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object SampleOps {
 
+  /** Ceiling on distinct strata a mixture model may collect to the
+    * driver — mixture weights are a per-stratum driver-side table
+    * (languages, domains: tens to hundreds of rows), never a per-doc
+    * one. Past this, the caller almost certainly passed the wrong
+    * column, and the failure should be loud, not an OOM.
+    */
+  val MaxStrata = 10000
+
   /** Systematic PPS (probability-proportional-to-size) sample: lay all
     * rows on a line in `idCol` order, each covering `weightCol` units;
     * a row is selected iff its interval crosses a stride boundary
@@ -86,8 +94,18 @@ object SampleOps {
     // stratum keys compare as strings so any atomic stratum type works
     // (an integer/date column would ClassCastException at getString)
     val sk = col(stratumCol).cast("string")
-    val counts = df.groupBy(sk.as("__s")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Loud cardinality guard (the MaxInlineCentroids pattern): the
+    // per-stratum count frame is collected as a driver-side model, so
+    // a caller passing a high-NDV stratum column (doc id, url, ...)
+    // must fail with a clear message, not OOM the driver. The limit
+    // bounds what the driver ever materializes.
+    val rows = df.groupBy(sk.as("__s")).count().limit(MaxStrata + 1).collect()
+    require(rows.length <= MaxStrata,
+      s"mixtureSample: stratum column '$stratumCol' has more than " +
+        s"$MaxStrata distinct values — a mixture model is a per-stratum " +
+        "driver-side table; pick a low-cardinality stratum (language, " +
+        "domain, source) or bucket the column first")
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val modulus = targets.map { case (s, t) =>
       s -> math.max(1L, counts.getOrElse(s, 0L) / t)
     }
@@ -129,14 +147,23 @@ object SampleOps {
     * The key rounds to 12 dp with the row id as tie-break, so the
     * selected set is reproducible across engines, runs, and
     * partitionings — a rand()-keyed sample is none of those.
+    *
+    * A-ES is only defined for strictly positive weights: a negative w
+    * flips the sign of ln(u)/w so the LEAST likely rows get the largest
+    * keys, w = 0 yields ±Infinity/NaN keys, and NaN sorts greatest under
+    * Spark's descending order — so such rows would silently win the
+    * top-n. Rows with null or non-positive weight are therefore filtered
+    * out before keying (weight ≤ 0 means "never sample" under PPS
+    * semantics, the only consistent reading).
     */
   def weightedSampleTopN(df: DataFrame, idCol: String, weightCol: String,
       n: Int): DataFrame = {
     require(n >= 1)
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
     val u = (h + 1).cast("double") / lit(4294967296.0)
-    df.withColumn("sel_key",
-        round(log(u) / col(weightCol).cast("double"), 12))
+    val w = col(weightCol).cast("double")
+    df.filter(w.isNotNull && !isnan(w) && w > 0.0)
+      .withColumn("sel_key", round(log(u) / w, 12))
       .orderBy(col("sel_key").desc, col(idCol))
       .limit(n)
   }

@@ -614,9 +614,15 @@ object Dedup {
     * MinHash-band propose would never surface it). Candidates instead
     * come from RARE shingles (document frequency ≤ maxDf): if A ⊆ B
     * then every shingle of A — including its rare ones — appears in B,
-    * so any contained doc with at least one rare shingle is proposed;
-    * only boilerplate-only docs (all shingles common) escape, which is
-    * the explicit df-cap contract, loud in the signature. Pair volume
+    * so for FULL containment any contained doc with at least one rare
+    * shingle is proposed; only boilerplate-only docs (all shingles
+    * common) escape, which is the explicit df-cap contract, loud in
+    * the signature. That recall guarantee is exact-containment-only:
+    * at threshold < 1 a near-contained doc can be missed when every
+    * shingle of the OVERLAP is common — its rare shingles may all fall
+    * in the non-contained remainder, where they never co-occur with
+    * the container. Callers needing near-containment recall on such
+    * docs should raise maxDf (recall–cost dial). Pair volume
     * is maxDf-bounded-linear in corpus size (each rare shingle emits
     * ≤ maxDf·(maxDf−1)/2 pairs), the same scale argument as the TF-IDF
     * propose.

@@ -57,54 +57,82 @@ object Multimodal {
   }
 
   final case class ImageFeatures(
-      doc_id: Long, width: Int, height: Int, channels: Int,
+      doc_id: Long, format: String, width: Int, height: Int, channels: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** Real image decode — `javax.imageio` (PNG/BMP/GIF, pure JVM): each
-    * payload decodes to (width, height, channels, per-channel means).
-    * The expensive part of a production decoder is codec init, so the
-    * `ImageReader` is created ONCE per partition and re-`setInput` per
-    * row — the exact amortization `mapPartitions` exists for (a per-row
-    * UDF would re-init per call). Rows that do not decode (corrupt or
-    * non-image payloads) are dropped rather than failing the scan — a
-    * bad image must never kill a 100 TB decode pass; count them via an
-    * outer join against the input if auditing is needed.
+  /** Per-partition amortized image decoding for the two dominant web
+    * formats — PNG and JPEG, both pure-JVM `javax.imageio` decoders.
+    * The expensive part of a production decode pass is codec init, so
+    * one `ImageReader` per (partition, format) is created lazily and
+    * re-`setInput` per row; payloads are routed by MAGIC BYTES (never
+    * by trusting a mime column — web-crawled metadata lies), anything
+    * else falls back to `ImageIO.read`'s format probe. Instances live
+    * inside a `mapPartitions` closure on the executor — never
+    * serialized, never shared across partitions (ImageReader is not
+    * thread-safe).
+    */
+  private final class PartitionDecoder {
+    private def mk(fmt: String): javax.imageio.ImageReader = {
+      val rs = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+      if (rs.hasNext) rs.next() else null
+    }
+    private lazy val png = mk("png")
+    private lazy val jpeg = mk("jpeg")
+    /** Decoded image + sniffed format tag, or None for undecodable
+      * payloads (a bad image must never kill a 100 TB pass).
+      */
+    def read(bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val (reader, fmt) =
+          if (isPng(bytes)) (png, "png")
+          else if (isJpeg(bytes)) (jpeg, "jpeg")
+          else (null, "other")
+        val img =
+          if (reader != null) { reader.setInput(iis, true, true); reader.read(0) }
+          else javax.imageio.ImageIO.read(iis)
+        Option(img).map((_, fmt))
+      } catch { case _: Exception => None }
+  }
+
+  /** Real image decode — `javax.imageio` (PNG and JPEG as first-class
+    * per-partition-amortized readers, BMP/GIF via the probe fallback):
+    * each payload decodes to (format, width, height, channels,
+    * per-channel means). Codec init amortizes once per
+    * (partition, format) via [[PartitionDecoder]] — the exact
+    * amortization `mapPartitions` exists for (a per-row UDF would
+    * re-init per call). Rows that do not decode (corrupt or non-image
+    * payloads) are dropped rather than failing the scan — a bad image
+    * must never kill a 100 TB decode pass; count them via an outer
+    * join against the input if auditing is needed. The `format` tag is
+    * the magic-byte sniff, which is what per-format decode dashboards
+    * aggregate on.
     */
   def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        val readers = javax.imageio.ImageIO.getImageReadersByFormatName("png")
-        val reader = if (readers.hasNext) readers.next() else null
+        val dec = new PartitionDecoder
         it.flatMap { case (id, bytes) =>
-          try {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            val img =
-              if (reader != null && isPng(bytes)) {
-                reader.setInput(iis, true, true)
-                reader.read(0)
-              } else javax.imageio.ImageIO.read(iis) // non-PNG fallback probes formats
-            if (img == null) None
-            else {
-              val w = img.getWidth
-              val h = img.getHeight
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                  x += 1
-                }
-                y += 1
+          dec.read(bytes).map { case (img, fmt) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
               }
-              val n = w.toLong * h
-              Some(ImageFeatures(id, w, h, img.getColorModel.getNumComponents,
-                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+              y += 1
             }
-          } catch { case _: Exception => None }
+            val n = w.toLong * h
+            ImageFeatures(id, fmt, w, h, img.getColorModel.getNumComponents,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
         }
       }
   }
@@ -128,19 +156,10 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        val readers = javax.imageio.ImageIO.getImageReadersByFormatName("png")
-        val reader = if (readers.hasNext) readers.next() else null
+        val dec = new PartitionDecoder
         it.flatMap { case (id, bytes) =>
-          try {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            val img =
-              if (reader != null && isPng(bytes)) {
-                reader.setInput(iis, true, true)
-                reader.read(0)
-              } else javax.imageio.ImageIO.read(iis)
-            if (img == null) None
-            else {
+          dec.read(bytes).flatMap { case (img, _) =>
+            {
               val w = img.getWidth
               val h = img.getHeight
               // luma sums/counts on a 9×8 grid; aHash uses columns 0..7,
@@ -190,7 +209,7 @@ object Multimodal {
               }
               Some(ImageHashes(id, aHi, aLo, dHi, dLo))
             }
-          } catch { case _: Exception => None }
+          }
         }
       }
   }
@@ -219,6 +238,10 @@ object Multimodal {
   private def isPng(bytes: Array[Byte]): Boolean =
     bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
       bytes(2) == 'N' && bytes(3) == 'G'
+
+  private def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff
 
   /** Frame sampling over an opaque media payload: cut the byte stream
     * into fixed-`stride` windows and keep the first `frameBytes` of each

@@ -699,21 +699,38 @@ object Breadth9 {
     """.trim))
 
   /** Dedup-propose evaluation: precision/recall of the MinHash band
-    * candidate generator against exact ground truth (all within-lang
-    * pairs with true shingle-Jaccard ≥ 0.5) — the eval harness applied
-    * to the dedup tier itself. Band recall is the number a pipeline
-    * tunes rows/bands against; precision here is PROPOSE precision
-    * (how much the exact verify stage must filter), the cost knob of
-    * every propose-then-verify design. One full-outer join of two
-    * pair frames + a one-row aggregate.
+    * candidate generator against exact ground truth — the eval harness
+    * applied to the dedup tier itself. Band recall is the number a
+    * pipeline tunes rows/bands against; precision here is PROPOSE
+    * precision (how much the exact verify stage must filter), the cost
+    * knob of every propose-then-verify design.
+    *
+    * The ground truth is computed on a deterministic md5-SYSTEMATIC doc
+    * sample (q22 discipline; `sample_rate` is carried in the output
+    * row): exact pairwise Jaccard inside a metadata bucket like `lang`
+    * is unbounded under corpus skew (~half a web corpus is one
+    * language), so at 100 TB the truth side of an eval must ride a
+    * bounded sample — the standard eval design (estimate recall on a
+    * slice, never enumerate all true pairs). Proposed pairs are
+    * restricted SCAN-SIDE to the same sample (both endpoints in-sample,
+    * a filter — no join), so precision/recall are measured on a
+    * consistent sub-population and are unbiased estimators of the
+    * full-corpus numbers. One full-outer join of two bounded pair
+    * frames + a one-row aggregate.
     */
   val evalDedupQuality = Q(
     "eval_dedup_quality",
     (s, dir) => {
       val docs = Extensions.augmentedDocs(s, dir, perturb = true)
-      val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang", threshold = 0.5)
+      val m = 2 // 1-in-m systematic doc sample for the truth slice
+      val inSample = (c: org.apache.spark.sql.Column) =>
+        Dedup.hash32(c.cast("string")) % m === 0
+      val truth = Dedup.ngramJaccardPairs(
+          docs.filter(inSample(col("doc_id"))),
+          "doc_id", "text", "lang", threshold = 0.5)
         .select(col("doc_a"), col("doc_b")).withColumn("__t", lit(1L))
       val proposed = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        .filter(inSample(col("doc_a")) && inSample(col("doc_b")))
         .withColumn("__p", lit(1L))
       truth.join(proposed, Seq("doc_a", "doc_b"), "full_outer")
         .agg(
@@ -726,10 +743,12 @@ object Breadth9 {
         .withColumn("recall",
           when(col("n_truth") === 0, lit(0.0))
             .otherwise(round(col("n_hit").cast("double") / col("n_truth"), 9)))
+        .withColumn("sample_rate", lit(1.0 / m))
     },
     Some(s"""
       WITH ${Extensions.minhashPairsCtes},
-      tn AS (SELECT doc_id, lang, ${Extensions.NormW} AS w FROM aug),
+      tn AS (SELECT doc_id, lang, ${Extensions.NormW} AS w FROM aug
+             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0),
       tsh AS (SELECT doc_id, lang,
                 list_distinct(list_transform(range(len(w) - 2),
                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
@@ -740,9 +759,12 @@ object Breadth9 {
              FROM tsh a JOIN tsh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
       truth AS (SELECT doc_a, doc_b FROM tp
                 WHERE inter::DOUBLE / (tot - inter) >= 0.5),
+      sp AS (SELECT doc_a, doc_b FROM pairs
+             WHERE ('0x' || substr(md5(doc_a::VARCHAR), 1, 8))::BIGINT % 2 = 0
+               AND ('0x' || substr(md5(doc_b::VARCHAR), 1, 8))::BIGINT % 2 = 0),
       m AS (SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS t,
                    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS p
-            FROM truth t FULL OUTER JOIN pairs p
+            FROM truth t FULL OUTER JOIN sp p
               ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
       c AS (SELECT sum(t)::BIGINT AS n_truth, sum(p)::BIGINT AS n_proposed,
                    sum(t * p)::BIGINT AS n_hit
@@ -751,7 +773,8 @@ object Breadth9 {
              CASE WHEN n_proposed = 0 THEN 0.0::DOUBLE
                   ELSE round(n_hit::DOUBLE / n_proposed, 9) END AS precision,
              CASE WHEN n_truth = 0 THEN 0.0::DOUBLE
-                  ELSE round(n_hit::DOUBLE / n_truth, 9) END AS recall
+                  ELSE round(n_hit::DOUBLE / n_truth, 9) END AS recall,
+             0.5::DOUBLE AS sample_rate
       FROM c ORDER BY n_truth
     """.trim))
 
@@ -849,8 +872,13 @@ object Breadth9 {
     * frequent-itemset k=2 pass every recommendation bootstrap runs.
     * The pair listing is per-basket combination generation (baskets
     * are bounded — ~7 lineitems per order — so the O(k²) term is a
-    * constant per order, the scale-safe shape); part marginals
-    * broadcast back onto the surviving pairs only. Confidence/lift
+    * constant per order, the scale-safe shape); part marginals join
+    * back onto the surviving pairs through SHUFFLED hash joins keyed
+    * on the pair columns — the marginal frame is one row per distinct
+    * part, which at catalog scale (hundreds of millions of SKUs /
+    * vocabulary-sized token sets) is not broadcastable, and the
+    * surviving-pair frame is already support-pruned so the shuffle is
+    * small. Only the one-row order count broadcasts. Confidence/lift
     * are exact integer ratios rounded once.
     */
   val q62BasketPairs = Q(
@@ -874,10 +902,10 @@ object Breadth9 {
         .agg(count(lit(1)).as("n_orders_both"))
         .filter(col("n_orders_both") >= 2)
       pairs
-        .join(broadcast(partCounts.select(col("l_partkey").as("part_a"),
-          col("__cnt").as("__ca"))), "part_a")
-        .join(broadcast(partCounts.select(col("l_partkey").as("part_b"),
-          col("__cnt").as("__cb"))), "part_b")
+        .join(partCounts.select(col("l_partkey").as("part_a"),
+          col("__cnt").as("__ca")).hint("shuffle_hash"), "part_a")
+        .join(partCounts.select(col("l_partkey").as("part_b"),
+          col("__cnt").as("__cb")).hint("shuffle_hash"), "part_b")
         .crossJoin(broadcast(nOrders))
         .withColumn("support",
           round(col("n_orders_both").cast("double") / col("__n_orders"), 9))

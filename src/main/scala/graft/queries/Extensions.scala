@@ -222,15 +222,29 @@ object Extensions {
       ORDER BY doc_a, doc_b
     """.trim))
 
+  /** Exact within-bucket pairwise Jaccard over a deterministic
+    * md5-systematic doc sample (q22 discipline, rate 1/2). The exact
+    * quadratic-in-bucket op exists as a truth/eval tool, and a metadata
+    * bucket like `lang` is unbounded under corpus skew (~half a web
+    * corpus is one language), so at 100 TB this op is only admissible
+    * riding a bounded sample — production-path near-dup pairs come from
+    * [[Dedup.ngramJaccardPairsLsh]] (`dedup_jaccard_lsh`), whose bucket
+    * size is set by the signature parameters, not the corpus. ScaleSpec
+    * lints this registry-wide: a low-NDV-bucket pair self-join must sit
+    * above a systematic sample filter or a band bucket.
+    */
   val dedupJaccard = Q(
     "dedup_ngram_jaccard",
     (s, dir) =>
-      Dedup.ngramJaccardPairs(augmentedDocs(s, dir, perturb = true),
+      Dedup.ngramJaccardPairs(
+          augmentedDocs(s, dir, perturb = true)
+            .filter(Dedup.hash32(col("doc_id").cast("string")) % 2 === 0),
           "doc_id", "text", "lang", threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
       WITH ${augCte(perturb = true)},
-      norm AS (SELECT doc_id, lang, $NormW AS w FROM aug),
+      norm AS (SELECT doc_id, lang, $NormW AS w FROM aug
+               WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0),
       sh AS (SELECT doc_id, lang,
                list_distinct(list_transform(range(len(w) - 2),
                  i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s

@@ -175,9 +175,12 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+        // FS derived from the sink path's OWN scheme — FileSystem.get
+        // of the default FS would resolve an s3a:// sink against
+        // hdfs:// (or vice versa), silently see an empty namespace,
+        // and re-merge every batch from published0.
         val root = new org.apache.hadoop.fs.Path(outDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // Merge base = latest version STRICTLY BELOW this batch: on a
         // crash-retry of batch N a partially-written vN may exist, and
         // merging against it would drop rows present in v(N-1). Only
@@ -222,9 +225,11 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+        // Path-scheme-derived FS, as in [[mergeSink]]: the version
+        // listing and _SUCCESS checks must run against the namespace
+        // the sink actually writes to.
         val root = new org.apache.hadoop.fs.Path(outDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val versions =
           if (!fs.exists(root)) Seq.empty
           else fs.listStatus(root).toSeq.map(_.getPath.getName)
@@ -433,28 +438,51 @@ object StreamingOps {
     * attributes a later purchase of the same batch; across batches the
     * state row carries over — the same strictly-preceding frame as the
     * batch window, evaluated incrementally. State is ONE tiny row per
-    * live user (at scale, an event-time timeout reaps dormant users).
+    * live user.
+    *
+    * `dormantTtlMs` bounds that state for a long-running deployment:
+    * when set (and the input carries a watermark), a user whose last
+    * touch is older than the watermark by more than the TTL has their
+    * state reaped via an EVENT-TIME timeout — a purchase arriving after
+    * the reap attributes as 'direct', exactly what an expired
+    * attribution window means. Without it (`None`, the test-friendly
+    * default for unwatermarked inputs) state grows with the live-user
+    * population and never shrinks — fine for a bounded replay, not for
+    * an always-on service.
     */
   def attributionStateful(events: org.apache.spark.sql.Dataset[AttribIn],
-      touchTypes: Set[String] = Set("click", "view"))
+      touchTypes: Set[String] = Set("click", "view"),
+      dormantTtlMs: Option[Long] = None)
       : org.apache.spark.sql.Dataset[AttribOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     def fn(user: Long, rows: Iterator[AttribIn],
         state: GroupState[String]): Iterator[AttribOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       var out = List.empty[AttribOut]
       var touch = state.getOption
+      var maxTs = Long.MinValue
       rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        maxTs = math.max(maxTs, e.ts.getTime)
         if (e.event_type == "purchase")
           out ::= AttribOut(e.event_id, user, touch.getOrElse("direct"), e.value)
         else if (touchTypes.contains(e.event_type))
           touch = Some(e.event_type)
       }
       touch.foreach(state.update)
+      // timeout fires when the WATERMARK passes lastActivity+ttl, so
+      // late-but-in-watermark touches still land before any reap
+      dormantTtlMs.foreach { ttl =>
+        if (state.exists && maxTs != Long.MinValue)
+          state.setTimeoutTimestamp(maxTs + ttl)
+      }
       out.reverseIterator
     }
+    val timeout =
+      if (dormantTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fn)
   }
 
   /** One funnel event arrival: `stage` is the 0-based index in the

@@ -264,6 +264,15 @@ class CatalogStreamingSpec extends SparkSpec {
     val v1 = spark.read.parquet(s"$root/out/v1")
       .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
     assert(v1 == Map("1" -> ("A2", "x"), "2" -> ("B_mod", "y"), "9" -> ("N", "n")))
+    // retention maintenance over the sink's version history: keep=1
+    // expires v0, the serving version v1 survives untouched
+    val rep = graft.etl.LayoutOps.vacuumVersions(spark, s"$root/out", keep = 1)
+      .collect().map(r => r.getAs[Long]("version") -> r.getAs[String]("action")).toMap
+    assert(rep === Map(0L -> "expired", 1L -> "kept"))
+    assert(!new java.io.File(s"$root/out/v0").exists())
+    val after = spark.read.parquet(s"$root/out/v1")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(after === v1)
   }
 
   test("merge sink retry ignores its own partial version directory") {

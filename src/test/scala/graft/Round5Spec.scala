@@ -283,6 +283,7 @@ class Round5Spec extends SparkSpec {
     val got = graft.ext.Multimodal.decodeImages(spark, media)
       .collect().map(f => f.doc_id -> f).toMap
     assert(got.keySet === Set(1L, 2L))
+    assert(got.values.forall(_.format === "png"))
     assert(got(1L).width === 8 && got(1L).height === 4 && got(1L).channels === 3)
     assert(got(1L).mean_r === 255.0 && got(1L).mean_g === 0.0 && got(1L).mean_b === 0.0)
     assert(got(2L).width === 3 && got(2L).height === 5)

@@ -215,6 +215,14 @@ class Round9bSpec extends SparkSpec {
     val got = spark.read.parquet(s"$root/out/v1")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "z", 3L -> "c", 4L -> "w"))
+    // retention maintenance over the CDC sink's version history
+    val rep = graft.etl.LayoutOps.vacuumVersions(spark, s"$root/out", keep = 1)
+      .collect().map(r => r.getAs[Long]("version") -> r.getAs[String]("action")).toMap
+    assert(rep === Map(0L -> "expired", 1L -> "kept"))
+    assert(!new java.io.File(s"$root/out/v0").exists())
+    val after = spark.read.parquet(s"$root/out/v1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === got)
   }
 
   test("attributionStateful: streamed last-touch equals the batch window on real events") {

@@ -140,6 +140,41 @@ class ScaleSpec extends SparkSpec {
         s"sort at scale): ${offenders.mkString("; ")}")
   }
 
+  test("registry-wide source hygiene: metadata-bucket pair joins ride a systematic sample") {
+    // Exact pairwise similarity inside a METADATA bucket (lang, domain,
+    // ...) is unbounded under corpus skew — English is ~half a web
+    // corpus, so "per-bucket pairwise" quietly becomes all-pairs at
+    // 100 TB. The op is only admissible as a truth/eval tool over a
+    // bounded deterministic sample; production near-dup pairs come from
+    // the band-bucketed variant (ngramJaccardPairsLsh — bucket size set
+    // by signature parameters, not corpus skew). The sample filter sits
+    // below ngramJaccardPairs' localCheckpoint, so no plan-level walk
+    // can see it — this lint checks the registry SOURCE instead: every
+    // ngramJaccardPairs call site must sample its input with the
+    // md5-systematic hash32 discipline (this rule shipped two offenders
+    // in round 9: dedup_ngram_jaccard and eval_dedup_quality's truth).
+    import scala.jdk.CollectionConverters._
+    val qdir = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val offenders = java.nio.file.Files.list(qdir).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).flatMap { p =>
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // call-site window: the op call plus its receiver/arg block
+        raw"ngramJaccardPairs\(".r.findAllMatchIn(src).flatMap { m =>
+          // the sample filter may be inline in the arg or a helper
+          // defined just above the call — scan both directions
+          val window = src.substring(math.max(0, m.start - 500),
+            math.min(src.length, m.start + 400))
+          if (window.contains("hash32")) None
+          else Some(s"${p.getFileName}:${src.substring(0, m.start).count(_ == '\n') + 1}")
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      s"ngramJaccardPairs over an unsampled corpus (metadata-bucket " +
+        s"all-pairs under skew at 100 TB — thread a hash32 systematic " +
+        s"sample into the input or use ngramJaccardPairsLsh): " +
+        offenders.mkString(", "))
+  }
+
   test("TPC-H-pattern queries broadcast their dimension/aggregate sides") {
     // the explicit broadcast() hints must survive planning: the brand
     // parts + thresholds (q27), the HAVING aggregate (q28), the scalar
