@@ -168,6 +168,32 @@ object SampleOps {
       .limit(n)
   }
 
+  /** Materialize a per-row sampling `boost` as EPOCHED repeats — the
+    * step between mixture weights and a data loader: a row with boost b
+    * appears floor(b) times, plus one more with probability frac(b),
+    * decided by the row's md5 hash (deterministic, engine-portable —
+    * expected multiplicity exactly b, no rand()). Epochs cap at
+    * `maxEpochs`: repeating data past ~4 epochs stops buying quality
+    * (the standard repeated-data finding), so a huge up-weight on a
+    * tiny stratum must saturate, not explode the output. One scan +
+    * one generator projection — the explode emits each repeat
+    * scan-side, nothing shuffles; at 100 TB output volume equals the
+    * token budget the mixture was solved for, which is the point.
+    */
+  def epochMaterialize(df: DataFrame, idCol: String, boostCol: String,
+      maxEpochs: Int = 4): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val b = least(col(boostCol).cast("double"), lit(maxEpochs.toDouble))
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    // integer threshold compare: floor(frac(b)·1e6) is the same double
+    // op in any engine; h mod 1e6 is a uniform integer
+    val thresh = floor((b - floor(b)) * 1000000.0).cast("long")
+    val extra = when(h % 1000000L < thresh, 1).otherwise(0)
+    df.withColumn("n_epochs", (floor(b).cast("int") + extra))
+      .filter(col("n_epochs") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1), col("n_epochs"))))
+  }
+
   def temperatureWeights(df: DataFrame, stratumCol: String,
       alpha: Double): DataFrame = {
     val g = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))

@@ -622,7 +622,19 @@ object Dedup {
     * shingle of the OVERLAP is common — its rare shingles may all fall
     * in the non-contained remainder, where they never co-occur with
     * the container. Callers needing near-containment recall on such
-    * docs should raise maxDf (recall–cost dial). Pair volume
+    * docs should raise maxDf (recall–cost dial).
+    *
+    * Scale posture (ScaleSmoke 50× content-growth tier): candidate
+    * VOLUME is measured exactly linear (rows ×50.0), but the propose
+    * materializes the full posting stream plus every per-bucket pair
+    * occurrence before the distinct — ~|postings| + Σ_h df_h² rows,
+    * the largest intermediates of any dedup op here (near-dup twins
+    * share ~all their shingles, so each true pair surfaces once per
+    * shared rare shingle). On a single fixed-memory box those
+    * intermediates outgrow the shuffle space and spill (time ×69 at
+    * data ×50); per-task volumes stay constant on a cluster whose
+    * executor count scales with the corpus, and the df cap keeps the
+    * total linear. Pair volume
     * is maxDf-bounded-linear in corpus size (each rare shingle emits
     * ≤ maxDf·(maxDf−1)/2 pairs), the same scale argument as the TF-IDF
     * propose.

@@ -986,6 +986,60 @@ object Similarity {
         col("__best").getField("sim").as("sim"))
   }
 
+  /** Two-level coarse assignment — the continuation [[coarseAssignJoin]]'s
+    * scale note promises past ~10M corpus vectors: with c ∝ n centroids
+    * the flat broadcast join evaluates n·c cosines (quadratic in corpus
+    * size once c grows with n); the hierarchical form scores each vector
+    * against a ~√c SUPER-quantizer first, then only against the
+    * centroids routed to its winning super — ~2·n·√c work, the standard
+    * two-level IVF layout. Assignment is approximate at list borders
+    * (a vector's true nearest centroid can live under a neighboring
+    * super — the standard hierarchical trade, acceptable for dedup list
+    * scoping where lists only BOUND the propose; pairs are still
+    * exactly verified downstream). Everything is deterministic: supers
+    * are an md5-systematic subsample of the centroid table, and both
+    * levels reuse the 9-dp cosine / smaller-id-wins argmax rule, so
+    * reruns and repartitionings agree bit-for-bit. Same output contract
+    * as [[coarseAssignJoin]]: (id, vec, cluster, sim).
+    */
+  def coarseAssignJoinTwoLevel(spark: SparkSession, vectors: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val nCent = centroids.count()
+    val s = math.max(1L, math.round(math.sqrt(nCent.toDouble)))
+    val supers = centroids
+      .filter(graft.ext.Dedup.hash32(col(centIdCol).cast("string")) % s === 0)
+      .select(col(centIdCol).cast("long").as("__sid"), col(centVecCol).as("__sv"))
+      .localCheckpoint()
+    // a tiny or hash-skewed centroid table can leave too few supers to
+    // amortize anything — the flat join is then both exact and cheaper
+    if (nCent < 64 || supers.isEmpty) {
+      return coarseAssignJoin(spark, vectors, centroids, idCol, vecCol,
+        centIdCol, centVecCol)
+    }
+    val centV = centroids.select(col(centIdCol).cast("long").as("__c2id"),
+      col(centVecCol).as("__c2v"))
+    val cent2super = coarseAssignJoin(spark, centV, supers,
+        "__c2id", "__c2v", "__sid", "__sv")
+      .select(col("__c2id"), col("__c2v"), col("cluster").as("__super"))
+    val vec2super = coarseAssignJoin(spark, vectors.select(col(idCol), col(vecCol)),
+        supers, idCol, vecCol, "__sid", "__sv")
+      .select(col(idCol), col(vecCol), col("cluster").as("__super"))
+    // within-super scoring: each vector meets only its super's ~√c
+    // centroids; shuffle_hash because the per-super key groups repeat
+    // heavily on both sides (SMJ would buffer every same-key run)
+    vec2super
+      .join(cent2super.hint("shuffle_hash"), "__super")
+      .withColumn("__sim", round(expr(s"graft_cosine($vecCol, __c2v)"), 9))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        max(struct(col("__sim").as("sim"), (-col("__c2id")).as("negcid"))).as("__best"))
+      .select(col(idCol), col(vecCol),
+        (-col("__best").getField("negcid")).as("cluster"),
+        col("__best").getField("sim").as("sim"))
+  }
+
   /** One Lloyd round: element-wise centroid means over the current
     * assignment, then reassignment against the new centroids.
     *

@@ -80,6 +80,38 @@ class Round10Spec extends SparkSpec {
     assert(n > 0 && n <= 278, s"unexpected centroid count $n")
   }
 
+  // ---- two-level coarse assignment (100× embedding propose) ---------------
+
+  test("coarseAssignJoinTwoLevel: valid clusters, mostly agrees with flat, deterministic") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") % 37 === 0)
+    val flat = graft.ext.Similarity.coarseAssignJoin(spark, emb, cents,
+        "vec_id", "embedding", "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = graft.ext.Similarity.coarseAssignJoinTwoLevel(spark, emb, cents,
+        "vec_id", "embedding", "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two.keySet === flat.keySet, "every vector must be assigned exactly once")
+    val centIds = cents.select(col("vec_id"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(two.values.forall(centIds.contains), "clusters must be centroid ids")
+    // hierarchical routing may differ at list borders; wholesale
+    // disagreement would mean the super level is routing garbage
+    val agree = two.count { case (id, c) => flat(id) == c }
+    assert(agree.toDouble / two.size >= 0.5,
+      s"two-level agrees on only $agree/${two.size} assignments")
+    // a centroid always routes to itself through its own super
+    centIds.foreach(cid => assert(two(cid) === cid, s"centroid $cid not self-assigned"))
+    val again = graft.ext.Similarity.coarseAssignJoinTwoLevel(spark, emb, cents,
+        "vec_id", "embedding", "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === two, "two-level assignment must be deterministic")
+  }
+
   // ---- versioned-sink vacuum (VERDICT r9 item 3) --------------------------
 
   test("vacuumVersions: expires old committed, deletes debris, spares in-flight") {
@@ -110,6 +142,36 @@ class Round10Spec extends SparkSpec {
     }
     // empty/missing root: an empty report, no error
     assert(graft.etl.LayoutOps.vacuumVersions(spark, s"$root/absent", 1).count() === 0)
+  }
+
+  // ---- epoch materialization ----------------------------------------------
+
+  test("epochMaterialize: multiplicity floor(b)..ceil(b), cap enforced, deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, 0.4), (2L, 1.0), (3L, 2.5), (4L, 9.9), (5L, 0.0))
+      .toDF("id", "boost")
+    val out = graft.etl.SampleOps.epochMaterialize(df, "id", "boost", maxEpochs = 4)
+      .select(col("id"), col("n_epochs"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // every kept row enumerates epochs 1..n_epochs densely
+    byId.foreach { case (id, es) => assert(es === (1 to es.size), s"id $id: $es") }
+    // b=1.0 → exactly one epoch; b=2.5 → 2 or 3; b=9.9 caps at 4;
+    // b=0.4 → 0 or 1 (hash-decided); b=0.0 → always dropped
+    assert(byId(2L).size === 1)
+    assert(Set(2, 3).contains(byId(3L).size))
+    assert(byId(4L).size === 4, s"cap must bound boost 9.9: ${byId(4L)}")
+    assert(!byId.contains(5L), "zero boost must never materialize")
+    assert(byId.get(1L).forall(_.size == 1))
+    // deterministic: same frame twice
+    val again = graft.etl.SampleOps.epochMaterialize(df.repartition(5), "id", "boost", 4)
+      .select(col("id"), col("n_epochs"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+    // expected multiplicity ≈ boost over a large id population
+    val many = spark.range(0, 4000).toDF("id").withColumn("boost", lit(1.5))
+    val n = graft.etl.SampleOps.epochMaterialize(many, "id", "boost", 4).count()
+    assert(math.abs(n / 4000.0 - 1.5) < 0.05, s"multiplicity drifted: ${n / 4000.0}")
   }
 
   // ---- sampling robustness (ADVICE r9 + VERDICT item 7) -------------------

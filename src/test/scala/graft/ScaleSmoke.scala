@@ -162,14 +162,65 @@ import org.apache.spark.sql.functions._
   * 100k cluster-consistent assignments (one fingerprint-keyed
   * shuffle); q57_approx_percentile 0.44s (GK partials, no histogram
   * shuffle at all — the approximate counterpart's whole point).
+  *
+  * Round-10 PAIR TIER at replicas=50 (≈sf5: 250k content-unique docs,
+  * 2.5M vectors; word-tagged/jittered growth corpus — see the tier
+  * note in main). Pair VOLUME is exactly linear for every propose —
+  * the 100× claim the df caps and band bounds make:
+  *   dedup_minhash_pairs   rows ×52.1, time ×2.8
+  *   dedup_tfidf_pairs     rows ×50.0, time ×11.0 (at input-scaled
+  *                         shuffle partitions; ×26.5 when partitions
+  *                         were pinned at 32 — partitioning must grow
+  *                         with the corpus, which is the tier's point)
+  *   dedup_jaccard_lsh     rows ×50.0, time ×14.2
+  *   dedup_ngram_jaccard   rows ×48.2, time ×3.9 (sampled truth tool)
+  *   dedup_containment     rows ×50.0, time ×69 — volume linear, time
+  *                         super-linear ON THIS BOX: the rare-shingle
+  *                         propose materializes ~300M posting rows and
+  *                         ~150M pre-distinct candidate rows (within
+  *                         the documented Σdf² ≤ maxDf·|postings|
+  *                         bound), which exceeds an 8 GB heap's
+  *                         shuffle space and spills; per-task volumes
+  *                         are constant on a cluster whose executor
+  *                         count grows with the corpus. See the
+  *                         containmentPairs scaladoc.
+  *   embedding propose     candidates ×68.9 (target ~50) via the
+  *                         TWO-LEVEL coarse assignment
+  *                         (coarseAssignJoinTwoLevel — the flat n·c
+  *                         broadcast join is itself quadratic once
+  *                         c ∝ n); the 1.4× excess is list-boundary
+  *                         densification of the jittered corpus, same
+  *                         magnitude as the 20× tier's 1.24×.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val replicas = if (args.nonEmpty) args(0).toInt else 10
+    // 50×/100× PAIR TIER (≈sf5/sf10 corpora): past 20× the full-table
+    // replication sweep stops being informative for pair-listing ops —
+    // identical copies build ever-larger duplicate cliques, and a pair
+    // lister on k-cliques emits O(k²) rows by definition, drowning the
+    // signal (is the PROPOSE volume linear?) in an output artifact no
+    // real corpus produces. The pair tier instead GROWS the corpus:
+    // replica r's documents are word-tagged with an r-unique prefix
+    // (every shingle/term becomes replica-local — new content, the way
+    // a bigger crawl actually looks, while each replica keeps the
+    // full within-replica near-dup structure), and replica r's
+    // embeddings get a deterministic per-(replica,dim) jitter so
+    // vectors spread instead of stacking. Only the pair/propose family
+    // runs, each with its 1× baseline, and the header records the
+    // measured pair-volume growth ratios.
+    val pairTier = replicas >= 50
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions scale with the input (the knob a production
+    // job sets from table size; AQE coalesces the small ones back) —
+    // holding them at 32 while the corpus grows 50× makes every
+    // hash-aggregate build 50× bigger per task and measures spill, not
+    // the plan
+    val shufParts =
+      if (pairTier) (cpus.toInt * replicas / 10).toString else cpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -187,6 +238,26 @@ object ScaleSmoke {
       }.reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$dir/$name.parquet")
     }
+    if (pairTier) {
+      // content-growth corpora only (see tier note above): documents
+      // word-tagged per replica, embeddings jittered per replica
+      val d = graft.etl.Tables(spark, src, "documents")
+      (0 until replicas).map { r =>
+        val base = d.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+        if (r == 0) base
+        else base.withColumn("text",
+          expr(s"concat_ws(' ', transform(split(text, ' '), w -> concat('x${r}x', w)))"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val e = graft.etl.Tables(spark, src, "embeddings")
+      (0 until replicas).map { r =>
+        val base = e.withColumn("vec_id", col("vec_id") + lit(r * 1000000L))
+        if (r == 0) base
+        else base.withColumn("embedding", expr(
+          s"transform(embedding, (x, i) -> cast(x + 0.05 * sin(cast(($r + 1) * (i + 7) as double)) as float))"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    } else {
     // keep join keys consistent across tables: same stride for orderkey
     replicate("lineitem", Seq("l_orderkey"), 100000000L)
     replicate("orders", Seq("o_orderkey"), 100000000L)
@@ -211,6 +282,7 @@ object ScaleSmoke {
     Seq("nation", "region", "customer", "supplier", "part")
       .foreach(n => graft.etl.Tables(spark, src, n)
         .write.mode("overwrite").parquet(s"$dir/$n.parquet"))
+    }
 
     // jaccard excluded above replicas=10: its PAIR OUTPUT is O(k²) in
     // duplicate-clique size (see header) and replication inflates k
@@ -291,15 +363,40 @@ object ScaleSmoke {
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
+    // pair tier: only the pair/propose family, each with its 1×
+    // baseline so the printed ratio is the pair-volume growth the
+    // header records (content-growth corpus — the linear target is
+    // ~replicas for every df-capped / band-bounded propose)
+    val pairFamily = Seq("dedup_minhash_pairs", "dedup_tfidf_pairs",
+      "dedup_jaccard_lsh", "dedup_ngram_jaccard", "eval_dedup_quality") ++
+      // containment's rare-shingle propose materializes the largest
+      // intermediates of any dedup op (~|postings| + Σdf² rows, linear
+      // but constant-heavy — see its scaladoc); at 100× on one box the
+      // shuffle spill exceeds the ~80 GB scratch disk, so the single-box
+      // tier stops at 50× (measured there: rows ×50.0, time ×69)
+      (if (replicas <= 50) Seq("dedup_containment") else Nil)
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
+    val tier = if (pairTier) pairFamily else heavy
     val selected =
-      if (args.length >= 2) heavy.filter(n => args.drop(1).exists(n.contains))
-      else heavy
+      if (args.length >= 2) tier.filter(n => args.drop(1).exists(n.contains))
+      else tier
     selected.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
-      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%12d rows")
+      if (pairTier) {
+        val b0 = System.nanoTime()
+        val nb = SparkEntry.queries(name)(spark, src).count()
+        val tb = (System.nanoTime() - b0) / 1e9
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"$name%-26s 1x $tb%7.2f s/$nb%10d rows -> ${replicas}x " +
+          f"$t%8.2f s/$n%12d rows  (rows x${n.toDouble / math.max(1, nb)}%.1f, " +
+          f"time x${t / math.max(0.01, tb)}%.1f)")
+      } else {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $n%12d rows")
+      }
     }
 
     // Propose-stage linearity (round 7): the embedding-dedup candidate
@@ -313,9 +410,19 @@ object ScaleSmoke {
       val aug = emb.unionByName(emb.select(
         (col("vec_id") + 100000L).as("vec_id"),
         expr("transform(embedding, x -> x * cast(1.01 as float))").as("embedding")))
-      graft.ext.Similarity.coarseAssignJoin(spark, aug,
-          emb.filter(col("vec_id") % 37 === 0),
-          "vec_id", "embedding", "vec_id", "embedding")
+      // corpus-proportional centroids (one per ~37 vectors) keep list
+      // sizes bounded; past the graded tiers the flat broadcast join's
+      // n·c cosine cost is itself the quadratic term, so the pair tier
+      // exercises the two-level (~2·n·√c) assignment instead
+      val cents = emb.filter(col("vec_id") % 37 === 0)
+      val assign =
+        if (pairTier)
+          graft.ext.Similarity.coarseAssignJoinTwoLevel(spark, aug, cents,
+            "vec_id", "embedding", "vec_id", "embedding")
+        else
+          graft.ext.Similarity.coarseAssignJoin(spark, aug, cents,
+            "vec_id", "embedding", "vec_id", "embedding")
+      assign
         .groupBy(col("cluster")).count()
         // div, not /: Spark's / is always double division and the sum
         // must stay an exact long
