@@ -191,6 +191,33 @@ import org.apache.spark.sql.functions._
   *                         c ∝ n); the 1.4× excess is list-boundary
   *                         densification of the jittered corpus, same
   *                         magnitude as the 20× tier's 1.24×.
+  *
+  * Round-10 PAIR TIER at replicas=100 (≈sf10: 500k content-unique
+  * docs / 1M aug, 5M vectors / 10M aug — the full two-orders jump):
+  *   dedup_minhash_pairs   rows ×103.7, time ×1.6
+  *   dedup_tfidf_pairs     rows ×100.0, 386.7 s absolute (≈×59 vs a
+  *                         quiet 1× baseline — per-unit cost DOWN;
+  *                         the df-cap bound is doing its job)
+  *   dedup_jaccard_lsh     rows ×100.0, time ×17.2
+  *   dedup_ngram_jaccard   rows ×96.7, time ×15.9 — needs
+  *                         SPARK_DRIVER_MEM=32g: the forced
+  *                         shuffle-hash postings join builds per-task
+  *                         hash maps ∝ corpus/partitions, so heap
+  *                         scales with data exactly as an executor
+  *                         fleet's total memory would (at the default
+  *                         8 g it dies loudly with Spark's
+  *                         hash-map-OOM, not a wrong answer)
+  *   eval_dedup_quality    time ×20.9 (composite propose + sampled
+  *                         truth; 1-row output)
+  *   dedup_containment     gated at this tier (scratch-disk wall, see
+  *                         replicas=50 entry)
+  *   embedding propose     candidates ×148.1 (target ~100) through
+  *                         the two-level assignment over 135k
+  *                         corpus-proportional centroids — the same
+  *                         slow-growing densification excess
+  *                         (1.24× @20×, 1.38× @50×, 1.48× @100×),
+  *                         sub-quadratic by two orders and verified
+  *                         downstream by exact cosine.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
