@@ -209,4 +209,45 @@ object SampleOps {
         round(col("w"), 9).as("w"),
         round(col("w") / col("p"), 9).as("boost"))
   }
+
+  /** Exact top-k per group by (score DESC, md5(id) ASC) with bounded
+    * per-task state — the per-domain document cap every crawl pipeline
+    * applies before mixing (a handful of hosts contribute most of a web
+    * snapshot; capping them is the first diversity lever).
+    *
+    * The naive shape — `row_number() OVER (PARTITION BY domain ORDER BY
+    * score DESC)` — funnels each group through one task: a hot domain
+    * at 100 TB is tens of billions of rows on a single executor. This
+    * implementation instead rides [[StatOps.groupedCdf]] over the
+    * negated score, which is linear-parallel with broadcast partition
+    * offsets: every row learns its score's group-global rank interval
+    * `[start, end)`. Rows whose whole interval clears k keep outright;
+    * only the single boundary score per group (interval straddling k)
+    * needs an order — a window over JUST those tied rows, md5-keyed, so
+    * its partition is the boundary tie-group, not the group. Selection
+    * is identical to the naive ordering because non-boundary score
+    * groups are kept or dropped wholesale.
+    *
+    * Returns the input rows (original columns) that survive the cap.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val keyed = df.withColumn("__negv", (-col(scoreCol)).cast("double"))
+    val cdf = StatOps.groupedCdf(
+        keyed.select(col(groupCol), col("__negv")), Seq(groupCol), "__negv")
+      .select(col(groupCol), col("__v").as("__negv"),
+        col("__start"), col("__end"))
+    val joined = keyed.join(cdf, Seq(groupCol, "__negv"))
+    val whole = joined.filter(col("__end") <= k)
+    // boundary: the one score per group whose rank interval straddles k;
+    // the window partition is exactly that tie-group
+    val wTie = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")))
+    val part = joined.filter(col("__start") < k && col("__end") > k)
+      .withColumn("__r", row_number().over(wTie))
+      .filter(col("__r") + col("__start") <= k)
+      .drop("__r")
+    whole.unionByName(part).drop("__negv", "__start", "__end")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -90,5 +90,73 @@ object EvalOps {
           .otherwise(round(coalesce(col("__dcg"), lit(0.0)) / col("__idcg"), 9)))
       .select(col("query_id"), col("n_rel"), col("n_hit"),
         col("recall"), col("mrr"), col("ndcg"))
+  }
+
+  /** k-NN label accuracy — the standard intrinsic eval of an embedding
+    * space (does the metric structure respect the labels?): each query
+    * vector's k nearest corpus neighbors (exact cosine, self excluded)
+    * vote for a label (majority, ties to the smallest label id); the
+    * prediction is scored against the query's own label and rolled up
+    * per true label, so a per-class failure is visible instead of
+    * averaged away.
+    *
+    * Scale posture: the query set is bounded by design (an eval draws a
+    * deterministic sample — callers pass it explicitly), so the corpus
+    * scan is one broadcast-queries scoring pass; everything after the
+    * top-k is per-query over ≤ k rows. At 100 TB swap the exact ranker
+    * for the IVF probe — votes and rollup are ranker-agnostic.
+    *
+    * Determinism: sims round to 9 dp with id tie-breaks in the ranker;
+    * vote counts are integers with the label tie-break, so both engines
+    * pick identical predictions.
+    */
+  def knnLabelAccuracy(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val nn = Similarity.bruteForceTopK(spark, corpus, queries, idCol, vecCol, k)
+    val nbrLabels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("__nl"))
+    val pred = nn.join(nbrLabels, "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("__cnt").as("c"), (-col("__nl")).as("negl"))).as("__best"))
+      .select(col("query_id"), (-col("__best").getField("negl")).as("__pred"))
+    pred
+      .join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("label")), "query_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_queries"), 9))
+  }
+
+  /** Per-cluster label purity — the clustering-quality eval run on a
+    * trained (or seed) coarse quantizer before it is trusted to route
+    * an ANN index: for each cluster, the share of members carrying the
+    * cluster's majority label (ties to the smallest label id). Low
+    * purity on a list means the quantizer splits semantic neighbors
+    * across lists and serve-time recall pays for it.
+    *
+    * `assigned` is one row per member with (clusterCol, labelCol);
+    * labels must be numeric (the deterministic tie-break negates them).
+    * Both aggregates are map-side-combinable over (cluster, label)
+    * cells — never wider than k × |labels| rows after the first
+    * shuffle, so the eval costs one pass at any corpus size.
+    */
+  def clusterLabelPurity(assigned: DataFrame, clusterCol: String,
+      labelCol: String): DataFrame = {
+    val cells = assigned
+      .groupBy(col(clusterCol).cast("long").as("cluster"),
+        col(labelCol).cast("long").as("__l"))
+      .agg(count(lit(1)).as("__cnt"))
+    cells.groupBy(col("cluster"))
+      .agg(sum(col("__cnt")).as("n"),
+        max(struct(col("__cnt").as("c"), (-col("__l")).as("negl"))).as("__best"))
+      .select(col("cluster"), col("n"),
+        (-col("__best").getField("negl")).as("top_label"),
+        col("__best").getField("c").as("n_top"))
+      .withColumn("purity", round(col("n_top").cast("double") / col("n"), 9))
   }
 }

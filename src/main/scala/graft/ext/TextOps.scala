@@ -951,4 +951,56 @@ object TextOps {
     require(ms.nonEmpty, "corpus has no adjacent symbol pairs to merge")
     ms.reduce(_ unionByName _).orderBy(col("merge_round"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    * document with the corpus unigram LM ([[lmScore]]), then cut each
+    * language at its own 33rd/67th avg-NLL percentiles into head /
+    * middle / tail buckets — the standard crawl-quality partition
+    * (head trains, middle is kept as backoff, tail is dropped or
+    * down-weighted). Per-language thresholds matter: absolute NLL is
+    * not comparable across languages, so a global cut would silently
+    * discard whole low-resource languages.
+    *
+    * Scale posture: lmScore is term-keyed (corpus text never
+    * reshuffles); the thresholds come from [[graft.etl.StatOps
+    * .percentiles]]' distributed CDF (bounded per-task state — a
+    * builtin `percentile` over a 100 TB score column is the exact
+    * single-buffer hazard StatOps exists to avoid) and broadcast back
+    * as one row per language. Bucket assignment is scan-side.
+    *
+    * Determinism: avg_nll is a 6 dp rounded double in both engines;
+    * the interpolated thresholds are bit-identical to `quantile_cont`
+    * (StatOps contract), so boundary comparisons cannot disagree.
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val scored = lmScore(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), idCol)
+    val th = graft.etl.StatOps.percentiles(scored, Seq(langCol), "avg_nll",
+      Seq(("p33", 1.0 / 3), ("p67", 2.0 / 3)))
+    scored.join(broadcast(th), langCol)
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("p33"), lit("head"))
+          .when(col("avg_nll") <= col("p67"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("n_words"), col("avg_nll"),
+        col("bucket"))
+  }
+
+  /** Length-bucketed batching layout: assign each document the smallest
+    * power-of-two token bucket ≥ its whitespace token count (floor 16,
+    * cap 2^20) — the padding-minimizing batch grouping every trainer
+    * uses, with the padding-waste fraction as the reported metric.
+    * Pure integer arithmetic over a 17-element literal array (no
+    * `log2`, whose libm rounding at exact powers could differ between
+    * engines), scan-side and shuffle-free.
+    */
+  def lengthBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bucketSizes = (4 to 20).map(i => lit(1L << i))
+    val n = size(words(col(textCol))).cast("long")
+    val capped = least(greatest(n, lit(1L)), lit(1L << 20))
+    df.select(col(idCol), n.as("n_words"),
+      array_min(filter(array(bucketSizes: _*), b => b >= capped))
+        .as("bucket_size"))
+  }
 }

@@ -190,5 +190,308 @@ object Breadth10 {
       """.trim
     })
 
-  val all: Seq[Q] = Seq(q63LayoutVacuum, sampleEpochMaterialize, pipelineTrainingMix)
+  /** Per-source (domain) document cap — keep the 10 highest-quality
+    * docs per source, quality ties broken by md5(doc_id). The crawl
+    * diversity lever: a handful of hosts dominate any web snapshot, and
+    * capping them precedes mixing. The Spark side is
+    * [[graft.etl.SampleOps.topKPerGroup]] — exact top-k through the
+    * distributed CDF with broadcast offsets, never a per-group
+    * row_number funnel (one hot domain = one task at 100 TB); the
+    * oracle states the same selection as the naive ordering, which the
+    * CDF construction provably equals.
+    */
+  val sampleSourceCap = Q(
+    "sample_source_cap",
+    (s, dir) => {
+      val scored = graft.ext.TextOps
+        .withQuality(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("source"), col("quality"))
+      graft.etl.SampleOps.topKPerGroup(scored, "source", "quality", "doc_id", k = 10)
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some(s"""
+      WITH n AS (SELECT doc_id, source, text, ${Extensions.NormW} AS w FROM documents),
+      m AS (SELECT doc_id, source,
+              length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+              length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(w) AS avg_word_len,
+              ${Extensions.sqlHits(graft.ext.TextOps.StopEn)}::DOUBLE / len(w) AS stop_ratio
+            FROM n),
+      q AS (SELECT doc_id, source,
+              round(least(avg_word_len / 8.0, 1.0) * 0.4
+                    + least(stop_ratio * 5.0, 1.0) * 0.4
+                    + (1.0 - punct_ratio) * 0.2, 9) AS quality FROM m),
+      r AS (SELECT doc_id, source, quality,
+              row_number() OVER (PARTITION BY source
+                ORDER BY quality DESC, md5(doc_id::VARCHAR)) AS rn
+            FROM q)
+      SELECT doc_id, source, quality FROM r WHERE rn <= 10
+      ORDER BY source, doc_id
+    """.trim))
+
+  /** CCNet head/middle/tail manifest: per-(lang, bucket) doc and token
+    * counts plus the mean NLL — the table a crawl-cleaning job reports
+    * after perplexity bucketing (Wenzek et al. 2020). Mean NLL sums the
+    * 6 dp per-doc scores as exact DECIMAL before one double division
+    * (order-independent across partitionings and engines).
+    */
+  val textCcnetBuckets = Q(
+    "text_ccnet_buckets",
+    (s, dir) =>
+      graft.ext.TextOps
+        .ccnetBuckets(Tables(s, dir, "documents"), "doc_id", "text", "lang")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+          round(sum(col("avg_nll")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)), 6).as("mean_nll"))
+        .orderBy(col("lang"), col("bucket")),
+    Some(s"""
+      WITH norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM documents),
+      t AS (SELECT doc_id, unnest(w) AS term FROM norm),
+      f AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+      g AS (SELECT sum(cnt) + count(*) AS denom FROM f),
+      sc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+               round(CAST(sum(CAST(round(-ln((cnt + 1)::DOUBLE / denom), 9)
+                                AS DECIMAL(27,9))) AS DOUBLE) / count(*), 6) AS avg_nll
+             FROM t JOIN f USING (term) CROSS JOIN g GROUP BY doc_id),
+      sl AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id)),
+      th AS (SELECT lang, quantile_cont(avg_nll, 1.0/3.0) AS p33,
+                    quantile_cont(avg_nll, 2.0/3.0) AS p67
+             FROM sl GROUP BY lang),
+      b AS (SELECT sl.lang, n_words, avg_nll,
+              CASE WHEN avg_nll <= p33 THEN 'head'
+                   WHEN avg_nll <= p67 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+            FROM sl JOIN th USING (lang))
+      SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+             sum(n_words)::BIGINT AS n_tokens,
+             round(CAST(sum(CAST(avg_nll AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS mean_nll
+      FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+    """.trim))
+
+  /** Length-bucketed batching waste report: docs grouped into
+    * power-of-two token buckets; per bucket the padded-token count a
+    * fixed-shape batch would allocate and the resulting waste fraction
+    * — the number that justifies (or kills) a bucketed batching layout.
+    */
+  val textLengthBuckets = Q(
+    "text_length_buckets",
+    (s, dir) =>
+      graft.ext.TextOps
+        .lengthBuckets(Tables(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("bucket_size"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+        .withColumn("n_padded", col("n_docs") * col("bucket_size"))
+        .withColumn("waste_ratio",
+          round(lit(1.0) - col("n_tokens").cast("double") / col("n_padded"), 9))
+        .orderBy(col("bucket_size")),
+    Some(s"""
+      WITH n AS (SELECT doc_id, ${Extensions.NormW} AS w FROM documents),
+      b AS (SELECT len(w)::BIGINT AS n_words,
+              list_min(list_filter(
+                [16,32,64,128,256,512,1024,2048,4096,8192,16384,32768,
+                 65536,131072,262144,524288,1048576],
+                x -> x >= least(greatest(len(w), 1), 1048576)))::BIGINT AS bucket_size
+            FROM n)
+      SELECT bucket_size, count(*)::BIGINT AS n_docs,
+             sum(n_words)::BIGINT AS n_tokens,
+             (count(*) * bucket_size)::BIGINT AS n_padded,
+             round(1.0 - sum(n_words)::DOUBLE / (count(*) * bucket_size), 9)
+               AS waste_ratio
+      FROM b GROUP BY bucket_size ORDER BY bucket_size
+    """.trim))
+
+  /** Embedding-space label consistency: 5-NN majority-vote accuracy per
+    * true label over a deterministic query sample (vec_id % 20) — the
+    * intrinsic embedding eval run before trusting a space for semantic
+    * dedup or retrieval.
+    */
+  val evalKnnAccuracy = Q(
+    "eval_knn_accuracy",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.ext.EvalOps.knnLabelAccuracy(s, emb,
+          emb.filter(col("vec_id") % 20 === 0),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+                 FROM embeddings WHERE vec_id % 20 = 0),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nlabel
+            FROM embeddings),
+      p AS (SELECT query_id, neighbor_id, nlabel, ${Extensions.sqlCos("qv", "cv")} AS sim
+            FROM q, c WHERE query_id <> neighbor_id),
+      r AS (SELECT query_id, nlabel,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank
+            FROM p),
+      v AS (SELECT query_id, nlabel, count(*) AS cnt
+            FROM r WHERE rank <= 5 GROUP BY 1, 2),
+      pr AS (SELECT query_id, nlabel AS pred,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cnt DESC, nlabel) AS vr
+             FROM v),
+      j AS (SELECT q.qlabel::BIGINT AS label,
+              CASE WHEN pr.pred = q.qlabel THEN 1 ELSE 0 END AS ok
+            FROM pr JOIN q USING (query_id) WHERE vr = 1)
+      SELECT label, count(*)::BIGINT AS n_queries, sum(ok)::BIGINT AS n_correct,
+             round(sum(ok)::DOUBLE / count(*), 9) AS accuracy
+      FROM j GROUP BY label ORDER BY label
+    """.trim))
+
+  /** Coarse-quantizer label purity: assign every vector to its nearest
+    * seed centroid (the ann_kmeans_assign routing) and report each
+    * cluster's majority-label share — the quantizer-quality eval that
+    * predicts IVF serve recall before any index is built.
+    */
+  val evalClusterPurity = Q(
+    "eval_cluster_purity",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cent = emb.filter(col("vec_id") % 250 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val asg = graft.ext.Similarity.kmeansAssign(s, emb, cent,
+        "vec_id", "embedding", "cid", "cv")
+      graft.ext.EvalOps.clusterLabelPurity(
+          asg.join(emb.select(col("vec_id"), col("label")), "vec_id"),
+          "cluster", "label")
+        .orderBy(col("cluster"))
+    },
+    Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                    WHERE vec_id % 250 = 0 AND vec_id < 5000),
+      a AS (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM (SELECT e.vec_id, c.cid, ${Extensions.sqlCos("e.embedding", "c.cv")} AS sim
+                  FROM embeddings e, cent c)),
+      asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+      l AS (SELECT asg.cid, e.label FROM asg JOIN embeddings e USING (vec_id)),
+      v AS (SELECT cid, label, count(*) AS cnt FROM l GROUP BY 1, 2),
+      n AS (SELECT cid, sum(cnt) AS n FROM v GROUP BY cid),
+      top AS (SELECT cid, label, cnt,
+                row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, label) AS r
+              FROM v)
+      SELECT cid::BIGINT AS cluster, n::BIGINT AS n,
+             top.label::BIGINT AS top_label, cnt::BIGINT AS n_top,
+             round(cnt::DOUBLE / n, 9) AS purity
+      FROM top JOIN n USING (cid) WHERE r = 1 ORDER BY cluster
+    """.trim))
+
+  /** Quality-ranked canonical selection per near-dup cluster — the
+    * production refinement of min-id canonicalization: inside each
+    * minhash component, KEEP the highest-quality member (ties by
+    * md5(doc_id)), so dedup stops deleting the clean copy in favor of
+    * the boilerplate-wrapped one. Composes three already-audited
+    * primitives: banded minhash propose → hash-min connected
+    * components → [[graft.etl.SampleOps.topKPerGroup]] with k = 1
+    * (the CDF path — a per-cluster window would funnel a pathological
+    * mega-cluster through one task).
+    */
+  val dedupCanonicalQuality = Q(
+    "dedup_canonical_quality",
+    (s, dir) => {
+      import graft.ext.{Dedup, TextOps}
+      val docs = Extensions.augmentedDocs(s, dir, perturb = true)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      val clusters = Dedup.clusterAssignment(docs, pairs, "doc_id")
+      val scored = TextOps.withQuality(docs, "text")
+        .select(col("doc_id"), col("quality"))
+      val members = clusters.join(scored, "doc_id")
+      val sizes = members.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      graft.etl.SampleOps
+        .topKPerGroup(members, "cluster_id", "quality", "doc_id", k = 1)
+        .join(sizes, "cluster_id")
+        .select(col("cluster_id"), col("doc_id").as("canonical_id"),
+          col("quality"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${Extensions.minhashPairsCtes},
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (SELECT s, d FROM edges
+                      UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      comp AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY s),
+      cl AS (SELECT a.doc_id, coalesce(least(c.mn, a.doc_id), a.doc_id) AS cluster_id
+             FROM aug a LEFT JOIN comp c USING (doc_id)),
+      qn AS (SELECT doc_id, text, ${Extensions.NormW} AS w FROM aug),
+      qm AS (SELECT doc_id,
+               length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+               length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(w) AS avg_word_len,
+               ${Extensions.sqlHits(graft.ext.TextOps.StopEn)}::DOUBLE / len(w) AS stop_ratio
+             FROM qn),
+      qq AS (SELECT doc_id,
+               round(least(avg_word_len / 8.0, 1.0) * 0.4
+                     + least(stop_ratio * 5.0, 1.0) * 0.4
+                     + (1.0 - punct_ratio) * 0.2, 9) AS quality FROM qm),
+      r AS (SELECT cl.cluster_id, qq.doc_id, quality,
+              row_number() OVER (PARTITION BY cluster_id
+                ORDER BY quality DESC, md5(doc_id::VARCHAR)) AS rn
+            FROM cl JOIN qq USING (doc_id)),
+      sz AS (SELECT cluster_id, count(*)::BIGINT AS n_members FROM cl GROUP BY 1)
+      SELECT r.cluster_id, r.doc_id AS canonical_id, quality, n_members
+      FROM r JOIN sz USING (cluster_id) WHERE rn = 1 ORDER BY cluster_id
+    """.trim))
+
+  /** Population-stability-index drift monitor over the source (domain)
+    * distribution — the snapshot-over-snapshot data-quality alarm every
+    * recurring ingest runs: PSI = Σ (p_a − p_b)·ln(p_a/p_b), where the
+    * two populations here are a deterministic md5 doc split (standing
+    * in for two crawl days). Laplace-smoothed shares so a source absent
+    * from one snapshot contributes a large finite term instead of ∞;
+    * per-source terms reported so the alarm names the drifting domain
+    * (the scalar PSI is their sum). One map-side-combined aggregate at
+    * corpus scale; everything after is one row per source.
+    *
+    * Determinism: shares round to 9 dp BEFORE the ln, so both engines
+    * take ln of identical doubles (the engine-wide ln contract).
+    */
+  val evalSourceDrift = Q(
+    "eval_source_drift",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val half = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+      val counts = docs.withColumn("__h", half)
+        .groupBy(col("source"))
+        .agg(sum(when(col("__h") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("__h") === 1, 1L).otherwise(0L)).as("n_b"))
+      val tot = counts.agg(sum(col("n_a")).as("__ta"),
+        sum(col("n_b")).as("__tb"), count(lit(1)).as("__s"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("p_a",
+          round((col("n_a") + 1).cast("double") / (col("__ta") + col("__s")), 9))
+        .withColumn("p_b",
+          round((col("n_b") + 1).cast("double") / (col("__tb") + col("__s")), 9))
+        .withColumn("psi_term",
+          round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 9))
+        .select(col("source"), col("n_a"), col("n_b"), col("p_a"), col("p_b"),
+          col("psi_term"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH h AS (SELECT source,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 AS hh
+                 FROM documents),
+      c AS (SELECT source,
+              sum(CASE WHEN hh = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+              sum(CASE WHEN hh = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+            FROM h GROUP BY source),
+      t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS s FROM c),
+      p AS (SELECT source, n_a, n_b,
+              round((n_a + 1)::DOUBLE / (ta + s), 9) AS p_a,
+              round((n_b + 1)::DOUBLE / (tb + s), 9) AS p_b
+            FROM c, t)
+      SELECT source, n_a, n_b, p_a, p_b,
+             round((p_a - p_b) * ln(p_a / p_b), 9) AS psi_term
+      FROM p ORDER BY source
+    """.trim))
+
+  val all: Seq[Q] = Seq(q63LayoutVacuum, sampleEpochMaterialize,
+    pipelineTrainingMix, sampleSourceCap, textCcnetBuckets,
+    textLengthBuckets, evalKnnAccuracy, evalClusterPurity,
+    dedupCanonicalQuality, evalSourceDrift)
 }

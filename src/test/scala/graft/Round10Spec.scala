@@ -319,4 +319,110 @@ class Round10Spec extends SparkSpec {
     assert(r.getAs[Double]("recall") >= 0.8,
       s"propose recall collapsed on the sampled slice: ${r.getAs[Double]("recall")}")
   }
+
+  // ---- round-10 second wave: caps, buckets, embedding evals ---------------
+
+  test("topKPerGroup: selection identical to the naive per-group window") {
+    val docs = graft.etl.Tables(spark, sf, "documents")
+    val scored = graft.ext.TextOps.withQuality(docs, "text")
+      .select(col("doc_id"), col("source"), col("quality"))
+    for (k <- Seq(1, 7, 10, 1000)) {
+      val got = graft.etl.SampleOps
+        .topKPerGroup(scored, "source", "quality", "doc_id", k)
+        .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, md5(col("doc_id").cast("string")))
+      val want = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+      assert(got === want, s"k=$k: CDF top-k diverged from the naive window")
+    }
+  }
+
+  test("topKPerGroup: exact boundary-tie resolution on an all-tied score") {
+    import spark.implicits._
+    // 6 rows per group, all the same score: selection is purely the
+    // md5(id) order — the boundary path handles the WHOLE group
+    val df = (1L to 12L).map(i => (if (i <= 6) "a" else "b", i, 1.0))
+      .toDF("g", "id", "s")
+    val kept = graft.etl.SampleOps.topKPerGroup(df, "g", "s", "id", k = 2)
+    assert(kept.count() === 4)
+    val perGroup = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup === Map("a" -> 2L, "b" -> 2L))
+    val wantA = (1L to 6L).sortBy(i => java.security.MessageDigest
+      .getInstance("MD5").digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString).take(2).toSet
+    val gotA = kept.filter(col("g") === "a").select("id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(gotA === wantA)
+  }
+
+  test("knnLabelAccuracy: perfect on a label-separable space, counts add up") {
+    import spark.implicits._
+    // two orthogonal label clusters: label 0 near (1,0), label 1 near (0,1)
+    val vecs = (0 until 40).map { i =>
+      val l = i % 2
+      val eps = 0.001f * (i / 2)
+      if (l == 0) (i.toLong, Array(1.0f, eps), 0)
+      else (i.toLong, Array(eps, 1.0f), 1)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.ext.EvalOps.knnLabelAccuracy(spark, vecs,
+      vecs.filter(col("vec_id") < 10), "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(0L -> (5L, 5L, 1.0), 1L -> (5L, 5L, 1.0)))
+  }
+
+  test("clusterLabelPurity: majority share with smallest-label tie-break") {
+    import spark.implicits._
+    // cluster 10: labels 1,1,2 -> purity 2/3; cluster 20: 3,4 tie -> label 3
+    val asg = Seq((10L, 1L), (10L, 1L), (10L, 2L), (20L, 3L), (20L, 4L))
+      .toDF("cluster", "label")
+    val out = graft.ext.EvalOps.clusterLabelPurity(asg, "cluster", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(10L) === ((3L, 1L, 2L, 0.666666667)))
+    assert(out(20L) === ((2L, 3L, 1L, 0.5)))
+  }
+
+  test("lengthBuckets: power-of-two bucketing with floor 16 and cap 2^20") {
+    import spark.implicits._
+    def doc(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val df = Seq((1L, doc(1)), (2L, doc(16)), (3L, doc(17)), (4L, doc(64)),
+      (5L, doc(65)), (6L, "")).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.lengthBuckets(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // empty text normalizes to [""] -> n_words 1 -> floor bucket
+    assert(out === Map(1L -> 16L, 2L -> 16L, 3L -> 32L, 4L -> 64L,
+      5L -> 128L, 6L -> 16L))
+  }
+
+  test("ccnetBuckets: per-lang cuts — every lang gets a head; buckets ordered") {
+    val docs = graft.etl.Tables(spark, sf, "documents")
+    val out = graft.ext.TextOps.ccnetBuckets(docs, "doc_id", "text", "lang")
+    val cells = out.groupBy(col("lang"), col("bucket"))
+      .agg(min(col("avg_nll")).as("lo"), max(col("avg_nll")).as("hi"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val langs = cells.keys.map(_._1).toSet
+    assert(langs.size >= 2)
+    for (l <- langs) {
+      assert(cells.contains((l, "head")), s"lang $l lost its head bucket")
+      // NLL ranges must be ordered head <= middle <= tail within a lang
+      for (Seq(a, b) <- Seq("head", "middle", "tail").sliding(2)
+           if cells.contains((l, a)) && cells.contains((l, b)))
+        assert(cells((l, a))._2 <= cells((l, b))._1 + 1e-12,
+          s"lang $l: bucket $a overlaps $b")
+    }
+    // deterministic across runs
+    val again = graft.ext.TextOps.ccnetBuckets(docs, "doc_id", "text", "lang")
+      .groupBy(col("bucket")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = out.groupBy(col("bucket")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === first)
+  }
 }
