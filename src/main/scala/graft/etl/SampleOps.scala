@@ -229,6 +229,11 @@ object SampleOps {
     * groups are kept or dropped wholesale.
     *
     * Returns the input rows (original columns) that survive the cap.
+    *
+    * For k = 1 prefer a plain min-struct aggregate on (−score, md5(id))
+    * — the argmax is map-side combinable with O(1) per-group state and
+    * beats this machinery outright; this path earns its cost when k > 1
+    * makes the per-group selection genuinely order-dependent.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame = {

@@ -383,11 +383,13 @@ object Breadth10 {
     * production refinement of min-id canonicalization: inside each
     * minhash component, KEEP the highest-quality member (ties by
     * md5(doc_id)), so dedup stops deleting the clean copy in favor of
-    * the boilerplate-wrapped one. Composes three already-audited
-    * primitives: banded minhash propose → hash-min connected
-    * components → [[graft.etl.SampleOps.topKPerGroup]] with k = 1
-    * (the CDF path — a per-cluster window would funnel a pathological
-    * mega-cluster through one task).
+    * the boilerplate-wrapped one. Composes banded minhash propose →
+    * hash-min connected components → a min-struct aggregate on
+    * (−quality, md5(id)): for k = 1 the argmax IS an ordinary
+    * map-side-combinable aggregate with O(1) per-group state — a
+    * pathological mega-cluster costs nothing extra (the general-k cap
+    * is [[graft.etl.SampleOps.topKPerGroup]]; using its CDF machinery
+    * here measured 3 s slower for no scale benefit).
     */
   val dedupCanonicalQuality = Q(
     "dedup_canonical_quality",
@@ -399,13 +401,13 @@ object Breadth10 {
       val scored = TextOps.withQuality(docs, "text")
         .select(col("doc_id"), col("quality"))
       val members = clusters.join(scored, "doc_id")
-      val sizes = members.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_members"))
-      graft.etl.SampleOps
-        .topKPerGroup(members, "cluster_id", "quality", "doc_id", k = 1)
-        .join(sizes, "cluster_id")
-        .select(col("cluster_id"), col("doc_id").as("canonical_id"),
-          col("quality"), col("n_members"))
+      members.groupBy(col("cluster_id"))
+        .agg(min(struct((-col("quality")).as("nq"),
+            md5(col("doc_id").cast("string")).as("m"),
+            col("doc_id").as("id"), col("quality").as("q"))).as("__b"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), col("__b.id").as("canonical_id"),
+          col("__b.q").as("quality"), col("n_members"))
         .orderBy(col("cluster_id"))
     },
     Some(s"""

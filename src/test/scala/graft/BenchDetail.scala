@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
 object BenchDetail {
   def main(args: Array[String]): Unit = {
     val reps = if (args.nonEmpty) args(0).toInt else 3
-    val jsonOut = if (args.length >= 2) Some(args(1)) else None
+    val jsonOut = if (args.length >= 2 && args(1) != "-") Some(args(1)) else None
+    // dev-loop convenience: extra args select queries by name substring
+    val filters = args.drop(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -46,7 +48,10 @@ object BenchDetail {
     // a query that crashes must NOT record its (near-zero) failure-path
     // timing — in the committed regression artifact that would read as a
     // dramatic speedup; it records err instead and is excluded from totals
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected =
+      if (filters.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => filters.exists(n.contains) }
+    val rows = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
