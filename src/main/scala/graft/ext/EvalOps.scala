@@ -132,6 +132,32 @@ object EvalOps {
         round(col("n_correct").cast("double") / col("n_queries"), 9))
   }
 
+  /** Population-stability-index report from per-group count pairs —
+    * the drift math shared by the batch monitor (`eval_source_drift`)
+    * and its incremental twin: counts ARE PSI's sufficient statistic
+    * (merging two count frames is addition), so a streaming per-group
+    * counter maintains drift exactly — the same merge-is-addition
+    * argument as the CMS grid and the k-means statistic merge.
+    *
+    * Input is one row per group: (groupCol, n_a, n_b). Shares are
+    * Laplace-smoothed — a group absent from one snapshot contributes a
+    * large finite term, not ∞ — and round to 9 dp BEFORE the ln so
+    * both engines take ln of identical doubles.
+    */
+  def psiReport(counts: DataFrame, groupCol: String): DataFrame = {
+    val tot = counts.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"), count(lit(1)).as("__s"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p_a",
+        round((col("n_a") + 1).cast("double") / (col("__ta") + col("__s")), 9))
+      .withColumn("p_b",
+        round((col("n_b") + 1).cast("double") / (col("__tb") + col("__s")), 9))
+      .withColumn("psi_term",
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 9))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("p_a"), col("p_b"),
+        col("psi_term"))
+  }
+
   /** Per-cluster label purity — the clustering-quality eval run on a
     * trained (or seed) coarse quantizer before it is trusted to route
     * an ANN index: for each cluster, the share of members carrying the

@@ -464,18 +464,7 @@ object Breadth10 {
         .groupBy(col("source"))
         .agg(sum(when(col("__h") === 0, 1L).otherwise(0L)).as("n_a"),
           sum(when(col("__h") === 1, 1L).otherwise(0L)).as("n_b"))
-      val tot = counts.agg(sum(col("n_a")).as("__ta"),
-        sum(col("n_b")).as("__tb"), count(lit(1)).as("__s"))
-      counts.crossJoin(broadcast(tot))
-        .withColumn("p_a",
-          round((col("n_a") + 1).cast("double") / (col("__ta") + col("__s")), 9))
-        .withColumn("p_b",
-          round((col("n_b") + 1).cast("double") / (col("__tb") + col("__s")), 9))
-        .withColumn("psi_term",
-          round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")), 9))
-        .select(col("source"), col("n_a"), col("n_b"), col("p_a"), col("p_b"),
-          col("psi_term"))
-        .orderBy(col("source"))
+      graft.ext.EvalOps.psiReport(counts, "source").orderBy(col("source"))
     },
     Some("""
       WITH h AS (SELECT source,
@@ -495,8 +484,51 @@ object Breadth10 {
       FROM p ORDER BY source
     """.trim))
 
+  /** Snapshot diff rollup — [[graft.etl.LayoutOps.snapshotDiff]] over
+    * two deterministic versions of an orders slice (v1 drops the
+    * key%5=0 stratum, adds key%5=4, and bumps every key%3=0 price by
+    * 1.00), reporting row counts per change status — the audit line a
+    * versioned sink prints between loads. One key-partitioned
+    * full-outer join; statuses come from null-safe per-column
+    * comparison, never a row fingerprint the oracle would have to
+    * byte-match.
+    */
+  val u12SnapshotDiff = Q(
+    "u12_snapshot_diff",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val vA = o.filter(col("o_orderkey") % 5 <= 3)
+      val vB = o.filter(col("o_orderkey") % 5 >= 1)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      graft.etl.LayoutOps.snapshotDiff(vA, vB, Seq("o_orderkey"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      va AS (SELECT * FROM o WHERE o_orderkey % 5 <= 3),
+      vb AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+             FROM o WHERE o_orderkey % 5 >= 1),
+      d AS (SELECT CASE
+              WHEN va.o_orderkey IS NULL THEN 'added'
+              WHEN vb.o_orderkey IS NULL THEN 'removed'
+              WHEN va.o_totalprice IS NOT DISTINCT FROM vb.o_totalprice
+               AND va.o_orderstatus IS NOT DISTINCT FROM vb.o_orderstatus
+                THEN 'unchanged'
+              ELSE 'changed' END AS status
+            FROM va FULL OUTER JOIN vb USING (o_orderkey))
+      SELECT status, count(*)::BIGINT AS n_rows FROM d
+      GROUP BY status ORDER BY status
+    """.trim))
+
   val all: Seq[Q] = Seq(q63LayoutVacuum, sampleEpochMaterialize,
     pipelineTrainingMix, sampleSourceCap, textCcnetBuckets,
     textLengthBuckets, evalKnnAccuracy, evalClusterPurity,
-    dedupCanonicalQuality, evalSourceDrift)
+    dedupCanonicalQuality, evalSourceDrift, u12SnapshotDiff)
 }

@@ -425,4 +425,48 @@ class Round10Spec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again === first)
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged incl. null transitions") {
+    import spark.implicits._
+    val a = Seq((1L, Option(1.0), "x"), (2L, Option(2.0), "y"),
+      (3L, Option.empty[Double], "z"), (4L, Option(4.0), "w"))
+      .toDF("k", "v", "s")
+    val b = Seq((2L, Option(2.0), "y"), (3L, Option(3.0), "z"),
+      (4L, Option.empty[Double], "w"), (5L, Option(5.0), "q"))
+      .toDF("k", "v", "s")
+    val out = graft.etl.LayoutOps.snapshotDiff(a, b, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "changed", 5L -> "added"))
+  }
+
+  test("streaming per-source counts are PSI's sufficient statistic (== batch drift)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = graft.etl.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val stream = MemoryStream[(Long, String)]
+    // the incremental monitor maintains only the per-source count pair —
+    // PSI's sufficient statistic; merge across micro-batches is addition
+    val counts = stream.toDS().toDF("doc_id", "source")
+      .withColumn("__h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2)
+      .groupBy(col("source"))
+      .agg(sum(when(col("__h") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__h") === 1, 1L).otherwise(0L)).as("n_b"))
+    val q = counts.writeStream.format("memory").queryName("drift_counts")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(180).foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = graft.ext.EvalOps
+      .psiReport(spark.table("drift_counts"), "source")
+      .orderBy(col("source")).collect().toSeq
+    val batch = graft.queries.Registry.queries("eval_source_drift")(spark, sf)
+      .collect().toSeq
+    assert(streamed === batch)
+  }
 }
