@@ -458,4 +458,52 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("topKPerGroup equals the in-memory sort-take reference on random scores") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val n = 120 + trial * 80
+      // coarse scores (few distinct values) force big boundary
+      // tie-groups — the path the CDF construction has to get right
+      val rows = (0 until n).map { i =>
+        (s"g${rnd.nextInt(4)}", i.toLong, rnd.nextInt(5).toDouble / 2.0)
+      }
+      val k = 1 + rnd.nextInt(12)
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, md5hex(r._2.toString))).take(k)
+      }.map(_._2).toSet
+      val got = graft.etl.SampleOps.topKPerGroup(
+          rows.toDF("g", "id", "score"), "g", "score", "id", k)
+        .select("id").as[Long].collect().toSet
+      assert(got === expected, s"trial $trial: n=$n k=$k")
+    }
+  }
+
+  test("snapshotDiff statuses equal an in-memory map diff on random snapshots") {
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      def snap() = (0 until 60).flatMap { k =>
+        if (rnd.nextBoolean()) Some((k.toLong,
+          if (rnd.nextInt(5) == 0) Option.empty[Double]
+          else Option(rnd.nextInt(3).toDouble)))
+        else None
+      }
+      val a = snap(); val b = snap()
+      val (ma, mb) = (a.toMap, b.toMap)
+      val expected = (ma.keySet ++ mb.keySet).map { k =>
+        k -> ((ma.get(k), mb.get(k)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(x), Some(y)) if x == y => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      val got = graft.etl.LayoutOps.snapshotDiff(
+          a.toDF("k", "v"), b.toDF("k", "v"), Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
 }
