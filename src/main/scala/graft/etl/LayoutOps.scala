@@ -234,6 +234,10 @@ object LayoutOps {
     * differs), `unchanged`. Null-safe comparison via `<=>` per value
     * column, so null→value and value→null both read as changed.
     *
+    * `keyCols` must be unique within each snapshot (a table's primary
+    * key) — duplicate keys fan the full-outer join out row×row and the
+    * statuses stop being well-defined.
+    *
     * One key-partitioned full-outer shuffle join carries the whole
     * diff — both sides hash to the same partitioning, nothing is
     * collected, and the per-row compare is a codegen'd conjunction.

@@ -229,6 +229,10 @@ object SampleOps {
     * groups are kept or dropped wholesale.
     *
     * Returns the input rows (original columns) that survive the cap.
+    * Rows with a null score are excluded outright (the CDF ignores
+    * nulls, same as the `percentile` aggregate) — under the naive
+    * window they would rank last; here they never fill a slot even in
+    * an under-full group.
     *
     * For k = 1 prefer a plain min-struct aggregate on (−score, md5(id))
     * — the argmax is map-side combinable with O(1) per-group state and
