@@ -987,6 +987,49 @@ object TextOps {
         col("bucket"))
   }
 
+  /** Per-source unigram KL divergence from the corpus language model —
+    * the domain-analysis number behind "which sources even belong in
+    * this mixture": a source whose token distribution sits far from
+    * the corpus is either a contamination candidate or a diversity
+    * win, and either way the mixture solver wants the number. Both
+    * distributions are Laplace-smoothed over the corpus vocabulary;
+    * the sum runs over terms PRESENT in the source (the standard
+    * practical truncation — absent terms' mass is the smoothing floor
+    * and their omission is documented, not hidden).
+    *
+    * Scale: one (source, term) aggregate, one term-keyed join of the
+    * per-source cells against the corpus term counts (the corpus text
+    * never reshuffles — term cells do), per-source totals broadcast
+    * k-row. Determinism: p and q round to 9 dp before the ln; each
+    * term's contribution rounds to 12 dp and sums as DECIMAL(38,12)
+    * (order-independent), one double division at the end.
+    */
+  def sourceKlDivergence(df: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val terms = df.select(col(srcCol), explode(words(col(textCol))).as("__t"))
+    val st = terms.groupBy(col(srcCol), col("__t"))
+      .agg(count(lit(1)).as("__cst"))
+      .localCheckpoint() // three aggregates below share it
+    val corpus = st.groupBy(col("__t")).agg(sum(col("__cst")).as("__ct"))
+    val perSrc = st.groupBy(col(srcCol))
+      .agg(sum(col("__cst")).as("__ns"), count(lit(1)).as("__vs"))
+    val tot = corpus.agg(sum(col("__ct")).as("__n"),
+      count(lit(1)).as("__v"))
+    st.join(corpus, "__t")
+      .join(broadcast(perSrc), srcCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("__p",
+        round((col("__cst") + 1).cast("double") / (col("__ns") + col("__v")), 9))
+      .withColumn("__q",
+        round((col("__ct") + 1).cast("double") / (col("__n") + col("__v")), 9))
+      .groupBy(col(srcCol))
+      .agg(first(col("__ns")).as("n_tokens"),
+        first(col("__vs")).as("n_terms"),
+        round(sum(round(col("__p") * log(col("__p") / col("__q")), 12)
+          .cast(dec)).cast("double"), 9).as("kl"))
+  }
+
   /** Length-bucketed batching layout: assign each document the smallest
     * power-of-two token bucket ≥ its whitespace token count (floor 16,
     * cap 2^20) — the padding-minimizing batch grouping every trainer

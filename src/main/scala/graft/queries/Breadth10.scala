@@ -527,8 +527,79 @@ object Breadth10 {
       GROUP BY status ORDER BY status
     """.trim))
 
+  /** Per-source unigram KL vs the corpus LM
+    * ([[graft.ext.TextOps.sourceKlDivergence]]) — which domains sit
+    * far from the corpus distribution (contamination candidates or
+    * diversity wins; the mixture solver wants the number either way).
+    */
+  val textSourceKl = Q(
+    "text_source_kl",
+    (s, dir) =>
+      graft.ext.TextOps
+        .sourceKlDivergence(Tables(s, dir, "documents"), "text", "source")
+        .orderBy(col("source")),
+    Some(s"""
+      WITH n AS (SELECT source, ${Extensions.NormW} AS w FROM documents),
+      t AS (SELECT source, unnest(w) AS term FROM n),
+      st AS (SELECT source, term, count(*)::BIGINT AS cst FROM t GROUP BY 1, 2),
+      c AS (SELECT term, sum(cst)::BIGINT AS ct FROM st GROUP BY term),
+      ps AS (SELECT source, sum(cst)::BIGINT AS ns, count(*)::BIGINT AS vs
+             FROM st GROUP BY source),
+      g AS (SELECT sum(ct)::BIGINT AS n, count(*)::BIGINT AS v FROM c),
+      j AS (SELECT st.source, ns, vs,
+              round((cst + 1)::DOUBLE / (ns + v), 9) AS p,
+              round((ct + 1)::DOUBLE / (n + v), 9) AS q
+            FROM st JOIN c USING (term) JOIN ps USING (source) CROSS JOIN g)
+      SELECT source, min(ns)::BIGINT AS n_tokens, min(vs)::BIGINT AS n_terms,
+             round(CAST(sum(CAST(round(p * ln(p / q), 12)
+               AS DECIMAL(38,12))) AS DOUBLE), 9) AS kl
+      FROM j GROUP BY source ORDER BY source
+    """.trim))
+
+  /** Cross-source duplicate (mirror) detection: exact content groups
+    * spanning more than one source — the crawl-hygiene signal that a
+    * domain is a mirror/scraper of another (its content should be
+    * capped or dropped wholesale, not deduped doc-by-doc). Fixture
+    * mirrors every even doc under a renamed source; the grouping is
+    * the exact-dedup hash aggregate with a per-group distinct-source
+    * count (bounded by the handful of sources sharing one content
+    * hash).
+    */
+  val dedupCrossSource = Q(
+    "dedup_cross_source",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirrors = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("source", concat(lit("mirror-"), col("source")))
+      d.unionByName(mirrors)
+        .groupBy(md5(graft.ext.Dedup.normText(col("text"))).as("__h"))
+        .agg(count(lit(1)).as("__nd"),
+          countDistinct(col("source")).as("__nsrc"))
+        .withColumn("span", when(col("__nsrc") >= 2, lit("cross_source"))
+          .otherwise(lit("single_source")))
+        .groupBy(col("span"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("__nd")).as("n_docs"))
+        .orderBy(col("span"))
+    },
+    Some(raw"""
+      WITH d AS (SELECT doc_id, text, source FROM documents
+                 UNION ALL
+                 SELECT doc_id + 100000, text, 'mirror-' || source
+                 FROM documents WHERE doc_id % 2 = 0),
+      g AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+              count(*)::BIGINT AS nd, count(DISTINCT source)::BIGINT AS nsrc
+            FROM d GROUP BY 1)
+      SELECT CASE WHEN nsrc >= 2 THEN 'cross_source'
+                  ELSE 'single_source' END AS span,
+             count(*)::BIGINT AS n_groups, sum(nd)::BIGINT AS n_docs
+      FROM g GROUP BY 1 ORDER BY 1
+    """.trim))
+
   val all: Seq[Q] = Seq(q63LayoutVacuum, sampleEpochMaterialize,
     pipelineTrainingMix, sampleSourceCap, textCcnetBuckets,
     textLengthBuckets, evalKnnAccuracy, evalClusterPurity,
-    dedupCanonicalQuality, evalSourceDrift, u12SnapshotDiff)
+    dedupCanonicalQuality, evalSourceDrift, u12SnapshotDiff,
+    textSourceKl, dedupCrossSource)
 }

@@ -426,6 +426,22 @@ class Round10Spec extends SparkSpec {
     assert(again === first)
   }
 
+  test("sourceKlDivergence: token counts partition the corpus; deterministic") {
+    val docs = graft.etl.Tables(spark, sf, "documents")
+    val out = graft.ext.TextOps.sourceKlDivergence(docs, "text", "source")
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.size >= 2)
+    val totalTokens = docs.select(
+      sum(size(graft.ext.TextOps.words(col("text"))))).collect()(0).getLong(0)
+    assert(rows.values.map(_._1).sum === totalTokens,
+      "per-source token counts must partition the corpus")
+    val again = graft.ext.TextOps.sourceKlDivergence(docs, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(again === rows)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged incl. null transitions") {
     import spark.implicits._
     val a = Seq((1L, Option(1.0), "x"), (2L, Option(2.0), "y"),

@@ -237,6 +237,12 @@ import org.apache.spark.sql.functions._
   * quadratic; the query now pins a fixed eval budget (id < 4000,
   * never binding at graded scale) and remeasures 4.2s, linear in the
   * corpus side alone.
+  *
+  * Round-10 third wave at replicas=10: text_source_kl 4.4s over the
+  * 1M-doc corpus ((source,term) cells + one term-keyed join — linear
+  * in postings); dedup_cross_source 1.25s (exact-hash groups +
+  * bounded distinct-source count); u12_snapshot_diff 1.7s (one
+  * key-partitioned full-outer join over the two 1.5M-row versions).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -415,7 +421,10 @@ object ScaleSmoke {
       "sample_epoch_materialize", "pipeline_training_mix",
       "sample_source_cap", "text_ccnet_buckets", "text_length_buckets",
       "eval_knn_accuracy", "eval_cluster_purity", "eval_source_drift",
-      "dedup_canonical_quality") ++
+      "dedup_canonical_quality",
+      // round-10 third wave: (source,term)-keyed KL cells, exact-hash
+      // mirror groups, key-partitioned full-outer snapshot diff
+      "text_source_kl", "dedup_cross_source", "u12_snapshot_diff") ++
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
