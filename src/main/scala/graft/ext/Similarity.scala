@@ -245,8 +245,8 @@ object Similarity {
     * No join, no shuffle, no window — the cost at 100 TB is exactly one
     * pass over the embedding column.
     */
-  private def nearestCentroids(vec: Column, cents: Array[(Long, Seq[Double])],
-      lists: Int): Column = {
+  private def scoredCentroids(vec: Column,
+      cents: Array[(Long, Seq[Double])]): Column = {
     import org.apache.spark.sql.graft.PlanDf
     val scored = array(cents.toIndexedSeq.map { case (cid, cv) =>
       struct(
@@ -257,7 +257,42 @@ object Similarity {
     }: _*)
     // array_sort's default lexicographic struct order = negsim asc (sim
     // desc), then cid asc — the same (sim DESC, cid) rank the oracle uses.
-    transform(slice(array_sort(scored), 1, lists), s => s.getField("cid"))
+    array_sort(scored)
+  }
+
+  private def nearestCentroids(vec: Column, cents: Array[(Long, Seq[Double])],
+      lists: Int): Column =
+    transform(slice(scoredCentroids(vec, cents), 1, lists),
+      s => s.getField("cid"))
+
+  /** Boundary-gated multi-assignment (the SPANN-style replication rule):
+    * the nearest list always; the i-th nearest (i ≤ lists) only when its
+    * similarity is within `eps` of the best — so only genuinely
+    * ambiguous (cell-boundary) vectors are stored twice, instead of the
+    * whole corpus. sim comparisons happen on the 9 dp-rounded scores,
+    * and `-sim ≤ -s1 + eps ⇔ sim ≥ s1 − eps` holds bit-exactly in IEEE
+    * (negation is exact and rounding is sign-symmetric), so a DuckDB
+    * twin's `sim >= s1 - eps` filter selects identical rows.
+    *
+    * Measured on the graded corpus (SpillTune sweep, trained serving
+    * centroids, nprobe=5): at sf0.01 eps=0.10 keeps the FULL spill-2
+    * recall (0.76) at 1.32× stored rows vs 2×; at sf0.1 the recall/size
+    * curve is nearly linear (0.43 @1.17× → 0.53 @1.82× → 0.58 @2×) —
+    * the isotropic fixture has no sharp cell boundaries, so the spill
+    * benefit is NOT concentrated near them and unconditional spill-2
+    * stays the serving-tier default. On a real clustered corpus the
+    * boundary fraction is what this knob exists to exploit; re-run the
+    * sweep per corpus before choosing.
+    */
+  private def boundaryCentroids(vec: Column, cents: Array[(Long, Seq[Double])],
+      lists: Int, eps: Double): Column = {
+    val sorted = scoredCentroids(vec, cents)
+    val negBest = element_at(sorted, 1).getField("negsim")
+    filter(
+      transform(slice(sorted, 1, lists), (s, i) =>
+        when(i === 0 || s.getField("negsim") <= negBest + eps,
+          s.getField("cid"))),
+      c => c.isNotNull)
   }
 
   /** IVF (inverted-file) ANN: corpus and queries are coarse-quantized to
@@ -275,24 +310,29 @@ object Similarity {
     * silently diverge between top-k, range and filtered search.
     */
   private def withProbeLists(df: DataFrame, vecCol: String, listCol: String,
-      cents: Array[(Long, Seq[Double])], lists: Int): DataFrame =
-    df.withColumn(listCol, explode(nearestCentroids(col(vecCol), cents, lists)))
+      cents: Array[(Long, Seq[Double])], lists: Int,
+      eps: Double = -1.0): DataFrame =
+    df.withColumn(listCol, explode(
+      if (eps < 0 || lists <= 1) nearestCentroids(col(vecCol), cents, lists)
+      else boundaryCentroids(col(vecCol), cents, lists, eps)))
 
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
       centIdCol: String, centVecCol: String, k: Int, nprobe: Int = 1,
-      spill: Int = 1): DataFrame = {
+      spill: Int = 1, spillEps: Double = -1.0): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
     // corpus rows live in their `spill` nearest lists (multi-assignment:
     // boundary vectors are reachable from both sides at the cost of
     // spill× index rows); queries probe their nprobe nearest lists
     // (standard IVF recall knobs — scan cost rises linearly with
-    // nprobe·spill, never quadratically)
+    // nprobe·spill, never quadratically). spillEps ≥ 0 gates the spill
+    // to cell-boundary vectors only (see [[boundaryCentroids]]).
     val q = withProbeLists(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv")), "__qv", "query_id_list", cents, nprobe)
     val c = withProbeLists(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv2")), "__cv2", "neighbor_id_list", cents, spill)
+      col(vecCol).as("__cv2")), "__cv2", "neighbor_id_list", cents, spill,
+      spillEps)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     val joined = c.join(broadcast(q),
       col("query_id_list") === col("neighbor_id_list") &&
@@ -422,12 +462,13 @@ object Similarity {
     */
   def buildQuantizedIvfIndex(spark: SparkSession, corpus: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
-      centIdCol: String, centVecCol: String, spill: Int = 1): DataFrame = {
+      centIdCol: String, centVecCol: String, spill: Int = 1,
+      spillEps: Double = -1.0): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
     val enc = quantizeInt8(corpus, idCol, vecCol)
       .withColumn("__rv", transform(col("codes"), c => c.cast("double") * col("scale")))
-    withProbeLists(enc, "__rv", "list", cents, spill)
+    withProbeLists(enc, "__rv", "list", cents, spill, spillEps)
       .select(col(idCol), col("list"), col("scale"), col("codes"))
   }
 
@@ -755,12 +796,13 @@ object Similarity {
     */
   def buildIvfPqIndex(spark: SparkSession, corpus: DataFrame,
       centroids: DataFrame, model: PqModel, idCol: String, vecCol: String,
-      centIdCol: String, centVecCol: String, spill: Int = 1): DataFrame = {
+      centIdCol: String, centVecCol: String, spill: Int = 1,
+      spillEps: Double = -1.0): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
     val centDf = centroidLookup(centroids, centIdCol, centVecCol)
     corpus.select(col(idCol), col(vecCol).as("__v"))
-      .transform(df => withProbeLists(df, "__v", "list", cents, spill))
+      .transform(df => withProbeLists(df, "__v", "list", cents, spill, spillEps))
       .transform(df => withResidual(df, centDf, "__v", "list"))
       .withColumn("codes", pqCodes(col("__resid"), model))
       .select(col(idCol), col("list"), col("codes"))
@@ -786,9 +828,9 @@ object Similarity {
   def mergeIvfPqIndex(spark: SparkSession, index: DataFrame,
       deltaCorpus: DataFrame, centroids: DataFrame, model: PqModel,
       idCol: String, vecCol: String, centIdCol: String,
-      centVecCol: String, spill: Int = 1): DataFrame = {
+      centVecCol: String, spill: Int = 1, spillEps: Double = -1.0): DataFrame = {
     val deltaIdx = buildIvfPqIndex(spark, deltaCorpus, centroids, model,
-      idCol, vecCol, centIdCol, centVecCol, spill)
+      idCol, vecCol, centIdCol, centVecCol, spill, spillEps)
     val deltaIds = deltaCorpus.select(col(idCol)).distinct()
     index.join(broadcast(deltaIds), Seq(idCol), "left_anti")
       .select(col(idCol), col("list"), col("codes"))

@@ -426,6 +426,24 @@ class Round10Spec extends SparkSpec {
     assert(again === first)
   }
 
+  test("boundary-gated spill: rank-1 always stored, monotone in eps, subset of full spill") {
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+    val cents = graft.queries.Extensions.servingCentroids(spark, sf)
+    def rows(eps: Double) = graft.ext.Similarity
+      .buildQuantizedIvfIndex(spark, emb, cents, "vec_id", "embedding",
+        "cid", "cv", spill = 2, spillEps = eps)
+      .select("vec_id", "list").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = rows(-1.0); val tight = rows(0.05); val loose = rows(0.15)
+    val n = emb.count()
+    // every vector keeps its primary list at any eps
+    assert(tight.map(_._1).size === n)
+    // gating only ever removes secondary copies, monotonically in eps
+    assert(tight.subsetOf(loose) && loose.subsetOf(full))
+    assert(tight.size < loose.size && loose.size < full.size)
+    assert(full.size === 2 * n)
+  }
+
   test("sourceKlDivergence: token counts partition the corpus; deterministic") {
     val docs = graft.etl.Tables(spark, sf, "documents")
     val out = graft.ext.TextOps.sourceKlDivergence(docs, "text", "source")
