@@ -680,4 +680,64 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  final case class CapIn(group: String, id: Long, score: Double)
+  final case class CapItem(negScore: Double, tie: String, id: Long, score: Double)
+  final case class CapState(version: Long, items: Seq[CapItem])
+  final case class CapOut(group: String, id: Long, score: Double, version: Long)
+
+  /** Per-group streaming top-k cap — the incremental face of the batch
+    * [[graft.etl.SampleOps.topKPerGroup]]: candidates arrive on a
+    * stream, each group's state holds ONLY its current k best (score
+    * desc, md5(id) tiebreak — the exact batch ordering), and whenever a
+    * batch changes a group's cap set the whole set re-emits under a
+    * bumped per-group version. The serving rule is the engine-wide
+    * versioned-upsert discipline (streamingPostings, mergeSink): keep
+    * each group's max-version rows — which therefore equal the batch
+    * cap over everything streamed so far (Round10Spec pins the
+    * equivalence). State is k rows per group, the minimal sufficient
+    * statistic of the cap: a domain's arrival volume never grows it.
+    */
+  class TopKProcessor(k: Int) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, CapIn, CapOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[CapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CapState]("topk",
+        Encoders.product[CapState], TTLConfig.NONE)
+
+    private def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    override def handleInputRows(key: String, rows: Iterator[CapIn],
+        timerValues: TimerValues): Iterator[CapOut] = {
+      val cur = if (state.exists()) state.get() else CapState(0L, Nil)
+      val merged = (cur.items ++ rows.map(r =>
+          CapItem(-r.score, md5hex(r.id.toString), r.id, r.score)))
+        .sortBy(i => (i.negScore, i.tie)).take(k)
+      if (merged == cur.items) Iterator.empty
+      else {
+        val next = CapState(cur.version + 1, merged)
+        state.update(next)
+        merged.iterator.map(i => CapOut(key, i.id, i.score, next.version))
+      }
+    }
+  }
+
+  def streamingTopKPerGroup(stream: DataFrame, k: Int): org.apache.spark.sql.Dataset[CapOut] = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("group").cast("string").as("group"),
+        col("id").cast("long").as("id"), col("score").cast("double").as("score"))
+      .as[CapIn]
+      .groupByKey(_.group)
+      .transformWithState(new TopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }

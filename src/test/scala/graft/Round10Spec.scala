@@ -474,6 +474,47 @@ class Round10Spec extends SparkSpec {
       4L -> "changed", 5L -> "added"))
   }
 
+  test("streamingTopKPerGroup converges to the batch cap (k rows state per group)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val scored = graft.ext.TextOps
+        .withQuality(graft.etl.Tables(spark, sf, "documents"), "text")
+        .select(col("source"), col("doc_id"), col("quality"))
+      val rows = scored.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val stream = MemoryStream[(String, Long, Double)]
+      val out = graft.streaming.StreamingOps.streamingTopKPerGroup(
+        stream.toDS().toDF("group", "id", "score"), k = 10)
+      val q = out.writeStream.format("memory").queryName("cap_stream")
+        .outputMode("append").start()
+      try {
+        rows.grouped(170).foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val emitted = spark.table("cap_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      // serving rule: keep each group's max-version rows
+      val served = emitted.groupBy(_._1).values.flatMap { rs =>
+        val mx = rs.map(_._4).max
+        rs.filter(_._4 == mx).map(r => (r._1, r._2))
+      }.toSet
+      val batch = graft.etl.SampleOps
+        .topKPerGroup(scored, "source", "quality", "doc_id", k = 10)
+        .select(col("source"), col("doc_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(served === batch, "streamed cap diverges from the batch cap")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming per-source counts are PSI's sufficient statistic (== batch drift)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

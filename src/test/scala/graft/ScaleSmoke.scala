@@ -243,6 +243,14 @@ import org.apache.spark.sql.functions._
   * in postings); dedup_cross_source 1.25s (exact-hash groups +
   * bounded distinct-source count); u12_snapshot_diff 1.7s (one
   * key-partitioned full-outer join over the two 1.5M-row versions).
+  *
+  * Round-10 wave at replicas=20 (2M docs): epoch materialize 3.7s for
+  * 2× the rows — FLAT (scan-side explode parallelizes); training_mix
+  * 8.3s, source_cap 15.1s, ccnet 4.7s, snapshot_diff 2.1s (all flat
+  * or sublinear vs 10×); eval_knn_accuracy 9.5s — linear in the
+  * corpus side with the fixed query budget; canonical 11.5s and
+  * source_kl 1.2s land below their 10× readings (those 10× numbers
+  * were taken on a contended box; the 20× run is the honest tier).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
