@@ -597,9 +597,68 @@ object Breadth10 {
       FROM g GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Contrastive training-pair mining — the manifest a contrastive/
+    * embedding fine-tune consumes: per anchor (a fixed eval-budget
+    * sample, same discipline as eval_knn_accuracy), its nearest
+    * SAME-label neighbor as the positive and its 3 nearest CROSS-label
+    * neighbors as hard negatives (the filter-during-search semantics of
+    * ann_hard_negatives, exact ranker at graded scale — swap the IVF
+    * probe in at 100 TB, the pair manifest is ranker-agnostic). One
+    * broadcast-anchors scoring pass over the corpus serves both sides.
+    */
+  val pipelineContrastivePairs = Q(
+    "pipeline_contrastive_pairs",
+    (s, dir) => {
+      graft.functions.VectorExpressions.register(s)
+      val emb = Tables(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 4000)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("__qv"),
+          col("label").as("__ql"))
+      val c = emb.select(col("vec_id").as("pair_id"),
+        col("embedding").as("__cv"), col("label").as("__cl"))
+      val scored = c.join(broadcast(a), col("anchor_id") =!= col("pair_id"))
+        .withColumn("sim", round(expr("graft_cosine(__qv, __cv)"), 9))
+        .localCheckpoint()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor_id"))
+        .orderBy(col("sim").desc, col("pair_id"))
+      val pos = scored.filter(col("__ql") === col("__cl"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
+        .withColumn("kind", lit("positive"))
+      val neg = scored.filter(col("__ql") =!= col("__cl"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .withColumn("kind", lit("negative"))
+      pos.unionByName(neg)
+        .select(col("anchor_id"), col("kind"), col("rank").cast("long").as("rank"),
+          col("pair_id"), col("sim"))
+        .orderBy(col("anchor_id"), col("kind"), col("rank"))
+    },
+    Some(s"""
+      WITH a AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql
+                 FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 4000),
+      c AS (SELECT vec_id AS pair_id, embedding AS cv, label AS cl
+            FROM embeddings),
+      sc AS (SELECT anchor_id, ql, pair_id, cl,
+               ${Extensions.sqlCos("qv", "cv")} AS sim
+             FROM a, c WHERE anchor_id <> pair_id),
+      pos AS (SELECT anchor_id, 'positive' AS kind, rank, pair_id, sim FROM (
+                SELECT anchor_id, pair_id, sim,
+                       row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY sim DESC, pair_id) AS rank
+                FROM sc WHERE ql = cl) WHERE rank = 1),
+      neg AS (SELECT anchor_id, 'negative' AS kind, rank, pair_id, sim FROM (
+                SELECT anchor_id, pair_id, sim,
+                       row_number() OVER (PARTITION BY anchor_id
+                         ORDER BY sim DESC, pair_id) AS rank
+                FROM sc WHERE ql <> cl) WHERE rank <= 3)
+      SELECT anchor_id, kind, rank::BIGINT AS rank, pair_id, sim
+      FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+      ORDER BY anchor_id, kind, rank
+    """.trim))
+
   val all: Seq[Q] = Seq(q63LayoutVacuum, sampleEpochMaterialize,
     pipelineTrainingMix, sampleSourceCap, textCcnetBuckets,
     textLengthBuckets, evalKnnAccuracy, evalClusterPurity,
     dedupCanonicalQuality, evalSourceDrift, u12SnapshotDiff,
-    textSourceKl, dedupCrossSource)
+    textSourceKl, dedupCrossSource, pipelineContrastivePairs)
 }

@@ -431,8 +431,10 @@ object ScaleSmoke {
       "eval_knn_accuracy", "eval_cluster_purity", "eval_source_drift",
       "dedup_canonical_quality",
       // round-10 third wave: (source,term)-keyed KL cells, exact-hash
-      // mirror groups, key-partitioned full-outer snapshot diff
-      "text_source_kl", "dedup_cross_source", "u12_snapshot_diff") ++
+      // mirror groups, key-partitioned full-outer snapshot diff,
+      // fixed-budget contrastive pair mining
+      "text_source_kl", "dedup_cross_source", "u12_snapshot_diff",
+      "pipeline_contrastive_pairs") ++
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
