@@ -999,8 +999,13 @@ object TextOps {
     *
     * Scale: one (source, term) aggregate, one term-keyed join of the
     * per-source cells against the corpus term counts (the corpus text
-    * never reshuffles — term cells do), per-source totals broadcast
-    * k-row. Determinism: p and q round to 9 dp before the ln; each
+    * never reshuffles — term cells do); the per-source totals join on
+    * the source key WITHOUT a broadcast hint — at web scale that frame
+    * is one row per domain (millions), and the cell frame is already
+    * source-keyed, so a shuffled join is the safe default and AQE
+    * broadcasts it when it is actually small. Only the one-row corpus
+    * total broadcasts unconditionally.
+    * Determinism: p and q round to 9 dp before the ln; each
     * term's contribution rounds to 12 dp and sums as DECIMAL(38,12)
     * (order-independent), one double division at the end.
     */
@@ -1017,7 +1022,7 @@ object TextOps {
     val tot = corpus.agg(sum(col("__ct")).as("__n"),
       count(lit(1)).as("__v"))
     st.join(corpus, "__t")
-      .join(broadcast(perSrc), srcCol)
+      .join(perSrc, srcCol)
       .crossJoin(broadcast(tot))
       .withColumn("__p",
         round((col("__cst") + 1).cast("double") / (col("__ns") + col("__v")), 9))

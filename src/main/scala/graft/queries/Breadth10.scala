@@ -616,19 +616,21 @@ object Breadth10 {
           col("label").as("__ql"))
       val c = emb.select(col("vec_id").as("pair_id"),
         col("embedding").as("__cv"), col("label").as("__cl"))
+      // one pass: rank within (anchor, same-label?) partitions, so the
+      // anchors×corpus frame is consumed once — materializing it (or
+      // evaluating it twice for separate pos/neg branches) would write
+      // |anchors|× the corpus at 100 TB
       val scored = c.join(broadcast(a), col("anchor_id") =!= col("pair_id"))
         .withColumn("sim", round(expr("graft_cosine(__qv, __cv)"), 9))
-        .localCheckpoint()
+        .withColumn("__same", (col("__ql") === col("__cl")).cast("int"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("anchor_id"))
+        .partitionBy(col("anchor_id"), col("__same"))
         .orderBy(col("sim").desc, col("pair_id"))
-      val pos = scored.filter(col("__ql") === col("__cl"))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
-        .withColumn("kind", lit("positive"))
-      val neg = scored.filter(col("__ql") =!= col("__cl"))
-        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-        .withColumn("kind", lit("negative"))
-      pos.unionByName(neg)
+      scored.withColumn("rank", row_number().over(w))
+        .filter((col("__same") === 1 && col("rank") === 1) ||
+          (col("__same") === 0 && col("rank") <= 3))
+        .withColumn("kind",
+          when(col("__same") === 1, lit("positive")).otherwise(lit("negative")))
         .select(col("anchor_id"), col("kind"), col("rank").cast("long").as("rank"),
           col("pair_id"), col("sim"))
         .orderBy(col("anchor_id"), col("kind"), col("rank"))
