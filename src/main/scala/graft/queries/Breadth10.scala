@@ -658,9 +658,90 @@ object Breadth10 {
       ORDER BY anchor_id, kind, rank
     """.trim))
 
+  /** Right-to-be-forgotten sweep — the GDPR/CCPA deletion job every
+    * data platform schedules: given a deletion list (customer keys),
+    * purge the subject rows AND everything reachable from them
+    * (customer → orders → lineitem, the cascade an FK graph implies),
+    * and report per table the before/purged/after counts plus the
+    * post-sweep referential check (rows still referencing a deleted
+    * key — MUST be zero; a compliance job that doesn't verify its own
+    * sweep is not a compliance job).
+    *
+    * The dangling check is CROSS-table: kept orders whose customer
+    * vanished, kept lineitems whose order vanished — so applying the
+    * sweep with inconsistent deletion lists (the real-world failure:
+    * the orders job ran yesterday's list) is caught, not assumed away.
+    *
+    * Scale shape: the deletion list and the derived order-key list
+    * drive anti joins keyed on each table's own column — no broadcast
+    * assumption (a real deletion backlog is millions of subjects);
+    * every count is a map-side aggregate and the report is a union of
+    * three one-row frames.
+    */
+  val u13ForgetSweep = Q(
+    "u13_forget_sweep",
+    (s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val del = cust.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("__k"))
+      val delOrders = orders.join(del, col("o_custkey") === col("__k"), "left_semi")
+        .select(col("o_orderkey").as("__ok")).localCheckpoint()
+      val custKept = cust.join(del, col("c_custkey") === col("__k"), "left_anti")
+      val ordKept = orders.join(del, col("o_custkey") === col("__k"), "left_anti")
+      val liKept = li.join(delOrders, col("l_orderkey") === col("__ok"), "left_anti")
+      def row(name: String, before: org.apache.spark.sql.DataFrame,
+          after: org.apache.spark.sql.DataFrame,
+          dangling: org.apache.spark.sql.DataFrame) =
+        before.agg(count(lit(1)).as("n_before"))
+          .crossJoin(after.agg(count(lit(1)).as("n_after")))
+          .crossJoin(dangling.agg(count(lit(1)).as("n_dangling")))
+          .select(lit(name).as("table_name"), col("n_before"),
+            (col("n_before") - col("n_after")).as("n_purged"),
+            col("n_after"), col("n_dangling"))
+      val danglingOrders = ordKept.join(
+        custKept.select(col("c_custkey").as("__ck")),
+        col("o_custkey") === col("__ck"), "left_anti")
+      val danglingLi = liKept.join(
+        ordKept.select(col("o_orderkey").as("__ok2")),
+        col("l_orderkey") === col("__ok2"), "left_anti")
+      row("customer", cust, custKept, custKept.limit(0))
+        .unionByName(row("lineitem", li, liKept, danglingLi))
+        .unionByName(row("orders", orders, ordKept, danglingOrders))
+        .orderBy(col("table_name"))
+    },
+    Some("""
+      WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+      delo AS (SELECT o_orderkey AS ok FROM orders
+               WHERE o_custkey IN (SELECT k FROM del)),
+      ck AS (SELECT * FROM customer WHERE c_custkey NOT IN (SELECT k FROM del)),
+      ok2 AS (SELECT * FROM orders WHERE o_custkey NOT IN (SELECT k FROM del)),
+      lk AS (SELECT * FROM lineitem WHERE l_orderkey NOT IN (SELECT ok FROM delo)),
+      c AS (SELECT 'customer' AS table_name,
+              (SELECT count(*) FROM customer)::BIGINT AS n_before,
+              (SELECT count(*) FROM ck)::BIGINT AS n_after,
+              0::BIGINT AS n_dangling),
+      l AS (SELECT 'lineitem' AS table_name,
+              (SELECT count(*) FROM lineitem)::BIGINT AS n_before,
+              (SELECT count(*) FROM lk)::BIGINT AS n_after,
+              (SELECT count(*) FROM lk
+               WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ok2))::BIGINT AS n_dangling),
+      o AS (SELECT 'orders' AS table_name,
+              (SELECT count(*) FROM orders)::BIGINT AS n_before,
+              (SELECT count(*) FROM ok2)::BIGINT AS n_after,
+              (SELECT count(*) FROM ok2
+               WHERE o_custkey NOT IN (SELECT c_custkey FROM ck))::BIGINT AS n_dangling)
+      SELECT table_name, n_before, (n_before - n_after)::BIGINT AS n_purged,
+             n_after, n_dangling
+      FROM (SELECT * FROM c UNION ALL SELECT * FROM l UNION ALL SELECT * FROM o)
+      ORDER BY table_name
+    """.trim))
+
   val all: Seq[Q] = Seq(q63LayoutVacuum, sampleEpochMaterialize,
     pipelineTrainingMix, sampleSourceCap, textCcnetBuckets,
     textLengthBuckets, evalKnnAccuracy, evalClusterPurity,
     dedupCanonicalQuality, evalSourceDrift, u12SnapshotDiff,
-    textSourceKl, dedupCrossSource, pipelineContrastivePairs)
+    textSourceKl, dedupCrossSource, pipelineContrastivePairs,
+    u13ForgetSweep)
 }
