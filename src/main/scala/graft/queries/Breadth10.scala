@@ -738,10 +738,63 @@ object Breadth10 {
       ORDER BY table_name
     """.trim))
 
+  /** Entity resolution by blocking + edit-distance verify — the record
+    * -linkage shape every master-data/dedup-by-name job runs: dirty
+    * records (two deterministic typo classes — a deletion and a
+    * transposition — under fresh ids) must link back to their clean
+    * source. Candidates come from a BLOCKING key (the name's last 5
+    * chars, which typos in the prefix preserve) so the self-join is
+    * block-local, never all-pairs; the verify is exact
+    * `levenshtein ≤ 2` on the candidate pairs only — the classic
+    * propose-then-verify economics, same as every dedup family here.
+    * At 100 TB the blocking key is the partition key and block sizes
+    * bound the quadratic term (a production job would add a loud
+    * block-size cap, as the LSH buckets do).
+    */
+  val erNameMatch = Q(
+    "er_name_match",
+    (s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val dirty = cust.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 200000L).as("c_custkey"),
+          concat(lit("Custmer#"), expr("substring(c_name, 10)")).as("c_name"))
+      val dirty2 = cust.filter(col("c_custkey") % 10 === 5)
+        .select((col("c_custkey") + 400000L).as("c_custkey"),
+          concat(lit("Cusotmer#"), expr("substring(c_name, 10)")).as("c_name"))
+      val allRecs = cust.unionByName(dirty).unionByName(dirty2)
+        .withColumn("__blk", expr("right(c_name, 5)"))
+      val a = allRecs.select(col("__blk"), col("c_custkey").as("id_a"),
+        col("c_name").as("name_a"))
+      val b = allRecs.select(col("__blk"), col("c_custkey").as("id_b"),
+        col("c_name").as("name_b"))
+      a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+          col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH base AS (SELECT c_custkey, c_name FROM customer),
+      d1 AS (SELECT c_custkey + 200000, 'Custmer#' || substring(c_name, 10)
+             FROM base WHERE c_custkey % 10 = 0),
+      d2 AS (SELECT c_custkey + 400000, 'Cusotmer#' || substring(c_name, 10)
+             FROM base WHERE c_custkey % 10 = 5),
+      rec AS (SELECT *, right(c_name, 5) AS blk FROM
+              (SELECT * FROM base UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)),
+      p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   a.c_name AS name_a, b.c_name AS name_b,
+                   levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+            FROM rec a JOIN rec b ON a.blk = b.blk AND a.c_custkey < b.c_custkey)
+      SELECT id_a, id_b, name_a, name_b, dist FROM p
+      WHERE dist <= 2 ORDER BY id_a, id_b
+    """.trim))
+
   val all: Seq[Q] = Seq(q63LayoutVacuum, sampleEpochMaterialize,
     pipelineTrainingMix, sampleSourceCap, textCcnetBuckets,
     textLengthBuckets, evalKnnAccuracy, evalClusterPurity,
     dedupCanonicalQuality, evalSourceDrift, u12SnapshotDiff,
     textSourceKl, dedupCrossSource, pipelineContrastivePairs,
-    u13ForgetSweep)
+    u13ForgetSweep, erNameMatch)
 }

@@ -435,8 +435,9 @@ object ScaleSmoke {
       // fixed-budget contrastive pair mining
       "text_source_kl", "dedup_cross_source", "u12_snapshot_diff",
       "pipeline_contrastive_pairs",
-      // cascading anti-join sweep + cross-table referential check
-      "u13_forget_sweep") ++
+      // cascading anti-join sweep + cross-table referential check;
+      // block-local entity-resolution self-join + levenshtein verify
+      "u13_forget_sweep", "er_name_match") ++
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
