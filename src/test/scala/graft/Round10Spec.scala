@@ -444,6 +444,25 @@ class Round10Spec extends SparkSpec {
     assert(full.size === 2 * n)
   }
 
+  test("forget-sweep dangling check FIRES under inconsistent deletion lists") {
+    // the u13 referential check must be falsifiable: purge customers
+    // with today's list but orders with a stale one, and kept orders
+    // referencing vanished customers must surface as dangling > 0
+    val cust = graft.etl.Tables(spark, sf, "customer")
+    val orders = graft.etl.Tables(spark, sf, "orders")
+    val delToday = cust.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("__k"))
+    val delStale = cust.filter(col("c_custkey") % 89 === 0)
+      .select(col("c_custkey").as("__k"))
+    val custKept = cust.join(delToday, col("c_custkey") === col("__k"), "left_anti")
+    val ordKeptStale = orders.join(delStale, col("o_custkey") === col("__k"), "left_anti")
+    val dangling = ordKeptStale.join(
+      custKept.select(col("c_custkey").as("__ck")),
+      col("o_custkey") === col("__ck"), "left_anti").count()
+    assert(dangling > 0,
+      "inconsistent per-table deletion lists must produce dangling refs")
+  }
+
   test("sourceKlDivergence: token counts partition the corpus; deterministic") {
     val docs = graft.etl.Tables(spark, sf, "documents")
     val out = graft.ext.TextOps.sourceKlDivergence(docs, "text", "source")
