@@ -236,7 +236,10 @@ object LayoutOps {
     *
     * `keyCols` must be unique within each snapshot (a table's primary
     * key) — duplicate keys fan the full-outer join out row×row and the
-    * statuses stop being well-defined.
+    * statuses stop being well-defined. Null key VALUES are handled:
+    * the join is null-safe (`<=>` per key column), so a row whose key
+    * contains a null and is present identically in both snapshots
+    * reads `unchanged`, not a spurious removed+added pair.
     *
     * One key-partitioned full-outer shuffle join carries the whole
     * diff — both sides hash to the same partitioning, nothing is
@@ -249,9 +252,13 @@ object LayoutOps {
     require(keyCols.nonEmpty && a.columns.sameElements(b.columns),
       s"snapshots must share a schema; got ${a.columns.toSeq} vs ${b.columns.toSeq}")
     val valCols = a.columns.filterNot(keyCols.contains).toSeq
-    def tag(df: DataFrame, p: String) = df.select(keyCols.map(col) ++
+    def tag(df: DataFrame, p: String) = df.select(keyCols.map(c =>
+      col(c).as(s"$p$c")) ++
       valCols.map(c => col(c).as(s"$p$c")) :+ lit(1).as(s"${p}present"): _*)
-    val joined = tag(a, "__a_").join(tag(b, "__b_"), keyCols, "full_outer")
+    // null-safe equi-join: EqualNullSafe keys still plan as a hash join
+    val cond = keyCols.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
+      .reduce(_ && _)
+    val joined = tag(a, "__a_").join(tag(b, "__b_"), cond, "full_outer")
     val same = valCols.map(c => col(s"__a_$c") <=> col(s"__b_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     joined.withColumn("status",
@@ -259,6 +266,8 @@ object LayoutOps {
           .when(col("__b_present").isNull, lit("removed"))
           .when(same, lit("unchanged"))
           .otherwise(lit("changed")))
-      .select(keyCols.map(col) :+ col("status"): _*)
+      .select(keyCols.map(c =>
+        when(col("__a_present").isNotNull, col(s"__a_$c"))
+          .otherwise(col(s"__b_$c")).as(c)) :+ col("status"): _*)
   }
 }

@@ -229,10 +229,17 @@ object SampleOps {
     * groups are kept or dropped wholesale.
     *
     * Returns the input rows (original columns) that survive the cap.
-    * Rows with a null score are excluded outright (the CDF ignores
-    * nulls, same as the `percentile` aggregate) — under the naive
-    * window they would rank last; here they never fill a slot even in
-    * an under-full group.
+    * Rows with a null OR NaN score are excluded outright (the CDF
+    * ignores nulls, same as the `percentile` aggregate; NaN is dropped
+    * explicitly because Spark sorts NaN greatest, so under the naive
+    * `ORDER BY score DESC` window a NaN row would rank FIRST while the
+    * negated CDF key would also rank it last — neither is a defensible
+    * "score", so the contract is exclusion, as in
+    * [[weightedSampleTopN]]) — they never fill a slot even in an
+    * under-full group. The boundary window partitions by the boundary
+    * TIE-GROUP, not the group; a degenerate constant-score corpus makes
+    * one group's tie-group a single task (the naive window has the same
+    * floor, over the whole group).
     *
     * For k = 1 prefer a plain min-struct aggregate on (−score, md5(id))
     * — the argmax is map-side combinable with O(1) per-group state and
@@ -242,7 +249,8 @@ object SampleOps {
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val keyed = df.withColumn("__negv", (-col(scoreCol)).cast("double"))
+    val keyed = df.filter(!isnan(col(scoreCol).cast("double")))
+      .withColumn("__negv", (-col(scoreCol)).cast("double"))
     val cdf = StatOps.groupedCdf(
         keyed.select(col(groupCol), col("__negv")), Seq(groupCol), "__negv")
       .select(col(groupCol), col("__v").as("__negv"),

@@ -81,9 +81,13 @@ object Multimodal {
     /** Decoded image + sniffed format tag, or None for undecodable
       * payloads (a bad image must never kill a 100 TB pass).
       */
-    def read(bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] =
+    def read(bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] = {
+      // the stream must be closed per row: ImageIO's default disk cache
+      // backs each ImageInputStream with a temp file + FD that otherwise
+      // lives until GC — FD/scratch exhaustion on a long decode pass
+      var iis: javax.imageio.stream.ImageInputStream = null
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val (reader, fmt) =
           if (isPng(bytes)) (png, "png")
@@ -94,6 +98,8 @@ object Multimodal {
           else javax.imageio.ImageIO.read(iis)
         Option(img).map((_, fmt))
       } catch { case _: Exception => None }
+      finally if (iis != null) { try iis.close() catch { case _: Exception => () } }
+    }
   }
 
   /** Real image decode — `javax.imageio` (PNG and JPEG as first-class

@@ -454,6 +454,10 @@ object StreamingOps {
       touchTypes: Set[String] = Set("click", "view"),
       dormantTtlMs: Option[Long] = None)
       : org.apache.spark.sql.Dataset[AttribOut] = {
+    // ttl <= 0 would make maxTs+ttl <= the watermark at runtime and
+    // setTimeoutTimestamp throw mid-stream — fail loudly at construction
+    require(dormantTtlMs.forall(_ > 0),
+      s"dormantTtlMs must be positive when set, got $dormantTtlMs")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     def fn(user: Long, rows: Iterator[AttribIn],
