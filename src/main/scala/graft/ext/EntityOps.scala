@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution — the record-linkage product: blocking-key
+  * propose (with a LOUD block-size cap), edit-distance verify, and the
+  * mastered entity table (pairs → connected components → quality
+  * canonical). Extends the dedup propose-then-verify family from
+  * near-duplicate TEXT to dirty RECORDS; the scale rules are
+  * identical: never all-pairs, every propose stage carries an explicit
+  * bound, dropped coverage is reported, not silent.
+  */
+object EntityOps {
+
+  /** Candidate pairs from a blocking key, verified by exact
+    * levenshtein ≤ `maxDist` — run ONLY on block-local candidates,
+    * never the n² space.
+    *
+    * The blocking self-join is quadratic WITHIN a block, so a skewed
+    * blocking key (a common surname suffix, a null-ish name) makes one
+    * block corpus-sized at web scale. `maxBlock` is the loud bound:
+    * blocks holding more than `maxBlock` records are EXCLUDED from the
+    * propose entirely (the same explicit-coverage contract as
+    * [[Dedup.containmentPairs]]'s df cap — a too-common blocking key
+    * carries no linkage signal, exactly as a too-common shingle carries
+    * no containment signal) and surface via [[oversizedBlocks]], the
+    * dropped-coverage report a production run logs and alarms on.
+    * Kept-pair volume is then ≤ n·(maxBlock−1)/2 — linear in corpus
+    * size with a maxBlock constant, measured at the ScaleSmoke pair
+    * tier.
+    *
+    * Records with a NULL blocking key never pair (a null block is the
+    * classic corpus-sized skew bucket); they surface as singleton
+    * entities downstream. One shuffle on the block key serves the
+    * size-count join AND the self-join — the partitioning is reused.
+    */
+  def blockedNamePairs(records: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column, maxDist: Int, maxBlock: Int = 64): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(maxBlock >= 2, s"maxBlock must be at least 2, got $maxBlock")
+    // blockKey resolves against `records`' own columns, so evaluate it
+    // BEFORE the rename
+    val recs = records
+      .select(col(idCol).as("__id"), col(nameCol).as("__nm"),
+        blockKey.as("__blk"))
+      .filter(col("__blk").isNotNull)
+    val keptBlocks = recs.groupBy(col("__blk"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBlock)
+      .select(col("__blk"))
+    val bounded = recs.join(keptBlocks, Seq("__blk"))
+    val a = bounded.select(col("__blk"), col("__id").as("id_a"),
+      col("__nm").as("name_a"))
+    val b = bounded.select(col("__blk"), col("__id").as("id_b"),
+      col("__nm").as("name_b"))
+    a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("dist"))
+  }
+
+  /** The dropped-coverage report for [[blockedNamePairs]]: every block
+    * past the cap, with its size — what a production linkage job logs
+    * (and a spike in alarms on: a sudden oversized block usually means
+    * an upstream default value flooded the blocking key). One
+    * aggregate pass; null blocking keys are reported under a null key
+    * row (they are dropped from the propose too).
+    */
+  def oversizedBlocks(records: DataFrame, blockKey: Column,
+      maxBlock: Int = 64): DataFrame =
+    records.withColumn("__blk", blockKey)
+      .groupBy(col("__blk").as("block_key"))
+      .agg(count(lit(1)).as("n_records"))
+      .filter(col("n_records") > maxBlock || col("block_key").isNull)
+
+  /** The mastered entity table — what a record-linkage user actually
+    * wants from ER (matched pairs are an intermediate): every record
+    * mapped to an entity (connected component over the verified pairs;
+    * singletons are their own entity), one canonical record per entity
+    * by (quality DESC, md5(id) ASC) — the same O(1)-state min-struct
+    * argmax as quality-ranked dedup canonicals, map-side combinable,
+    * so a pathological mega-entity costs nothing extra.
+    *
+    * `quality` is caller-supplied (format conformance, source trust,
+    * recency — whatever the domain ranks survivors by), evaluated
+    * against `records`' columns. Output: one row per entity with the
+    * canonical member and the member count.
+    */
+  def entityTable(records: DataFrame, pairs: DataFrame, idCol: String,
+      nameCol: String, quality: Column): DataFrame = {
+    // internal rename: clusterAssignment's component frame exposes an
+    // `id` column, so a caller whose id column is literally named "id"
+    // would otherwise hit an ambiguous reference
+    val scored = records.select(col(idCol).as("__eid"),
+      col(nameCol).as("__nm"), quality.cast("double").as("__q"))
+    val cl = Dedup.clusterAssignment(scored, pairs
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")), "__eid")
+    cl.join(scored, "__eid")
+      .groupBy(col("cluster_id").as("entity_id"))
+      .agg(min(struct((-col("__q")).as("nq"),
+          md5(col("__eid").cast("string")).as("m"),
+          col("__eid").as("id"), col("__nm").as("nm"),
+          col("__q").as("q"))).as("__b"),
+        count(lit(1)).as("n_members"))
+      .select(col("entity_id"), col("__b.id").as("canonical_id"),
+        col("__b.nm").as("canonical_name"),
+        col("__b.q").as("canonical_quality"), col("n_members"))
+  }
+}

@@ -739,6 +739,40 @@ object Breadth10 {
       ORDER BY table_name
     """.trim))
 
+  /** Shared dirty-records ER fixture: the clean customer table plus two
+    * deterministic typo classes (a deletion `Custmer#` and a
+    * transposition `Cusotmer#`) under fresh ids — the dirty records
+    * must link back to their clean source. Reused by `er_name_match`
+    * (verified pairs) and `er_entity_table` (the mastered table).
+    */
+  private[queries] def erRecords(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val dirty = cust.filter(col("c_custkey") % 10 === 0)
+      .select((col("c_custkey") + 200000L).as("c_custkey"),
+        concat(lit("Custmer#"), expr("substring(c_name, 10)")).as("c_name"))
+    val dirty2 = cust.filter(col("c_custkey") % 10 === 5)
+      .select((col("c_custkey") + 400000L).as("c_custkey"),
+        concat(lit("Cusotmer#"), expr("substring(c_name, 10)")).as("c_name"))
+    cust.unionByName(dirty).unionByName(dirty2)
+  }
+
+  /** DuckDB twin of [[erRecords]] + the block-cap propose: `rec` is the
+    * record set with its blocking key, `recb` the records in blocks
+    * within the 64-record cap (the HAVING mirrors
+    * `EntityOps.blockedNamePairs`' kept-block join).
+    */
+  private[queries] val erRecordsCtes: String = """base AS (SELECT c_custkey, c_name FROM customer),
+      d1 AS (SELECT c_custkey + 200000, 'Custmer#' || substring(c_name, 10)
+             FROM base WHERE c_custkey % 10 = 0),
+      d2 AS (SELECT c_custkey + 400000, 'Cusotmer#' || substring(c_name, 10)
+             FROM base WHERE c_custkey % 10 = 5),
+      rec AS (SELECT *, right(c_name, 5) AS blk FROM
+              (SELECT * FROM base UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)),
+      bc AS (SELECT blk FROM rec GROUP BY blk HAVING count(*) <= 64),
+      recb AS (SELECT rec.* FROM rec JOIN bc USING (blk))"""
+
   /** Entity resolution by blocking + edit-distance verify — the record
     * -linkage shape every master-data/dedup-by-name job runs: dirty
     * records (two deterministic typo classes — a deletion and a
@@ -748,46 +782,28 @@ object Breadth10 {
     * block-local, never all-pairs; the verify is exact
     * `levenshtein ≤ 2` on the candidate pairs only — the classic
     * propose-then-verify economics, same as every dedup family here.
-    * At 100 TB the blocking key is the partition key and block sizes
-    * bound the quadratic term (a production job would add a loud
-    * block-size cap, as the LSH buckets do).
+    * The propose rides [[graft.ext.EntityOps.blockedNamePairs]], whose
+    * LOUD block-size cap (64 here; mirrored as a HAVING in the oracle)
+    * bounds the within-block quadratic term — a skewed blocking key
+    * (a common suffix, a null-ish name) can make one block corpus-sized
+    * at web scale, and a too-common block carries no linkage signal
+    * anyway; dropped blocks report via `EntityOps.oversizedBlocks`
+    * (spec-pinned), exactly the df-cap contract of `containmentPairs`.
     */
   val erNameMatch = Q(
     "er_name_match",
     (s, dir) => {
-      val cust = Tables(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"))
-      val dirty = cust.filter(col("c_custkey") % 10 === 0)
-        .select((col("c_custkey") + 200000L).as("c_custkey"),
-          concat(lit("Custmer#"), expr("substring(c_name, 10)")).as("c_name"))
-      val dirty2 = cust.filter(col("c_custkey") % 10 === 5)
-        .select((col("c_custkey") + 400000L).as("c_custkey"),
-          concat(lit("Cusotmer#"), expr("substring(c_name, 10)")).as("c_name"))
-      val allRecs = cust.unionByName(dirty).unionByName(dirty2)
-        .withColumn("__blk", expr("right(c_name, 5)"))
-      val a = allRecs.select(col("__blk"), col("c_custkey").as("id_a"),
-        col("c_name").as("name_a"))
-      val b = allRecs.select(col("__blk"), col("c_custkey").as("id_b"),
-        col("c_name").as("name_b"))
-      a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("dist") <= 2)
-        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
-          col("dist"))
+      graft.ext.EntityOps.blockedNamePairs(
+          erRecords(s, dir), "c_custkey", "c_name",
+          expr("right(c_name, 5)"), maxDist = 2, maxBlock = 64)
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some("""
-      WITH base AS (SELECT c_custkey, c_name FROM customer),
-      d1 AS (SELECT c_custkey + 200000, 'Custmer#' || substring(c_name, 10)
-             FROM base WHERE c_custkey % 10 = 0),
-      d2 AS (SELECT c_custkey + 400000, 'Cusotmer#' || substring(c_name, 10)
-             FROM base WHERE c_custkey % 10 = 5),
-      rec AS (SELECT *, right(c_name, 5) AS blk FROM
-              (SELECT * FROM base UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)),
+    Some(s"""
+      WITH $erRecordsCtes,
       p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                    a.c_name AS name_a, b.c_name AS name_b,
                    levenshtein(a.c_name, b.c_name)::BIGINT AS dist
-            FROM rec a JOIN rec b ON a.blk = b.blk AND a.c_custkey < b.c_custkey)
+            FROM recb a JOIN recb b ON a.blk = b.blk AND a.c_custkey < b.c_custkey)
       SELECT id_a, id_b, name_a, name_b, dist FROM p
       WHERE dist <= 2 ORDER BY id_a, id_b
     """.trim))

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 pins: the ADVICE-r10 hardening fixes (NaN-score exclusion
+  * in the per-group cap, null-safe snapshot-diff keys, loud TTL
+  * validation in streaming attribution) and the round's headline
+  * slices as they land.
+  */
+class Round11Spec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.01"
+
+  test("topKPerGroup: NaN scores never fill a slot (explicit exclusion)") {
+    import spark.implicits._
+    // naive ORDER BY score DESC would rank NaN FIRST (Spark sorts NaN
+    // greatest); the negated-CDF key would rank it last — the contract
+    // is exclusion, so neither ambiguity can leak into the kept set
+    val df = Seq(
+      ("g", 1L, 5.0), ("g", 2L, Double.NaN), ("g", 3L, 4.0),
+      ("g", 4L, 3.0), ("h", 5L, Double.NaN), ("h", 6L, 1.0))
+      .toDF("grp", "id", "s")
+    val kept = graft.etl.SampleOps.topKPerGroup(df, "grp", "s", "id", k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 6L),
+      s"NaN-scored rows must be excluded outright, got $kept")
+  }
+
+  test("snapshotDiff: null key values match null-safely (no phantom add+remove)") {
+    import spark.implicits._
+    val a = Seq((Option(1L), "x"), (Option.empty[Long], "y"),
+      (Option(3L), "z")).toDF("k", "v")
+    val b = Seq((Option(1L), "x"), (Option.empty[Long], "y2"),
+      (Option(4L), "w")).toDF("k", "v")
+    val out = graft.etl.LayoutOps.snapshotDiff(a, b, Seq("k"))
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getString(1)).toMap
+    // the null-keyed row present in both snapshots reads CHANGED (value
+    // differs), not a spurious removed+added pair
+    assert(out === Map("1" -> "unchanged", (null: String) -> "changed",
+      "3" -> "removed", "4" -> "added"), s"got $out")
+  }
+
+  test("blockedNamePairs: oversized blocks are dropped AND reported, never joined") {
+    import spark.implicits._
+    // one skewed block (10 records under key 'AAA' > cap 8 — the
+    // corpus-sized skew bucket in miniature) plus one healthy block
+    val recs = ((1 to 10).map(i => (i.toLong, f"AAA-name$i%02d")) ++
+      Seq((21L, "BBB-samex"), (22L, "BBB-samey"), (23L, "CCC-alone")))
+      .toDF("id", "name")
+    val key = substring(col("name"), 1, 3)
+    val pairs = graft.ext.EntityOps.blockedNamePairs(
+      recs, "id", "name", key, maxDist = 2, maxBlock = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the skewed block contributes ZERO pairs (dropped, not joined);
+    // the healthy block still links
+    assert(pairs === Set((21L, 22L)), s"got $pairs")
+    val dropped = graft.ext.EntityOps.oversizedBlocks(recs, key, maxBlock = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dropped === Set(("AAA", 10L)), s"dropped-block report: $dropped")
+    // null blocking keys never pair and ARE reported
+    val withNull = recs.unionByName(Seq((30L, null.asInstanceOf[String]))
+      .toDF("id", "name"))
+    val p2 = graft.ext.EntityOps.blockedNamePairs(
+      withNull, "id", "name", key, maxDist = 2, maxBlock = 8).count()
+    assert(p2 === 1L)
+    val d2 = graft.ext.EntityOps.oversizedBlocks(withNull, key, maxBlock = 8)
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(d2 === Set(Some("AAA"), None))
+  }
+
+  test("entityTable: pairs -> CC -> quality canonical, singletons included") {
+    import spark.implicits._
+    val recs = Seq((1L, "alpha", 0.2), (2L, "alphb", 0.9),
+      (3L, "beta", 0.8), (4L, "betb", 0.1), (5L, "gamma", 0.5))
+      .toDF("id", "name", "q")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = graft.ext.EntityOps.entityTable(recs, pairs, "id", "name",
+        col("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(4))).toSet
+    // each entity keeps its highest-quality member; the unmatched
+    // record is its own singleton entity
+    assert(out === Set((1L, 2L, "alphb", 2L), (3L, 3L, "beta", 2L),
+      (5L, 5L, "gamma", 1L)), s"got $out")
+  }
+
+  test("attributionStateful: non-positive TTL rejected at construction") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[graft.streaming.StreamingOps.AttribIn]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingOps.attributionStateful(empty,
+        dormantTtlMs = Some(0L))
+    }
+    assert(e.getMessage.contains("dormantTtlMs"))
+    // positive TTL still constructs
+    graft.streaming.StreamingOps.attributionStateful(empty,
+      dormantTtlMs = Some(1000L))
+  }
+}

@@ -511,6 +511,44 @@ object ScaleSmoke {
     val cN = proposeCandidates(dir)
     println(f"dedup propose candidates: 1x $c1%d -> ${replicas}x $cN%d " +
       f"(ratio ${cN.toDouble / c1}%.1f, linear target ~$replicas)")
+
+    // ER propose (round 11): blocking-join pair volume under corpus
+    // growth. The er fixture's blocking key is a FIXED key space (the
+    // name's last `keyLen` digits), so block density grows with the
+    // corpus and the 64-record cap is the loud bound: measured pairs
+    // must stay ≤ n·(cap−1)/2, and any block past the cap is DROPPED
+    // AND REPORTED (oversizedBlocks), never silently joined. A
+    // deployment that grows the key space with the corpus (keyLen+1
+    // once density approaches the cap — the second measurement) keeps
+    // block sizes ~constant, i.e. ~linear pair volume; both readings
+    // print so the header records the honest pair.
+    if (pairTier) {
+      def erVolume(reps: Int, keyLen: Int): (Long, Long, Long) = {
+        val n = 15000L * reps
+        val clean = spark.range(1, n + 1).select(col("id").as("c_custkey"),
+          format_string("Customer#%09d", col("id")).as("c_name"))
+        val d1 = clean.filter(col("c_custkey") % 10 === 0).select(
+          (col("c_custkey") + 10 * n).as("c_custkey"),
+          concat(lit("Custmer#"), expr("substring(c_name, 10)")).as("c_name"))
+        val d2 = clean.filter(col("c_custkey") % 10 === 5).select(
+          (col("c_custkey") + 20 * n).as("c_custkey"),
+          concat(lit("Cusotmer#"), expr("substring(c_name, 10)")).as("c_name"))
+        val recs = clean.unionByName(d1).unionByName(d2)
+        val key = expr(s"right(c_name, $keyLen)")
+        val pairs = graft.ext.EntityOps.blockedNamePairs(
+          recs, "c_custkey", "c_name", key, maxDist = 2, maxBlock = 64).count()
+        val dropped = graft.ext.EntityOps.oversizedBlocks(recs, key, 64).count()
+        (recs.count(), pairs, dropped)
+      }
+      Seq(5, 6).foreach { kl =>
+        val (n1, p1, d1c) = erVolume(1, kl)
+        val (nN, pN, dNc) = erVolume(replicas, kl)
+        val bound = nN * 63 / 2
+        println(f"er blocked pairs (right-$kl): 1x $p1%d pairs/$d1c%d dropped " +
+          f"-> ${replicas}x $pN%d pairs/$dNc%d dropped over $nN%d recs " +
+          f"(bound n*(cap-1)/2 = $bound%d, ratio x${pN.toDouble / math.max(1, p1)}%.1f)")
+      }
+    }
     spark.stop()
   }
 }
