@@ -180,8 +180,14 @@ object LayoutOps {
     * (`kept` / `expired` / `debris` / `in_flight`) — the numbers a
     * maintenance job logs. Deletion runs strictly after the report is
     * built, so the footprint columns describe the reclaimed space.
+    *
+    * `dryRun = true` reports the SAME actions but deletes nothing —
+    * the audit mode every production VACUUM ships (what would be
+    * reclaimed, without reclaiming it), and what lets a benchmark time
+    * the classification pass repeatably over a staged history.
     */
-  def vacuumVersions(spark: SparkSession, root: String, keep: Int): DataFrame = {
+  def vacuumVersions(spark: SparkSession, root: String, keep: Int,
+      dryRun: Boolean = false): DataFrame = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -204,7 +210,7 @@ object LayoutOps {
         else "in_flight"
       (VersionVacuum(v, ok, sum.getFileCount, sum.getLength, action), path)
     }
-    report.foreach { case (r, path) =>
+    if (!dryRun) report.foreach { case (r, path) =>
       if (r.action == "expired" || r.action == "debris") fs.delete(path, true): Unit
     }
     import spark.implicits._

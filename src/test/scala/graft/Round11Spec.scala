@@ -83,6 +83,32 @@ class Round11Spec extends SparkSpec {
       (5L, 5L, "gamma", 1L)), s"got $out")
   }
 
+  test("vacuumVersions dryRun: identical report, nothing deleted (idempotent)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vacdry_").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 to 3).foreach { n =>
+      spark.range(n + 1).write.mode("overwrite").parquet(s"$root/v$n")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/v2/_SUCCESS"), false)
+    def run(dry: Boolean) = graft.etl.LayoutOps
+      .vacuumVersions(spark, root, keep = 2, dryRun = dry)
+      .select("version", "action").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = Map(0L -> "expired", 1L -> "kept", 2L -> "debris", 3L -> "kept")
+    assert(run(dry = true) === expect)
+    // dry run deleted nothing: a second dry run sees the SAME history
+    assert(run(dry = true) === expect)
+    assert((0 to 3).forall(n =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/v$n"))))
+    // the real vacuum then reclaims exactly the reported versions
+    assert(run(dry = false) === expect)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")))
+    fs.delete(new org.apache.hadoop.fs.Path(root), true): Unit
+  }
+
   test("attributionStateful: non-positive TTL rejected at construction") {
     import spark.implicits._
     val empty = spark.emptyDataset[graft.streaming.StreamingOps.AttribIn]
