@@ -185,4 +185,67 @@ object EvalOps {
         col("__best").getField("c").as("n_top"))
       .withColumn("purity", round(col("n_top").cast("double") / col("n"), 9))
   }
+
+  /** Schema-driven column-level drift monitor — per monitored column,
+    * null rate in each snapshot half and (for numeric columns) the
+    * half means with their absolute shift: the per-column checks a
+    * data-observability suite alarms on (a silent upstream change
+    * shows up as a null-rate jump or a mean shift long before anyone
+    * reads the rows).
+    *
+    * `half` must evaluate to 0/1 (the two populations — a snapshot
+    * hash split, a day boundary, an A/B flag). The conditional sums
+    * for EVERY column are generated from `df`'s schema into ONE
+    * map-side-combined aggregate pass — the table is scanned once
+    * however many columns are monitored; the per-column report rows
+    * then project from that single aggregate row, so adding a column
+    * adds three counters, not a scan. Numeric means sum in
+    * DECIMAL(18,2) before one double division (the engine money
+    * discipline); non-numeric columns report null rates with null
+    * means. Rates round to 9 dp, means and shifts to 6 dp.
+    */
+  def columnDrift(df: DataFrame, half: org.apache.spark.sql.Column,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnDrift needs at least one column")
+    val schema = df.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"column $c not in schema ${schema.fieldNames.toSeq}"))
+    val numeric = cols.filter(c =>
+      schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .toSet
+    val dec = DecimalType(18, 2)
+    val h = df.withColumn("__h", half.cast("long"))
+    val aggCols =
+      Seq(sum(when(col("__h") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__h") === 1, 1L).otherwise(0L)).as("n_b")) ++
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        val base = Seq(
+          sum(when(col("__h") === 0 && col(c).isNull, 1L).otherwise(0L))
+            .as(s"null_a_$i"),
+          sum(when(col("__h") === 1 && col(c).isNull, 1L).otherwise(0L))
+            .as(s"null_b_$i"))
+        if (numeric(c)) base ++ Seq(
+          sum(when(col("__h") === 0, col(c)).cast(dec)).as(s"sum_a_$i"),
+          sum(when(col("__h") === 1, col(c)).cast(dec)).as(s"sum_b_$i"))
+        else base
+      }
+    val agg = h.agg(aggCols.head, aggCols.tail: _*)
+    def rate(nulls: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      round(nulls.cast("double") / n, 9)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val (ma, mb) =
+        if (numeric(c)) (
+          round(col(s"sum_a_$i").cast("double") / (col("n_a") - col(s"null_a_$i")), 6),
+          round(col(s"sum_b_$i").cast("double") / (col("n_b") - col(s"null_b_$i")), 6))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      agg.select(lit(c).as("column_name"),
+        rate(col(s"null_a_$i"), col("n_a")).as("null_rate_a"),
+        rate(col(s"null_b_$i"), col("n_b")).as("null_rate_b"),
+        ma.as("mean_a"), mb.as("mean_b"))
+    }
+    rows.reduce(_ unionByName _)
+      .withColumn("mean_shift",
+        when(col("mean_a").isNotNull,
+          round(abs(col("mean_a") - col("mean_b")), 6)))
+  }
 }

@@ -820,105 +820,77 @@ object Breadth10 {
       WHERE dist <= 2 ORDER BY id_a, id_b
     """.trim))
 
+  /** Columns `dq7_column_drift` monitors, with their numeric flag —
+    * the ONE list both engines derive from: the Spark side passes the
+    * names to the schema-driven [[graft.ext.EvalOps.columnDrift]]
+    * (which re-derives numeric-ness from the live schema), and the
+    * oracle SQL below is GENERATED from the same entries, so adding a
+    * monitored column is a one-line change that stays hash-green by
+    * construction.
+    */
+  private val driftCols: Seq[(String, Boolean)] = Seq(
+    ("o_orderdate", false), ("o_orderstatus", false), ("o_totalprice", true))
+
   /** Column-level drift monitor — the schema-facing complement of the
     * row-level PSI: per column, null rate and (for numerics) the mean
     * in each snapshot half, with deltas — the per-column checks a data
     * observability suite alarms on (a silent upstream change shows up
     * as a null-rate jump or a mean shift long before anyone reads the
-    * rows). ONE aggregate pass computes every column's statistics as
-    * conditional sums (map-side combined); the report explodes from
-    * that single row, so the table is scanned once however many
-    * columns are monitored. Means sum in DECIMAL(18,2) before one
-    * double division (the engine money discipline).
+    * rows). Since round 11 this is the library op
+    * [[graft.ext.EvalOps.columnDrift]]: the conditional sums for every
+    * monitored column generate from the SCHEMA into one
+    * map-side-combined aggregate pass, so the table is scanned once
+    * however many columns are monitored — the claim is structural now,
+    * not a hand-written 3-column special case. Means sum in
+    * DECIMAL(18,2) before one double division (the engine money
+    * discipline).
     */
   val dq7ColumnDrift = Q(
     "dq7_column_drift",
     (s, dir) => {
-      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
       val o = Tables(s, dir, "orders")
-        .withColumn("__h",
+      graft.ext.EvalOps.columnDrift(o,
           conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 2)
-      def half(h: Int, c: String) = when(col("__h") === h, col(c))
-      val agg = o.agg(
-        sum(when(col("__h") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("__h") === 1, 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("__h") === 0 && col("o_totalprice").isNull, 1L)
-          .otherwise(0L)).as("tp_null_a"),
-        sum(when(col("__h") === 1 && col("o_totalprice").isNull, 1L)
-          .otherwise(0L)).as("tp_null_b"),
-        sum(half(0, "o_totalprice").cast(dec)).as("tp_sum_a"),
-        sum(half(1, "o_totalprice").cast(dec)).as("tp_sum_b"),
-        sum(when(col("__h") === 0 && col("o_orderstatus").isNull, 1L)
-          .otherwise(0L)).as("st_null_a"),
-        sum(when(col("__h") === 1 && col("o_orderstatus").isNull, 1L)
-          .otherwise(0L)).as("st_null_b"),
-        sum(when(col("__h") === 0 && col("o_orderdate").isNull, 1L)
-          .otherwise(0L)).as("dt_null_a"),
-        sum(when(col("__h") === 1 && col("o_orderdate").isNull, 1L)
-          .otherwise(0L)).as("dt_null_b"))
-      def rate(nulls: Column, n: Column) =
-        round(nulls.cast("double") / n, 9)
-      def mean(sm: Column, nulls: Column, n: Column) =
-        round(sm.cast("double") / (n - nulls), 6)
-      agg.select(
-        lit("o_totalprice").as("column_name"),
-        rate(col("tp_null_a"), col("n_a")).as("null_rate_a"),
-        rate(col("tp_null_b"), col("n_b")).as("null_rate_b"),
-        mean(col("tp_sum_a"), col("tp_null_a"), col("n_a")).as("mean_a"),
-        mean(col("tp_sum_b"), col("tp_null_b"), col("n_b")).as("mean_b"))
-      .unionByName(agg.select(
-        lit("o_orderstatus").as("column_name"),
-        rate(col("st_null_a"), col("n_a")).as("null_rate_a"),
-        rate(col("st_null_b"), col("n_b")).as("null_rate_b"),
-        lit(null).cast("double").as("mean_a"),
-        lit(null).cast("double").as("mean_b")))
-      .unionByName(agg.select(
-        lit("o_orderdate").as("column_name"),
-        rate(col("dt_null_a"), col("n_a")).as("null_rate_a"),
-        rate(col("dt_null_b"), col("n_b")).as("null_rate_b"),
-        lit(null).cast("double").as("mean_a"),
-        lit(null).cast("double").as("mean_b")))
-      .withColumn("mean_shift",
-        when(col("mean_a").isNotNull,
-          round(abs(col("mean_a") - col("mean_b")), 6)))
-      .orderBy(col("column_name"))
+            .cast("long") % 2,
+          driftCols.map(_._1))
+        .orderBy(col("column_name"))
     },
-    Some("""
+    Some {
+      val sums = driftCols.zipWithIndex.map { case ((c, num), i) =>
+        val base =
+          s"""              sum(CASE WHEN hh = 0 AND $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_a_$i,
+              sum(CASE WHEN hh = 1 AND $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_b_$i"""
+        if (num) base + s""",
+              sum(CASE WHEN hh = 0 THEN CAST($c AS DECIMAL(18,2)) END) AS sum_a_$i,
+              sum(CASE WHEN hh = 1 THEN CAST($c AS DECIMAL(18,2)) END) AS sum_b_$i"""
+        else base
+      }.mkString(",\n")
+      val reports = driftCols.zipWithIndex.map { case ((c, num), i) =>
+        val means =
+          if (num)
+            s"""round(sum_a_$i::DOUBLE / (n_a - null_a_$i), 6),
+               round(sum_b_$i::DOUBLE / (n_b - null_b_$i), 6)"""
+          else "NULL::DOUBLE, NULL::DOUBLE"
+        s"""        SELECT '$c' AS column_name,
+               round(null_a_$i::DOUBLE / n_a, 9), round(null_b_$i::DOUBLE / n_b, 9),
+               $means FROM a"""
+      }.mkString("\n        UNION ALL\n")
+      s"""
       WITH h AS (SELECT *, ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 2 AS hh
                  FROM orders),
       a AS (SELECT
               sum(CASE WHEN hh = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
               sum(CASE WHEN hh = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
-              sum(CASE WHEN hh = 0 AND o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS tp_null_a,
-              sum(CASE WHEN hh = 1 AND o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS tp_null_b,
-              sum(CASE WHEN hh = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS tp_sum_a,
-              sum(CASE WHEN hh = 1 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS tp_sum_b,
-              sum(CASE WHEN hh = 0 AND o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS st_null_a,
-              sum(CASE WHEN hh = 1 AND o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS st_null_b,
-              sum(CASE WHEN hh = 0 AND o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS dt_null_a,
-              sum(CASE WHEN hh = 1 AND o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS dt_null_b
+$sums
             FROM h),
-      r AS (
-        SELECT 'o_totalprice' AS column_name,
-               round(tp_null_a::DOUBLE / n_a, 9) AS null_rate_a,
-               round(tp_null_b::DOUBLE / n_b, 9) AS null_rate_b,
-               round(tp_sum_a::DOUBLE / (n_a - tp_null_a), 6) AS mean_a,
-               round(tp_sum_b::DOUBLE / (n_b - tp_null_b), 6) AS mean_b
-        FROM a
-        UNION ALL
-        SELECT 'o_orderstatus',
-               round(st_null_a::DOUBLE / n_a, 9), round(st_null_b::DOUBLE / n_b, 9),
-               NULL, NULL FROM a
-        UNION ALL
-        SELECT 'o_orderdate',
-               round(dt_null_a::DOUBLE / n_a, 9), round(dt_null_b::DOUBLE / n_b, 9),
-               NULL, NULL FROM a)
+      r (column_name, null_rate_a, null_rate_b, mean_a, mean_b) AS (
+$reports)
       SELECT column_name, null_rate_a, null_rate_b, mean_a, mean_b,
              CASE WHEN mean_a IS NOT NULL
                   THEN round(abs(mean_a - mean_b), 6) END AS mean_shift
       FROM r ORDER BY column_name
-    """.trim))
+    """.trim
+    })
 
   val all: Seq[Q] = Seq(q63LayoutVacuum, sampleEpochMaterialize,
     pipelineTrainingMix, sampleSourceCap, textCcnetBuckets,

@@ -83,6 +83,33 @@ class Round11Spec extends SparkSpec {
       (5L, 5L, "gamma", 1L)), s"got $out")
   }
 
+  test("columnDrift: schema-driven sums on a null-transition fixture") {
+    import spark.implicits._
+    // half A: v = (10, null, 20), s all non-null; half B: v all non-null
+    // (30, 50), s = (x, null) — a null-rate TRANSITION in both
+    // directions plus a mean shift, the exact alarm shapes
+    val df = Seq(
+      (0L, Option(10.0), Option("x")), (0L, Option.empty[Double], Option("y")),
+      (0L, Option(20.0), Option("z")),
+      (1L, Option(30.0), Option("x")), (1L, Option(50.0), Option.empty[String]))
+      .toDF("h", "v", "s")
+    val out = graft.ext.EvalOps.columnDrift(df, col("h"), Seq("v", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)))).toMap
+    val (vna, vnb, vma, vmb, vshift) = out("v")
+    assert(vna === 0.333333333 && vnb === 0.0) // rate rounds to 9 dp
+    assert(vma === Some(15.0) && vmb === Some(40.0) && vshift === Some(25.0))
+    val (sna, snb, sma, smb, sshift) = out("s")
+    assert(sna === 0.0 && snb === 0.5)
+    // non-numeric: null means, null shift
+    assert(sma.isEmpty && smb.isEmpty && sshift.isEmpty)
+    // unknown column is a loud error, not a silent skip
+    intercept[IllegalArgumentException] {
+      graft.ext.EvalOps.columnDrift(df, col("h"), Seq("nope"))
+    }
+  }
+
   test("vacuumVersions dryRun: identical report, nothing deleted (idempotent)") {
     val root = java.nio.file.Files.createTempDirectory("graft_vacdry_").toString
     val fs = new org.apache.hadoop.fs.Path(root)
