@@ -14,6 +14,38 @@ object TextOps {
   val StopEn: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
   val StopEs: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "no")
   val StopDe: Seq[String] = Seq("der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von")
+  val StopFr: Seq[String] = Seq("le", "la", "de", "et", "les", "des", "en", "un", "une", "du")
+  val StopZh: Seq[String] = Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人")
+
+  /** Per-language stopword lists — the broadcast lookup behind
+    * [[withQualityByLang]]/[[gopherRulesByLang]]. English-only scoring
+    * systematically penalizes every non-English document (its own
+    * function words never hit `StopEn`), which then biases every
+    * downstream consumer of `quality` — source caps, canonical
+    * selection, the training mix — against the corpus's non-English
+    * half. A production deployment extends this seq (hundreds of
+    * languages is a few KB — still a broadcast); languages absent from
+    * it fall back to English, which is the pre-round-11 behavior and
+    * the loud-in-the-scaladoc default.
+    */
+  val StopByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> StopEn, "es" -> StopEs, "de" -> StopDe,
+    "fr" -> StopFr, "zh" -> StopZh)
+
+  /** Left-joins each row's language's stopword list as `__st`
+    * (English fallback for unlisted languages). The k-language table
+    * broadcasts, so the join stays in the scan stage — no shuffle at
+    * any corpus size.
+    */
+  private def withLangStops(df: DataFrame, langCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tbl = broadcast(StopByLang.toDF("__slang", "__stops"))
+    df.join(tbl, col(langCol) === col("__slang"), "left")
+      .withColumn("__st",
+        coalesce(col("__stops"), array(StopEn.map(lit): _*)))
+      .drop("__slang", "__stops")
+  }
 
   /** Characteristic character trigrams per language (with word-boundary
     * spaces), for the n-gram language-ID variant.
@@ -68,9 +100,12 @@ object TextOps {
 
   /** Heuristic quality score from length / punctuation / stopword
     * ratios. Deterministic arithmetic (single divisions, fixed op
-    * order), rounded once at the end.
+    * order), rounded once at the end. `stopHits` is the stop-word hit
+    * count expression — English-literal for the monolingual entry
+    * point, per-row list for the per-language one.
     */
-  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+  private def qualityFrom(df: DataFrame, textCol: String,
+      stopHits: Column): DataFrame = {
     val t = col(textCol)
     val ws = words(t)
     df.withColumn("n_chars_raw", length(t).cast("long"))
@@ -79,12 +114,34 @@ object TextOps {
       .withColumn("punct_ratio",
         length(regexp_replace(t, "[a-zA-Z0-9 ]", "")).cast("double") / col("n_chars_raw"))
       .withColumn("avg_word_len", col("n_alpha").cast("double") / col("n_words"))
-      .withColumn("stop_ratio",
-        stopwordHits(ws, StopEn).cast("double") / col("n_words"))
+      .withColumn("stop_ratio", stopHits.cast("double") / col("n_words"))
       .withColumn("quality",
         round(least(col("avg_word_len") / 8.0, lit(1.0)) * 0.4
           + least(col("stop_ratio") * 5.0, lit(1.0)) * 0.4
           + (lit(1.0) - col("punct_ratio")) * 0.2, 9))
+  }
+
+  /** Monolingual (English-list) scoring — correct for an
+    * English-gated corpus; on a multilingual one prefer
+    * [[withQualityByLang]], which this is the `lang`-blind special
+    * case of.
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame =
+    qualityFrom(df, textCol, stopwordHits(words(col(textCol)), StopEn))
+
+  /** Per-language quality scoring: `stop_ratio` counts hits against
+    * the ROW'S OWN language's stopword list ([[StopByLang]], broadcast
+    * — English fallback for unlisted languages), so a clean Spanish
+    * document is no longer scored as if its articles were noise. Same
+    * output columns and arithmetic as [[withQuality]]; only the list
+    * varies per row.
+    */
+  def withQualityByLang(df: DataFrame, textCol: String,
+      langCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    qualityFrom(withLangStops(df, langCol), textCol,
+      size(filter(ws, w => array_contains(col("__st"), w))))
+      .drop("__st")
   }
 
   /** Model-based quality scoring: a fixed linear classifier over the
@@ -542,17 +599,40 @@ object TextOps {
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 30, maxWords: Int = 100000,
       minWlen: Int = 3, maxWlen: Int = 10,
-      minStopDistinct: Int = 2): DataFrame = {
+      minStopDistinct: Int = 2): DataFrame =
+    gopherFrom(df, idCol, textCol, array(StopEn.map(lit): _*),
+      minWords, maxWords, minWlen, maxWlen, minStopDistinct)
+
+  /** Per-language Gopher rules: the distinct-stop-word rule checks the
+    * ROW'S OWN language's list ([[StopByLang]], broadcast — English
+    * fallback for unlisted languages). With the English-only list the
+    * stop rule is a de-facto language gate (every non-English doc
+    * fails it); per-lang lists make it the fluency check Gopher means
+    * it to be on a multilingual corpus. Same flags/arithmetic as
+    * [[gopherRules]].
+    */
+  def gopherRulesByLang(df: DataFrame, idCol: String, textCol: String,
+      langCol: String,
+      minWords: Int = 30, maxWords: Int = 100000,
+      minWlen: Int = 3, maxWlen: Int = 10,
+      minStopDistinct: Int = 2): DataFrame =
+    gopherFrom(withLangStops(df, langCol), idCol, textCol, col("__st"),
+      minWords, maxWords, minWlen, maxWlen, minStopDistinct)
+
+  private def gopherFrom(df: DataFrame, idCol: String, textCol: String,
+      stops: Column, minWords: Int, maxWords: Int,
+      minWlen: Int, maxWlen: Int, minStopDistinct: Int): DataFrame = {
     val ws = words(col(textCol))
     df.select(col(idCol), ws.as("__w"),
-        length(Dedup.normText(col(textCol))).cast("long").as("__nc"))
+        length(Dedup.normText(col(textCol))).cast("long").as("__nc"),
+        stops.as("__stl"))
       .withColumn("n_words", size(col("__w")).cast("long"))
       .withColumn("n_word_chars", col("__nc") - (col("n_words") - 1))
       .withColumn("mean_wlen",
         round(col("n_word_chars").cast("double") / col("n_words"), 9))
       .withColumn("n_stop_distinct",
-        size(array_intersect(array_distinct(col("__w")),
-          array(StopEn.map(lit): _*))).cast("long"))
+        size(array_intersect(array_distinct(col("__w")), col("__stl")))
+          .cast("long"))
       .withColumn("flag_words",
         (col("n_words") >= minWords && col("n_words") <= maxWords)
           .cast("long"))
@@ -563,7 +643,7 @@ object TextOps {
         (col("n_stop_distinct") >= minStopDistinct).cast("long"))
       .withColumn("keep",
         col("flag_words") * col("flag_wlen") * col("flag_stop"))
-      .drop("__w", "__nc")
+      .drop("__w", "__nc", "__stl")
   }
 
   /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023):

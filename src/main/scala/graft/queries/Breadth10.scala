@@ -140,7 +140,7 @@ object Breadth10 {
     (s, dir) => {
       import graft.ext.{Dedup, TextOps}
       val docs = Tables(s, dir, "documents")
-      val q = TextOps.gopherRules(docs, "doc_id", "text")
+      val q = TextOps.gopherRulesByLang(docs, "doc_id", "text", "lang")
         .filter(col("keep") === 1)
         .select(col("doc_id"), col("n_words"))
       val surv = docs.select(col("doc_id"), col("lang"), col("text"))
@@ -164,14 +164,13 @@ object Breadth10 {
         .orderBy(col("lang"), col("shard"))
     },
     Some {
-      val stops = graft.ext.TextOps.StopEn.map(w => s"'$w'").mkString(", ")
       s"""
       WITH n AS (SELECT doc_id, lang, text, ${Extensions.NormW} AS w,
                    len(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS nc
                  FROM documents),
       b AS (SELECT doc_id, lang, text, len(w)::BIGINT AS n_words,
               (nc - (len(w) - 1))::BIGINT AS n_word_chars,
-              len(list_filter([$stops], s -> list_contains(w, s)))::BIGINT AS n_stop
+              ${Extensions.sqlStopDistinctByLang()} AS n_stop
             FROM n),
       surv AS (SELECT doc_id, lang, text, n_words FROM b
                WHERE n_words >= 30 AND n_words <= 100000
@@ -217,17 +216,17 @@ object Breadth10 {
     "sample_source_cap",
     (s, dir) => {
       val scored = graft.ext.TextOps
-        .withQuality(Tables(s, dir, "documents"), "text")
+        .withQualityByLang(Tables(s, dir, "documents"), "text", "lang")
         .select(col("doc_id"), col("source"), col("quality"))
       graft.etl.SampleOps.topKPerGroup(scored, "source", "quality", "doc_id", k = 10)
         .orderBy(col("source"), col("doc_id"))
     },
     Some(s"""
-      WITH n AS (SELECT doc_id, source, text, ${Extensions.NormW} AS w FROM documents),
+      WITH n AS (SELECT doc_id, source, lang, text, ${Extensions.NormW} AS w FROM documents),
       m AS (SELECT doc_id, source,
               length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
               length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(w) AS avg_word_len,
-              ${Extensions.sqlHits(graft.ext.TextOps.StopEn)}::DOUBLE / len(w) AS stop_ratio
+              ${Extensions.sqlHitsByLang()}::DOUBLE / len(w) AS stop_ratio
             FROM n),
       q AS (SELECT doc_id, source,
               round(least(avg_word_len / 8.0, 1.0) * 0.4
@@ -414,7 +413,7 @@ object Breadth10 {
       val docs = Extensions.augmentedDocs(s, dir, perturb = true)
       val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
       val clusters = Dedup.clusterAssignment(docs, pairs, "doc_id")
-      val scored = TextOps.withQuality(docs, "text")
+      val scored = TextOps.withQualityByLang(docs, "text", "lang")
         .select(col("doc_id"), col("quality"))
       val members = clusters.join(scored, "doc_id")
       members.groupBy(col("cluster_id"))
@@ -435,11 +434,11 @@ object Breadth10 {
       comp AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY s),
       cl AS (SELECT a.doc_id, coalesce(least(c.mn, a.doc_id), a.doc_id) AS cluster_id
              FROM aug a LEFT JOIN comp c USING (doc_id)),
-      qn AS (SELECT doc_id, text, ${Extensions.NormW} AS w FROM aug),
+      qn AS (SELECT doc_id, lang, text, ${Extensions.NormW} AS w FROM aug),
       qm AS (SELECT doc_id,
                length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
                length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(w) AS avg_word_len,
-               ${Extensions.sqlHits(graft.ext.TextOps.StopEn)}::DOUBLE / len(w) AS stop_ratio
+               ${Extensions.sqlHitsByLang()}::DOUBLE / len(w) AS stop_ratio
              FROM qn),
       qq AS (SELECT doc_id,
                round(least(avg_word_len / 8.0, 1.0) * 0.4

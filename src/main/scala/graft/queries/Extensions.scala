@@ -1233,6 +1233,29 @@ object Extensions {
   private[queries] def sqlHits(stops: Seq[String]): String =
     s"len(list_filter(w, x -> list_contains(${sqlList(stops)}, x)))::BIGINT"
 
+  /** Per-language stop-hit count — the DuckDB twin of the broadcast
+    * lookup in `TextOps.withQualityByLang`: a CASE over
+    * `TextOps.StopByLang` (generated, so adding a language updates
+    * both engines from one list), English fallback for unlisted langs.
+    */
+  private[queries] def sqlHitsByLang(langExpr: String = "lang"): String =
+    s"CASE $langExpr " +
+      TextOps.StopByLang.map { case (l, st) =>
+        s"WHEN '$l' THEN ${sqlHits(st)}" }.mkString(" ") +
+      s" ELSE ${sqlHits(TextOps.StopEn)} END"
+
+  /** Per-language DISTINCT stop-word count (the Gopher stop rule's
+    * statistic) — same generated CASE, distinct semantics.
+    */
+  private[queries] def sqlStopDistinctByLang(langExpr: String = "lang"): String = {
+    def one(st: Seq[String]): String =
+      s"len(list_filter(${sqlList(st)}, s -> list_contains(w, s)))::BIGINT"
+    s"CASE $langExpr " +
+      TextOps.StopByLang.map { case (l, st) =>
+        s"WHEN '$l' THEN ${one(st)}" }.mkString(" ") +
+      s" ELSE ${one(TextOps.StopEn)} END"
+  }
+
   val textLangid = Q(
     "text_langid",
     (s, dir) =>

@@ -83,6 +83,41 @@ class Round11Spec extends SparkSpec {
       (5L, 5L, "gamma", 1L)), s"got $out")
   }
 
+  test("per-lang quality: stop_ratio scores against the row's OWN language list") {
+    import spark.implicits._
+    // identical Spanish text under three lang labels: under 'es' every
+    // word is a Spanish stop word; under 'en' none are (the pre-fix
+    // bias); an unlisted lang falls back to the English list
+    val txt = "el la de que y en un por con no"
+    val df = Seq((1L, "es", txt), (2L, "en", txt), (3L, "xx", txt),
+      (4L, "en", "the and of to a in is it that for"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ext.TextOps.withQualityByLang(df, "text", "lang")
+      .select("doc_id", "stop_ratio").as[(Long, Double)].collect().toMap
+    assert(out(1L) === 1.0, "Spanish doc must score against the Spanish list")
+    // 'en' from the Spanish text: zero English stop hits — the bias
+    assert(out(2L) === 0.0)
+    assert(out(3L) === out(2L), "unlisted lang falls back to English")
+    assert(out(4L) === 1.0)
+    // monolingual entry point == per-lang on an all-English frame
+    val en = df.filter(col("lang") === "en")
+    val mono = graft.ext.TextOps.withQuality(en, "text")
+      .select("doc_id", "quality").as[(Long, Double)].collect().toSet
+    val byLang = graft.ext.TextOps.withQualityByLang(en, "text", "lang")
+      .select("doc_id", "quality").as[(Long, Double)].collect().toSet
+    assert(mono === byLang)
+    // gopher stop rule: the Spanish doc passes under per-lang rules
+    // (>= 2 distinct es stops), fails under the English-only rule
+    val g = graft.ext.TextOps.gopherRulesByLang(df, "doc_id", "text", "lang",
+        minWords = 1)
+      .select("doc_id", "flag_stop").as[(Long, Long)].collect().toMap
+    assert(g(1L) === 1L)
+    val gEn = graft.ext.TextOps.gopherRules(df.filter(col("doc_id") === 1),
+        "doc_id", "text", minWords = 1)
+      .select("doc_id", "flag_stop").as[(Long, Long)].collect().toMap
+    assert(gEn(1L) === 0L, "English-only rule is a de-facto language gate")
+  }
+
   test("columnDrift: schema-driven sums on a null-transition fixture") {
     import spark.implicits._
     // half A: v = (10, null, 20), s all non-null; half B: v all non-null
