@@ -940,16 +940,19 @@ object Breadth9 {
 
   /** ANN-recall evaluation: per-query recall@5 of the TRAINED serving
     * tier (two-round-Lloyd coarse quantizer, spill=2 multi-assignment,
-    * nprobe=5 — the exact configuration the persisted int8/IVF-PQ
-    * indexes serve with) against the exact cosine ranker — the eval
-    * harness closing its fourth loop (retrieval, classifier, dedup,
-    * and now the vector index). Training the quantizer + spilling
-    * lifted measured mean recall@5 from 0.34 to 0.58 at sf0.1 at the
-    * same ~9 % scanned fraction the old untrained nprobe=5 tier paid
-    * (the graded corpus is isotropic — no label structure to exploit —
-    * so this is the honest propose-quality ceiling; Round10Spec pins
-    * the floor). Both rankers are existing operators; the comparison
-    * is a (query, neighbor) semi join over ≤ q×5 rows.
+    * nprobe=`ServingNprobe` — the exact configuration the persisted
+    * int8/IVF-PQ indexes serve with) against the exact cosine ranker —
+    * the eval harness closing its fourth loop (retrieval, classifier,
+    * dedup, and now the vector index). This serve is FULL-PRECISION
+    * IVF (`ivfTopK`), so what it measures is coarse-quantizer
+    * COVERAGE — whether a true neighbor's list gets probed — not PQ
+    * distortion (that has its own eval, `eval_pq_recall`). r10
+    * training + spilling lifted mean recall@5 0.34→0.58 at sf0.1;
+    * r11's 3× finer cells with nprobe scaled in lockstep (scanned
+    * fraction UNCHANGED at ~9 %) lifted it 0.58→0.75 (0.76→0.88 at
+    * sf0.01) — the gap was cell granularity, not quantization.
+    * Round10Spec pins the floor. Both rankers are existing operators;
+    * the comparison is a (query, neighbor) semi join over ≤ q×5 rows.
     */
   val evalAnnRecall = Q(
     "eval_ann_recall",
@@ -960,7 +963,7 @@ object Breadth9 {
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.ivfTopK(s, emb, queries,
           Extensions.servingCentroids(s, dir),
-          "vec_id", "embedding", "cid", "cv", k = 5, nprobe = 5,
+          "vec_id", "embedding", "cid", "cv", k = 5, nprobe = Extensions.ServingNprobe,
           spill = Extensions.ServingSpill)
         .select(col("query_id"), col("neighbor_id"))
       exact
@@ -996,7 +999,7 @@ object Breadth9 {
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
           FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
-        WHERE rn <= 5),
+        WHERE rn <= ${Extensions.ServingNprobe}),
       ap AS (SELECT DISTINCT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
                     ${Extensions.sqlCos("qa.embedding", "ca.embedding")} AS sim
              FROM q_a qa JOIN corp_a ca ON qa.cid = ca.cid AND qa.vec_id <> ca.vec_id),

@@ -628,11 +628,22 @@ object Extensions {
     * spill=2 tier, sf0.1); the fixed round count keeps the whole chain
     * DuckDB-expressible ([[sqlTrainedCentCtes]]).
     */
+  /** The trained serving-tier coarse quantizer. Seeds are every 6th
+    * vector (`vec_id % 6 = 3`, id-capped at 5000 so the model is
+    * scale-fixed past that) — all seed ids are ODD, so the seed set is
+    * disjoint from the `% 100 = 0` query/eval set by construction (no
+    * train/eval id leakage). Round 11 tripled the cell count from the
+    * r10 `% 18 = 13` grid and scaled nprobe 5→15 with it: the scanned
+    * fraction is UNCHANGED (nprobe·spill/c ≈ 9 % at sf0.1) while
+    * finer cells co-locate true neighbors better — measured recall@5
+    * 0.58→0.75 at sf0.1, 0.76→0.88 at sf0.01 (AnnTune sweep; more
+    * Lloyd rounds on the COARSE grid measured ≤ 0, so rounds stay 2).
+    */
   private[graft] def servingCentroids(s: SparkSession, dir: String) = {
     val centDir = graft.etl.LayoutOps.ensureRunDir(s, dir, "ivf_trained_centroids") { d =>
       val emb = Tables(s, dir, "embeddings")
       Similarity.lloydCentroids(s, emb,
-        emb.filter(col("vec_id") % 18 === 13 && col("vec_id") < 5000),
+        emb.filter(col("vec_id") % 6 === 3 && col("vec_id") < 5000),
         "vec_id", "embedding", "vec_id", "embedding", rounds = 2)
         .write.parquet(d)
     }
@@ -644,6 +655,16 @@ object Extensions {
     * [[Similarity.buildQuantizedIvfIndex]]).
     */
   private[graft] val ServingSpill = 2
+
+  /** Query-side probe width of the trained tier — rose 5→15 in
+    * lockstep with the 3× centroid count (see [[servingCentroids]]),
+    * so every serve plan's scanned fraction is unchanged while the
+    * cells it probes are finer. `ServingNprobeLite` is the cheaper
+    * int8-serve setting (was 3 of 111 lists; 9 of 333 is the same
+    * fraction).
+    */
+  private[graft] val ServingNprobe = 15
+  private[graft] val ServingNprobeLite = 9
 
   /** DuckDB twin of the trained serving quantizer: the seed CTE plus
     * two unrolled Lloyd rounds (assign → exact-decimal element mean),
@@ -666,7 +687,7 @@ object Extensions {
                                unnest(range(len(embedding))) AS dim FROM tca$tag)
                   GROUP BY cid, dim)"""
     s"""tcseed AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                   WHERE vec_id % 18 = 13 AND vec_id < 5000),
+                   WHERE vec_id % 6 = 3 AND vec_id < 5000),
       ${assign("tcseed", "1")},
       tcc1 AS (SELECT cid, list(v ORDER BY dim) AS cv FROM tcm1 GROUP BY cid),
       ${assign("tcc1", "2")},
@@ -713,7 +734,7 @@ object Extensions {
       val idxDir = ensureIvfInt8Index(s, dir)
       Similarity.serveQuantizedIvf(s, s.read.parquet(idxDir),
           emb.filter(col("vec_id") % 100 === 0), servingCentroids(s, dir),
-          "vec_id", "embedding", "cid", "cv", k = 5, nprobe = 3,
+          "vec_id", "embedding", "cid", "cv", k = 5, nprobe = ServingNprobeLite,
           spill = ServingSpill)
         .orderBy(col("query_id"), col("rank"))
     },
@@ -743,7 +764,7 @@ object Extensions {
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
           FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
-        WHERE rn <= 3),
+        WHERE rn <= $ServingNprobeLite),
       p AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    ${sqlCos("q.embedding", "c.embedding")} AS sim
             FROM q_a q JOIN corp_a c ON q.cid = c.cid AND q.vec_id <> c.vec_id)
@@ -883,7 +904,7 @@ object Extensions {
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
           FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
-        WHERE rn <= 5),
+        WHERE rn <= $ServingNprobe),
       p0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                     ${sqlCos("q.embedding", "c.embedding")} AS sim
              FROM q_a q JOIN corp c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
@@ -897,7 +918,7 @@ object Extensions {
       Similarity.ivfPqTopK(s, emb, emb.filter(col("vec_id") % 100 === 0),
           servingCentroids(s, dir),
           emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000),
-          "vec_id", "embedding", "cid", "cv", m = 16, k = 5, nprobe = 5,
+          "vec_id", "embedding", "cid", "cv", m = 16, k = 5, nprobe = ServingNprobe,
           spill = ServingSpill)
         .orderBy(col("query_id"), col("rank"))
     },
@@ -917,7 +938,7 @@ object Extensions {
       val (idxDir, model) = ensureIvfPqIndex(s, dir)
       Similarity.serveIvfPq(s, s.read.parquet(idxDir),
           emb.filter(col("vec_id") % 100 === 0), servingCentroids(s, dir), model,
-          "vec_id", "embedding", "cid", "cv", k = 5, nprobe = 5,
+          "vec_id", "embedding", "cid", "cv", k = 5, nprobe = ServingNprobe,
           spill = ServingSpill)
         .orderBy(col("query_id"), col("rank"))
     },
@@ -940,7 +961,7 @@ object Extensions {
       val qs = emb.filter(col("vec_id") % 100 === 0)
       val shortlist = Similarity.serveIvfPq(s, s.read.parquet(idxDir), qs,
         servingCentroids(s, dir), model,
-        "vec_id", "embedding", "cid", "cv", k = 15, nprobe = 5,
+        "vec_id", "embedding", "cid", "cv", k = 15, nprobe = ServingNprobe,
         spill = ServingSpill)
       Similarity.rerankExact(shortlist, emb, qs, "vec_id", "embedding", k = 5)
         .orderBy(col("query_id"), col("rank"))
@@ -993,7 +1014,7 @@ object Extensions {
         "vec_id", "embedding", "cid", "cv", spill = ServingSpill)
       Similarity.serveIvfPq(s, merged, emb.filter(col("vec_id") % 100 === 0),
           servingCentroids(s, dir), model,
-          "vec_id", "embedding", "cid", "cv", k = 5, nprobe = 5,
+          "vec_id", "embedding", "cid", "cv", k = 5, nprobe = ServingNprobe,
           spill = ServingSpill)
         .orderBy(col("query_id"), col("rank"))
     },
