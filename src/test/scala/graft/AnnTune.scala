@@ -74,9 +74,21 @@ object AnnTune {
     }
 
     println(s"corpus n=$n, queries=${queries.count()}")
-    run("baseline r2 %18=13 np5 sp2", centsFor(18, 13, 2), 5, 2)
     run("3x odd %6=3 np15 sp2", centsFor(6, 3, 2), 15, 2)
-    run("3x odd %6=3 np9 sp2 (int8-lite)", centsFor(6, 3, 2), 9, 2)
+
+    // PQ recall: plain vs HD-rotated space, m=8 (subDim 8) and m=16
+    val remb = emb.select(col("vec_id"),
+      Similarity.opqRotate(col("embedding"), 64).as("embedding"))
+      .localCheckpoint()
+    val rq = remb.filter(col("vec_id") % 100 === 0)
+    def pqRecall(corpus: DataFrame, qs: DataFrame, m: Int): Double =
+      recallOf(Similarity.pqTopK(spark, corpus, qs,
+        corpus.filter(col("vec_id") % 5 === 0 && col("vec_id") < 5000),
+        "vec_id", "embedding", m = m, k = 5))
+    Seq(8, 16).foreach { m =>
+      println(f"pq m=$m plain   recall@5 ${pqRecall(emb, queries, m)}%.3f")
+      println(f"pq m=$m rotated recall@5 ${pqRecall(remb, rq, m)}%.3f")
+    }
     spark.stop()
   }
 }

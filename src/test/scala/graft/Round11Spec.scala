@@ -171,6 +171,48 @@ class Round11Spec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root), true): Unit
   }
 
+  test("opqSigns: exactly orthogonal, deterministic, cosine-preserving") {
+    val d = 64
+    val signs = graft.ext.Similarity.opqSigns(d)
+    // R Rᵀ = d·I in exact integer arithmetic: rows of the ±1 matrix
+    // are pairwise orthogonal (Hadamard rows stay orthogonal under a
+    // shared column sign flip)
+    for (a <- 0 until d; b <- a until d) {
+      val dot = (0 until d).map(j => signs(a)(j) * signs(b)(j)).sum
+      assert(dot === (if (a == b) d else 0),
+        s"rows $a,$b dot=$dot — rotation not orthogonal")
+    }
+    // power-of-two guard is loud
+    intercept[IllegalArgumentException] { graft.ext.Similarity.opqSigns(48) }
+    // cosine preservation on real vectors (up to the 9 dp element
+    // rounding): rotated-space cosine tracks original cosine
+    val emb = graft.etl.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).limit(40)
+    val rot = emb.select(col("vec_id"),
+      graft.ext.Similarity.opqRotate(col("embedding"), d).as("embedding"))
+    def cosPairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] = {
+      graft.functions.VectorExpressions.register(spark)
+      val a = df.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      val b = df.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+      a.join(b, col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          round(expr("graft_cosine(va, vb)"), 9).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    val orig = cosPairs(emb)
+    val rotc = cosPairs(rot)
+    orig.foreach { case (k, c) =>
+      assert(math.abs(rotc(k) - c) < 1e-6,
+        s"pair $k cosine moved $c -> ${rotc(k)} under rotation")
+    }
+    // determinism: two applications are bit-identical
+    val r2 = emb.select(col("vec_id"),
+      graft.ext.Similarity.opqRotate(col("embedding"), d).as("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rot.collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .foreach { case (id, v) => assert(r2(id) === v) }
+  }
+
   test("attributionStateful: non-positive TTL rejected at construction") {
     import spark.implicits._
     val empty = spark.emptyDataset[graft.streaming.StreamingOps.AttribIn]
