@@ -171,6 +171,41 @@ class Round11Spec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root), true): Unit
   }
 
+  test("incremental training mix: 2-batch state march == batch capstone, bit-equal") {
+    import graft.ext.MixOps
+    val docs = graft.etl.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // the daily march: day 1 = md5-even docs, day 2 = the rest (a
+    // content-overlapping split — some day-2 docs duplicate day-1
+    // content, so the cross-batch dedup rule is actually exercised)
+    val half = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 2
+    val day1 = docs.filter(half === 0)
+    val day2 = docs.filter(half === 1)
+    val marched = MixOps.mergeMixState(
+      MixOps.mixStateOfBatch(day1), MixOps.mixStateOfBatch(day2))
+    val oneShot = MixOps.mixStateOfBatch(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(rows(marched) === rows(oneShot),
+      "merged keep-state diverges from the one-shot state")
+    // and the manifest derived from the marched state equals the batch
+    // capstone query's manifest bit-for-bit
+    val m1 = MixOps.mixManifest(marched)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val capstone = graft.queries.Registry.queries("pipeline_training_mix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(m1 === capstone,
+      "incremental manifest diverges from the batch capstone")
+    // merge order must not matter (associativity of the min-struct)
+    val rev = MixOps.mergeMixState(
+      MixOps.mixStateOfBatch(day2), MixOps.mixStateOfBatch(day1))
+    assert(rows(rev) === rows(oneShot))
+  }
+
   test("opqSigns: exactly orthogonal, deterministic, cosine-preserving") {
     val d = 64
     val signs = graft.ext.Similarity.opqSigns(d)
