@@ -141,5 +141,77 @@ object Breadth11 {
       GROUP BY e.query_id ORDER BY e.query_id
     """.trim))
 
-  val all: Seq[Q] = Seq(erEntityTable, evalPqRecall)
+  /** PII scrub — the redaction pass every training-data pipeline runs
+    * before text leaves quarantine (emails, NANP-style phone numbers,
+    * IPv4 addresses → typed placeholder tokens), with per-doc match
+    * counts so the scrub is auditable (a domain whose PII density
+    * spikes is an ingest alarm, not just a redaction). The synthetic
+    * corpus carries no PII, so the fixture INJECTS it
+    * deterministically (id-derived email/phone/IP appended for
+    * doc_id % 7 / % 11 / % 13 — both engines construct the identical
+    * dirty corpus, the er-fixture pattern): the rule set is then
+    * exercised against known-positive rows and known-clean rows in
+    * one output. Counting + redaction are scan-side regex projections
+    * — codegen'd, shuffle-free, 100 TB = one read+write pass.
+    */
+  val textPiiScrub = Q(
+    "text_pii_scrub",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dirty = docs
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-01"), format_string("%02d", col("doc_id") % 100),
+              lit("-"), format_string("%04d", col("doc_id") % 10000)))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+              lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+            .otherwise(lit(""))))
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{4}-[0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      dirty
+        .withColumn("n_emails", regexp_count(col("text"), lit(email)).cast("long"))
+        .withColumn("n_phones", regexp_count(col("text"), lit(phone)).cast("long"))
+        .withColumn("n_ips", regexp_count(col("text"), lit(ip)).cast("long"))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>"))
+        .filter(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          expr("right(clean, 40)").as("tail_redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH dirty AS (SELECT doc_id, text ||
+          (CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+          (CASE WHEN doc_id % 11 = 0
+                THEN ' call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                     || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END) ||
+          (CASE WHEN doc_id % 13 = 0
+                THEN ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                ELSE '' END) AS text
+        FROM documents),
+      m AS (SELECT doc_id, text,
+              len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_emails,
+              len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}-[0-9]{4}'))::BIGINT AS n_phones,
+              len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ips
+            FROM dirty),
+      r AS (SELECT doc_id, n_emails, n_phones, n_ips,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                '[0-9]{3}-[0-9]{4}-[0-9]{4}', '<PHONE>', 'g'),
+                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS clean
+            FROM m WHERE n_emails + n_phones + n_ips > 0)
+      SELECT doc_id, n_emails, n_phones, n_ips,
+             right(clean, 40) AS tail_redacted
+      FROM r ORDER BY doc_id
+    """.trim))
+
+  val all: Seq[Q] = Seq(erEntityTable, evalPqRecall, textPiiScrub)
 }

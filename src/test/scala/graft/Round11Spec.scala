@@ -171,6 +171,21 @@ class Round11Spec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root), true): Unit
   }
 
+  test("containment propose: budget-tranched expansion == single-pass, pair for pair") {
+    val docs = graft.etl.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    def pairs(budget: Long) = graft.ext.Dedup.containmentPairs(
+        docs, "doc_id", "text", threshold = 0.8,
+        pairBudgetPerPass = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = pairs(Long.MaxValue >> 8)
+    // a 20k budget forces many tranches at sf0.01 — the 100×-smoke
+    // path, exercised at test scale
+    val tranched = pairs(20000L)
+    assert(single.nonEmpty && tranched === single,
+      s"tranched propose diverged: ${tranched.size} vs ${single.size} pairs")
+  }
+
   test("incremental training mix: 2-batch state march == batch capstone, bit-equal") {
     import graft.ext.MixOps
     val docs = graft.etl.Tables(spark, sf, "documents")

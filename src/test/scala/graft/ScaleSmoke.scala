@@ -446,13 +446,14 @@ object ScaleSmoke {
     // header records (content-growth corpus — the linear target is
     // ~replicas for every df-capped / band-bounded propose)
     val pairFamily = Seq("dedup_minhash_pairs", "dedup_tfidf_pairs",
-      "dedup_jaccard_lsh", "dedup_ngram_jaccard", "eval_dedup_quality") ++
+      "dedup_jaccard_lsh", "dedup_ngram_jaccard", "eval_dedup_quality",
       // containment's rare-shingle propose materializes the largest
       // intermediates of any dedup op (~|postings| + Σdf² rows, linear
-      // but constant-heavy — see its scaladoc); at 100× on one box the
-      // shuffle spill exceeds the ~80 GB scratch disk, so the single-box
-      // tier stops at 50× (measured there: rows ×50.0, time ×69)
-      (if (replicas <= 50) Seq("dedup_containment") else Nil)
+      // but constant-heavy — see its scaladoc); since round 11 the
+      // Σdf² expansion is budget-tranched (sequential per-tranche
+      // expand+distinct+checkpoint), which removed the r10 single-box
+      // scratch-disk gate at 100×
+      "dedup_containment")
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
     val tier = if (pairTier) pairFamily else heavy
@@ -507,10 +508,16 @@ object ScaleSmoke {
         .agg(coalesce(sum(expr("count * (count - 1) div 2")), lit(0L)).as("c"))
         .collect()(0).getLong(0)
     }
-    val c1 = proposeCandidates(src)
-    val cN = proposeCandidates(dir)
-    println(f"dedup propose candidates: 1x $c1%d -> ${replicas}x $cN%d " +
-      f"(ratio ${cN.toDouble / c1}%.1f, linear target ~$replicas)")
+    // the non-query measurements honor the same selector (targeted
+    // reruns of one family must not pay the embedding/ER sweeps)
+    def selectedExtra(name: String): Boolean =
+      args.length < 2 || args.drop(1).exists(name.contains)
+    if (selectedExtra("embedding_propose")) {
+      val c1 = proposeCandidates(src)
+      val cN = proposeCandidates(dir)
+      println(f"dedup propose candidates: 1x $c1%d -> ${replicas}x $cN%d " +
+        f"(ratio ${cN.toDouble / c1}%.1f, linear target ~$replicas)")
+    }
 
     // ER propose (round 11): blocking-join pair volume under corpus
     // growth. The er fixture's blocking key is a FIXED key space (the
@@ -522,7 +529,7 @@ object ScaleSmoke {
     // once density approaches the cap — the second measurement) keeps
     // block sizes ~constant, i.e. ~linear pair volume; both readings
     // print so the header records the honest pair.
-    if (pairTier) {
+    if (pairTier && selectedExtra("er_blocked")) {
       def erVolume(reps: Int, keyLen: Int): (Long, Long, Long) = {
         val n = 15000L * reps
         val clean = spark.range(1, n + 1).select(col("id").as("c_custkey"),
@@ -550,5 +557,11 @@ object ScaleSmoke {
       }
     }
     spark.stop()
+    // the replica corpus is per-run scratch — a 100× documents dir left
+    // behind per invocation quietly eats the box's scratch disk
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
   }
 }
