@@ -94,4 +94,48 @@ object EventOps {
         col(entityCol), col("completed_at"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Interval×interval overlap self-join by day-bucket expansion — the
+    * missing sibling of the point-in-interval binned range join (j10)
+    * and the as-of family: emit every unordered pair of intervals in
+    * the same partition whose [start, end] DATE ranges overlap
+    * (inclusive ends), exactly once. Input columns: `partCol` (the
+    * co-location key — e.g. supplier), `idCol` (unique item id),
+    * `startCol`/`endCol` (DATEs, start ≤ end).
+    *
+    * Why not a theta-join: `a.s <= b.e AND b.s <= a.e` alone has no
+    * equi-key, so Catalyst would plan a per-partition nested loop —
+    * quadratic in partition size. Binning both sides on
+    * floor(epoch_day / binDays) and joining on (partCol, bin) restores
+    * an equi-key; each interval lands in ≤ ⌈len/binDays⌉+1 bins, so with
+    * `binDays` ≥ the max interval length the expansion is ≤ 2× and every
+    * overlapping pair shares at least one bin. Dedup is arithmetic, not
+    * a `distinct`: a pair is EMITTED ONLY in the bin that contains
+    * greatest(a.start, b.start) — the overlap's first day — so no
+    * pair-wide shuffle is ever spent removing bin duplicates.
+    *
+    * 100 TB posture: cost is Σ_buckets size² over (partCol, bin)
+    * buckets — bounded when `binDays` tracks the max interval length
+    * and the partition key spreads load (a skewed partCol wants the
+    * salting treatment of j12). The join is a plain shuffle hash/sort
+    * join on the composite key; no broadcast, no driver state.
+    */
+  def intervalOverlapPairs(iv: DataFrame, partCol: String, idCol: String,
+      startCol: String, endCol: String, binDays: Int): DataFrame = {
+    require(binDays >= 1, s"binDays must be positive, got $binDays")
+    def day(c: org.apache.spark.sql.Column) = datediff(c, lit("1970-01-01"))
+    def side(suffix: String) = iv.select(
+      col(partCol),
+      col(idCol).as(s"i$suffix"),
+      col(startCol).as(s"s$suffix"),
+      col(endCol).as(s"e$suffix"))
+      .withColumn("__bin", explode(sequence(
+        (day(col(s"s$suffix")) / binDays).cast("long"),
+        (day(col(s"e$suffix")) / binDays).cast("long"))))
+    side("a").join(side("b"), Seq(partCol, "__bin"))
+      .filter(col("ia") < col("ib") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea") &&
+        col("__bin") === (day(greatest(col("sa"), col("sb"))) / binDays).cast("long"))
+      .select(col(partCol), col("ia"), col("ib"))
+  }
 }

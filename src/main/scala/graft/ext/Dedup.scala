@@ -625,19 +625,21 @@ object Dedup {
     * docs should raise maxDf (recall–cost dial).
     *
     * Scale posture (ScaleSmoke 50×/100× content-growth tiers):
-    * candidate VOLUME is measured exactly linear (rows ×50.0 / ×100),
-    * and since round 11 the propose's one big intermediate — the
-    * Σ_h df_h² pre-distinct pair-occurrence stream (near-dup twins
-    * share ~all their shingles, so each true pair surfaces once per
-    * shared rare shingle) — is BOUNDED in flight by
-    * `pairBudgetPerPass`: bucket tranches expand sequentially, so a
-    * single box's scratch disk holds one tranche's expansion at a
-    * time instead of all of it (the r10 smoke's ×69-time spill wall
-    * at 50×, and its disclosed scratch-disk gate at 100×, were
-    * exactly this intermediate). Pair volume is
-    * maxDf-bounded-linear in corpus size (each rare shingle emits
-    * ≤ maxDf·(maxDf−1)/2 pairs), the same scale argument as the
-    * TF-IDF propose.
+    * candidate VOLUME is measured exactly linear (rows ×50.0 /
+    * ×100.0), and since round 11 BOTH corpus-constant-heavy
+    * intermediates are bounded in flight by `pairBudgetPerPass`:
+    * (a) the Σ_h df_h² pre-distinct pair-occurrence stream (near-dup
+    * twins share ~all their shingles, so each true pair surfaces once
+    * per shared rare shingle) expands in sequential bucket tranches;
+    * (b) the VERIFY join — each candidate row picks up both docs'
+    * shingle-hash arrays, and the 100× smoke measured THIS single-shot
+    * join (176M candidates) writing >100 GB of shuffle while the
+    * tranched propose stayed under 10 GB — scores in sequential
+    * candidate slices of budget/4 rows, survivors checkpointed per
+    * pass. The un-gated 100× row: rows ×100.0, 446.7 s, blockmgr
+    * ≤ 9 GB throughout. Pair volume is maxDf-bounded-linear in corpus
+    * size (each rare shingle emits ≤ maxDf·(maxDf−1)/2 pairs), the
+    * same scale argument as the TF-IDF propose.
     *
     * Both directions of every undirected candidate are scored from one
     * joined frame; the shingle-hash sets materialize once and feed
@@ -698,33 +700,10 @@ object Dedup {
     val postCount = sets
       .agg(coalesce(sum(size(col("__hs"))), lit(0L))).collect()(0).getLong(0)
     val pairOccBound = postCount * (maxDf - 1) / 2
-    val cands =
-      if (pairOccBound <= pairBudgetPerPass) expand(buckets)
-      else {
-        val staged = buckets.localCheckpoint()
-        val pairOcc = staged
-          .agg(coalesce(sum(expr("size(__ds) * (size(__ds) - 1) div 2")), lit(0L)))
-          .collect()(0).getLong(0)
-        val tranches = math.max(1L, math.min(256L,
-          (pairOcc + pairBudgetPerPass - 1) / pairBudgetPerPass)).toInt
-        val out = (0 until tranches).map { t =>
-          val slice = expand(
-            staged.filter(pmod(hash(col("__h")), lit(tranches)) === t))
-            .localCheckpoint()
-          // nudge the context cleaner so the finished tranche's shuffle
-          // files free before the next tranche writes its own (they
-          // otherwise accumulate until a natural GC — measured filling
-          // the smoke box's scratch disk across tranches)
-          System.gc()
-          slice
-        }.reduce(_ unionByName _).distinct().localCheckpoint()
-        staged.unpersist(blocking = false)
-        out
-      }
     // both directions emitted from ONE scored row via a 2-element array
     // explode — a union of two selects over `scored` would re-run the
     // whole propose+intersect pipeline per branch (plan-audited)
-    cands
+    def score(cands: DataFrame): DataFrame = cands
       .join(sets.select(col(idCol).as("doc_a"), col("__hs").as("__ha")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("__hs").as("__hb")), "doc_b")
       .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
@@ -738,6 +717,62 @@ object Dedup {
       .select(col("__d.contained").as("contained"), col("__d.container").as("container"),
         col("__d.containment").as("containment"))
       .filter(col("containment") >= threshold)
+    if (pairOccBound <= pairBudgetPerPass) score(expand(buckets))
+    else {
+      val staged = buckets.localCheckpoint()
+      val pairOcc = staged
+        .agg(coalesce(sum(expr("size(__ds) * (size(__ds) - 1) div 2")), lit(0L)))
+        .collect()(0).getLong(0)
+      val tranches = math.max(1L, math.min(256L,
+        (pairOcc + pairBudgetPerPass - 1) / pairBudgetPerPass)).toInt
+      // driver-side operational log: the tranche decision is the one
+      // runtime fact a scale incident needs (was the budget hit, how
+      // hard), and it is otherwise invisible outside the Spark UI
+      println(s"[containmentPairs] pairOcc=$pairOcc budget=$pairBudgetPerPass " +
+        s"tranches=$tranches")
+      val cands = (0 until tranches).map { t =>
+        val slice = expand(
+          staged.filter(pmod(hash(col("__h")), lit(tranches)) === t))
+          .localCheckpoint()
+        // nudge the context cleaner so the finished tranche's shuffle
+        // files free before the next tranche writes its own (they
+        // otherwise accumulate until a natural GC — measured filling
+        // the smoke box's scratch disk across tranches)
+        System.gc()
+        println(s"[containmentPairs] tranche ${t + 1}/$tranches done")
+        slice
+      }.reduce(_ unionByName _).distinct().localCheckpoint()
+      staged.unpersist(blocking = false)
+      // The VERIFY join is the other corpus-constant-heavy intermediate:
+      // each candidate row picks up BOTH docs' shingle-hash arrays
+      // (~2×|shingles| longs), so n_cands × row-width can dwarf the pair
+      // stream itself — the 100× smoke measured the single-shot verify
+      // writing >100 GB of shuffle AFTER the tranched propose stayed
+      // under 10 GB, which killed the box's disk. Slice candidates by
+      // pair hash and score sequentially: in-flight verify volume is
+      // budget/4 rows per pass (arrays are ~4× wider than a bare pair),
+      // survivors checkpoint tiny (post-threshold), and slices are
+      // disjoint because candidates are globally distinct — identical
+      // output to the single-pass verify in any slicing. On a cluster
+      // the same knob simply caps per-wave scratch; executors scale the
+      // waves out.
+      val nCands = cands.count()
+      val perPass = math.max(1000L, pairBudgetPerPass / 4)
+      val vPasses = math.max(1L, math.min(256L,
+        (nCands + perPass - 1) / perPass)).toInt
+      if (vPasses <= 1) score(cands)
+      else {
+        println(s"[containmentPairs] nCands=$nCands verifyPasses=$vPasses")
+        (0 until vPasses).map { i =>
+          val part = score(cands.filter(
+            pmod(hash(col("doc_a"), col("doc_b")), lit(vPasses)) === i))
+            .localCheckpoint()
+          System.gc()
+          println(s"[containmentPairs] verify pass ${i + 1}/$vPasses done")
+          part
+        }.reduce(_ unionByName _)
+      }
+    }
   }
 
   def ngramJaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,

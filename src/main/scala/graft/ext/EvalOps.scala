@@ -248,4 +248,43 @@ object EvalOps {
         when(col("mean_a").isNotNull,
           round(abs(col("mean_a") - col("mean_b")), 6)))
   }
+
+  /** Per-group freshness/SLA monitor — the arrival-lag complement of
+    * the value-distribution monitors (dq4/dq7 watch WHAT arrived; this
+    * watches WHEN): for every group, event count, newest timestamp, lag
+    * behind the corpus-wide newest timestamp in whole seconds, count of
+    * events inside the trailing `recentWindowSec` window (anchored at
+    * the global max, so the report is reproducible from the data alone
+    * — no wall clock, the injected-literal discipline of P5/P17), and a
+    * 0/1 stale flag for lag > `staleAfterSec`. A source whose feed
+    * silently died shows lag climbing and n_recent → 0 long before any
+    * distribution test fires.
+    *
+    * Plan shape: one global max (one-row frame, broadcast into the
+    * scan) + one group-keyed aggregate with map-side partials — two
+    * passes over the log, no window function, no per-group state beyond
+    * the aggregation buffer. Lag arithmetic is integer microseconds
+    * (`div`), never float, so the seconds are engine-exact.
+    */
+  def freshness(events: DataFrame, groupCol: String, tsCol: String,
+      recentWindowSec: Long, staleAfterSec: Long): DataFrame = {
+    require(recentWindowSec > 0, s"recentWindowSec must be positive, got $recentWindowSec")
+    require(staleAfterSec >= 0, s"staleAfterSec must be non-negative, got $staleAfterSec")
+    val gmax = events.agg(max(col(tsCol).cast("timestamp")).as("__gmax"))
+    events.crossJoin(broadcast(gmax))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col(tsCol).cast("timestamp")).as("max_ts"),
+        sum(when(unix_micros(col(tsCol).cast("timestamp")) >=
+          unix_micros(col("__gmax")) - recentWindowSec * 1000000L, 1L)
+          .otherwise(0L)).as("n_recent"),
+        max(unix_micros(col("__gmax"))).as("__gm"))
+      .withColumn("lag_sec",
+        expr("(__gm - unix_micros(max_ts)) div 1000000"))
+      .withColumn("stale",
+        when(col("lag_sec") > staleAfterSec, 1L).otherwise(0L))
+      .select(col(groupCol), col("n_events"), col("max_ts"),
+        col("lag_sec"), col("n_recent"), col("stale"))
+  }
 }

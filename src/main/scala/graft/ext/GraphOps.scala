@@ -255,4 +255,48 @@ object GraphOps {
     }
     ranks
   }
+
+  /** Newman modularity of a node partition, per community — the
+    * community-quality eval the graph tier was missing (CC / label-prop
+    * / k-core PRODUCE partitions; nothing scored one). For undirected
+    * simple graph `und` (u, v — one row per edge, u < v, no self-loops)
+    * and an assignment (node, community), each community c contributes
+    * e_c/m − (d_c/2m)² where e_c = intra-community edges, d_c = degree
+    * sum over its nodes, m = |edges|; the total over communities is
+    * Newman's Q. Nodes absent from `communities` simply don't
+    * contribute (their edges still count in m and their neighbors'
+    * degrees — the standard treatment of unassigned nodes).
+    *
+    * Plan shape: degrees are one node-keyed aggregate over the edge
+    * ends; intra-edge counting joins each edge end to the assignment
+    * (broadcast when the assignment is dimension-sized, as a community
+    * table usually is); m is a one-row frame broadcast into the k-row
+    * community frame. Nothing is quadratic, nothing collects — the same
+    * code scores a partition of a 100 TB graph.
+    */
+  def modularity(und: DataFrame, communities: DataFrame): DataFrame = {
+    val m = und.agg(count(lit(1)).as("__m"))
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+    val dc = deg.join(communities, "node")
+      .groupBy(col("community"))
+      .agg(sum(col("__deg")).as("degree_sum"), count(lit(1)).as("n_nodes"))
+    val ec = und
+      .join(communities.select(col("node").as("u"), col("community").as("__cu")), "u")
+      .join(communities.select(col("node").as("v"), col("community").as("__cv")), "v")
+      .filter(col("__cu") === col("__cv"))
+      .groupBy(col("__cu").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    dc.join(ec, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        round(
+          coalesce(col("intra_edges"), lit(0L)).cast("double") / col("__m")
+            - (col("degree_sum").cast("double") / (col("__m") * 2))
+            * (col("degree_sum").cast("double") / (col("__m") * 2)),
+          9).as("contribution"))
+  }
 }

@@ -213,5 +213,181 @@ object Breadth11 {
       FROM r ORDER BY doc_id
     """.trim))
 
-  val all: Seq[Q] = Seq(erEntityTable, evalPqRecall, textPiiScrub)
+  /** Per-source freshness/SLA monitor over the event log
+    * ([[graft.ext.EvalOps.freshness]]): arrival lag and trailing-window
+    * volume per event type, anchored at the corpus-global newest
+    * timestamp so the report replays identically from the data alone.
+    * The 1800 s stale threshold is tight enough that BOTH branches of
+    * the flag are exercised by the fixture (some types lag past 30 min
+    * at sf0.01). The dq family watched value distributions (dq4/dq7)
+    * and key integrity (dq1/dq2); this is the missing when-did-data-
+    * arrive axis every ingest pipeline pages on.
+    */
+  val dq8Freshness = Q(
+    "dq8_freshness",
+    (s, dir) => graft.ext.EvalOps.freshness(
+        Tables(s, dir, "events"), "event_type", "ts",
+        recentWindowSec = 7L * 86400, staleAfterSec = 1800L)
+      .orderBy(col("event_type")),
+    Some("""
+      WITH mx AS (SELECT max(ts) AS gmax FROM events),
+      a AS (SELECT event_type, count(*)::BIGINT AS n_events, max(ts) AS max_ts,
+              sum(CASE WHEN epoch_us(ts) >= epoch_us((SELECT gmax FROM mx))
+                            - 604800000000 THEN 1 ELSE 0 END)::BIGINT AS n_recent
+            FROM events GROUP BY 1)
+      SELECT event_type, n_events, max_ts,
+             ((epoch_us((SELECT gmax FROM mx)) - epoch_us(max_ts)) // 1000000)::BIGINT AS lag_sec,
+             n_recent,
+             (CASE WHEN (epoch_us((SELECT gmax FROM mx)) - epoch_us(max_ts)) // 1000000 > 1800
+                   THEN 1 ELSE 0 END)::BIGINT AS stale
+      FROM a ORDER BY event_type
+    """.trim))
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every (from, to) event-type pair, the transition
+    * count and row-normalized probability. The funnel (q46/q52) asks
+    * "did the prescribed path complete"; the transition matrix is the
+    * exploratory complement — what paths actually happen. One
+    * user-keyed window pass (lead ordered by ts with the event-id tie
+    * break) + one k²-row aggregate; the rate normalization is a window
+    * over the k-row from-type groups of the AGGREGATED frame, so the
+    * second window costs nothing at any corpus size.
+    */
+  val q63EventTransitions = Q(
+    "q63_event_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables(s, dir, "events")
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("rate", round(col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy(col("from_type"))), 9))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH s AS (SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+                 FROM events),
+      p AS (SELECT event_type AS from_type, to_type, count(*)::BIGINT AS n
+            FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 9) AS rate
+      FROM p ORDER BY from_type, to_type
+    """.trim))
+
+  /** Interval×interval overlap join ([[graft.etl.EventOps
+    * .intervalOverlapPairs]]): per supplier, how many pairs of its
+    * shipments were in flight simultaneously, and how many distinct
+    * shipments had any overlap. Each lineitem becomes the interval
+    * [shipdate, shipdate + 1..7 days] (id-derived duration — both
+    * engines construct the identical fixture; the corpus has no
+    * receipt date). The join family had point-in-interval (j10),
+    * bands (j6), and as-of (j5/j8/j9/j11); interval-vs-interval
+    * overlap is the remaining shape, and the oracle is the naive
+    * theta self-join while the Spark plan is the equi-keyed day-bucket
+    * expansion with arithmetic (bucket-of-overlap-start) dedup —
+    * never a nested loop, never a distinct over pair duplicates.
+    */
+  val j13IntervalOverlap = Q(
+    "j13_interval_overlap",
+    (s, dir) => {
+      val iv = Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("item_id"),
+          col("l_shipdate").as("s0"))
+        .withColumn("e0", date_add(col("s0"),
+          (col("item_id") % 7 + 1).cast("int")))
+      val pr = graft.etl.EventOps.intervalOverlapPairs(
+        iv, "l_suppkey", "item_id", "s0", "e0", binDays = 16)
+      val np = pr.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_pairs"))
+      val ni = pr.select(col("l_suppkey"), col("ia").as("item_id"))
+        .unionByName(pr.select(col("l_suppkey"), col("ib").as("item_id")))
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("item_id")).as("n_items_overlapping"))
+      np.join(ni, "l_suppkey").orderBy(col("l_suppkey"))
+    },
+    Some("""
+      WITH iv AS (SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS item_id,
+                         l_shipdate AS s,
+                         l_shipdate + to_days((((l_orderkey * 10 + l_linenumber) % 7) + 1)::INTEGER) AS e
+                  FROM lineitem),
+      pr AS (SELECT a.l_suppkey, a.item_id AS ia, b.item_id AS ib
+             FROM iv a JOIN iv b ON a.l_suppkey = b.l_suppkey AND a.item_id < b.item_id
+               AND a.s <= b.e AND b.s <= a.e),
+      np AS (SELECT l_suppkey, count(*)::BIGINT AS n_pairs FROM pr GROUP BY 1),
+      ni AS (SELECT l_suppkey, count(DISTINCT item_id)::BIGINT AS n_items_overlapping FROM
+               (SELECT l_suppkey, ia AS item_id FROM pr
+                UNION ALL SELECT l_suppkey, ib FROM pr)
+             GROUP BY 1)
+      SELECT l_suppkey, n_pairs, n_items_overlapping
+      FROM np JOIN ni USING (l_suppkey) ORDER BY l_suppkey
+    """.trim))
+
+  /** Community-quality eval for the graph tier
+    * ([[graft.ext.GraphOps.modularity]]): Newman modularity of the
+    * region partition over the above-average-volume trade graph. The
+    * graph tier PRODUCES partitions (CC, label-prop, k-core) but
+    * nothing scored one — this is the scoring half. Edges keep only
+    * (cust-nation, supp-nation) pairs whose lineitem count exceeds the
+    * mean pair count — a scale-free threshold (both engines derive it
+    * from the same aggregate), so the graph has real structure at
+    * every SF instead of the complete K25 the raw derivation yields.
+    */
+  val graphModularity = Q(
+    "graph_modularity",
+    (s, dir) => {
+      val cnt = Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("__w"))
+      val thr = cnt.agg(avg(col("__w")).as("__aw"))
+      val und = cnt.crossJoin(broadcast(thr))
+        .filter(col("__w") > col("__aw") && col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val com = Tables(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("node"),
+          col("n_regionkey").cast("long").as("community"))
+      graft.ext.GraphOps.modularity(und, com).orderBy(col("community"))
+    },
+    Some("""
+      WITH cnt AS (SELECT c_nationkey::BIGINT AS src, s_nationkey::BIGINT AS dst,
+                          count(*)::BIGINT AS w
+                   FROM customer JOIN orders ON c_custkey = o_custkey
+                   JOIN lineitem ON l_orderkey = o_orderkey
+                   JOIN supplier ON l_suppkey = s_suppkey
+                   GROUP BY 1, 2),
+      thr AS (SELECT avg(w) AS aw FROM cnt),
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM cnt, thr WHERE w > aw AND src <> dst),
+      m AS (SELECT count(*)::BIGINT AS m FROM und),
+      com AS (SELECT n_nationkey::BIGINT AS node, n_regionkey::BIGINT AS community
+              FROM nation),
+      deg AS (SELECT node, count(*)::BIGINT AS deg FROM
+                (SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+      dc AS (SELECT c.community, sum(d.deg)::BIGINT AS degree_sum,
+                    count(*)::BIGINT AS n_nodes
+             FROM deg d JOIN com c ON d.node = c.node GROUP BY 1),
+      ec AS (SELECT cu.community, count(*)::BIGINT AS intra_edges
+             FROM und JOIN com cu ON und.u = cu.node JOIN com cv ON und.v = cv.node
+             WHERE cu.community = cv.community GROUP BY cu.community)
+      SELECT dc.community, dc.n_nodes,
+             coalesce(ec.intra_edges, 0)::BIGINT AS intra_edges, dc.degree_sum,
+             round(coalesce(ec.intra_edges, 0)::DOUBLE / m.m
+                   - (dc.degree_sum::DOUBLE / (2 * m.m)) * (dc.degree_sum::DOUBLE / (2 * m.m)),
+                   9) AS contribution
+      FROM dc LEFT JOIN ec USING (community), m
+      ORDER BY community
+    """.trim))
+
+  val all: Seq[Q] = Seq(erEntityTable, evalPqRecall, textPiiScrub,
+    dq8Freshness, q63EventTransitions, j13IntervalOverlap, graphModularity)
 }

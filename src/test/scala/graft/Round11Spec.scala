@@ -179,9 +179,10 @@ class Round11Spec extends SparkSpec {
         pairBudgetPerPass = budget)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val single = pairs(Long.MaxValue >> 8)
-    // a 20k budget forces many tranches at sf0.01 — the 100×-smoke
-    // path, exercised at test scale
-    val tranched = pairs(20000L)
+    // a 4k budget forces many propose tranches AND multiple verify
+    // passes at sf0.01 (perPass floors at 1000 candidates) — both
+    // staged paths of the 100×-smoke fix, exercised at test scale
+    val tranched = pairs(4000L)
     assert(single.nonEmpty && tranched === single,
       s"tranched propose diverged: ${tranched.size} vs ${single.size} pairs")
   }
@@ -274,5 +275,90 @@ class Round11Spec extends SparkSpec {
     // positive TTL still constructs
     graft.streaming.StreamingOps.attributionStateful(empty,
       dormantTtlMs = Some(1000L))
+  }
+
+  test("modularity: two triangles bridged by one edge score Newman's classic Q") {
+    import spark.implicits._
+    // {0,1,2} and {3,4,5} triangles + bridge (2,3): m=7, each community
+    // e_c=3, d_c=7 -> contribution 3/7 - (7/14)^2, total Q = 5/14
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (2L, 3L)).toDF("u", "v")
+    val com = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L),
+      (5L, 1L)).toDF("node", "community")
+    val rows = graft.ext.GraphOps.modularity(und, com)
+      .orderBy(col("community"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val want = BigDecimal(3.0 / 7 - 0.25).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.toSeq === Seq((0L, 3L, 3L, 7L, want), (1L, 3L, 3L, 7L, want)),
+      s"got ${rows.toSeq}")
+    // total Q for the textbook graph is 5/14 ~ 0.357
+    assert(math.abs(rows.map(_._5).sum - 5.0 / 14) < 2e-9)
+  }
+
+  test("intervalOverlapPairs == naive theta join (multi-bin, touching, zero-length)") {
+    import spark.implicits._
+    // lengths 0..8 with binDays=7 exercise zero-length intervals,
+    // e == s touching overlaps, and intervals spanning 2-3 bins
+    val iv = (1 to 60).map { i =>
+      val s = java.time.LocalDate.of(2020, 1, 1).plusDays(i * 13 % 50)
+      (i % 3L, i.toLong, java.sql.Date.valueOf(s),
+        java.sql.Date.valueOf(s.plusDays(i % 9)))
+    }.toDF("part", "id", "s0", "e0")
+    val got = graft.etl.EventOps
+      .intervalOverlapPairs(iv, "part", "id", "s0", "e0", binDays = 7)
+      .select("ia", "ib").as[(Long, Long)].collect()
+    val a = iv.select(col("part"), col("id").as("ia"), col("s0").as("sa"),
+      col("e0").as("ea"))
+    val b = iv.select(col("part"), col("id").as("ib"), col("s0").as("sb"),
+      col("e0").as("eb"))
+    val want = a.join(b, "part")
+      .filter(col("ia") < col("ib") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(got.length === want.size,
+      s"bin-ownership dedup must emit each pair EXACTLY once: " +
+        s"${got.length} rows vs ${want.size} pairs")
+    assert(got.toSet === want)
+  }
+
+  test("freshness: lag anchored at global max, both stale branches, loud knobs") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    // group a holds the global max (lag 0); b lags 7200 s (stale at the
+    // 1800 s threshold); a's old event falls outside the 3600 s window
+    val ev = Seq(("a", ts(0)), ("a", ts(10000)), ("b", ts(2800)))
+      .toDF("g", "t")
+    val out = graft.ext.EvalOps
+      .freshness(ev, "g", "t", recentWindowSec = 3600, staleAfterSec = 1800)
+      .orderBy(col("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(("a", 2L, 0L, 1L, 0L), ("b", 1L, 7200L, 0L, 1L)),
+      s"got ${out.toSeq}")
+    intercept[IllegalArgumentException] {
+      graft.ext.EvalOps.freshness(ev, "g", "t", recentWindowSec = 0,
+        staleAfterSec = 1800)
+    }
+  }
+
+  test("event transitions: counts from the tie-broken sequence, rates sum to 1") {
+    val out = graft.queries.Registry.queries("q63_event_transitions")(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // rates within each from_type row-normalize to exactly 1 (after
+    // 9 dp rounding, tolerance covers the k rounded terms)
+    val sums = out.groupBy(col("from_type"))
+      .agg(sum(col("rate")).as("s"), sum(col("n")).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    sums.foreach { case (ft, s, _) =>
+      assert(math.abs(s - 1.0) < 1e-7, s"rates for $ft sum to $s")
+    }
+    // total transitions = total events minus one per user (lead drops
+    // exactly the last event of every user's sequence)
+    val ev = graft.etl.Tables(spark, sf, "events")
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(sums.map(_._3).sum === expected)
   }
 }

@@ -209,8 +209,30 @@ import org.apache.spark.sql.functions._
   *                         hash-map-OOM, not a wrong answer)
   *   eval_dedup_quality    time ×20.9 (composite propose + sampled
   *                         truth; 1-row output)
-  *   dedup_containment     gated at this tier (scratch-disk wall, see
-  *                         replicas=50 entry)
+  *   dedup_containment     rows ×100.0 EXACTLY (12,047 → 1,204,700),
+  *                         446.7 s absolute (×63.3) — un-gated in
+  *                         round 11: the r10 "scratch-disk wall" was
+  *                         measured to be the VERIFY join, not the
+  *                         propose (176.2M distinct candidates × two
+  *                         ~43-long shingle-hash arrays ≈ >100 GB of
+  *                         single-shot shuffle; the tranched propose
+  *                         itself stayed under 10 GB). With the
+  *                         budget-tranched propose (4×~50M) plus the
+  *                         budget-sliced verify (15 sequential passes
+  *                         of ~12M candidates, survivors checkpointed
+  *                         per pass) the whole run held blockmgr
+  *                         ≤ 9 GB on a box that previously filled
+  *                         230 GB and died.
+  *   er blocked propose    (er_blocked measurement, round 11) FIXED
+  *                         5-digit key space: ×4700 pairs over ×120
+  *                         recs, 0 dropped — block density grows when
+  *                         the key space doesn't, yet volume stays
+  *                         far under the loud n·(cap−1)/2 bound
+  *                         (14.1M vs 56.7M); with the key space grown
+  *                         one digit (the production response to
+  *                         density): ×333 at ~1.8 recs/block. Both
+  *                         readings print so the honest pair is on
+  *                         record.
   *   embedding propose     candidates ×148.1 (target ~100) through
   *                         the two-level assignment over 135k
   *                         corpus-proportional centroids — the same
@@ -317,6 +339,7 @@ object ScaleSmoke {
           s"transform(embedding, (x, i) -> cast(x + 0.05 * sin(cast(($r + 1) * (i + 7) as double)) as float))"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      println(s"[smoke] pair-tier corpus written to $dir")
     } else {
     // keep join keys consistent across tables: same stride for orderkey
     replicate("lineitem", Seq("l_orderkey"), 100000000L)
@@ -437,7 +460,14 @@ object ScaleSmoke {
       "pipeline_contrastive_pairs",
       // cascading anti-join sweep + cross-table referential check;
       // block-local entity-resolution self-join + levenshtein verify
-      "u13_forget_sweep", "er_name_match") ++
+      "u13_forget_sweep", "er_name_match",
+      // round-11 waves: full mastered-entity chain (capped blocking →
+      // CC → argmax canonical), PII regex scrub (pure scan), global-max
+      // freshness aggregate, user-keyed transition window, day-bucketed
+      // interval-overlap join, thresholded-trade-graph modularity
+      "er_entity_table", "text_pii_scrub", "dq8_freshness",
+      "q63_event_transitions", "j13_interval_overlap",
+      "graph_modularity") ++
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
@@ -450,9 +480,10 @@ object ScaleSmoke {
       // containment's rare-shingle propose materializes the largest
       // intermediates of any dedup op (~|postings| + Σdf² rows, linear
       // but constant-heavy — see its scaladoc); since round 11 the
-      // Σdf² expansion is budget-tranched (sequential per-tranche
-      // expand+distinct+checkpoint), which removed the r10 single-box
-      // scratch-disk gate at 100×
+      // Σdf² expansion is budget-tranched AND the candidate verify
+      // join is budget-sliced (both sequential, survivors checkpointed
+      // per pass), which removed the r10 single-box scratch-disk gate
+      // at 100× — measured ×100.0 rows at blockmgr ≤ 9 GB
       "dedup_containment")
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
@@ -462,9 +493,11 @@ object ScaleSmoke {
       else tier
     selected.foreach { name =>
       if (pairTier) {
+        println(s"[smoke] $name: 1x baseline starting")
         val b0 = System.nanoTime()
         val nb = SparkEntry.queries(name)(spark, src).count()
         val tb = (System.nanoTime() - b0) / 1e9
+        println(f"[smoke] $name: 1x done ($tb%.1f s), ${replicas}x starting")
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, dir).count()
         val t = (System.nanoTime() - t0) / 1e9
