@@ -266,6 +266,22 @@ import org.apache.spark.sql.functions._
   * bounded distinct-source count); u12_snapshot_diff 1.7s (one
   * key-partitioned full-outer join over the two 1.5M-row versions).
   *
+  * Round-11 wave at replicas=10: er_entity_table 5.4s/150k recs
+  * (pairs → CC → argmax canonical tracks the capped blocking join,
+  * linear); text_pii_scrub 0.77s (pure scan-side regex); dq8_freshness
+  * 0.80s (one global max + one grouped aggregate — flat); q63_event_
+  * transitions 2.0s (user-keyed window; users grow with the corpus so
+  * per-partition sequences stay constant); graph_modularity 5.0s
+  * (edge derivation linear in lineitem, modularity itself k-row);
+  * j13_interval_overlap 11.4s emitting per-supplier counts over ~54M
+  * overlap pairs — replication grows per-supplier interval DENSITY
+  * 10× (the supplier space doesn't replicate), so pair volume is
+  * ×100 quadratic-in-density exactly like the er fixed-key-space
+  * reading; the day-bucket equi-join keeps every comparison
+  * bucket-local regardless, and a real corpus that grows suppliers
+  * with lineitems keeps density — and so pair volume per supplier —
+  * constant.
+  *
   * Round-10 wave at replicas=20 (2M docs): epoch materialize 3.7s for
   * 2× the rows — FLAT (scan-side explode parallelizes); training_mix
   * 8.3s, source_cap 15.1s, ccnet 4.7s, snapshot_diff 2.1s (all flat
