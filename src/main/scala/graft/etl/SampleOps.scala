@@ -210,6 +210,77 @@ object SampleOps {
         round(col("w") / col("p"), 9).as("boost"))
   }
 
+  /** Temperature mixture with per-stratum repetition caps, solved by
+    * closed-form water-filling — the data-budget solver between
+    * [[temperatureWeights]] (uncapped proportions) and
+    * [[epochMaterialize]] (which saturates silently at maxEpochs,
+    * losing the clipped mass): allocate `budgetEpochs × Σ size` units
+    * across strata ∝ size^τ, but no stratum may exceed `maxEpochs`
+    * passes over its own data; mass a capped stratum cannot absorb
+    * REDISTRIBUTES to the uncapped ones, so the solved allocation
+    * actually sums to the budget (the LLaMA/DoReMi-style mixing
+    * constraint epochMaterialize alone cannot honor).
+    *
+    * Closed form instead of an iterative loop: a stratum is capped iff
+    * λ·w_i > cap_i for the water level λ solving Σ min(λ w_i, cap_i) =
+    * budget, and since λ shrinks as the budget is eaten, strata cap in
+    * ascending capacity-ratio order r_i = cap_i/w_i. Sorting the k
+    * per-stratum rows by r and prefix-summing caps and weights yields
+    * each row's candidate water level λ_j = (budget − Σ_{i<j} cap_i) /
+    * (Σ_{i≥j} w_i); the first row whose λ_j leaves it uncapped is the
+    * true level. Everything runs over the k-row AGGREGATED frame (one
+    * corpus aggregate feeds it), so the global window is k rows, never
+    * the fact table; integer unit sums are exact BIGINT, the weight
+    * prefix folds run in the identical sorted order in any engine, and
+    * the weight total uses the sorted-fold trick of
+    * [[temperatureWeights]].
+    *
+    * `budgetEpochs ≤ maxEpochs` keeps the system feasible (the budget
+    * can always be met with every stratum at the cap), which also
+    * guarantees a crossover row exists.
+    */
+  def mixtureWaterFill(df: DataFrame, stratumCol: String, sizeCol: String,
+      tau: Double, budgetEpochs: Long, maxEpochs: Int): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(budgetEpochs >= 1, s"budgetEpochs must be >= 1, got $budgetEpochs")
+    require(maxEpochs >= budgetEpochs,
+      s"infeasible: budgetEpochs $budgetEpochs exceeds maxEpochs $maxEpochs")
+    val g = df.groupBy(col(stratumCol)).agg(sum(col(sizeCol)).as("n_units"))
+    val base = g
+      .withColumn("__w", pow(col("n_units").cast("double"), lit(tau)))
+      .withColumn("__cap", col("n_units") * maxEpochs)
+    val tot = base.agg(sum(col("n_units")).as("__tot"),
+      aggregate(sort_array(collect_list(col("__w"))),
+        lit(0.0), (a, x) => a + x).as("__tw"))
+    val wOrd = Window.orderBy(col("__r"), col(stratumCol))
+    val prev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val s = base.crossJoin(broadcast(tot))
+      .withColumn("__budget", col("__tot") * budgetEpochs)
+      .withColumn("__r", col("__cap").cast("double") / col("__w"))
+      .withColumn("__j", row_number().over(wOrd))
+      .withColumn("__cumCapPrev",
+        coalesce(sum(col("__cap")).over(prev), lit(0L)))
+      .withColumn("__cumWPrev",
+        coalesce(sum(col("__w")).over(prev), lit(0.0)))
+      .withColumn("__lam", (col("__budget") - col("__cumCapPrev")).cast("double")
+        / (col("__tw") - col("__cumWPrev")))
+    // the first sorted row its own candidate level leaves uncapped
+    // carries the true water level (guaranteed to exist under the
+    // feasibility require; the Double.MaxValue fallback — all strata
+    // at cap — is defensive only)
+    val lam = s.filter(col("__lam") * col("__w") <= col("__cap").cast("double"))
+      .orderBy(col("__j")).limit(1)
+      .agg(coalesce(min(col("__lam")), lit(Double.MaxValue)).as("__lam0"))
+    base.crossJoin(broadcast(lam))
+      .withColumn("__alloc", least(col("__lam0") * col("__w"),
+        col("__cap").cast("double")))
+      .select(col(stratumCol), col("n_units"),
+        round(col("__alloc"), 6).as("alloc_units"),
+        round(col("__alloc") / col("n_units"), 9).as("epochs"),
+        when(col("__lam0") * col("__w") >= col("__cap").cast("double"), 1L)
+          .otherwise(0L).as("capped"))
+  }
+
   /** Exact top-k per group by (score DESC, md5(id) ASC) with bounded
     * per-task state — the per-domain document cap every crawl pipeline
     * applies before mixing (a handful of hosts contribute most of a web

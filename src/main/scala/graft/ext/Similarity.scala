@@ -248,13 +248,22 @@ object Similarity {
   private def scoredCentroids(vec: Column,
       cents: Array[(Long, Seq[Double])]): Column = {
     import org.apache.spark.sql.graft.PlanDf
-    val scored = array(cents.toIndexedSeq.map { case (cid, cv) =>
+    // ONE array-of-structs literal + a runtime `transform` loop, not a
+    // per-centroid expression fan-out: unrolling a struct per centroid
+    // clones the (possibly computed — e.g. the int8 reconstruction)
+    // `vec` expression into every element, and at the round-11 serving
+    // grid (~833 centroids) the generated method crossed janino's 64 KB
+    // limit — Spark fell back to interpreted projection SILENTLY and
+    // every IVF serve ran ~2× slower. The loop form generates
+    // constant-size code for any centroid count and evaluates `vec`
+    // once per row.
+    val centLit = typedLit(cents.toSeq)
+    val scored = transform(centLit, c =>
       struct(
         (-round(PlanDf.column(graft.functions.CosineSimilarity(
           PlanDf.expression(vec),
-          PlanDf.expression(typedLit(cv)))), 9)).as("negsim"),
-        lit(cid).as("cid"))
-    }: _*)
+          PlanDf.expression(c.getField("_2")))), 9)).as("negsim"),
+        c.getField("_1").as("cid")))
     // array_sort's default lexicographic struct order = negsim asc (sim
     // desc), then cid asc — the same (sim DESC, cid) rank the oracle uses.
     array_sort(scored)
@@ -980,14 +989,16 @@ object Similarity {
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
     // array<struct<sim, negcid>> scored per row; array_max's lexicographic
     // struct order gives (max sim, then max -cid = min cid) in one pass.
+    // Loop over ONE centroid literal rather than unrolling an expression
+    // per centroid — the unrolled form blows janino's 64 KB method limit
+    // past a few hundred centroids (see scoredCentroids).
     import org.apache.spark.sql.graft.PlanDf
-    val scored = array(cents.toIndexedSeq.map { case (cid, cv) =>
+    val scored = transform(typedLit(cents.toSeq), c =>
       struct(
         round(PlanDf.column(graft.functions.CosineSimilarity(
           PlanDf.expression(col(vecCol)),
-          PlanDf.expression(typedLit(cv)))), 9).as("sim"),
-        lit(-cid).as("negcid"))
-    }: _*)
+          PlanDf.expression(c.getField("_2")))), 9).as("sim"),
+        (-c.getField("_1")).as("negcid")))
     val best = array_max(scored)
     vectors.select(col(idCol), col(vecCol),
         (-best.getField("negcid")).as("cluster"), best.getField("sim").as("sim"))

@@ -388,6 +388,100 @@ object Breadth11 {
       ORDER BY community
     """.trim))
 
+  /** Repetition-capped temperature mixture
+    * ([[graft.etl.SampleOps.mixtureWaterFill]]): solve a
+    * 3-epochs-of-the-corpus character budget across languages at
+    * τ=0.3 (the engine's standard mixing temperature) with a hard
+    * 4-epoch cap per language — the allocation actually SUMS to the
+    * budget because mass a capped (small) language cannot absorb
+    * redistributes to the uncapped ones, unlike the saturate-and-lose
+    * `least(boost, 4)` clamp of `sample_epoch_materialize`. At these
+    * knobs the smallest language caps at sf0.01 (≈4.1 uncapped epochs
+    * — comfortably past the boundary, so the flag is ulp-safe in both
+    * engines) while larger scales stay uncapped — both solver branches
+    * run under the driver gate. Budget and sizes derive from the
+    * corpus itself (exact BIGINT char sums), so the op is scale-free;
+    * the whole solve runs on the k-row per-language frame.
+    */
+  val sampleMixCapped = Q(
+    "sample_mix_capped",
+    (s, dir) => graft.etl.SampleOps.mixtureWaterFill(
+        Tables(s, dir, "documents"), "lang", "n_chars",
+        tau = 0.3, budgetEpochs = 3L, maxEpochs = 4)
+      .orderBy(col("lang")),
+    Some("""
+      WITH g AS (SELECT lang, sum(n_chars)::BIGINT AS n_units
+                 FROM documents GROUP BY lang),
+      base AS (SELECT lang, n_units, pow(n_units::DOUBLE, 0.3) AS w,
+                      (n_units * 4)::BIGINT AS cap FROM g),
+      tot AS (SELECT sum(n_units)::BIGINT AS tt,
+                     list_sum(list_sort(list(w))) AS tw FROM base),
+      s AS (SELECT lang, n_units, w, cap, tt * 3 AS budget, tw,
+                   row_number() OVER (ORDER BY cap::DOUBLE / w, lang) AS j,
+                   coalesce(sum(cap) OVER (ORDER BY cap::DOUBLE / w, lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_cap_prev,
+                   coalesce(sum(w) OVER (ORDER BY cap::DOUBLE / w, lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_w_prev
+            FROM base, tot),
+      cand AS (SELECT *, (budget - cum_cap_prev)::DOUBLE / (tw - cum_w_prev) AS lam
+               FROM s),
+      sel AS (SELECT coalesce(min(lam), 1.7976931348623157e308) AS lam0 FROM
+                (SELECT lam FROM cand WHERE lam * w <= cap::DOUBLE
+                 ORDER BY j LIMIT 1))
+      SELECT b.lang, b.n_units,
+             round(least(sel.lam0 * b.w, b.cap::DOUBLE), 6) AS alloc_units,
+             round(least(sel.lam0 * b.w, b.cap::DOUBLE) / b.n_units, 9) AS epochs,
+             (CASE WHEN sel.lam0 * b.w >= b.cap::DOUBLE THEN 1 ELSE 0 END)::BIGINT AS capped
+      FROM base b, sel ORDER BY b.lang
+    """.trim))
+
+  /** Partition-gap detection — the arrival-COMPLETENESS complement of
+    * `dq8_freshness` (which watches lag; this watches holes): expected
+    * daily partitions are the full day range of the log crossed with
+    * the observed feed list, and a (feed, day) absent from the
+    * observed distinct frame is a gap a backfill job must repair. The
+    * synthetic log is gap-free, so the fixture INJECTS gaps
+    * deterministically (error-feed days divisible by 5 are dropped —
+    * the injected-fault pattern of `text_pii_scrub`), exercising both
+    * the hit and miss paths in one output. The observed (feed, day)
+    * frame aggregates the log map-side to feeds×days rows; the
+    * expected frame is a dimension-sized generator crossed with a
+    * one-row bounds frame — nothing at corpus scale ever sorts or
+    * joins row-wise.
+    */
+  val dq9PartitionGaps = Q(
+    "dq9_partition_gaps",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"))
+        .filter(!(col("event_type") === "error" && dayofmonth(col("d")) % 5 === 0))
+      val observed = ev.distinct()
+      val bounds = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val expected = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      expected.join(observed, Seq("event_type", "d"), "left_anti")
+        .select(col("event_type"), col("d").as("missing_date"))
+        .orderBy(col("event_type"), col("missing_date"))
+    },
+    Some("""
+      WITH ev AS (SELECT event_type, ts::DATE AS d FROM events
+                  WHERE NOT (event_type = 'error' AND day(ts::DATE) % 5 = 0)),
+      observed AS (SELECT DISTINCT event_type, d FROM ev),
+      bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+      expected AS (SELECT t.event_type, dd.d
+                   FROM (SELECT DISTINCT event_type FROM ev) t,
+                        (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+                         FROM bounds) dd)
+      SELECT e.event_type, e.d AS missing_date
+      FROM expected e LEFT JOIN observed o
+        ON e.event_type = o.event_type AND e.d = o.d
+      WHERE o.event_type IS NULL
+      ORDER BY e.event_type, e.d
+    """.trim))
+
   val all: Seq[Q] = Seq(erEntityTable, evalPqRecall, textPiiScrub,
-    dq8Freshness, q63EventTransitions, j13IntervalOverlap, graphModularity)
+    dq8Freshness, q63EventTransitions, j13IntervalOverlap, graphModularity,
+    sampleMixCapped, dq9PartitionGaps)
 }

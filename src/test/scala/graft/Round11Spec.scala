@@ -361,4 +361,51 @@ class Round11Spec extends SparkSpec {
     val expected = ev.count() - ev.select(col("user_id")).distinct().count()
     assert(sums.map(_._3).sum === expected)
   }
+
+  test("mixtureWaterFill: capped mass redistributes, allocation sums to budget") {
+    import spark.implicits._
+    // hand-solved: n=(100,1600), tau=.5 -> w=(10,40), cap=4n=(400,6400),
+    // budget=3*1700=5100; lambda_1=5100/50=102 caps 'a' (1020>400);
+    // lambda_2=(5100-400)/40=117.5 leaves 'b' uncapped -> alloc=(400,4700)
+    val two = Seq(("a", 100L), ("b", 1600L)).toDF("g", "n")
+    val out = graft.etl.SampleOps
+      .mixtureWaterFill(two, "g", "n", tau = 0.5, budgetEpochs = 3L, maxEpochs = 4)
+      .orderBy(col("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq === Seq(("a", 400.0, 4.0, 1L), ("b", 4700.0, 2.9375, 0L)),
+      s"got ${out.toSeq}")
+    // uncapped case: pure temperature proportions, still budget-exact
+    val unc = Seq(("a", 100L), ("b", 400L)).toDF("g", "n")
+    val o2 = graft.etl.SampleOps
+      .mixtureWaterFill(unc, "g", "n", tau = 0.5, budgetEpochs = 2L, maxEpochs = 4)
+      .orderBy(col("g"))
+      .collect().map(r => (r.getDouble(2), r.getLong(4)))
+    assert(math.abs(o2(0)._1 - 1000.0 / 3) < 1e-4 &&
+      math.abs(o2(1)._1 - 2000.0 / 3) < 1e-4 &&
+      o2.forall(_._2 == 0L), s"got ${o2.toSeq}")
+    assert(math.abs(o2.map(_._1).sum - 1000.0) < 1e-4)
+    // infeasible budget rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.etl.SampleOps.mixtureWaterFill(two, "g", "n", 0.5,
+        budgetEpochs = 5L, maxEpochs = 4)
+    }
+  }
+
+  test("partition gaps: exactly the injected error-feed holes, no others") {
+    val got = graft.queries.Registry.queries("dq9_partition_gaps")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+    assert(got.nonEmpty && got.forall(_._1 === "error"),
+      s"only the injected error-feed gaps should surface: ${got.toSeq}")
+    // independently derive the injected holes: every day in the log's
+    // range whose day-of-month divides by 5
+    val ev = graft.etl.Tables(spark, sf, "events")
+      .select(to_date(col("ts")).as("d"))
+    val Array(d0, d1) = ev.agg(min(col("d")), max(col("d"))).collect()(0)
+      .toSeq.map(_.toString).toArray
+    val want = spark.sql(
+      s"SELECT explode(sequence(date'$d0', date'$d1', interval 1 day)) AS d")
+      .filter(dayofmonth(col("d")) % 5 === 0)
+      .collect().map(_.getDate(0).toString).toSet
+    assert(got.map(_._2).toSet === want, s"got ${got.toSeq}")
+  }
 }

@@ -483,7 +483,10 @@ object ScaleSmoke {
       // interval-overlap join, thresholded-trade-graph modularity
       "er_entity_table", "text_pii_scrub", "dq8_freshness",
       "q63_event_transitions", "j13_interval_overlap",
-      "graph_modularity") ++
+      "graph_modularity",
+      // k-row water-fill over one corpus aggregate; dimension-sized
+      // day×feed generator anti-joined to the map-side (feed,day) frame
+      "sample_mix_capped", "dq9_partition_gaps") ++
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
