@@ -154,6 +154,45 @@ object LayoutOps {
     nFiles
   }
 
+  /** Small-file compaction PLANNER — the "which files merge into which
+    * output" half of OPTIMIZE that [[compact]] (the executor half)
+    * doesn't expose: given a file manifest (one row per file with its
+    * partition key and size), pack each partition's files into bins of
+    * ~`target` size and report the bins. Packing is size-tiered
+    * sequential fill: files sort largest-first inside their partition
+    * and bin id is `floor(preceding-cumulative-size / target)` — a
+    * one-window-pass plan whose bins overshoot `target` by at most one
+    * file, the same greedy contract table-format OPTIMIZE commits ship.
+    * A bin holding a single file is already compact and reports
+    * `action = keep`; multi-file bins are the rewrite work list.
+    *
+    * Scale: the input is a FILE MANIFEST — metadata-scale (one row per
+    * file, millions of rows for a 100 TB table), never the data — and
+    * the window partitions by the manifest's partition key over that
+    * aggregated frame, so the per-task row count is files-per-
+    * partition, not data rows. `target` is a Column so callers can
+    * derive it from the manifest itself (e.g. a multiple of the mean
+    * file size), keeping the op scale-free.
+    */
+  def compactionPlan(manifest: DataFrame, partCol: String, fileCol: String,
+      sizeCol: String, target: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col(sizeCol).desc, col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifest
+      .withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn("bin_id",
+        floor((col("__cum") - col(sizeCol)).cast("double") / target).cast("long"))
+      .groupBy(col(partCol), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).cast("long").as("total_size"),
+        min(col(fileCol)).as("first_file"),
+        max(col(fileCol)).as("last_file"))
+      .withColumn("action",
+        when(col("n_files") > 1, lit("compact")).otherwise(lit("keep")))
+  }
+
   /** One version directory's pre-vacuum state and the action taken. */
   final case class VersionVacuum(version: Long, committed: Boolean,
       n_files: Long, n_bytes: Long, action: String)

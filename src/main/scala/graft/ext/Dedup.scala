@@ -798,4 +798,89 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** EXACT set-similarity self-join by prefix filtering (AllPairs /
+    * PPJoin family): all pairs whose distinct-token Jaccard ≥ threshold,
+    * with zero false negatives — the deterministic complement of the
+    * probabilistic MinHash band propose (which trades recall for a
+    * signature-bounded candidate set). `tokensCol` is any array column
+    * (words, shingles, hashes — the caller picks the granularity;
+    * duplicates are dropped here).
+    *
+    * Propose: order every doc's token set by global rarity (df asc,
+    * token asc — one total order both for correctness and so reruns are
+    * bit-stable), keep only the first `|d| - ceil(t·|d|) + 1` tokens as
+    * the doc's PREFIX, and join docs on shared prefix tokens. The
+    * classic prefix-filter theorem makes this exact: if J(a,b) ≥ t the
+    * pair shares ≥ t·max(|a|,|b|) tokens, more than either suffix can
+    * hold, so the globally-smallest common token sits inside BOTH
+    * prefixes and the equi-join finds the pair. Rarest-first ordering
+    * is what keeps postings short — a stopword enters a doc's prefix
+    * only when the doc has nothing rarer to offer.
+    *
+    * Scale contract: the within-token candidate join is quadratic in
+    * the PREFIX posting length, and unlike a band key that length is
+    * data-dependent — so the propose carries a LOUD bound (the
+    * containmentPairs/maxBlock discipline): the longest prefix posting
+    * is measured on the materialized postings (one tiny aggregate over
+    * an already-checkpointed frame) and the op REFUSES past
+    * `maxPosting` rather than silently running an unbounded join. The
+    * length filter `min(|a|,|b|) ≥ t·max(|a|,|b|)` (implied by J ≥ t)
+    * prunes candidates before the distinct.
+    *
+    * Verify: exact Jaccard on candidate pairs via each side's full
+    * sorted token array (materialized once, both joins reuse it — the
+    * `sets` pattern of [[ngramJaccardPairsLsh]]). `jaccard` is an exact
+    * integer ratio, so the double division is engine-portable bit-for-
+    * bit.
+    */
+  def prefixFilterPairs(df: DataFrame, idCol: String, tokensCol: String,
+      threshold: Double, maxPosting: Long = 100000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val toks = df.select(col(idCol), array_distinct(col(tokensCol)).as("__toks"))
+    val posting = toks.select(col(idCol), explode(col("__toks")).as("__t"))
+    val dfreq = posting.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    // re-assemble each doc's tokens in (df, token) order; sort_array on
+    // the struct gives the rarest-first total order regardless of
+    // collect_list's arrival order
+    val ranked = posting.join(dfreq, "__t")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__rt"))
+      .select(col(idCol),
+        expr("transform(__rt, x -> x.__t)").as("__st"),
+        size(col("__rt")).as("__n"))
+      // both the prefix explode and the two verify joins read this frame
+      .localCheckpoint()
+    val prefixed = ranked.withColumn("__p",
+      expr(s"slice(__st, 1, size(__st) - cast(ceil($threshold * size(__st)) as int) + 1)"))
+    val pp = prefixed
+      .select(col(idCol), col("__n"), explode(col("__p")).as("__t"))
+      .localCheckpoint()
+    val longest = pp.groupBy(col("__t")).agg(count(lit(1)).as("__len"))
+      .agg(max(col("__len"))).head()
+    val maxLen = if (longest.isNullAt(0)) 0L else longest.getLong(0)
+    require(maxLen <= maxPosting,
+      s"prefix posting list of length $maxLen exceeds maxPosting=$maxPosting " +
+        "(the within-token candidate join is quadratic in posting length; " +
+        "raise the bound deliberately or pre-clean degenerate tokens)")
+    val a = pp.select(col(idCol).as("doc_a"), col("__n").as("__na"), col("__t"))
+    val b = pp.select(col(idCol).as("doc_b"), col("__n").as("__nb"),
+      col("__t").as("__t2"))
+    // shuffle_hash over the repeating posting keys, as in ngramJaccardPairs
+    val cand = a.join(b.hint("shuffle_hash"),
+        col("__t") === col("__t2") && col("doc_a") < col("doc_b") &&
+          least(col("__na"), col("__nb")).cast("double") >=
+            greatest(col("__na"), col("__nb")) * threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(ranked.select(col(idCol).as("doc_a"), col("__st").as("__ta")), "doc_a")
+      .join(ranked.select(col(idCol).as("doc_b"), col("__st").as("__tb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 }

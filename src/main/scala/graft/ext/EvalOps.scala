@@ -287,4 +287,53 @@ object EvalOps {
       .select(col(groupCol), col("n_events"), col("max_ts"),
         col("lag_sec"), col("n_recent"), col("stale"))
   }
+
+  /** Embedding-space drift between two corpus snapshots, per group —
+    * the vector-tier complement of [[psiReport]] (categorical counts)
+    * and [[columnDrift]] (scalar columns): when the embedding model is
+    * swapped or the upstream content shifts, each group's MEAN VECTOR
+    * moves, and that movement (cosine between the two halves' centroids,
+    * L2 shift norm) is the alarm a vector-index owner pages on — a
+    * centroid that moved invalidates trained IVF lists and ANN recall
+    * pins long before any scalar monitor notices.
+    *
+    * `half` splits rows into snapshot 0/1 (deterministic id parity, a
+    * date cutoff, ...). Plan: posexplode to (group, dim, half) cells →
+    * ONE map-side-combined aggregate to g×d×2 rows (the per-dim means,
+    * exact DECIMAL sums → rounded doubles — the ann_dim_stats moment
+    * discipline) → per-(group, dim) pivot of the two means → per-group
+    * fold over d rows. Nothing after the first aggregate scales with
+    * the corpus; per-dim products round to 9 dp and sum in
+    * DECIMAL(27,9), so the fold is order-independent and
+    * engine-portable.
+    */
+  def embeddingDrift(emb: DataFrame, groupCol: String,
+      half: org.apache.spark.sql.Column, vecCol: String): DataFrame = {
+    val cells = emb
+      .withColumn("__half", half.cast("int"))
+      .select(col(groupCol), col("__half"),
+        posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+      .groupBy(col(groupCol), col("__dim"), col("__half"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("__x").cast("double"), 9).cast(DecimalType(27, 9))).as("__sx"))
+      .withColumn("__mean", round(col("__sx").cast("double") / col("__n"), 9))
+    val byDim = cells.groupBy(col(groupCol), col("__dim"))
+      .agg(max(when(col("__half") === 0, col("__mean"))).as("__m0"),
+        max(when(col("__half") === 1, col("__mean"))).as("__m1"),
+        max(when(col("__half") === 0, col("__n"))).as("__n0"),
+        max(when(col("__half") === 1, col("__n"))).as("__n1"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast(DecimalType(27, 9))).cast("double")
+    byDim.groupBy(col(groupCol))
+      .agg(max(col("__n0")).cast("long").as("n_old"),
+        max(col("__n1")).cast("long").as("n_new"),
+        dsum(col("__m0") * col("__m1")).as("__s01"),
+        dsum(col("__m0") * col("__m0")).as("__s00"),
+        dsum(col("__m1") * col("__m1")).as("__s11"),
+        dsum((col("__m0") - col("__m1")) * (col("__m0") - col("__m1"))).as("__sdd"))
+      .select(col(groupCol), col("n_old"), col("n_new"),
+        round(col("__s01") / (sqrt(col("__s00")) * sqrt(col("__s11"))), 9)
+          .as("centroid_cos"),
+        round(sqrt(col("__sdd")), 9).as("l2_shift"))
+  }
 }

@@ -481,7 +481,306 @@ object Breadth11 {
       ORDER BY e.event_type, e.d
     """.trim))
 
+  /** Small-file compaction PLAN ([[graft.etl.LayoutOps.compactionPlan]])
+    * — the work list an OPTIMIZE job commits: per partition key, pack
+    * the day-files largest-first into ~target-size bins (bin id =
+    * preceding-cumulative-size ÷ target, the one-window-pass greedy
+    * whose bins overshoot by at most one file) and report each bin with
+    * its file span; single-file bins are already compact (`keep`). The
+    * manifest here is the (event_type, day) row-count frame — file
+    * METADATA scale, where this planner always runs — and the target
+    * derives from the manifest itself (4× the mean file size), so the
+    * plan is scale-free: ~4-file bins at every SF rather than a fixed
+    * byte count that flips between "everything compacts" and "nothing
+    * does" across scales. The executor half (`LayoutOps.compact`) is
+    * exercised by LayoutOpsSpec; this query oracles the decision logic.
+    */
+  val layoutCompactionPlan = Q(
+    "layout_compaction_plan",
+    (s, dir) => {
+      val m = Tables(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_rows"))
+      val t = m.agg((avg(col("n_rows")) * 4).as("__target"))
+      graft.etl.LayoutOps.compactionPlan(
+          m.crossJoin(broadcast(t)), "event_type", "d", "n_rows", col("__target"))
+        .orderBy(col("event_type"), col("bin_id"))
+    },
+    Some("""
+      WITH m AS (SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS n_rows
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT avg(n_rows) * 4 AS target FROM m),
+      w AS (SELECT event_type, d, n_rows,
+              sum(n_rows) OVER (PARTITION BY event_type ORDER BY n_rows DESC, d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM m),
+      b AS (SELECT event_type, d, n_rows,
+              floor((cum - n_rows)::DOUBLE / t.target)::BIGINT AS bin_id
+            FROM w, t)
+      SELECT event_type, bin_id, count(*)::BIGINT AS n_files,
+             sum(n_rows)::BIGINT AS total_size,
+             min(d) AS first_file, max(d) AS last_file,
+             CASE WHEN count(*) > 1 THEN 'compact' ELSE 'keep' END AS action
+      FROM b GROUP BY 1, 2 ORDER BY event_type, bin_id
+    """.trim))
+
+  /** EXACT set-similarity self-join by prefix filtering
+    * ([[graft.ext.Dedup.prefixFilterPairs]]) — the deterministic
+    * complement of the MinHash band propose: zero false negatives by
+    * the prefix-filter theorem (docs are joined on their globally-
+    * rarest tokens; a qualifying pair's smallest common token provably
+    * sits in both prefixes), with a LOUD posting-length bound in place
+    * of the band family's signature-bounded buckets. The oracle is the
+    * NAIVE all-pairs word-set Jaccard over the same md5-systematic
+    * 1-in-4 doc sample (q22 discipline — the sample keeps the
+    * quadratic oracle feasible, and the lint-admissible shape for an
+    * exact pairwise op), so hash-green here PROVES the propose misses
+    * nothing: candidates ∩ threshold == all-pairs ∩ threshold,
+    * pair-for-pair. The token sets are the SAME 3-word shingles the
+    * ngram family scores (word sets are degenerate on this corpus —
+    * the vocabulary is small enough that random docs exceed any useful
+    * word-set threshold), so this query and `dedup_ngram_jaccard`
+    * answer the same question by two independent proposes: one
+    * metadata-bucketed, one prefix-filtered with no bucket at all.
+    */
+  val dedupPrefixFilter = Q(
+    "dedup_prefix_filter",
+    (s, dir) =>
+      graft.ext.Dedup.prefixFilterPairs(
+          graft.ext.Dedup.withShingles(
+            Extensions.augmentedDocs(s, dir, perturb = true)
+              .filter(graft.ext.Dedup.hash32(col("doc_id").cast("string")) % 2 === 0),
+            "text", k = 3),
+          "doc_id", "__shingles", threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH ${Extensions.augCte(perturb = true)},
+      norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM aug
+               WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(len(w) - 2),
+                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS tk
+             FROM norm WHERE len(w) >= 3),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS inter,
+              len(a.tk) + len(b.tk) AS tot
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, inter::DOUBLE / (tot - inter) AS jaccard
+      FROM p WHERE inter::DOUBLE / (tot - inter) >= 0.5
+      ORDER BY doc_a, doc_b
+    """.trim))
+
+  /** ER-chain quality eval — precision/recall of the blocking +
+    * levenshtein-verify propose against its OWN injected ground truth,
+    * per typo class. The er fixture's truth is derivable (every dirty
+    * record's id encodes its clean source), so the eval measures the
+    * BLOCKING SCHEME, and the third typo class injected here (a
+    * suffix substitution, ids +600000) is its designed blind spot:
+    * suffix blocking keys cannot see a suffix typo, so that class
+    * recalls 0 — and worse, the bumped suffix COLLIDES with the next
+    * base record's name, so the class also emits confident false
+    * positives (precision 0). That is the finding an ER eval exists to
+    * surface: edit-distance verification cannot repair candidate
+    * generation, and a production scheme needs a second blocking pass
+    * (e.g. a prefix key) to cover it. Everything is exact counting on
+    * the pair frames — no corpus-scale work beyond the capped propose.
+    */
+  val evalErQuality = Q(
+    "eval_er_quality",
+    (s, dir) => {
+      import graft.ext.EntityOps
+      val cust = Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val d3 = cust.filter(col("c_custkey") % 10 === 2)
+        .select((col("c_custkey") + 600000L).as("c_custkey"),
+          concat(expr("left(c_name, length(c_name) - 1)"),
+            ((substring(col("c_name"), -1, 1).cast("int") + 1) % 10).cast("string"))
+            .as("c_name"))
+      val recs = Breadth10.erRecords(s, dir).unionByName(d3)
+      val pred = EntityOps.blockedNamePairs(recs, "c_custkey", "c_name",
+          expr("right(c_name, 5)"), maxDist = 2, maxBlock = 64)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__p"))
+      val truth = cust.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey").as("id_a"), (col("c_custkey") + 200000L).as("id_b"))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 5)
+          .select(col("c_custkey").as("id_a"), (col("c_custkey") + 400000L).as("id_b")))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 2)
+          .select(col("c_custkey").as("id_a"), (col("c_custkey") + 600000L).as("id_b")))
+        .withColumn("__t", lit(1L))
+      pred.join(truth, Seq("id_a", "id_b"), "full_outer")
+        .withColumn("cls",
+          when(col("id_b") >= 600000L, "suffix_typo")
+            .when(col("id_b") >= 400000L, "transposition")
+            .when(col("id_b") >= 200000L, "deletion")
+            .otherwise("base_pair"))
+        .groupBy(col("cls"))
+        .agg(sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+          sum(coalesce(col("__p"), lit(0L))).as("n_pred"),
+          sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
+            .otherwise(0L)).as("n_hit"))
+        .withColumn("precision", when(col("n_pred") > 0,
+          round(col("n_hit").cast("double") / col("n_pred"), 9)))
+        .withColumn("recall", when(col("n_truth") > 0,
+          round(col("n_hit").cast("double") / col("n_truth"), 9)))
+        .orderBy(col("cls"))
+    },
+    Some("""
+      WITH base AS (SELECT c_custkey, c_name FROM customer),
+      d1 AS (SELECT c_custkey + 200000 AS c_custkey,
+                    'Custmer#' || substring(c_name, 10) AS c_name
+             FROM base WHERE c_custkey % 10 = 0),
+      d2 AS (SELECT c_custkey + 400000 AS c_custkey,
+                    'Cusotmer#' || substring(c_name, 10) AS c_name
+             FROM base WHERE c_custkey % 10 = 5),
+      d3 AS (SELECT c_custkey + 600000 AS c_custkey,
+                    left(c_name, len(c_name) - 1)
+                      || ((right(c_name, 1)::INT + 1) % 10)::VARCHAR AS c_name
+             FROM base WHERE c_custkey % 10 = 2),
+      rec AS (SELECT *, right(c_name, 5) AS blk FROM
+              (SELECT * FROM base UNION ALL SELECT * FROM d1
+               UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)),
+      bc AS (SELECT blk FROM rec GROUP BY blk HAVING count(*) <= 64),
+      recb AS (SELECT rec.* FROM rec JOIN bc USING (blk)),
+      pred AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, 1 AS p
+               FROM recb a JOIN recb b
+                 ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+               WHERE levenshtein(a.c_name, b.c_name) <= 2),
+      truth AS (SELECT c_custkey AS id_a, c_custkey + 200000 AS id_b, 1 AS t
+                FROM base WHERE c_custkey % 10 = 0
+                UNION ALL
+                SELECT c_custkey, c_custkey + 400000, 1
+                FROM base WHERE c_custkey % 10 = 5
+                UNION ALL
+                SELECT c_custkey, c_custkey + 600000, 1
+                FROM base WHERE c_custkey % 10 = 2),
+      j AS (SELECT coalesce(pred.id_a, truth.id_a) AS id_a,
+                   coalesce(pred.id_b, truth.id_b) AS id_b, p, t
+            FROM pred FULL OUTER JOIN truth
+              ON pred.id_a = truth.id_a AND pred.id_b = truth.id_b),
+      c AS (SELECT CASE WHEN id_b >= 600000 THEN 'suffix_typo'
+                        WHEN id_b >= 400000 THEN 'transposition'
+                        WHEN id_b >= 200000 THEN 'deletion'
+                        ELSE 'base_pair' END AS cls,
+                   coalesce(t, 0) AS t, coalesce(p, 0) AS p,
+                   CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END AS hit
+            FROM j),
+      a AS (SELECT cls, sum(t)::BIGINT AS n_truth, sum(p)::BIGINT AS n_pred,
+                   sum(hit)::BIGINT AS n_hit
+            FROM c GROUP BY cls)
+      SELECT cls, n_truth, n_pred, n_hit,
+             CASE WHEN n_pred > 0
+                  THEN round(n_hit::DOUBLE / n_pred, 9) END AS precision,
+             CASE WHEN n_truth > 0
+                  THEN round(n_hit::DOUBLE / n_truth, 9) END AS recall
+      FROM a ORDER BY cls
+    """.trim))
+
+  /** Recency-weighted activity score — the exponential-time-decay
+    * aggregate (EWMA family) the window tier lacked: each event weighs
+    * `2^-floor(age_days / 7)` (one-week half-life, age anchored at the
+    * corpus-global newest day so the score replays from the data
+    * alone, clamped at 2^-20 so ancient history can't underflow). The
+    * weight is a DYADIC rational built by integer shift (never
+    * `pow` — libm is not engine-portable), so every weight, every
+    * product against the event value, and every partial sum is exactly
+    * representable and the aggregation is order-independent bit-for-
+    * bit without the decimal detour for the count score (the value
+    * score keeps the standard round-9 decimal discipline since values
+    * are arbitrary doubles — though value × 2^-k is itself exact, the
+    * decimal sum is what makes the 9-dp contract explicit). Plan: one
+    * global-max one-row broadcast + one map-side-combined aggregate —
+    * scan-shaped, no window, 100 TB = one pass.
+    */
+  val q64EwmaDecay = Q(
+    "q64_ewma_decay",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      val anchor = ev.agg(max(col("d")).as("gd"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("__k",
+          least(floor(datediff(col("gd"), col("d")) / 7.0), lit(20L)).cast("int"))
+        .withColumn("__w", lit(1.0) / expr("cast(shiftleft(1L, __k) as double)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("d")).as("last_seen"),
+          sum(col("__w")).as("decay_score"),
+          sum(round(col("value") * col("__w"), 9).cast(DecimalType(27, 9)))
+            .cast("double").as("decayed_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, ts::DATE AS d, value FROM events),
+      a AS (SELECT max(d) AS gd FROM ev),
+      w AS (SELECT user_id, d, value,
+              1.0::DOUBLE / (1::BIGINT << least(date_diff('day', d, gd) // 7, 20))::DOUBLE AS w
+            FROM ev, a)
+      SELECT user_id, count(*)::BIGINT AS n_events, max(d) AS last_seen,
+             sum(w)::DOUBLE AS decay_score,
+             (sum(CAST(round(value * w, 9) AS DECIMAL(27, 9))))::DOUBLE AS decayed_value
+      FROM w GROUP BY user_id ORDER BY user_id
+    """.trim))
+
+  /** Embedding-space drift monitor ([[graft.ext.EvalOps
+    * .embeddingDrift]]): per label, the cosine between the two snapshot
+    * halves' centroids and the L2 norm of the shift — the vector-tier
+    * alarm (a moved centroid invalidates trained IVF lists and recall
+    * pins) next to the categorical PSI and scalar column-drift
+    * monitors. The synthetic halves are identically distributed, so
+    * the fixture INJECTS drift deterministically (odd labels' new-half
+    * vectors shift +2.0 in dimension 0 (well past the ~0.3 noise floor a 64-dim mean difference carries at this per-label n) — the injected-fault pattern
+    * of `text_pii_scrub`/`dq9_partition_gaps`): odd labels must report
+    * an l2_shift near 2.0 while even labels stay at the ~0.3 sampling-noise floor —
+    * detection and its null case in one output. Float arithmetic on
+    * the injected shift is engine-exact (float + float, identical IEEE
+    * ops); everything after rides the decimal moment discipline.
+    */
+  val evalEmbeddingDrift = Q(
+    "eval_embedding_drift",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .withColumn("label", col("label").cast("long"))
+        .withColumn("embedding",
+          when(col("label") % 2 === 1 && col("vec_id") % 2 === 1,
+            expr("transform(embedding, (x, i) -> " +
+              "CASE WHEN i = 0 THEN x + CAST(2.0 AS FLOAT) ELSE x END)"))
+            .otherwise(col("embedding")))
+      graft.ext.EvalOps.embeddingDrift(emb, "label", col("vec_id") % 2, "embedding")
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH inj AS (SELECT label::BIGINT AS label, vec_id,
+              CASE WHEN label % 2 = 1 AND vec_id % 2 = 1
+                   THEN list_transform(range(len(embedding)), i ->
+                          CASE WHEN i = 0 THEN embedding[1] + 2.0::FLOAT
+                               ELSE embedding[(i + 1)::INT] END)
+                   ELSE embedding END AS embedding
+            FROM embeddings),
+      x AS (SELECT label, vec_id % 2 AS half, i AS dim,
+                   embedding[(i + 1)::INT]::DOUBLE AS xd
+            FROM inj, unnest(range(len(embedding))) u(i)),
+      c AS (SELECT label, dim, half, count(*) AS n,
+              sum(CAST(round(xd, 9) AS DECIMAL(27, 9))) AS sx
+            FROM x GROUP BY 1, 2, 3),
+      m AS (SELECT label, dim, half, n, round(sx::DOUBLE / n, 9) AS mean FROM c),
+      d AS (SELECT label, dim,
+              max(CASE WHEN half = 0 THEN mean END) AS m0,
+              max(CASE WHEN half = 1 THEN mean END) AS m1,
+              max(CASE WHEN half = 0 THEN n END) AS n0,
+              max(CASE WHEN half = 1 THEN n END) AS n1
+            FROM m GROUP BY 1, 2)
+      SELECT label, max(n0)::BIGINT AS n_old, max(n1)::BIGINT AS n_new,
+             round(sum(CAST(round(m0 * m1, 9) AS DECIMAL(27, 9)))::DOUBLE /
+                   (sqrt(sum(CAST(round(m0 * m0, 9) AS DECIMAL(27, 9)))::DOUBLE) *
+                    sqrt(sum(CAST(round(m1 * m1, 9) AS DECIMAL(27, 9)))::DOUBLE)), 9)
+               AS centroid_cos,
+             round(sqrt(sum(CAST(round((m0 - m1) * (m0 - m1), 9)
+                                 AS DECIMAL(27, 9)))::DOUBLE), 9) AS l2_shift
+      FROM d GROUP BY label ORDER BY label
+    """.trim))
+
   val all: Seq[Q] = Seq(erEntityTable, evalPqRecall, textPiiScrub,
     dq8Freshness, q63EventTransitions, j13IntervalOverlap, graphModularity,
-    sampleMixCapped, dq9PartitionGaps)
+    sampleMixCapped, dq9PartitionGaps, layoutCompactionPlan, dedupPrefixFilter,
+    evalErQuality, q64EwmaDecay, evalEmbeddingDrift)
 }

@@ -408,4 +408,116 @@ class Round11Spec extends SparkSpec {
       .collect().map(_.getDate(0).toString).toSet
     assert(got.map(_._2).toSet === want, s"got ${got.toSeq}")
   }
+
+  test("prefixFilterPairs: exact vs naive all-pairs on a token fixture, loud posting bound") {
+    import spark.implicits._
+    // token sets engineered so the propose must survive every shape:
+    // an identical pair (J=1), a just-above-threshold pair, a
+    // just-below pair, and a disjoint pair
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d")),          // J(1,2)=1.0
+      (3L, Seq("a", "b", "c", "x")),          // J(1,3)=3/5=0.6
+      (4L, Seq("a", "x", "y", "z")),          // J(1,4)=1/7<0.5
+      (5L, Seq("p", "q"))                     // disjoint
+    ).toDF("id", "toks")
+    val got = graft.ext.Dedup.prefixFilterPairs(docs, "id", "toks", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // naive truth over all 10 pairs
+    val rows = docs.as[(Long, Seq[String])].collect()
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      inter = ta.toSet.intersect(tb.toSet).size
+      j = inter.toDouble / (ta.toSet.size + tb.toSet.size - inter)
+      if j >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got === want, s"prefix filter must be EXACT: got $got want $want")
+    // the posting-length guard refuses loudly instead of running an
+    // unbounded quadratic join
+    val ex = intercept[IllegalArgumentException] {
+      graft.ext.Dedup.prefixFilterPairs(docs, "id", "toks",
+        threshold = 0.5, maxPosting = 1L).collect()
+    }
+    assert(ex.getMessage.contains("maxPosting"), ex.getMessage)
+  }
+
+  test("compactionPlan: size-tiered sequential fill on a hand-solved manifest") {
+    import spark.implicits._
+    // sizes 90,60,50,40,10 at target 100, largest-first:
+    // cum-prev 0,90,150,200,240 -> bins 0,0,1,2,2
+    val m = Seq(("p", "f40", 40L), ("p", "f90", 90L), ("p", "f10", 10L),
+      ("p", "f60", 60L), ("p", "f50", 50L), ("q", "g1", 500L))
+      .toDF("part", "file", "sz")
+    val got = graft.etl.LayoutOps.compactionPlan(m, "part", "file", "sz", lit(100.0))
+      .select("part", "bin_id", "n_files", "total_size", "action")
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      ("p", 0L, 2L, 150L, "compact"),   // 90+60 (overshoot by at most one file)
+      ("p", 1L, 1L, 50L, "keep"),
+      ("p", 2L, 2L, 50L, "compact"),    // 40+10
+      ("q", 0L, 1L, 500L, "keep")       // an already-large file stays put
+    ), s"got $got")
+  }
+
+  test("embeddingDrift: hand-solved centroid shift; identical halves read as zero drift") {
+    import spark.implicits._
+    // group g: half-0 mean (1,0), half-1 mean (0,1) -> cos 0, l2 sqrt(2)
+    // group h: identical halves -> cos 1, l2 0
+    val emb = Seq(
+      ("g", 0, Seq(1.0f, 0.0f)), ("g", 2, Seq(1.0f, 0.0f)),
+      ("g", 1, Seq(0.0f, 1.0f)), ("g", 3, Seq(0.0f, 1.0f)),
+      ("h", 0, Seq(0.5f, 0.5f)), ("h", 1, Seq(0.5f, 0.5f)))
+      .toDF("grp", "vid", "embedding")
+    val got = graft.ext.EvalOps.embeddingDrift(emb, "grp", col("vid") % 2, "embedding")
+      .select("grp", "n_old", "n_new", "centroid_cos", "l2_shift")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got("g") === ((2L, 2L, 0.0, BigDecimal(math.sqrt(2)).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)), s"got ${got("g")}")
+    assert(got("h") === ((1L, 1L, 1.0, 0.0)), s"got ${got("h")}")
+  }
+
+  test("eval_embedding_drift query: injected odd-label drift clears the noise floor") {
+    val out = graft.queries.Breadth11.evalEmbeddingDrift.fn(spark, sf)
+      .select("label", "l2_shift").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val (odd, even) = out.partition(_._1 % 2 == 1)
+    assert(odd.nonEmpty && even.nonEmpty)
+    // +2.0 in one dimension must dominate the ~0.3 sampling-noise floor
+    assert(odd.forall(_._2 > 1.2), s"odd labels must show the injected shift: ${odd.toSeq}")
+    assert(even.forall(_._2 < 0.8), s"even labels are the null case: ${even.toSeq}")
+  }
+
+  test("eval_er_quality query: suffix typos blind the suffix blocking (recall 0), prefix typos all link") {
+    val rows = graft.queries.Breadth11.evalErQuality.fn(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set("deletion", "transposition", "suffix_typo"))
+    val (dt, dp, dh) = rows("deletion")
+    assert(dt === dp && dp === dh && dt > 0, s"deletion class must fully link: ${rows("deletion")}")
+    val (tt, tp, th) = rows("transposition")
+    assert(tt === tp && tp === th && tt > 0, s"transposition class must fully link: ${rows("transposition")}")
+    val (st, sp, sh) = rows("suffix_typo")
+    assert(st > 0 && sh === 0L, s"suffix class is the designed blind spot: ${rows("suffix_typo")}")
+    assert(sp > 0L, "the bumped suffix must collide into false positives")
+  }
+
+  test("q64_ewma_decay: dyadic weights make the aggregate partition-invariant bit-for-bit") {
+    val ev = graft.etl.Tables(spark, sf, "events")
+    def run(parts: Int) = {
+      val q = graft.queries.Breadth11.q64EwmaDecay
+      // repartition the source through a temp view is invasive; instead
+      // rerun the query twice under different shuffle partition counts —
+      // order-independence must hold for the sums to be bit-equal
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try q.fn(spark, sf).collect().map(r =>
+        (r.getLong(0), r.getDouble(3), r.getDouble(4))).toSeq.sorted
+      finally spark.conf.set("spark.sql.shuffle.partitions", 32)
+    }
+    val a = run(3)
+    val b = run(17)
+    assert(a === b, "decay sums must be exactly order-independent")
+    assert(a.nonEmpty && a.forall { case (_, s, _) => s > 0.0 }, "scores positive")
+    assert(ev.select(countDistinct(col("user_id"))).head.getLong(0) === a.size.toLong)
+  }
 }
