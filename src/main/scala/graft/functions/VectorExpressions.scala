@@ -862,5 +862,20 @@ object VectorExpressions {
       "graft_byte_phash", exprs => BytePHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_sign_word", exprs => SignWord64(exprs.head), "scala_udf")
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain as the
+    // engine of its runtime-bloom join optimization but does NOT expose
+    // them in the public registry; graft's bloom-prefiltered semi join
+    // (j14_bloom_semi) uses the same battle-tested kernels explicitly.
+    // Signatures: graft_bloom_agg(xxhash64-key, estimatedItems, numBits)
+    // -> binary; graft_might_contain(bloom, xxhash64-key) -> boolean.
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -520,4 +520,57 @@ class Round11Spec extends SparkSpec {
     assert(a.nonEmpty && a.forall { case (_, s, _) => s > 0.0 }, "scores positive")
     assert(ev.select(countDistinct(col("user_id"))).head.getLong(0) === a.size.toLong)
   }
+
+  test("bottom-k sample is MERGEABLE: per-shard bottom-k union-truncate == global bottom-k") {
+    val docs = graft.etl.Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+    val global = docs.orderBy(col("k")).limit(64)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // simulate shards: 4 hash-disjoint slices, bottom-64 each, then
+    // merge = union + re-truncate (the tree-reduction a cluster runs)
+    val shardBottoms = (0 until 4).flatMap { sh =>
+      docs.filter(col("doc_id") % 4 === sh).orderBy(col("k")).limit(64)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    val merged = shardBottoms.sortBy(_._2).take(64)
+    assert(merged === global, "bottom-k must merge exactly")
+  }
+
+  test("j14_bloom_semi: bloom prefilter changes NOTHING vs the plain semi join, and is in the plan") {
+    val q = graft.queries.Breadth12.j14BloomSemi.fn(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "the bloom prefilter must survive into the physical plan")
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val big = graft.etl.Tables(spark, sf, "orders")
+      .filter(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
+    val want = graft.etl.Tables(spark, sf, "lineitem")
+      .join(big, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), graft.queries.Q.moneySum(col("l_quantity")).as("sq"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want, s"bloom false positives must be removed by the exact join: $got vs $want")
+  }
+
+  test("dq10_benford: observed frequencies sum to 1; expected follow the log-digit law") {
+    val rows = graft.queries.Breadth12.dq10Benford.fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 9L))
+    val obsSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(obsSum - 1.0) < 1e-6, s"obs_freq sums to $obsSum")
+    val expSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(expSum - 1.0) < 1e-6, s"exp_freq (log-digit law) sums to $expSum")
+    // synthetic uniform prices must NOT conform — the audit reports it
+    assert(rows.map(_.getDouble(4)).sum > 100.0, "chi2 must flag the non-Benford fixture")
+  }
+
+  test("q65_path_trigrams: rates sum to 1 over a k^3-bounded frame") {
+    val rows = graft.queries.Breadth12.q65PathTrigrams.fn(spark, sf).collect()
+    val types = graft.etl.Tables(spark, sf, "events")
+      .select(countDistinct(col("event_type"))).head.getLong(0)
+    assert(rows.length <= types * types * types,
+      "the aggregated frame is bounded by the type alphabet, not the corpus")
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-6)
+  }
 }
