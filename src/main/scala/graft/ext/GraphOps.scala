@@ -299,4 +299,43 @@ object GraphOps {
             * (col("degree_sum").cast("double") / (col("__m") * 2)),
           9).as("contribution"))
   }
+
+  /** Link prediction over a bipartite (key, node) edge set: for every
+    * node pair sharing ≥ 1 key, the common-neighbor count, the
+    * neighbor-set Jaccard, and the resource-allocation index
+    * Σ 1/fan(key) over the shared keys — RA rather than Adamic-Adar's
+    * Σ 1/log(fan) deliberately: no runtime libm in the score, so the
+    * round-9 decimal sum keeps it engine-exact and order-independent.
+    *
+    * Propose shape: the inverted-index join every pair family here
+    * rides — postings join on the shared KEY, never node×node. Keys
+    * with fan-out above `maxFan` are excluded BY CONTRACT (the
+    * containment maxDf economics: a key every node touches is this
+    * graph's posting-list stopword — quadratic in fan-out, zero
+    * linkage signal); neighbor degrees count kept keys only, so
+    * jaccard stays consistent with the propose it rode.
+    */
+  def linkPredict(edges: DataFrame, keyCol: String, nodeCol: String,
+      maxFan: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxFan >= 2, s"maxFan must be at least 2, got $maxFan")
+    val ps = edges.select(col(keyCol).as("__k"), col(nodeCol).as("__n")).distinct()
+    val deg = ps.groupBy(col("__k")).agg(count(lit(1)).as("__fan"))
+    val kept = ps.join(deg.filter(col("__fan") <= maxFan), "__k")
+    val a = kept.select(col("__k"), col("__n").as("node_a"), col("__fan"))
+    val b = kept.select(col("__k").as("__k2"), col("__n").as("node_b"))
+    val pr = a.join(b.hint("shuffle_hash"),
+        col("__k") === col("__k2") && col("node_a") < col("node_b"))
+      .groupBy(col("node_a"), col("node_b"))
+      .agg(count(lit(1)).as("common"),
+        sum(round(lit(1.0) / col("__fan"), 9).cast(DecimalType(27, 9)))
+          .cast("double").as("ra_index"))
+    val sd = kept.groupBy(col("__n")).agg(count(lit(1)).as("__nd"))
+    pr.join(sd.select(col("__n").as("node_a"), col("__nd").as("__na")), "node_a")
+      .join(sd.select(col("__n").as("node_b"), col("__nd").as("__nb")), "node_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("__na") + col("__nb") - col("common")), 9))
+      .select(col("node_a"), col("node_b"), col("common"), col("jaccard"),
+        col("ra_index"))
+  }
 }

@@ -181,6 +181,111 @@ object Breadth12 {
       FROM documents ORDER BY sample_key LIMIT 64
     """.trim))
 
+  /** The dedup FUNNEL report — what a corpus owner actually reads
+    * after a dedup run: per stage, rows in / removed / surviving. The
+    * cascade is the production ordering (cheap exact hash first, the
+    * near-dup propose only over its survivors — every row exact dedup
+    * kills is a row MinHash never pays for), and the fixture gives
+    * both stages real work (an exact-copy replica for stage 1, the
+    * xx-perturbed near-dup replica for stage 2). Counts come from
+    * three one-row aggregates stacked into the report frame — the
+    * corpus is scanned once per stage, nothing collects. The oracle
+    * replays the identical chain (exact-hash keep → SAME minhash CTE
+    * chain over the survivor CTE → recursive-CTE components).
+    */
+  val pipelineDedupCascade = Q(
+    "pipeline_dedup_cascade",
+    (s, dir) => {
+      import graft.ext.Dedup
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = d
+        .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("xx "), col("text")).as("text")))
+        .unionByName(d.select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      val keep1 = Dedup.exact(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val surv = docs.join(keep1, "doc_id")
+      val pairs = Dedup.minhashCandidatePairs(surv, "doc_id", "text")
+      val cl = Dedup.clusterAssignment(surv, pairs, "doc_id")
+      val n0 = docs.agg(count(lit(1)).as("n0"))
+      val n1 = surv.agg(count(lit(1)).as("n1"))
+      val n2 = cl.agg(countDistinct(col("cluster_id")).as("n2"))
+      n0.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .selectExpr("stack(2, '1_exact', n0, n0 - n1, n1, " +
+          "'2_near', n1, n1 - n2, n2) AS (stage, n_in, n_removed, n_out)")
+        .orderBy(col("stage"))
+    },
+    Some(s"""
+      WITH RECURSIVE aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, 'xx ' || text FROM documents
+        UNION ALL SELECT doc_id + 200000, text FROM documents),
+      keep1 AS (SELECT min(doc_id) AS doc_id FROM aug
+                GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+      surv AS (SELECT aug.* FROM aug JOIN keep1 USING (doc_id)),
+      ${Extensions.minhashChainFrom("surv")},
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (SELECT s, d FROM edges
+                      UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      comp AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY s),
+      cl AS (SELECT sv.doc_id,
+                    coalesce(least(c.mn, sv.doc_id), sv.doc_id) AS cluster_id
+             FROM surv sv LEFT JOIN comp c USING (doc_id)),
+      n0 AS (SELECT count(*)::BIGINT AS n0 FROM aug),
+      n1 AS (SELECT count(*)::BIGINT AS n1 FROM surv),
+      n2 AS (SELECT count(DISTINCT cluster_id)::BIGINT AS n2 FROM cl)
+      SELECT * FROM (
+        SELECT '1_exact' AS stage, n0 AS n_in, n0 - n1 AS n_removed, n1 AS n_out
+        FROM n0, n1
+        UNION ALL
+        SELECT '2_near', n1, n1 - n2, n2 FROM n1, n2)
+      ORDER BY stage
+    """.trim))
+
+  /** Link prediction over the part-supplier bipartite graph: for every
+    * supplier pair sharing ≥ 1 part, the common-neighbor count, the
+    * neighbor-set Jaccard, and the resource-allocation index
+    * Σ 1/fan(part) — RA rather than Adamic-Adar's Σ 1/log(fan)
+    * deliberately: no runtime libm in the score, so the decimal-sum
+    * discipline keeps it engine-exact. The propose is the inverted-
+    * index shape every pair family here rides (join postings on the
+    * shared part, never supplier×supplier), and parts above a LOUD
+    * fan-out cap are excluded by contract in BOTH engines — a
+    * commodity part every supplier carries is the posting-list
+    * stopword of this graph, quadratic in fan-out and zero signal,
+    * the same economics as containment's maxDf.
+    */
+  val graphLinkPredict = Q(
+    "graph_link_predict",
+    (s, dir) =>
+      graft.ext.GraphOps.linkPredict(Tables(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", maxFan = 64)
+        .select(col("node_a").as("supp_a"), col("node_b").as("supp_b"),
+          col("common").as("common_parts"), col("jaccard"), col("ra_index"))
+        .orderBy(col("supp_a"), col("supp_b")),
+    Some("""
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      deg AS (SELECT l_partkey, count(*)::BIGINT AS fan FROM ps GROUP BY 1),
+      kept AS (SELECT ps.l_partkey, ps.l_suppkey, deg.fan
+               FROM ps JOIN deg USING (l_partkey) WHERE fan <= 64),
+      pr AS (SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+               count(*)::BIGINT AS common_parts,
+               sum(CAST(round(1.0::DOUBLE / a.fan, 9) AS DECIMAL(27, 9)))::DOUBLE
+                 AS ra_index
+             FROM kept a JOIN kept b
+               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2),
+      sd AS (SELECT l_suppkey, count(*)::BIGINT AS nd FROM kept GROUP BY 1)
+      SELECT supp_a, supp_b, common_parts,
+             round(common_parts::DOUBLE / (na.nd + nb.nd - common_parts), 9)
+               AS jaccard,
+             ra_index
+      FROM pr JOIN sd na ON pr.supp_a = na.l_suppkey
+              JOIN sd nb ON pr.supp_b = nb.l_suppkey
+      ORDER BY supp_a, supp_b
+    """.trim))
+
   val all: Seq[Q] = Seq(dq10Benford, q65PathTrigrams, j14BloomSemi,
-    sampleBottomkMerge)
+    sampleBottomkMerge, pipelineDedupCascade, graphLinkPredict)
 }

@@ -52,15 +52,19 @@ object Extensions {
     * perturbed augmented corpus; ends with a `pairs` CTE (doc_a < doc_b,
     * distinct). Shared by the pair query and the cluster query.
     */
-  private[queries] def minhashPairsCtes: String = {
+  /** The minhash chain (norm → shingles → hashes → signature → bands →
+    * `pairs`) over an arbitrary source CTE exposing (doc_id, text) —
+    * lets composite oracles (the dedup cascade) run the SAME chain
+    * over a filtered survivor set.
+    */
+  private[queries] def minhashChainFrom(src: String): String = {
     val sigs = Dedup.SeedsA.zip(Dedup.SeedsB).map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ($a * h + $b) % ${Dedup.HashPrime}))"
     }.mkString(",\n               ")
     val bands = (0 until 4).map { j =>
       s"'$j:' || sig[${2 * j + 1}]::VARCHAR || '_' || sig[${2 * j + 2}]::VARCHAR"
     }.mkString(",\n               ")
-    s"""${augCte(perturb = true)},
-      norm AS (SELECT doc_id, $NormW AS w FROM aug),
+    s"""norm AS (SELECT doc_id, $NormW AS w FROM $src),
       sh AS (SELECT doc_id, w FROM norm WHERE len(w) >= 3),
       hs AS (SELECT doc_id,
                list_transform(range(len(w) - 2),
@@ -71,6 +75,10 @@ object Extensions {
       pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)"""
   }
+
+  private[queries] def minhashPairsCtes: String =
+    s"""${augCte(perturb = true)},
+      ${minhashChainFrom("aug")}"""
 
   val dedupMinhash = Q(
     "dedup_minhash_pairs",

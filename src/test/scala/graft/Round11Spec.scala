@@ -565,6 +565,35 @@ class Round11Spec extends SparkSpec {
     assert(rows.map(_.getDouble(4)).sum > 100.0, "chi2 must flag the non-Benford fixture")
   }
 
+  test("linkPredict: hand-solved bipartite fixture; over-fan keys excluded by contract") {
+    import spark.implicits._
+    // p1{1,2} p2{1,2,3} p3{1}; p4 has fan 5 > cap 4 and must vanish —
+    // including from the degree counts the jaccard reads
+    val edges = (Seq((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L), (102L, 3L),
+      (103L, 1L)) ++ (1L to 5L).map(s => (104L, s))).toDF("k", "n")
+    val got = graft.ext.GraphOps.linkPredict(edges, "k", "n", maxFan = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"suppliers seen only via the over-fan key must not pair: ${got.keySet}")
+    assert(got((1L, 2L)) === ((2L, 0.666666667, 0.833333333)), s"got ${got((1L, 2L))}")
+    assert(got((1L, 3L)) === ((1L, 0.333333333, 0.333333333)))
+    assert(got((2L, 3L)) === ((1L, 0.5, 0.333333333)))
+  }
+
+  test("pipeline_dedup_cascade: stages chain (out_1 == in_2) and both stages bite") {
+    val rows = graft.queries.Breadth12.pipelineDedupCascade.fn(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (i1, r1, o1) = rows("1_exact")
+    val (i2, r2, o2) = rows("2_near")
+    assert(o1 === i2, "stage 2 consumes exactly stage 1's survivors")
+    assert(i1 === o1 + r1 && i2 === o2 + r2, "counts must balance")
+    assert(r1 > 0 && r2 > 0, s"both stages must remove rows: $rows")
+    // the exact-copy replica is at least what stage 1 removes
+    assert(r1 >= i1 / 3, s"stage 1 must catch the injected exact-copy replica: $rows")
+  }
+
   test("q65_path_trigrams: rates sum to 1 over a k^3-bounded frame") {
     val rows = graft.queries.Breadth12.q65PathTrigrams.fn(spark, sf).collect()
     val types = graft.etl.Tables(spark, sf, "events")

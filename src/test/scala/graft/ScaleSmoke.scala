@@ -496,6 +496,11 @@ object ScaleSmoke {
     // ~replicas for every df-capped / band-bounded propose)
     val pairFamily = Seq("dedup_minhash_pairs", "dedup_tfidf_pairs",
       "dedup_jaccard_lsh", "dedup_ngram_jaccard", "eval_dedup_quality",
+      // the EXACT propose (round 11): prefix postings are df-ordered,
+      // so content growth keeps them short and pair volume linear; the
+      // loud maxPosting guard is the bound that would fire first on a
+      // clique-heavy corpus
+      "dedup_prefix_filter",
       // containment's rare-shingle propose materializes the largest
       // intermediates of any dedup op (~|postings| + Σdf² rows, linear
       // but constant-heavy — see its scaladoc); since round 11 the
