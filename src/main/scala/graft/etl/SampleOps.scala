@@ -338,4 +338,64 @@ object SampleOps {
       .drop("__r")
     whole.unionByName(part).drop("__negv", "__start", "__end")
   }
+
+  /** 2-D Pareto front (skyline) under maximize-both semantics: keep
+    * every row for which NO other row is ≥ in both objectives and > in
+    * at least one — the data-selection frontier (quality vs length,
+    * quality vs freshness) a curation pipeline picks from when no
+    * single score ranks documents.
+    *
+    * Never the quadratic dominance join. The skyline of a 2-D set
+    * depends only on the per-distinct-`qCol` maximum of `wCol` (any
+    * non-max row at a given q is dominated by that max row), so:
+    *
+    *   1. `groupBy(q) → max(w)` collapses the corpus to its value
+    *      staircase (map-side combined; one shuffle on q);
+    *   2. the "max w at any strictly higher q" each staircase row must
+    *      beat decomposes by integer bucket ⌊q·scale⌋: a ≤ scale+1-row
+    *      per-bucket max frame (whose strictly-higher-bucket running
+    *      max is a window over that tiny aggregated frame, broadcast
+    *      back) plus an in-bucket running max over the staircase —
+    *      partitioned by bucket, ordered by q, both riding aggregated
+    *      frames, never the fact table;
+    *   3. survivors (w strictly above both maxima) join back to the
+    *      source on (q, w) equality to recover full rows — ties on
+    *      both objectives are co-optimal and ALL kept, matching the
+    *      dominance definition.
+    *
+    * Degenerate case worth naming (the topKPerGroup tie-group note):
+    * a corpus whose q values all land in one bucket makes step 2's
+    * in-bucket window a single task over the staircase — still the
+    * DISTINCT-q frame, not the corpus, but pick `bucketScale` so the
+    * objective spreads (quality at 9 dp over [0,1]: the default 1000).
+    * Rows with a null objective are excluded (not comparable).
+    * `wCol` must be integer-valued and non-negative (word counts,
+    * bytes); `qCol` non-negative (the bucket key floors q·scale).
+    */
+  def paretoFront2D(df: DataFrame, qCol: String, wCol: String,
+      bucketScale: Double = 1000.0): DataFrame = {
+    val in = df.filter(col(qCol).isNotNull && col(wCol).isNotNull)
+    val stairs = in
+      .groupBy(col(qCol).cast("double").as("__q"))
+      .agg(max(col(wCol).cast("long")).as("__w"))
+      .withColumn("__b", floor(col("__q") * bucketScale).cast("long"))
+    val perBucket = stairs.groupBy(col("__b")).agg(max(col("__w")).as("__bw"))
+    val wHigherBuckets = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hb = perBucket
+      .withColumn("__hb", max(col("__bw")).over(wHigherBuckets))
+      .select(col("__b"), col("__hb"))
+    val wHigherQ = Window.partitionBy(col("__b")).orderBy(col("__q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = stairs.join(broadcast(hb), Seq("__b"))
+      .withColumn("__m",
+        greatest(coalesce(max(col("__w")).over(wHigherQ), lit(-1L)),
+          coalesce(col("__hb"), lit(-1L))))
+      .filter(col("__w") > col("__m"))
+      .select(col("__q"), col("__w"))
+    in.join(kept,
+        col(qCol).cast("double") === col("__q") &&
+          col(wCol).cast("long") === col("__w"))
+      .drop("__q", "__w")
+  }
 }

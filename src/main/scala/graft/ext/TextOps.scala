@@ -1131,4 +1131,43 @@ object TextOps {
       array_min(filter(array(bucketSizes: _*), b => b >= capped))
         .as("bucket_size"))
   }
+
+  /** Per-group word-trigram diversity audit — the "is this source
+    * template spam?" readout a training-mix owner checks before
+    * weighting it up. For each group: total and distinct trigram
+    * counts, type–token ratio (distinct/total — collapses toward 0 on
+    * boilerplate), the single most frequent trigram's share, and the
+    * Herfindahl concentration Σ shareᵢ² (1 = one trigram repeated,
+    * →1/k = uniform over k trigrams). Herfindahl over Shannon entropy
+    * deliberately: it needs only exact integer sums and one division —
+    * no runtime log, so the number is engine-exact (the RA-over-
+    * Adamic-Adar argument). Two map-side-combined aggregates
+    * (group×trigram counts, then per-group moments); Σn² accumulates
+    * in DECIMAL(38,0) — a degenerate one-trigram group at corpus scale
+    * would overflow BIGINT.
+    */
+  def triDiversity(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = df
+      .select(col(groupCol), words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col(groupCol), explode(expr(
+        "transform(sequence(0, size(__w) - 3), " +
+          "i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2]))")).as("__tri"))
+      .groupBy(col(groupCol), col("__tri"))
+      .agg(count(lit(1)).as("__n"))
+    tf.groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("n_tri"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__n")).as("__top"),
+        sum((col("__n") * col("__n")).cast(DecimalType(38, 0))).as("__s2"))
+      .withColumn("ttr",
+        round(col("n_distinct").cast("double") / col("n_tri").cast("double"), 9))
+      .withColumn("top_share",
+        round(col("__top").cast("double") / col("n_tri").cast("double"), 9))
+      .withColumn("herfindahl",
+        round(col("__s2").cast("double") /
+          (col("n_tri").cast("double") * col("n_tri").cast("double")), 9))
+      .drop("__top", "__s2")
+  }
 }

@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.etl.{StatOps, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-11 fifth wave: RFM quartile segmentation (the distributed-CDF
+  * cut pattern applied to the classic customer-analytics grid) and
+  * cross-document duplicate-span measurement (the sliding-window
+  * complement of line/chunk dedup — Lee et al.'s "deduplicating
+  * training data" axis at span granularity, as a per-document score).
+  */
+object Breadth14 {
+
+  /** RFM segmentation: each customer scored 1–4 on Recency, Frequency,
+    * Monetary by global quartile, reported as the segment grid
+    * (≤ 64 cells) with counts and average spend. The quartile cuts
+    * come from [[StatOps.percentiles]] — the exact distributed-CDF
+    * order statistic (quantile_cont semantics, never the O(n)
+    * single-task percentile buffer) — so the whole query is: one
+    * aggregate to the per-customer frame, three CDF passes over that
+    * aggregated frame for the 9 cuts, a 9-value broadcast, and one
+    * map-side-combined grid aggregate. Values AT a cut stay in the
+    * lower segment (strict `>` crosses), pinned identically in both
+    * engines.
+    */
+  val q66RfmSegments = Q(
+    "q66_rfm_segments",
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val anchor = orders.agg(max(to_date(col("o_orderdate"))).as("__anchor"))
+      val cust = orders.crossJoin(broadcast(anchor))
+        .groupBy(col("o_custkey"))
+        .agg(datediff(first(col("__anchor")), max(to_date(col("o_orderdate"))))
+            .cast("long").as("recency"),
+          count(lit(1)).as("frequency"),
+          Q.moneySum(col("o_totalprice")).as("monetary"))
+      def cuts(c: String, tag: String) = StatOps.percentiles(cust, Nil, c,
+        Seq((s"${tag}25", 0.25), (s"${tag}50", 0.5), (s"${tag}75", 0.75)))
+      def seg(c: String, tag: String) =
+        (lit(1L) + (col(c) > col(s"${tag}25")).cast("long")
+          + (col(c) > col(s"${tag}50")).cast("long")
+          + (col(c) > col(s"${tag}75")).cast("long")).as(s"${tag}_seg")
+      cust
+        .crossJoin(broadcast(cuts("recency", "r")))
+        .crossJoin(broadcast(cuts("frequency", "f")))
+        .crossJoin(broadcast(cuts("monetary", "m")))
+        .select(col("monetary"), seg("recency", "r"), seg("frequency", "f"),
+          seg("monetary", "m"))
+        .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+        // total, not average: the DECIMAL(27,2) sum is exact cents in
+        // both engines, while round(avg, 9) at ~1.4e6 magnitude hits
+        // the decimal-half-boundary hazard (round9 multiplies past
+        // double precision — caught by the oracle in dev)
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary").cast(DecimalType(27, 2))).cast("double")
+            .as("sum_monetary"))
+        .orderBy(col("r_seg"), col("f_seg"), col("m_seg"))
+    },
+    Some("""
+      WITH a AS (SELECT max(o_orderdate::DATE) AS anchor FROM orders),
+      c AS (SELECT o_custkey,
+              date_diff('day', max(o_orderdate::DATE), (SELECT anchor FROM a))::BIGINT AS recency,
+              count(*)::BIGINT AS frequency,
+              sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS monetary
+            FROM orders GROUP BY 1),
+      q AS (SELECT quantile_cont(recency, 0.25) AS r25, quantile_cont(recency, 0.5) AS r50,
+                   quantile_cont(recency, 0.75) AS r75,
+                   quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.5) AS f50,
+                   quantile_cont(frequency, 0.75) AS f75,
+                   quantile_cont(monetary, 0.25) AS m25, quantile_cont(monetary, 0.5) AS m50,
+                   quantile_cont(monetary, 0.75) AS m75
+            FROM c),
+      s AS (SELECT monetary,
+              1 + (recency > r25)::BIGINT + (recency > r50)::BIGINT
+                + (recency > r75)::BIGINT AS r_seg,
+              1 + (frequency > f25)::BIGINT + (frequency > f50)::BIGINT
+                + (frequency > f75)::BIGINT AS f_seg,
+              1 + (monetary > m25)::BIGINT + (monetary > m50)::BIGINT
+                + (monetary > m75)::BIGINT AS m_seg
+            FROM c, q)
+      SELECT r_seg, f_seg, m_seg, count(*)::BIGINT AS n_customers,
+             sum(CAST(monetary AS DECIMAL(27,2)))::DOUBLE AS sum_monetary
+      FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """.trim))
+
+  private val SpanW = 8
+
+  /** Cross-document duplicate-SPAN measurement: for every document,
+    * the fraction of its sliding word-8-grams that also occur in at
+    * least one OTHER document — the span-granular contamination score
+    * of Lee et al.'s exact-substring dedup, sitting between
+    * `text_line_dedup` (line granularity) and `dedup_*` (whole-doc).
+    * A high ratio marks boilerplate carriers even when no line or doc
+    * matches exactly. Entirely linear: explode → hash-keyed
+    * (hash, distinct-doc-count) aggregate → one hash-keyed join back →
+    * per-doc aggregate; no pair is ever listed, so there is no propose
+    * bound to tune — THE scale advantage of span counting over span
+    * pair-listing. 60-bit md5-derived span hashes keep the shuffle key
+    * 8 bytes; at 10¹² spans the birthday collision mass is ~10⁻⁶ of
+    * pairs — noise in a ratio, and a production run can widen the hash
+    * without changing the dataflow. Docs under 8 words carry no span
+    * and are excluded by construction.
+    */
+  val textDupSpans = Q(
+    "text_dup_spans",
+    (s, dir) => {
+      val grams = (1 to SpanW).map(j => s"__w[i+${j - 1}]").mkString(", ")
+      val sp = Tables(s, dir, "documents")
+        .select(col("doc_id"), graft.ext.TextOps.words(col("text")).as("__w"))
+        .filter(size(col("__w")) >= SpanW)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, size(__w) - $SpanW),
+              i -> cast(conv(substring(md5(concat_ws(' ', $grams)), 1, 15), 16, 10) AS BIGINT))"""))
+          .as("__h"))
+      val df = sp.groupBy(col("__h"))
+        .agg(countDistinct(col("doc_id")).as("__ndocs"))
+      sp.join(df, Seq("__h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum((col("__ndocs") >= 2).cast("long")).as("n_dup"))
+        .withColumn("dup_ratio",
+          round(col("n_dup").cast("double") / col("n_spans").cast("double"), 9))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val grams = (1 to SpanW).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""
+      WITH n AS (SELECT doc_id, ${Extensions.NormW} AS w FROM documents),
+      sp AS (SELECT doc_id, unnest(list_transform(range(len(w) - ${SpanW - 1}),
+               i -> ('0x' || substr(md5($grams), 1, 15))::BIGINT)) AS h
+             FROM n WHERE len(w) >= $SpanW),
+      d AS (SELECT h, count(DISTINCT doc_id)::BIGINT AS ndocs FROM sp GROUP BY h)
+      SELECT doc_id, count(*)::BIGINT AS n_spans,
+             sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+             round(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 9)
+               AS dup_ratio
+      FROM sp JOIN d USING (h) GROUP BY doc_id ORDER BY doc_id
+    """.trim
+    })
+
+  val all: Seq[Q] = Seq(q66RfmSegments, textDupSpans)
+}

@@ -602,4 +602,126 @@ class Round11Spec extends SparkSpec {
       "the aggregated frame is bounded by the type alphabet, not the corpus")
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-6)
   }
+
+  // ---- wave 4 ------------------------------------------------------------
+
+  test("paretoFront2D: hand-solved skyline, ties co-kept, bucket-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.95, 3L),  // kept: best quality
+      (2L, 0.9, 10L),  // kept
+      (3L, 0.9, 10L),  // kept: tie with 2 on BOTH axes — co-optimal
+      (4L, 0.9, 5L),   // dominated by 2 (same q, fewer words)
+      (5L, 0.5, 20L),  // kept
+      (6L, 0.5, 15L),  // dominated by 5
+      (7L, 0.45, 20L), // dominated by 5 (equal words, lower q)
+      (8L, 0.2, 30L))  // kept: longest
+      .toDF("id", "q", "w")
+    val expect = Set(1L, 2L, 3L, 5L, 8L)
+    for (scale <- Seq(1000.0, 1.0)) { // 1.0 = everything in one bucket:
+      // the decomposition must not change the answer, only the plan
+      val got = graft.etl.SampleOps.paretoFront2D(df, "q", "w", scale)
+        .select("id").as[Long].collect().toSet
+      assert(got === expect, s"bucketScale=$scale got $got")
+    }
+  }
+
+  test("welchPairs: hand-computed t and Welch-Satterthwaite df") {
+    import spark.implicits._
+    val df = (Seq(1L, 2L, 3L, 4L, 5L).map(("A", _)) ++
+      Seq(2L, 4L, 6L).map(("B", _))).toDF("arm", "x")
+    val r = graft.etl.StatOps.welchPairs(df, "arm", "x").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "A" && row.getString(1) === "B")
+    assert(row.getLong(2) === 5L && row.getLong(3) === 3L)
+    assert(row.getDouble(4) === 3.0 && row.getDouble(5) === 4.0)
+    // var_A=2.5, var_B=4: t = -1/sqrt(0.5 + 4/3), df via Welch formula
+    assert(math.abs(row.getDouble(6) - -0.738548946) < 1e-8, s"t=${row.getDouble(6)}")
+    assert(math.abs(row.getDouble(7) - 3.532846715) < 1e-8, s"df=${row.getDouble(7)}")
+  }
+
+  test("triDiversity: boilerplate concentrates, diverse text spreads") {
+    import spark.implicits._
+    val df = Seq(
+      ("spam", "a b c a b c a b c a b c"), // 10 trigrams, 3 distinct (4/3/3)
+      ("div", "one two three four five"))  // 3 trigrams, all distinct
+      .toDF("src", "text")
+    val got = graft.ext.TextOps.triDiversity(df, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("spam") === ((10L, 3L, 0.3, 0.4, 0.34)), s"got ${got("spam")}")
+    assert(got("div") === ((3L, 3L, 1.0, 0.333333333, 0.333333333)))
+    assert(got("spam")._5 > got("div")._5,
+      "template spam must score more concentrated than diverse prose")
+  }
+
+  test("dedup_cluster_report: buckets are powers of two and mass balances") {
+    val rows = graft.queries.Breadth13.dedupClusterReport.fn(spark, sf).collect()
+    // the query runs over the 2x augmented corpus (originals + xx-
+    // perturbed replicas) — every one of those docs must be bucketed
+    val nAug = 2 * graft.etl.Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum === nAug,
+      "every augmented doc lands in exactly one cluster-size bucket")
+    rows.foreach { r =>
+      val (b, nc, nd, dup) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((b & (b - 1)) === 0L, s"bucket $b is not a power of two")
+      assert(dup === nd - nc, "removable dups = docs minus one survivor per cluster")
+    }
+    assert(rows.map(_.getLong(0)).max >= 2, "the injected replicas must form multi-doc clusters")
+  }
+
+  test("eval_rank_overlap: rbo bounded, perfect agreement scores exactly 1") {
+    val rows = graft.queries.Breadth13.evalRankOverlap.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, rbo) = (r.getLong(1), r.getDouble(2))
+      assert(n >= 0 && n <= 10, s"n_common out of range: $n")
+      assert(rbo >= 0.0 && rbo <= 1.0 + 1e-9, s"rbo out of range: $rbo")
+      if (n == 0) assert(rbo === 0.0)
+    }
+    // the serving tier at sf0.01 reproduces at least one exact top-10
+    // in order — RBO must then be exactly 1.0 (the weight table sums
+    // to the normalizer), which pins the weight generation end-to-end
+    assert(rows.exists(r => r.getLong(1) === 10L && r.getDouble(2) === 1.0),
+      s"expected a perfect-agreement query: ${rows.map(r => (r.getLong(1), r.getDouble(2))).mkString(", ")}")
+  }
+
+  test("q66_rfm_segments: segments span 1-4, customer mass balances") {
+    val rows = graft.queries.Breadth14.q66RfmSegments.fn(spark, sf).collect()
+    val nCust = graft.etl.Tables(spark, sf, "orders")
+      .select(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum === nCust,
+      "every customer lands in exactly one RFM cell")
+    rows.foreach { r =>
+      Seq(0, 1, 2).foreach { i =>
+        assert(r.getLong(i) >= 1 && r.getLong(i) <= 4, s"segment out of range: $r") }
+    }
+    // quartile cuts put ~25% of customers in each 1-D band: marginal
+    // mass of m_seg=1 must be 15-35% (exact quarter up to cut ties)
+    val m1 = rows.filter(_.getLong(2) === 1L).map(_.getLong(3)).sum.toDouble / nCust
+    assert(m1 > 0.15 && m1 < 0.35, s"m_seg=1 marginal mass $m1 not quartile-like")
+  }
+
+  test("text_dup_spans: injected shared span is counted, unique doc scores 0") {
+    import spark.implicits._
+    // doc 1 and 2 share one 8-word span; doc 3 is all-unique
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"$shared one two"),
+      (2L, s"zero $shared"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+      .toDF("doc_id", "text")
+    val q = graft.queries.Breadth14.textDupSpans
+    // replicate the query body over the fixture via a temp dir write
+    val dir = java.nio.file.Files.createTempDirectory("dupspans").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val got = q.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 10 words -> 3 spans, exactly one (the shared span at its
+    // only aligned offset) duplicated; doc 2: 9 words -> 2 spans, 1 dup
+    assert(got(1L) === ((3L, 1L, 0.333333333)), s"got ${got(1L)}")
+    assert(got(2L) === ((2L, 1L, 0.5)), s"got ${got(2L)}")
+    assert(got(3L) === ((2L, 0L, 0.0)), s"unique doc must score 0: ${got(3L)}")
+  }
 }
