@@ -29,9 +29,13 @@ object Breadth13 {
   val samplePareto = Q(
     "sample_pareto_front",
     (s, dir) => {
+      // localCheckpoint: paretoFront2D consumes its input twice (the
+      // staircase aggregate and the join-back) — without it the
+      // quality regexes run over the corpus twice
       val scored = TextOps
         .withQualityByLang(Tables(s, dir, "documents"), "text", "lang")
         .select(col("doc_id"), col("lang"), col("n_words"), col("quality"))
+        .localCheckpoint()
       SampleOps.paretoFront2D(scored, "quality", "n_words")
         .select(col("doc_id"), col("lang"), col("n_words"), col("quality"))
         .orderBy(col("doc_id"))

@@ -29,12 +29,16 @@ object Breadth14 {
     (s, dir) => {
       val orders = Tables(s, dir, "orders")
       val anchor = orders.agg(max(to_date(col("o_orderdate"))).as("__anchor"))
+      // localCheckpoint: the per-customer frame feeds THREE CDF passes
+      // plus the final segment scan — without it each consumer re-runs
+      // the orders aggregate (4x the fact scan at 100 TB)
       val cust = orders.crossJoin(broadcast(anchor))
         .groupBy(col("o_custkey"))
         .agg(datediff(first(col("__anchor")), max(to_date(col("o_orderdate"))))
             .cast("long").as("recency"),
           count(lit(1)).as("frequency"),
           Q.moneySum(col("o_totalprice")).as("monetary"))
+        .localCheckpoint()
       def cuts(c: String, tag: String) = StatOps.percentiles(cust, Nil, c,
         Seq((s"${tag}25", 0.25), (s"${tag}50", 0.5), (s"${tag}75", 0.75)))
       def seg(c: String, tag: String) =

@@ -724,4 +724,42 @@ class Round11Spec extends SparkSpec {
     assert(got(2L) === ((2L, 1L, 0.5)), s"got ${got(2L)}")
     assert(got(3L) === ((2L, 0L, 0.0)), s"unique doc must score 0: ${got(3L)}")
   }
+
+  test("text_cooccur_lift: hand-solved collocation, self-pairs and singletons dropped") {
+    import spark.implicits._
+    // "a b a b": pairs (a,b)x4 (self-pairs a-a, b-b dropped);
+    // "a b c": (a,b), (a,c), (b,c) -> only (a,b) survives n>=2 with n=5
+    // N=7 tokens (a:3 b:3 c:1), P=5 kept pairs:
+    // lift = 5*7*7 / (5*3*3) = 245/45
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cooc").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Breadth15.textCooccurLift.fn(spark, dir).collect()
+    assert(rows.length === 1, s"got ${rows.mkString(", ")}")
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) === (("a", "b", 5L)))
+    assert(r.getDouble(3) === 5.444444444, s"lift=${r.getDouble(3)}")
+  }
+
+  test("sample_neyman_alloc: allocations integer-exact to the budget, near ideal") {
+    val rows = graft.queries.Breadth15.sampleNeymanAlloc.fn(spark, sf).collect()
+    assert(rows.map(_.getLong(4)).sum === 100L,
+      "largest-remainder rounding must spend the budget exactly")
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(4) - r.getDouble(3)) < 1.0,
+        s"allocation must sit within 1 of the Neyman ideal: $r")
+      assert(r.getDouble(2) > 0.0, "every stratum has spread")
+    }
+  }
+
+  test("layout_overlap_depth: time-clustered files disjoint, hash files fully overlapped") {
+    val got = graft.queries.Breadth15.layoutOverlapDepth.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (hf, hmax, _) = got("hash")
+    val (_, tmax, tavg) = got("time")
+    assert(tmax === 1L && tavg === 1.0,
+      s"month-clustered ranges are disjoint -> depth exactly 1: ${got("time")}")
+    assert(hmax === hf,
+      s"every hash file spans the full range -> max depth = file count: ${got("hash")}")
+  }
 }
