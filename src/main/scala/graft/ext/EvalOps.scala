@@ -249,6 +249,37 @@ object EvalOps {
           round(abs(col("mean_a") - col("mean_b")), 6)))
   }
 
+  /** Rule-driven constraint audit: every rule is a boolean predicate
+    * over the frame; the report is one row per rule with checked /
+    * violation counts and the violation rate — the dq tier's
+    * cross-FIELD axis (dq1–dq3 audit single columns; a business rule
+    * like "ship date is never before order date" spans several).
+    * A row where the predicate evaluates to NULL counts as a
+    * VIOLATION — a constraint that cannot be proven satisfied is not
+    * satisfied (the SQL CHECK-constraint reading would silently pass
+    * it; an audit must not).
+    *
+    * All rules fold into ONE map-side-combined conditional-sum
+    * aggregate pass (the [[columnDrift]] shape — adding a rule adds a
+    * sum, not a scan), and the one-row result is checkpointed before
+    * fan-out into per-rule report rows, so the fact table is scanned
+    * exactly once however many rules are registered.
+    */
+  def ruleAudit(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "ruleAudit needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size, "duplicate rule names")
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(pred, 0L).otherwise(1L)).as(s"__v_$i") }
+    val agg = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    rules.zipWithIndex.map { case ((name, _), i) =>
+      agg.select(lit(name).as("rule"), col("__n").as("n_checked"),
+        col(s"__v_$i").as("n_violations"),
+        round(col(s"__v_$i").cast("double") / col("__n").cast("double"), 9)
+          .as("violation_rate"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group freshness/SLA monitor — the arrival-lag complement of
     * the value-distribution monitors (dq4/dq7 watch WHAT arrived; this
     * watches WHEN): for every group, event count, newest timestamp, lag

@@ -762,4 +762,32 @@ class Round11Spec extends SparkSpec {
     assert(hmax === hf,
       s"every hash file spans the full range -> max depth = file count: ${got("hash")}")
   }
+
+  test("hits: hand-solved star (one authority, three symmetric hubs), L1 sums to 1") {
+    import spark.implicits._
+    // 1,2,3 all point at 10; 10 points at 20. After one iteration:
+    // auth: 10 = 3/4, 20 = 1/4; hub: 1,2,3 = 0.75/2.5 = 0.3, 10 = 0.1
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (10L, 20L)).toDF("src", "dst")
+    val got = graft.ext.GraphOps.hits(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(10L) === ((0.1, 0.75)), s"got ${got(10L)}")
+    assert(got(20L) === ((0.0, 0.25)))
+    Seq(1L, 2L, 3L).foreach(k => assert(got(k) === ((0.3, 0.0)), s"node $k: ${got(k)}"))
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9, "hub mass L1-normalized")
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9, "auth mass L1-normalized")
+  }
+
+  test("ruleAudit: one pass, NULL predicate counts as a violation") {
+    import spark.implicits._
+    val df = Seq((Option(5L), "ok"), (Option(50L), "ok"), (Option.empty[Long], "ok"))
+      .toDF("qty", "status")
+    val got = graft.ext.EvalOps.ruleAudit(df, Seq(
+        ("qty_band", col("qty") >= 1 && col("qty") <= 30),
+        ("status_domain", col("status") === "ok")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // null qty row: the band predicate is NULL -> unprovable -> violation
+    assert(got("qty_band") === ((3L, 2L, 0.666666667)), s"got ${got("qty_band")}")
+    assert(got("status_domain") === ((3L, 0L, 0.0)))
+  }
 }
