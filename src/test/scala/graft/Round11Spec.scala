@@ -790,4 +790,38 @@ class Round11Spec extends SparkSpec {
     assert(got("qty_band") === ((3L, 2L, 0.666666667)), s"got ${got("qty_band")}")
     assert(got("status_domain") === ((3L, 0L, 0.0)))
   }
+
+  test("eval_quality_parity: four-fifths flag fires exactly on the starved language") {
+    import spark.implicits._
+    // lang xx: punctuation-heavy garbage the quality model drops;
+    // lang en: clean prose it keeps -> keep rates 0 vs 1, total 0.5,
+    // parity 0.0 vs 2.0 -> only xx crosses the 0.8 line
+    val en = "the quick brown fox jumps over the lazy dog again and again with ease"
+    val xx = "!!! ??? *** ### $$$ %%% @@@ ^^^ &&& ~~~"
+    val df = ((1 to 4).map(i => (i.toLong, en, "en")) ++
+      (5 to 8).map(i => (i.toLong, xx, "xx"))).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("parity").toString
+    df.write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Breadth17.evalQualityParity.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got("en") === ((1.0, 2.0, 0L)), s"got ${got("en")}")
+    assert(got("xx") === ((0.0, 0.0, 1L)), s"starved language must flag: ${got("xx")}")
+  }
+
+  test("text_hashed_features: stateless, bounded width, signed mass conserved") {
+    val rows = graft.queries.Breadth17.textHashedFeatures.fn(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64),
+      "feature index bounded by the hash width")
+    assert(rows.forall(_.getLong(2) !== 0L), "zero-sum buckets dropped (sparse)")
+    // signed mass: sum of weights == sum over tokens of their sign,
+    // independent of bucketing — recompute from the token stream
+    val toks = graft.etl.Tables(spark, sf, "documents")
+      .select(explode(graft.ext.TextOps.words(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("h", graft.ext.Dedup.hash32(col("t")))
+      .withColumn("sgn", lit(1L) - lit(2L) * (shiftright(col("h"), 6) % 2))
+      .agg(sum(col("sgn"))).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum === toks,
+      "per-bucket sums must conserve the total signed token mass")
+  }
 }
