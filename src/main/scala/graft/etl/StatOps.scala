@@ -209,4 +209,57 @@ object StatOps {
         round(meanA, 9).as("mean_a"), round(meanB, 9).as("mean_b"),
         round(tStat, 9).as("t_stat"), round(dfW, 9).as("df_welch"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic: the maximum gap
+    * between the two samples' empirical CDFs, D = max_v |F_a(v) −
+    * F_b(v)| — the distribution-drift test that needs NO binning
+    * choice (dq4's binned PSI asks "which bins moved"; KS asks "did
+    * the distribution move at all", exactly, at every value).
+    *
+    * Distributed by the [[groupedCdf]] prefix-sum discipline, carried
+    * for TWO measures at once: one (value → count_a, count_b)
+    * histogram (map-side combined), range-partitioned running sums
+    * with broadcast per-partition offsets — every distinct value
+    * learns both cumulative counts in parallel, no global-sort window
+    * over row-scale data. D and its location then fall out of one
+    * max-of-struct aggregate (ties on D resolved to the LARGEST
+    * value, matching the oracle's ORDER BY d DESC, v DESC).
+    *
+    * Output (one row): n_a, n_b, ks_stat (9 dp), ks_at (the value
+    * where the gap peaks). Counts are exact integers and each F is
+    * one double division, so D is engine-exact before the final
+    * round. Null values and rows in neither half are excluded.
+    */
+  def ksTwoSample(df: DataFrame, halfCol: Column, valueCol: String): DataFrame = {
+    val hist = df
+      .filter(col(valueCol).isNotNull && halfCol.isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(when(halfCol === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(halfCol === 1, 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint() // repartitionByRange samples its input
+    val parts = hist.repartitionByRange(col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val partTotals = parts.groupBy(col("__pid"))
+      .agg(sum(col("__ca")).as("__pa"), sum(col("__cb")).as("__pb"))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partTotals
+      .withColumn("__oa", coalesce(sum(col("__pa")).over(wOff), lit(0L)))
+      .withColumn("__ob", coalesce(sum(col("__pb")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__oa"), col("__ob"))
+    val wRun = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = hist.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    val gaps = parts.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__cuma", col("__oa") + sum(col("__ca")).over(wRun))
+      .withColumn("__cumb", col("__ob") + sum(col("__cb")).over(wRun))
+      .crossJoin(broadcast(totals))
+      .withColumn("__d",
+        abs(col("__cuma").cast("double") / col("__na").cast("double") -
+          col("__cumb").cast("double") / col("__nb").cast("double")))
+    gaps.agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(struct(col("__d"), col("__v"))).as("__mx"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__mx.__d"), 9).as("ks_stat"), col("__mx.__v").as("ks_at"))
+  }
 }

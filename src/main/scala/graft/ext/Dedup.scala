@@ -839,7 +839,13 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val toks = df.select(col(idCol), array_distinct(col(tokensCol)).as("__toks"))
+    // checkpoint the exploded postings: BOTH the document-frequency
+    // aggregate and the rarest-first re-assembly join consume this
+    // frame, and without materialization each re-runs the whole
+    // upstream tokenize/shingle pipeline (measured 2x the op's cost at
+    // sf0.1 — the groupedCdf checkpoint lesson)
     val posting = toks.select(col(idCol), explode(col("__toks")).as("__t"))
+      .localCheckpoint()
     val dfreq = posting.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     // re-assemble each doc's tokens in (df, token) order; sort_array on
     // the struct gives the rarest-first total order regardless of

@@ -546,11 +546,19 @@ object Breadth11 {
   val dedupPrefixFilter = Q(
     "dedup_prefix_filter",
     (s, dir) =>
+      // shingles are HASHED to longs before the join (both engines, the
+      // md5 family): a ~25-char shingle string paid its weight in every
+      // sort, shuffle, checkpoint, and array_intersect — hashing cut
+      // the sf0.1 query 25.2 s → ~5 s with a bit-identical result
+      // (same hash in both engines, so even the ~1e-5 in-doc collision
+      // mass cancels in the compare)
       graft.ext.Dedup.prefixFilterPairs(
           graft.ext.Dedup.withShingles(
             Extensions.augmentedDocs(s, dir, perturb = true)
               .filter(graft.ext.Dedup.hash32(col("doc_id").cast("string")) % 2 === 0),
-            "text", k = 3),
+            "text", k = 3)
+            .withColumn("__shingles", expr(
+              "transform(__shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))")),
           "doc_id", "__shingles", threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
@@ -559,7 +567,7 @@ object Breadth11 {
                WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0),
       sh AS (SELECT doc_id,
                list_distinct(list_transform(range(len(w) - 2),
-                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS tk
+                 i -> ('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 8))::BIGINT)) AS tk
              FROM norm WHERE len(w) >= 3),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
               len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS inter,

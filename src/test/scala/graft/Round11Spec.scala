@@ -824,4 +824,20 @@ class Round11Spec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === toks,
       "per-bucket sums must conserve the total signed token mass")
   }
+
+  test("ksTwoSample: hand-solved max CDF gap; identical samples read zero") {
+    import spark.implicits._
+    // A = [1,2,3], B = [3,4]: the gap peaks at v=2 (F_a=2/3, F_b=0)
+    val df = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0), (1L, 3.0), (1L, 4.0))
+      .toDF("h", "v")
+    val r = graft.etl.StatOps.ksTwoSample(df, col("h"), "v").head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === 0.666666667, s"ks=${r.getDouble(2)}")
+    assert(r.getDouble(3) === 2.0, s"at=${r.getDouble(3)}")
+    // identical halves: every gap is 0; the argmax tie resolves to the
+    // largest value (the documented oracle-matching tie-break)
+    val same = Seq((0L, 1.0), (1L, 1.0), (0L, 7.0), (1L, 7.0)).toDF("h", "v")
+    val r2 = graft.etl.StatOps.ksTwoSample(same, col("h"), "v").head
+    assert(r2.getDouble(2) === 0.0 && r2.getDouble(3) === 7.0, s"got $r2")
+  }
 }

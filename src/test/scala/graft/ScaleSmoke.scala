@@ -289,6 +289,26 @@ import org.apache.spark.sql.functions._
   * corpus side with the fixed query budget; canonical 11.5s and
   * source_kl 1.2s land below their 10× readings (those 10× numbers
   * were taken on a contended box; the 20× run is the honest tier).
+  *
+  * Round-11 waves 4-8 at replicas=10 (50k docs, 1.5M customers'
+  * orders, 6M lineitem): sample_pareto_front 6.7s (staircase agg +
+  * bucket windows — the join-back dominates, linear);
+  * text_ngram_diversity 1.6s ((source,trigram) cells, linear);
+  * dedup_cluster_report 12.0s tracking dedup_clusters' replication-
+  * clique pair cost (the size histogram itself adds one k-bucket
+  * agg); eval_ab_welch 0.8s and sample_neyman_alloc 0.5s (one
+  * sufficient-statistic pass each — flat); q66_rfm_segments 4.9s
+  * (per-customer agg + three CDF cut passes over the checkpointed
+  * frame, linear-parallel); text_dup_spans 5.8s for 500k per-doc
+  * rows (hash-keyed span counting — the no-pair-listing linearity is
+  * the op's point); text_cooccur_lift 15.4s (≤4n scan-side pair
+  * stream over 10× tokens + two term-keyed joins, linear);
+  * layout_overlap_depth 1.1s (metadata probe — flat); graph_hits
+  * 5.6s (edge derivation linear, 3 L1 rounds on the 25-node graph
+  * flat); dq11_rule_violations 2.6s (the orders⋈lineitem shuffle IS
+  * the cost; rules are free); eval_quality_parity 0.4s (flat);
+  * text_hashed_features 2.0s for 992k sparse rows (stateless scan +
+  * one agg).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -486,7 +506,21 @@ object ScaleSmoke {
       "graph_modularity",
       // k-row water-fill over one corpus aggregate; dimension-sized
       // day×feed generator anti-joined to the map-side (feed,day) frame
-      "sample_mix_capped", "dq9_partition_gaps") ++
+      "sample_mix_capped", "dq9_partition_gaps",
+      // round-11 waves 4-8: staircase-decomposed skyline, (source,
+      // trigram)-keyed diversity moments, power-of-two cluster-size
+      // report over the minhash CC, 3-arm Welch from one sufficient-
+      // statistic pass, per-customer RFM frame + three CDF cut passes,
+      // hash-keyed span counting (linear, no pair listing), scan-side
+      // ≤4n co-occurrence pair stream, k-row Neyman allocation,
+      // metadata-frame overlap-depth probe, alternating L1 HITS over
+      // the nation graph, one conditional-sum rule audit, lang-keyed
+      // parity aggregate, stateless feature hashing
+      "sample_pareto_front", "text_ngram_diversity",
+      "dedup_cluster_report", "eval_ab_welch", "q66_rfm_segments",
+      "text_dup_spans", "text_cooccur_lift", "sample_neyman_alloc",
+      "layout_overlap_depth", "graph_hits", "dq11_rule_violations",
+      "eval_quality_parity", "text_hashed_features") ++
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
