@@ -58,7 +58,17 @@ object BenchDetail {
         try fn(spark, sfDir).count() catch {
           case t: Throwable => err = Some(t.getClass.getSimpleName)
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop the rep's localCheckpoint blocks OUTSIDE the timed
+        // section: 282 queries x reps, many checkpointing sf0.1-scale
+        // frames, otherwise accumulate in the block manager until later
+        // queries lose execution memory to storage residue (measured
+        // as a broad ~16% drift on untouched queries as the registry
+        // grew). A real job runs one query per app; the residue is a
+        // bench artifact, not a query property. Logical-plan caches and
+        // the parquet run dirs are untouched.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
       }.sorted
       (name, times.head, times(times.size / 2), err)
     }

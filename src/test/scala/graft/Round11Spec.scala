@@ -840,4 +840,33 @@ class Round11Spec extends SparkSpec {
     val r2 = graft.etl.StatOps.ksTwoSample(same, col("h"), "v").head
     assert(r2.getDouble(2) === 0.0 && r2.getDouble(3) === 7.0, s"got $r2")
   }
+
+  test("streaming rule audit: conditional sums merge across micro-batches (== batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // ruleAudit's per-rule state is (n, violations) — mergeable by
+    // addition, so the streaming twin is a plain streaming aggregate in
+    // complete mode; this pins the scaladoc's incremental-monitor claim
+    val b1 = Seq((5L, "ok"), (50L, "ok"))
+    val b2 = Seq((12L, "bad"), (3L, "ok"), (99L, "ok"))
+    val stream = MemoryStream[(Long, String)]
+    val pred = expr("qty >= 1 AND qty <= 30")
+    val agg = stream.toDS().toDF("qty", "status")
+      .agg(count(lit(1)).as("n"),
+        sum(when(pred, 0L).otherwise(1L)).as("v_band"),
+        sum(when(col("status") === "ok", 0L).otherwise(1L)).as("v_status"))
+    val q = agg.writeStream.format("memory").outputMode("complete")
+      .queryName("rule_audit_stream").start()
+    stream.addData(b1: _*); q.processAllAvailable()
+    stream.addData(b2: _*); q.processAllAvailable()
+    val s = spark.table("rule_audit_stream").head
+    q.stop()
+    val batch = graft.ext.EvalOps.ruleAudit(
+        (b1 ++ b2).toDF("qty", "status"),
+        Seq(("band", pred), ("status", col("status") === "ok")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert((s.getLong(0), s.getLong(1)) === batch("band"))
+    assert((s.getLong(0), s.getLong(2)) === batch("status"))
+  }
 }
