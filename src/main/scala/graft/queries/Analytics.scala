@@ -269,10 +269,17 @@ object Analytics {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables(s, dir, "events")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(1, Window.unboundedFollowing)
+      // "first after" as last() over the REVERSED running frame — a
+      // (1, unboundedFollowing) frame is recomputed per row by Spark
+      // (O(n²) per partition; caught by the round-11 frame lint), while
+      // the descending unbounded-PRECEDING frame streams in O(n). The
+      // oracle keeps the textbook FOLLOWING spelling: DuckDB's window
+      // executor handles it, and the two are definitionally equal.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
       ev.withColumn("next_error_ts",
-          first(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(w))
+          last(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(w))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"), col("next_error_ts"))
         .orderBy(col("event_id"))

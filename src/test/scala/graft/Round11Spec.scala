@@ -869,4 +869,47 @@ class Round11Spec extends SparkSpec {
     assert((s.getLong(0), s.getLong(1)) === batch("band"))
     assert((s.getLong(0), s.getLong(2)) === batch("status"))
   }
+
+  test("q67_resample_interp: hand-solved linear fill, no nulls in the grid") {
+    import spark.implicits._
+    // user 0 observes value 1.0 at minute 0 and 9.0 at minute 4: the
+    // three gap minutes interpolate to exactly 3, 5, 7
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val ev = Seq((1L, 0L, ts(0), "click", 1.0), (2L, 0L, ts(4), "click", 9.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("interp").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    val got = graft.queries.Breadth19.q67ResampleInterp.fn(spark, dir).collect()
+      .map(r => r.getTimestamp(1).getTime / 60000 -> r.getDouble(2)).toMap
+    assert(got === Map(0L -> 1.0, 1L -> 3.0, 2L -> 5.0, 3L -> 7.0, 4L -> 9.0),
+      s"got $got")
+    // and on the real corpus the both-direction fallback leaves no nulls
+    val real = graft.queries.Breadth19.q67ResampleInterp.fn(spark, sf)
+    assert(real.filter(col("v_interp").isNull).count() === 0L)
+  }
+
+  test("j15_nearest_event: nearest side wins, equidistant resolves to prior") {
+    import spark.implicits._
+    // user 1: clicks at t=100s and t=300s, purchase at t=180s -> prior
+    // (gap 80s) beats next (gap 120s); user 2: clicks equidistant at
+    // 100/300 around purchase 200 -> PRIOR by the documented tie-break;
+    // user 3: purchase with only a later click -> next side
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 1L, ts(100), "click"), (2L, 1L, ts(180), "purchase"), (3L, 1L, ts(300), "click"),
+      (4L, 2L, ts(100), "click"), (5L, 2L, ts(200), "purchase"), (6L, 2L, ts(300), "click"),
+      (7L, 3L, ts(500), "purchase"), (8L, 3L, ts(650), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("nearest").toString
+    ev.write.parquet(s"$dir/events.parquet")
+    def secOf(x: Any): Long = x match {
+      case t: java.sql.Timestamp => t.getTime / 1000
+      case d: java.time.LocalDateTime => d.toEpochSecond(java.time.ZoneOffset.UTC)
+    }
+    val got = graft.queries.Breadth19.j15NearestEvent.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((secOf(r.get(3)), r.getLong(4)))).toMap
+    assert(got(2L) === ((100L, 80000000L)), s"nearer prior must win: ${got(2L)}")
+    assert(got(5L) === ((100L, 100000000L)), s"equidistant resolves PRIOR: ${got(5L)}")
+    assert(got(7L) === ((650L, 150000000L)), s"only-next falls forward: ${got(7L)}")
+  }
 }

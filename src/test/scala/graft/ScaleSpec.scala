@@ -140,6 +140,34 @@ class ScaleSpec extends SparkSpec {
         s"sort at scale): ${offenders.mkString("; ")}")
   }
 
+  test("registry-wide plan hygiene: no shrinking unbounded-FOLLOWING window frame") {
+    // Spark executes a frame whose upper bound is UNBOUNDED FOLLOWING
+    // but whose lower bound moves (e.g. ROWS BETWEEN 1 FOLLOWING AND
+    // UNBOUNDED FOLLOWING) by RECOMPUTING the aggregate from scratch
+    // for every row — O(n²) per partition (this rule shipped one
+    // offender in round 11: q67_resample_interp's first draft took
+    // >9 min on a 43k-row partition; the reversed-order running frame
+    // computes the identical answer in O(n)). Frames that are
+    // unbounded on BOTH ends are fine (one aggregate per partition).
+    import org.apache.spark.sql.catalyst.expressions.{SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val sf = "/root/testdata/sf0.001"
+    val offenders = graft.queries.Registry.all.flatMap { q =>
+      q.fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow =>
+          w.windowExpressions.flatMap(_.collect {
+            case WindowExpression(_, WindowSpecDefinition(_, _,
+                SpecifiedWindowFrame(_, lo, UnboundedFollowing)))
+                if lo != UnboundedPreceding =>
+              s"${q.name}: ($lo, UnboundedFollowing)"
+          })
+      }.flatten
+    }
+    assert(offenders.isEmpty,
+      s"shrinking unbounded-FOLLOWING frame (O(n²) per partition — use " +
+        s"the reversed-order running frame): ${offenders.mkString("; ")}")
+  }
+
   test("registry-wide source hygiene: metadata-bucket pair joins ride a systematic sample") {
     // Exact pairwise similarity inside a METADATA bucket (lang, domain,
     // ...) is unbounded under corpus skew — English is ~half a web
