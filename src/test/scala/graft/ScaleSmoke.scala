@@ -309,6 +309,17 @@ import org.apache.spark.sql.functions._
   * the cost; rules are free); eval_quality_parity 0.4s (flat);
   * text_hashed_features 2.0s for 992k sparse rows (stateless scan +
   * one agg).
+  *
+  * Round-11 waves 9-10 at replicas=10: dq12_ks_drift 4.7s over a
+  * ~1.5M-distinct-value price histogram (the two-measure prefix-sum
+  * CDF is one range partition + broadcast offsets — linear);
+  * q67_resample_interp 1.2s (same 209k-minute grid as sf0.1 — the
+  * grid is time-span-bound, not corpus-bound — through four O(n)
+  * running frames; the (1, unboundedFollowing) draft was O(n²) and
+  * took >9 min at BOTH scales, which is why the frame lint exists);
+  * j15_nearest_event 0.40s and the rewritten j8_asof_next_after
+  * 0.22s over 2M events (user count grows with the corpus, so
+  * per-partition sequences stay constant).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -520,7 +531,13 @@ object ScaleSmoke {
       "dedup_cluster_report", "eval_ab_welch", "q66_rfm_segments",
       "text_dup_spans", "text_cooccur_lift", "sample_neyman_alloc",
       "layout_overlap_depth", "graph_hits", "dq11_rule_violations",
-      "eval_quality_parity", "text_hashed_features") ++
+      "eval_quality_parity", "text_hashed_features",
+      // wave 9-10: two-measure prefix-sum KS over a near-distinct
+      // value histogram; interpolation grid + four O(n) running
+      // frames; reversed-frame nearest join (user-keyed, 10x users);
+      // j8's reversed-frame rewrite rides the same shape
+      "dq12_ks_drift", "q67_resample_interp", "j15_nearest_event",
+      "j8_asof_next_after") ++
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
