@@ -72,6 +72,10 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadBefore = osBean.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // snapshot BEFORE the query so the cleanup is scoped to its own
+      // checkpoint residue — a future cross-query persisted frame must
+      // survive the loop (ADVICE r11)
+      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -80,7 +84,9 @@ object Bench {
       // otherwise starves later queries' execution memory (see
       // BenchDetail for the measured drift); logical-plan caches and
       // parquet run dirs are untouched
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preexisting.contains(id)) rdd.unpersist(false)
+      }
       name -> dt
     }
     val total = results.map(_._2).sum

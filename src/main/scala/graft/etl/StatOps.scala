@@ -186,7 +186,9 @@ object StatOps {
       .select(col(groupCol).as("grp"), col(metricCol).cast("long").as("__x"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("__x")).as("s"),
-        sum((col("__x") * col("__x")).cast(DecimalType(38, 0))).as("sq"))
+        // operand widened BEFORE the multiply so the square is decimal
+        // arithmetic, not a silently-wrapping long (ADVICE r11)
+        sum(col("__x").cast(DecimalType(38, 0)) * col("__x")).as("sq"))
     val a = g.select(col("grp").as("grp_a"), col("n").as("n_a"),
       col("s").as("s_a"), col("sq").as("sq_a"))
     val b = g.select(col("grp").as("grp_b"), col("n").as("n_b"),

@@ -1160,7 +1160,11 @@ object TextOps {
       .agg(sum(col("__n")).as("n_tri"),
         count(lit(1)).as("n_distinct"),
         max(col("__n")).as("__top"),
-        sum((col("__n") * col("__n")).cast(DecimalType(38, 0))).as("__s2"))
+        // cast an OPERAND before multiplying: the product is then
+        // computed in decimal arithmetic, so a degenerate one-trigram
+        // group at corpus scale (n > ~3e9) cannot wrap in LongType
+        // before the widening (ADVICE r11)
+        sum(col("__n").cast(DecimalType(38, 0)) * col("__n")).as("__s2"))
       .withColumn("ttr",
         round(col("n_distinct").cast("double") / col("n_tri").cast("double"), 9))
       .withColumn("top_share",

@@ -578,34 +578,96 @@ object Breadth11 {
       ORDER BY doc_a, doc_b
     """.trim))
 
-  /** ER-chain quality eval — precision/recall of the blocking +
-    * levenshtein-verify propose against its OWN injected ground truth,
-    * per typo class. The er fixture's truth is derivable (every dirty
-    * record's id encodes its clean source), so the eval measures the
-    * BLOCKING SCHEME, and the third typo class injected here (a
-    * suffix substitution, ids +600000) is its designed blind spot:
-    * suffix blocking keys cannot see a suffix typo, so that class
-    * recalls 0 — and worse, the bumped suffix COLLIDES with the next
-    * base record's name, so the class also emits confident false
-    * positives (precision 0). That is the finding an ER eval exists to
-    * surface: edit-distance verification cannot repair candidate
-    * generation, and a production scheme needs a second blocking pass
-    * (e.g. a prefix key) to cover it. Everything is exact counting on
-    * the pair frames — no corpus-scale work beyond the capped propose.
+  /** ER-chain quality eval — precision/recall of the MULTI-PASS
+    * blocking + levenshtein-verify propose against its OWN injected
+    * ground truth, per typo class. The er fixture's truth is derivable
+    * (every dirty record's id encodes its clean source), so the eval
+    * measures the BLOCKING SCHEME. Round 11 ran the single suffix-key
+    * pass and measured its designed blind spot: the third typo class
+    * (a suffix substitution, ids +600000) had recall 0 AND precision 0
+    * — a suffix key cannot propose a suffix typo, and edit-distance
+    * verification cannot repair candidate generation. Round 12 closes
+    * it the production way ([[graft.ext.EntityOps.multiPassNamePairs]]):
+    * a second independent capped pass on the all-but-last-char key
+    * (invariant under exactly the edit class the suffix key misses),
+    * union + distinct proposals BEFORE the verify. Every typo class now
+    * measures recall 1.0. The residual costs the eval quantifies are
+    * both corpus-forced, not scheme bugs: (a) suffix-class precision
+    * 0.1 — each typo'd name sits within dist ≤ 1 of ALL ten serial
+    * neighbors in its decade block (and is IDENTICAL to one of them),
+    * so 10 pairs verify per typo and no single-field linker can rank
+    * the true source above the collision; (b) a base_pair row with
+    * n_truth 0 — serial-ID neighbors within a decade genuinely sit at
+    * dist 1, and ANY key invariant under a last-char edit must block
+    * them together (the key depends only on the first len−1 chars,
+    * which neighbors share). Everything
+    * is exact counting on the pair frames — no corpus-scale work beyond
+    * the summed per-pass capped proposes.
     */
+  /** The er fixture extended with the third typo class (a suffix
+    * substitution under ids +600000) — shared by `eval_er_quality` and
+    * `er_multipass_pairs`.
+    */
+  private[queries] def erRecordsD3(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val cust = Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val d3 = cust.filter(col("c_custkey") % 10 === 2)
+      .select((col("c_custkey") + 600000L).as("c_custkey"),
+        concat(expr("left(c_name, length(c_name) - 1)"),
+          ((substring(col("c_name"), -1, 1).cast("int") + 1) % 10).cast("string"))
+          .as("c_name"))
+    Breadth10.erRecords(s, dir).unionByName(d3)
+  }
+
+  /** DuckDB twin of [[erRecordsD3]] up to `allr` (the three typo
+    * classes unioned under the base records) — shared by the same two
+    * oracles so the fixture lives in ONE place per engine.
+    */
+  private[queries] val erRecordsD3Ctes: String =
+    """base AS (SELECT c_custkey, c_name FROM customer),
+      d1 AS (SELECT c_custkey + 200000 AS c_custkey,
+                    'Custmer#' || substring(c_name, 10) AS c_name
+             FROM base WHERE c_custkey % 10 = 0),
+      d2 AS (SELECT c_custkey + 400000 AS c_custkey,
+                    'Cusotmer#' || substring(c_name, 10) AS c_name
+             FROM base WHERE c_custkey % 10 = 5),
+      d3 AS (SELECT c_custkey + 600000 AS c_custkey,
+                    left(c_name, len(c_name) - 1)
+                      || ((right(c_name, 1)::INT + 1) % 10)::VARCHAR AS c_name
+             FROM base WHERE c_custkey % 10 = 2),
+      allr AS (SELECT * FROM base UNION ALL SELECT * FROM d1
+               UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)"""
+
+  /** DuckDB twin of the two-pass capped propose
+    * ([[graft.ext.EntityOps.multiPassNamePairs]] with the suffix and
+    * all-but-last-char keys over `allr`): per-pass HAVING caps mirror
+    * the kept-block joins, the UNION dedups candidates BEFORE any
+    * levenshtein — shared by both multi-pass oracles.
+    */
+  private[queries] val erMultiPassCandCtes: String =
+    """r1 AS (SELECT *, right(c_name, 5) AS blk FROM allr),
+      b1 AS (SELECT blk FROM r1 GROUP BY blk HAVING count(*) <= 64),
+      k1 AS (SELECT r1.* FROM r1 JOIN b1 USING (blk)),
+      r2 AS (SELECT *, substring(c_name, 1, len(c_name) - 1) AS blk FROM allr),
+      b2 AS (SELECT blk FROM r2 GROUP BY blk HAVING count(*) <= 64),
+      k2 AS (SELECT r2.* FROM r2 JOIN b2 USING (blk)),
+      cand AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                      a.c_name AS na, b.c_name AS nb
+               FROM k1 a JOIN k1 b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+               UNION
+               SELECT a.c_custkey, b.c_custkey, a.c_name, b.c_name
+               FROM k2 a JOIN k2 b ON a.blk = b.blk AND a.c_custkey < b.c_custkey)"""
+
   val evalErQuality = Q(
     "eval_er_quality",
     (s, dir) => {
       import graft.ext.EntityOps
       val cust = Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-      val d3 = cust.filter(col("c_custkey") % 10 === 2)
-        .select((col("c_custkey") + 600000L).as("c_custkey"),
-          concat(expr("left(c_name, length(c_name) - 1)"),
-            ((substring(col("c_name"), -1, 1).cast("int") + 1) % 10).cast("string"))
-            .as("c_name"))
-      val recs = Breadth10.erRecords(s, dir).unionByName(d3)
-      val pred = EntityOps.blockedNamePairs(recs, "c_custkey", "c_name",
-          expr("right(c_name, 5)"), maxDist = 2, maxBlock = 64)
+      val recs = erRecordsD3(s, dir)
+      val pred = EntityOps.multiPassNamePairs(recs, "c_custkey", "c_name",
+          Seq(expr("right(c_name, 5)"),
+            expr("substring(c_name, 1, length(c_name) - 1)")),
+          maxDist = 2, maxBlock = 64)
         .select(col("id_a"), col("id_b"), lit(1L).as("__p"))
       val truth = cust.filter(col("c_custkey") % 10 === 0)
           .select(col("c_custkey").as("id_a"), (col("c_custkey") + 200000L).as("id_b"))
@@ -631,27 +693,11 @@ object Breadth11 {
           round(col("n_hit").cast("double") / col("n_truth"), 9)))
         .orderBy(col("cls"))
     },
-    Some("""
-      WITH base AS (SELECT c_custkey, c_name FROM customer),
-      d1 AS (SELECT c_custkey + 200000 AS c_custkey,
-                    'Custmer#' || substring(c_name, 10) AS c_name
-             FROM base WHERE c_custkey % 10 = 0),
-      d2 AS (SELECT c_custkey + 400000 AS c_custkey,
-                    'Cusotmer#' || substring(c_name, 10) AS c_name
-             FROM base WHERE c_custkey % 10 = 5),
-      d3 AS (SELECT c_custkey + 600000 AS c_custkey,
-                    left(c_name, len(c_name) - 1)
-                      || ((right(c_name, 1)::INT + 1) % 10)::VARCHAR AS c_name
-             FROM base WHERE c_custkey % 10 = 2),
-      rec AS (SELECT *, right(c_name, 5) AS blk FROM
-              (SELECT * FROM base UNION ALL SELECT * FROM d1
-               UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)),
-      bc AS (SELECT blk FROM rec GROUP BY blk HAVING count(*) <= 64),
-      recb AS (SELECT rec.* FROM rec JOIN bc USING (blk)),
-      pred AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, 1 AS p
-               FROM recb a JOIN recb b
-                 ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-               WHERE levenshtein(a.c_name, b.c_name) <= 2),
+    Some(s"""
+      WITH $erRecordsD3Ctes,
+      $erMultiPassCandCtes,
+      pred AS (SELECT id_a, id_b, 1 AS p FROM cand
+               WHERE levenshtein(na, nb) <= 2),
       truth AS (SELECT c_custkey AS id_a, c_custkey + 200000 AS id_b, 1 AS t
                 FROM base WHERE c_custkey % 10 = 0
                 UNION ALL

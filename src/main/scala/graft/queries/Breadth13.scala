@@ -82,7 +82,7 @@ object Breadth13 {
       SELECT source, sum(n)::BIGINT AS n_tri, count(*)::BIGINT AS n_distinct,
              round(count(*)::DOUBLE / sum(n)::DOUBLE, 9) AS ttr,
              round(max(n)::DOUBLE / sum(n)::DOUBLE, 9) AS top_share,
-             round(sum(n * n)::DOUBLE / (sum(n)::DOUBLE * sum(n)::DOUBLE), 9)
+             round(sum(n::HUGEINT * n)::DOUBLE / (sum(n)::DOUBLE * sum(n)::DOUBLE), 9)
                AS herfindahl
       FROM tf GROUP BY source ORDER BY source
     """.trim))
@@ -149,7 +149,7 @@ object Breadth13 {
     Some("""
       WITH g AS (SELECT l_returnflag AS grp, count(*)::BIGINT AS n,
                         sum(l_quantity::BIGINT)::BIGINT AS s,
-                        sum(l_quantity::BIGINT * l_quantity::BIGINT) AS sq
+                        sum(l_quantity::HUGEINT * l_quantity::BIGINT) AS sq
                  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1)
       SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS n_a, b.n AS n_b,
              round(a.s::DOUBLE / a.n::DOUBLE, 9) AS mean_a,

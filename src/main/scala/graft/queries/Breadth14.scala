@@ -117,6 +117,10 @@ object Breadth14 {
           s"""transform(sequence(0, size(__w) - $SpanW),
               i -> cast(conv(substring(md5(concat_ws(' ', $grams)), 1, 15), 16, 10) AS BIGINT))"""))
           .as("__h"))
+        // consumed twice (doc-frequency aggregate + join-back): without
+        // this the full corpus tokenize+md5 explode runs twice — the
+        // groupedCdf checkpoint lesson (ADVICE r11)
+        .localCheckpoint()
       val df = sp.groupBy(col("__h"))
         .agg(countDistinct(col("doc_id")).as("__ndocs"))
       sp.join(df, Seq("__h"))

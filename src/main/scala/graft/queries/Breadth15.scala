@@ -109,7 +109,7 @@ object Breadth15 {
         .select(col("lang"), col("n_chars").as("__x"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_h"), sum(col("__x")).as("__s"),
-          sum((col("__x") * col("__x")).cast(DecimalType(38, 0))).as("__sq"))
+          sum(col("__x").cast(DecimalType(38, 0)) * col("__x")).as("__sq"))
       val sg = sqrt((col("__sq").cast("double") -
         (col("__s").cast("double") * col("__s").cast("double")) /
           col("n_h").cast("double")) / (col("n_h").cast("double") - lit(1.0)))
@@ -132,7 +132,7 @@ object Breadth15 {
     Some(s"""
       WITH g AS (SELECT lang, count(*)::BIGINT AS n_h,
                         sum(n_chars)::BIGINT AS s,
-                        sum(n_chars * n_chars) AS sq
+                        sum(n_chars::HUGEINT * n_chars) AS sq
                  FROM documents GROUP BY 1),
       w AS (SELECT lang, n_h,
               sqrt((sq::DOUBLE - (s::DOUBLE * s::DOUBLE) / n_h::DOUBLE)

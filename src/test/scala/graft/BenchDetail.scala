@@ -45,6 +45,34 @@ object BenchDetail {
       graft.queries.Extensions.ensureDedupClusters(spark, sfDir)
       graft.queries.Breadth7.ensureTextIndex(spark, sfDir)
     } catch { case _: Throwable => () }
+    // Calibration probe (VERDICT r11 item 4): a fixed synthetic set —
+    // one scan-agg, one shuffle join, one window — timed AFTER warm-up
+    // and before any registry query, emitted as calib_s in the JSON
+    // header. Rounds run on a box whose state drifts a uniform 1.1-1.4x
+    // between sessions with no code change; per-query regressions are
+    // read as (median / calib_s) ratios round-over-round so the drift
+    // divides out. The probe deliberately uses NO registry table or
+    // query: spark.range data only, so it measures the box + JVM, never
+    // the build. min-of-3 — the probe must not absorb its own cold
+    // codegen into the calibration constant.
+    val calib = {
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        val a = spark.range(0, 20000000, 1, 32)
+          .selectExpr("id % 97 AS k", "id AS v")
+        val b = spark.range(0, 1000000, 1, 32)
+          .selectExpr("id % 97 AS k", "id AS w")
+        a.join(b.groupBy("k").count(), "k")
+          .selectExpr("k", "v", "count",
+            "sum(v) OVER (PARTITION BY k % 7 ORDER BY v ROWS BETWEEN 100 PRECEDING AND CURRENT ROW) AS r")
+          .selectExpr("sum(r + count) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = (1 to 3).map(_ => probe()).min
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      t
+    }
+    println(f"calib_s $calib%.3f")
     // a query that crashes must NOT record its (near-zero) failure-path
     // timing — in the committed regression artifact that would read as a
     // dramatic speedup; it records err instead and is excluded from totals
@@ -54,6 +82,12 @@ object BenchDetail {
     val rows = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to reps).map { _ =>
+        // snapshot BEFORE the rep so the cleanup below is scoped to the
+        // rep's own residue — a future cross-query persisted frame (or a
+        // memoized localCheckpoint-backed artifact, whose lineage is
+        // truncated and unrecoverable once evicted) must survive the
+        // loop (ADVICE r11)
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch {
           case t: Throwable => err = Some(t.getClass.getSimpleName)
@@ -67,7 +101,9 @@ object BenchDetail {
         // grew). A real job runs one query per app; the residue is a
         // bench artifact, not a query property. Logical-plan caches and
         // the parquet run dirs are untouched.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!preexisting.contains(id)) rdd.unpersist(false)
+        }
         dt
       }.sorted
       (name, times.head, times(times.size / 2), err)
@@ -87,6 +123,7 @@ object BenchDetail {
       }.mkString(",")
       val json =
         s"""{"reps":$reps,"sf":"$sfDir","cpus":$cpus,""" +
+          s""""calib_s":${fmt(calib)},""" +
           s""""total_median":${fmt(ok.map(_._3).sum)},""" +
           s""""total_min":${fmt(ok.map(_._2).sum)},""" +
           s""""n_err":${rows.size - ok.size},""" +

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 pins: multi-pass ER blocking (the VERDICT-r11 item-1
+  * recall-0 fix) and the round's headline slices as they land.
+  */
+class Round12Spec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.01"
+
+  test("multiPassNamePairs: each pass covers the other's blind spot; dedup before verify") {
+    import spark.implicits._
+    // serial-ID-style fixture in miniature: a PREFIX typo (invisible to
+    // a prefix key, visible to a suffix key) and a SUFFIX typo
+    // (vice-versa). Either single pass has recall 1/2 here; the union
+    // must find both.
+    val recs = Seq(
+      (1L, "Customer#111"), (2L, "Xustomer#111"), // prefix typo of 1
+      (3L, "Customer#345"), (4L, "Customer#346")) // suffix typo of 3
+      .toDF("id", "name")
+    val suffixKey = expr("right(name, 4)")
+    val prefixKey = expr("substring(name, 1, length(name) - 1)")
+    def pairsOf(keys: Seq[org.apache.spark.sql.Column]): Set[(Long, Long)] =
+      graft.ext.EntityOps.multiPassNamePairs(recs, "id", "name", keys,
+          maxDist = 1, maxBlock = 8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairsOf(Seq(suffixKey)) === Set((1L, 2L)))
+    assert(pairsOf(Seq(prefixKey)) === Set((3L, 4L)))
+    assert(pairsOf(Seq(suffixKey, prefixKey)) === Set((1L, 2L), (3L, 4L)))
+    // a pair proposed by BOTH passes (identical names share every key)
+    // is emitted once — the distinct runs before the verify
+    val dup = Seq((1L, "same"), (2L, "same")).toDF("id", "name")
+    val out = graft.ext.EntityOps.multiPassNamePairs(dup, "id", "name",
+      Seq(expr("right(name, 2)"), expr("substring(name, 1, 2)")),
+      maxDist = 1, maxBlock = 8).collect()
+    assert(out.length === 1, s"dup-proposed pair must verify once, got ${out.length}")
+  }
+
+  test("multiPassNamePairs: per-pass caps are independent (a block oversized in one pass still links via the other)") {
+    import spark.implicits._
+    // 10 records share the suffix key 'AAA' (oversized at cap 8) but
+    // split across distinct prefix keys; the one real near-pair links
+    // through the prefix pass even though the suffix pass dropped it
+    val recs = ((1 to 8).map(i => (i.toLong, f"zz$i%02d-AAA")) ++
+      Seq((9L, "yy01-AAA"), (10L, "yy02-AAA"))).toDF("id", "name")
+    val pairs = graft.ext.EntityOps.multiPassNamePairs(recs, "id", "name",
+        Seq(expr("right(name, 3)"), expr("substring(name, 1, 2)")),
+        maxDist = 2, maxBlock = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // suffix pass: block AAA has 10 > 8 records -> dropped entirely.
+    // prefix pass: block 'yy' has exactly the two near records; block
+    // 'zz' has 8 records all within dist 2 of each other (28 pairs).
+    assert(pairs.contains((9L, 10L)),
+      s"prefix pass must recover the pair the oversized suffix block dropped: $pairs")
+    assert(pairs.size === 29, s"expected 28 zz-block pairs + 1 yy pair, got ${pairs.size}")
+  }
+}

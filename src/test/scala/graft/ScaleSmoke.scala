@@ -663,6 +663,32 @@ object ScaleSmoke {
           f"-> ${replicas}x $pN%d pairs/$dNc%d dropped over $nN%d recs " +
           f"(bound n*(cap-1)/2 = $bound%d, ratio x${pN.toDouble / math.max(1, p1)}%.1f)")
       }
+      // multi-pass propose (round 12): the union of k independent
+      // capped passes is bounded by the SUM of per-pass bounds,
+      // k·n·(cap−1)/2 — still linear in n with a passes×cap constant
+      def erMultiVolume(reps: Int): (Long, Long) = {
+        val n = 15000L * reps
+        val clean = spark.range(1, n + 1).select(col("id").as("c_custkey"),
+          format_string("Customer#%09d", col("id")).as("c_name"))
+        val d1 = clean.filter(col("c_custkey") % 10 === 0).select(
+          (col("c_custkey") + 10 * n).as("c_custkey"),
+          concat(lit("Custmer#"), expr("substring(c_name, 10)")).as("c_name"))
+        val recs = clean.unionByName(d1)
+        val pairs = graft.ext.EntityOps.multiPassNamePairs(
+          recs, "c_custkey", "c_name",
+          Seq(expr("right(c_name, 6)"),
+            expr("substring(c_name, 1, length(c_name) - 1)")),
+          maxDist = 2, maxBlock = 64).count()
+        (recs.count(), pairs)
+      }
+      val (mn1, mp1) = erMultiVolume(1)
+      val (mnN, mpN) = erMultiVolume(replicas)
+      val mBound = 2 * mnN * 63 / 2
+      assert(mpN <= mBound,
+        s"multi-pass pair volume $mpN exceeds summed per-pass bound $mBound")
+      println(f"er multipass pairs (2 passes): 1x $mp1%d -> ${replicas}x $mpN%d " +
+        f"over $mnN%d recs (summed bound k*n*(cap-1)/2 = $mBound%d, " +
+        f"ratio x${mpN.toDouble / math.max(1, mp1)}%.1f)")
     }
     spark.stop()
     // the replica corpus is per-run scratch — a 100× documents dir left
