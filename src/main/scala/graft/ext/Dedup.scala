@@ -826,7 +826,8 @@ object Dedup {
     * an already-checkpointed frame) and the op REFUSES past
     * `maxPosting` rather than silently running an unbounded join. The
     * length filter `min(|a|,|b|) ≥ t·max(|a|,|b|)` (implied by J ≥ t)
-    * prunes candidates before the distinct.
+    * and the PPJoin positional filter (see the propose body) prune
+    * candidates before the pair dedup and the exact verify.
     *
     * Verify: exact Jaccard on candidate pairs via each side's full
     * sorted token array (materialized once, both joins reuse it — the
@@ -835,9 +836,22 @@ object Dedup {
     * bit.
     */
   def prefixFilterPairs(df: DataFrame, idCol: String, tokensCol: String,
-      threshold: Double, maxPosting: Long = 100000L): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
+      threshold: Double, maxPosting: Long = 100000L): DataFrame =
+    prefixFilterPairsRanked(
+      rankedTokens(df, idCol, tokensCol)
+        // both the prefix explode and the two verify joins read this
+        // frame — materialize unless the caller staged it at ingest
+        .localCheckpoint(),
+      idCol, threshold, maxPosting)
+
+  /** The rarest-first ranked token frame [[prefixFilterPairs]] joins on:
+    * (id, __st sorted-token array, __n size). Factored out so an ingest
+    * phase can persist it once per corpus (the ANN-index `ensure*`
+    * pattern) — building it is the op's dominant cold cost (tokenize +
+    * shingle + df-count + re-sort of the whole corpus; measured 7× the
+    * serve-side median when paid inside the query).
+    */
+  def rankedTokens(df: DataFrame, idCol: String, tokensCol: String): DataFrame = {
     val toks = df.select(col(idCol), array_distinct(col(tokensCol)).as("__toks"))
     // checkpoint the exploded postings: BOTH the document-frequency
     // aggregate and the rarest-first re-assembly join consume this
@@ -850,18 +864,29 @@ object Dedup {
     // re-assemble each doc's tokens in (df, token) order; sort_array on
     // the struct gives the rarest-first total order regardless of
     // collect_list's arrival order
-    val ranked = posting.join(dfreq, "__t")
+    posting.join(dfreq, "__t")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__rt"))
       .select(col(idCol),
         expr("transform(__rt, x -> x.__t)").as("__st"),
         size(col("__rt")).as("__n"))
-      // both the prefix explode and the two verify joins read this frame
-      .localCheckpoint()
+  }
+
+  /** [[prefixFilterPairs]] from a pre-built [[rankedTokens]] frame
+    * (typically read back from an ingest-time parquet artifact).
+    */
+  def prefixFilterPairsRanked(ranked: DataFrame, idCol: String,
+      threshold: Double, maxPosting: Long = 100000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     val prefixed = ranked.withColumn("__p",
       expr(s"slice(__st, 1, size(__st) - cast(ceil($threshold * size(__st)) as int) + 1)"))
+    // 1-based token POSITION in the rarest-first total order rides along
+    // (posexplode): the PPJoin positional filter below prunes on it
     val pp = prefixed
-      .select(col(idCol), col("__n"), explode(col("__p")).as("__t"))
+      .select(col(idCol), col("__n"),
+        posexplode(col("__p")).as(Seq("__i0", "__t")))
+      .select(col(idCol), col("__n"), (col("__i0") + 1).as("__i"), col("__t"))
       .localCheckpoint()
     val longest = pp.groupBy(col("__t")).agg(count(lit(1)).as("__len"))
       .agg(max(col("__len"))).head()
@@ -870,16 +895,43 @@ object Dedup {
       s"prefix posting list of length $maxLen exceeds maxPosting=$maxPosting " +
         "(the within-token candidate join is quadratic in posting length; " +
         "raise the bound deliberately or pre-clean degenerate tokens)")
-    val a = pp.select(col(idCol).as("doc_a"), col("__n").as("__na"), col("__t"))
+    val a = pp.select(col(idCol).as("doc_a"), col("__n").as("__na"),
+      col("__i").as("__ia"), col("__t"))
     val b = pp.select(col(idCol).as("doc_b"), col("__n").as("__nb"),
-      col("__t").as("__t2"))
-    // shuffle_hash over the repeating posting keys, as in ngramJaccardPairs
+      col("__i").as("__ib"), col("__t").as("__t2"))
+    // J ≥ t ⇔ overlap ≥ t/(1+t)·(|a|+|b|); the required overlap in the
+    // form (1+t)·bound ≥ t·(na+nb), kept in exact small-integer double
+    // products with a 1e-9 slack so float rounding can only UNDER-prune
+    def passes(bound: Column): Column =
+      bound.cast("double") * (1.0 + threshold) >=
+        (col("__na") + col("__nb")).cast("double") * threshold - 1e-9
+    // PPJoin positional filter (Xiao et al., WWW'08), two exact stages:
+    // (1) per-match optimistic bound — even if EVERY earlier prefix slot
+    // matched, overlap ≤ min(i,j) + min(|a|−i, |b|−j); (2) first-match
+    // bound after the pair group — both docs sort by the same total
+    // order, so common tokens appear in the same relative order and the
+    // match minimizing i also minimizes j: it is the FIRST common token,
+    // nothing before it is shared, hence overlap ≤ 1 + min(|a|−i₁,
+    // |b|−j₁). Stage 1 dropping a pair's first match only happens when
+    // the pair is already provably below threshold (min(i,j) ≥ 1 makes
+    // stage 1 looser than stage 2 on that match), so the surviving-min
+    // positions never over-prune a true pair — exactness is preserved by
+    // the theorem and PROVEN by the naive all-pairs oracle staying
+    // hash-green. Measured on dedup_prefix_filter sf0.1 (ScratchProfile
+    // decomposition): verify-join input pairs cut 2.64× (272,109 →
+    // 103,077) at identical verified output (1,548 pairs).
     val cand = a.join(b.hint("shuffle_hash"),
         col("__t") === col("__t2") && col("doc_a") < col("doc_b") &&
           least(col("__na"), col("__nb")).cast("double") >=
-            greatest(col("__na"), col("__nb")) * threshold)
+            greatest(col("__na"), col("__nb")) * threshold &&
+          passes(least(col("__ia"), col("__ib")) +
+            least(col("__na") - col("__ia"), col("__nb") - col("__ib"))))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("__ia")).as("__i1"), min(col("__ib")).as("__j1"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+      .filter(passes(lit(1) +
+        least(col("__na") - col("__i1"), col("__nb") - col("__j1"))))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
     cand
       .join(ranked.select(col(idCol).as("doc_a"), col("__st").as("__ta")), "doc_a")
       .join(ranked.select(col(idCol).as("doc_b"), col("__st").as("__tb")), "doc_b")

@@ -239,40 +239,30 @@ object Similarity {
     cents
   }
 
-  /** The `lists` nearest centroid ids for one vector, as a scan-side
-    * projection over inlined centroid literals: score every centroid
-    * (round 9 dp), sort by (sim desc, cid asc) inside the row, slice.
-    * No join, no shuffle, no window — the cost at 100 TB is exactly one
-    * pass over the embedding column.
+  /** The `lists` nearest centroids for one vector by (sim DESC rounded
+    * to 9 dp, cid ASC), as a sorted array<struct<negsim, cid>> — the
+    * fused [[graft.functions.CentroidTopK]] kernel. No join, no shuffle,
+    * no window — the cost at 100 TB is exactly one pass over the
+    * embedding column. History of this hot path: the round-8 unrolled
+    * per-centroid expression fan-out blew janino's 64 KB method limit at
+    * the round-11 serving grid (~833 centroids) and fell back to
+    * interpreted projection SILENTLY (~2× every IVF serve); the interim
+    * transform-over-one-literal loop restored codegen but still
+    * allocated 833 structs and ran a full 833-element array_sort per
+    * probe row (the r11 verdict's measured serve regression). The kernel
+    * is one JIT'd loop + a bounded nprobe-sized insertion buffer, O(1)
+    * plan size at any centroid count, bit-identical ordering.
     */
-  private def scoredCentroids(vec: Column,
-      cents: Array[(Long, Seq[Double])]): Column = {
+  private def topCentroids(vec: Column, cents: Array[(Long, Seq[Double])],
+      k: Int): Column = {
     import org.apache.spark.sql.graft.PlanDf
-    // ONE array-of-structs literal + a runtime `transform` loop, not a
-    // per-centroid expression fan-out: unrolling a struct per centroid
-    // clones the (possibly computed — e.g. the int8 reconstruction)
-    // `vec` expression into every element, and at the round-11 serving
-    // grid (~833 centroids) the generated method crossed janino's 64 KB
-    // limit — Spark fell back to interpreted projection SILENTLY and
-    // every IVF serve ran ~2× slower. The loop form generates
-    // constant-size code for any centroid count and evaluates `vec`
-    // once per row.
-    val centLit = typedLit(cents.toSeq)
-    val scored = transform(centLit, c =>
-      struct(
-        (-round(PlanDf.column(graft.functions.CosineSimilarity(
-          PlanDf.expression(vec),
-          PlanDf.expression(c.getField("_2")))), 9)).as("negsim"),
-        c.getField("_1").as("cid")))
-    // array_sort's default lexicographic struct order = negsim asc (sim
-    // desc), then cid asc — the same (sim DESC, cid) rank the oracle uses.
-    array_sort(scored)
+    PlanDf.column(graft.functions.CentroidTopK(PlanDf.expression(vec),
+      cents.map(_._1), cents.map(_._2.toArray), k))
   }
 
   private def nearestCentroids(vec: Column, cents: Array[(Long, Seq[Double])],
       lists: Int): Column =
-    transform(slice(scoredCentroids(vec, cents), 1, lists),
-      s => s.getField("cid"))
+    transform(topCentroids(vec, cents, lists), s => s.getField("cid"))
 
   /** Boundary-gated multi-assignment (the SPANN-style replication rule):
     * the nearest list always; the i-th nearest (i ≤ lists) only when its
@@ -295,10 +285,10 @@ object Similarity {
     */
   private def boundaryCentroids(vec: Column, cents: Array[(Long, Seq[Double])],
       lists: Int, eps: Double): Column = {
-    val sorted = scoredCentroids(vec, cents)
+    val sorted = topCentroids(vec, cents, lists)
     val negBest = element_at(sorted, 1).getField("negsim")
     filter(
-      transform(slice(sorted, 1, lists), (s, i) =>
+      transform(sorted, (s, i) =>
         when(i === 0 || s.getField("negsim") <= negBest + eps,
           s.getField("cid"))),
       c => c.isNotNull)
@@ -987,21 +977,13 @@ object Similarity {
       idCol: String, vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
     VectorExpressions.register(spark)
     val cents = collectCentroids(centroids, centIdCol, centVecCol)
-    // array<struct<sim, negcid>> scored per row; array_max's lexicographic
-    // struct order gives (max sim, then max -cid = min cid) in one pass.
-    // Loop over ONE centroid literal rather than unrolling an expression
-    // per centroid — the unrolled form blows janino's 64 KB method limit
-    // past a few hundred centroids (see scoredCentroids).
-    import org.apache.spark.sql.graft.PlanDf
-    val scored = transform(typedLit(cents.toSeq), c =>
-      struct(
-        round(PlanDf.column(graft.functions.CosineSimilarity(
-          PlanDf.expression(col(vecCol)),
-          PlanDf.expression(c.getField("_2")))), 9).as("sim"),
-        (-c.getField("_1")).as("negcid")))
-    val best = array_max(scored)
+    // the (max sim, then min cid) argmax is exactly [[topCentroids]]'
+    // (negsim asc, cid asc) rank at k = 1 — one fused kernel pass per
+    // row instead of scoring an array of structs and array_max-ing it
+    val best = element_at(topCentroids(col(vecCol), cents, 1), 1)
     vectors.select(col(idCol), col(vecCol),
-        (-best.getField("negcid")).as("cluster"), best.getField("sim").as("sim"))
+        best.getField("cid").as("cluster"),
+        (-best.getField("negsim")).as("sim"))
   }
 
   /** Coarse assignment via broadcast join + order-independent argmax —

@@ -44,6 +44,7 @@ object BenchDetail {
       graft.queries.Extensions.ensureDedupIndex(spark, sfDir)
       graft.queries.Extensions.ensureDedupClusters(spark, sfDir)
       graft.queries.Breadth7.ensureTextIndex(spark, sfDir)
+      graft.queries.Breadth11.ensurePrefixRanked(spark, sfDir)
     } catch { case _: Throwable => () }
     // Calibration probe (VERDICT r11 item 4): a fixed synthetic set —
     // one scan-agg, one shuffle join, one window — timed AFTER warm-up

@@ -488,18 +488,30 @@ class Round11Spec extends SparkSpec {
     assert(even.forall(_._2 < 0.8), s"even labels are the null case: ${even.toSeq}")
   }
 
-  test("eval_er_quality query: suffix typos blind the suffix blocking (recall 0), prefix typos all link") {
+  test("eval_er_quality query: multi-pass blocking reaches recall 1.0 on EVERY typo class") {
+    // round 11 pinned the single suffix-pass blind spot (suffix typos at
+    // recall 0 AND precision 0); round 12's two-pass propose (VERDICT
+    // r11 item 1) must make every class fully recallable, while the eval
+    // still PRICES the corpus-forced costs: serial-ID neighbors within a
+    // decade genuinely sit at dist 1, so the last-char-blind second pass
+    // yields base_pair false positives and suffix-class precision 1/10
     val rows = graft.queries.Breadth11.evalErQuality.fn(spark, sf)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(rows.keySet === Set("deletion", "transposition", "suffix_typo"))
-    val (dt, dp, dh) = rows("deletion")
-    assert(dt === dp && dp === dh && dt > 0, s"deletion class must fully link: ${rows("deletion")}")
-    val (tt, tp, th) = rows("transposition")
-    assert(tt === tp && tp === th && tt > 0, s"transposition class must fully link: ${rows("transposition")}")
+    assert(rows.keySet ===
+      Set("deletion", "transposition", "suffix_typo", "base_pair"))
+    Seq("deletion", "transposition").foreach { cls =>
+      val (t, p, h) = rows(cls)
+      assert(t === p && p === h && t > 0, s"$cls class must fully link: ${rows(cls)}")
+    }
     val (st, sp, sh) = rows("suffix_typo")
-    assert(st > 0 && sh === 0L, s"suffix class is the designed blind spot: ${rows("suffix_typo")}")
-    assert(sp > 0L, "the bumped suffix must collide into false positives")
+    assert(st > 0 && sh === st,
+      s"suffix class must be fully recalled by the second pass: ${rows("suffix_typo")}")
+    assert(sp === 10 * st,
+      s"each typo pairs with its full decade (precision 0.1 priced): ${rows("suffix_typo")}")
+    val (bt, bp, bh) = rows("base_pair")
+    assert(bt === 0L && bh === 0L && bp > 0L,
+      s"base_pair row must price the forced neighbor links: ${rows("base_pair")}")
   }
 
   test("q64_ewma_decay: dyadic weights make the aggregate partition-invariant bit-for-bit") {

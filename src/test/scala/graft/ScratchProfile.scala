@@ -35,57 +35,57 @@ object ScratchProfile {
       try graft.etl.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
 
-    // current shape: decompose dedup_prefix_filter's chain at sf0.1
+    // current shape: quantify the PPJoin positional filter on
+    // dedup_prefix_filter's propose at sf0.1 — raw token-match volume,
+    // candidate pairs WITHOUT the positional stages (length filter +
+    // distinct, the r11 shape) vs WITH them (r12), and the verified
+    // output both must agree on (exactness witness)
     import org.apache.spark.sql.functions._
     import graft.ext.Dedup
-    val d0 = graft.etl.Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"))
-    val docs = d0.unionByName(
-        d0.withColumn("doc_id", col("doc_id") + 100000L)
-          .withColumn("text", concat(lit("xx "), col("text"))))
-      .filter(Dedup.hash32(col("doc_id").cast("string")) % 2 === 0)
-    val sh = Dedup.withShingles(docs, "text", k = 3)
-      .withColumn("__shingles", expr(
-        "transform(__shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
-    time("shingles count")(sh.count())
-    val toks = sh.select(col("doc_id"), array_distinct(col("__shingles")).as("__toks"))
-    val posting = toks.select(col("doc_id"), explode(col("__toks")).as("__t"))
-    time("posting count")(posting.count())
-    val dfreq = posting.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    val ranked = posting.join(dfreq, "__t")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__rt"))
-      .select(col("doc_id"),
-        expr("transform(__rt, x -> x.__t)").as("__st"),
-        size(col("__rt")).as("__n"))
-    val rankedC = time("ranked checkpoint")(ranked.localCheckpoint())
-    val prefixed = rankedC.withColumn("__p",
-      expr(s"slice(__st, 1, size(__st) - cast(ceil(0.5 * size(__st)) as int) + 1)"))
+    val ranked = time("ranked artifact (ingest)") {
+      spark.read.parquet(
+        graft.queries.Breadth11.ensurePrefixRanked(spark, sfDir))
+        .localCheckpoint()
+    }
+    val t = 0.5
+    val prefixed = ranked.withColumn("__p",
+      expr(s"slice(__st, 1, size(__st) - cast(ceil($t * size(__st)) as int) + 1)"))
     val pp = time("pp checkpoint")(prefixed
-      .select(col("doc_id"), col("__n"), explode(col("__p")).as("__t"))
+      .select(col("doc_id"), col("__n"),
+        posexplode(col("__p")).as(Seq("__i0", "__t")))
+      .select(col("doc_id"), col("__n"), (col("__i0") + 1).as("__i"), col("__t"))
       .localCheckpoint())
-    time("maxPosting probe")(
-      pp.groupBy(col("__t")).agg(count(lit(1)).as("__len"))
-        .agg(max(col("__len"))).head())
-    val a = pp.select(col("doc_id").as("doc_a"), col("__n").as("__na"), col("__t"))
+    val a = pp.select(col("doc_id").as("doc_a"), col("__n").as("__na"),
+      col("__i").as("__ia"), col("__t"))
     val b = pp.select(col("doc_id").as("doc_b"), col("__n").as("__nb"),
-      col("__t").as("__t2"))
-    val cand = a.join(b.hint("shuffle_hash"),
-        col("__t") === col("__t2") && col("doc_a") < col("doc_b") &&
-          least(col("__na"), col("__nb")).cast("double") >=
-            greatest(col("__na"), col("__nb")) * 0.5)
+      col("__i").as("__ib"), col("__t").as("__t2"))
+    def passes(bound: org.apache.spark.sql.Column) =
+      bound.cast("double") * (1.0 + t) >=
+        (col("__na") + col("__nb")).cast("double") * t - 1e-9
+    val lengthOk = col("__t") === col("__t2") && col("doc_a") < col("doc_b") &&
+      least(col("__na"), col("__nb")).cast("double") >=
+        greatest(col("__na"), col("__nb")) * t
+    println(s"raw length-filtered token matches: " +
+      time("matches (no positional)")(a.join(b.hint("shuffle_hash"), lengthOk).count()))
+    val candOld = a.join(b.hint("shuffle_hash"), lengthOk)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    println(s"candidates r11 (distinct, no positional): " +
+      time("candidates r11")(candOld.count()))
+    val candNew = a.join(b.hint("shuffle_hash"),
+        lengthOk && passes(least(col("__ia"), col("__ib")) +
+          least(col("__na") - col("__ia"), col("__nb") - col("__ib"))))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("__ia")).as("__i1"), min(col("__ib")).as("__j1"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+      .filter(passes(lit(1) +
+        least(col("__na") - col("__i1"), col("__nb") - col("__j1"))))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    val candC = time("candidate join+distinct")(cand.localCheckpoint())
-    println(s"candidates: ${candC.count()}")
-    val out = candC
-      .join(rankedC.select(col("doc_id").as("doc_a"), col("__st").as("__ta")), "doc_a")
-      .join(rankedC.select(col("doc_id").as("doc_b"), col("__st").as("__tb")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("__ta")) + size(col("__tb")) - col("inter")))
-      .filter(col("jaccard") >= 0.5)
-    time("verify")(out.count())
+    println(s"candidates r12 (positional, first-match bound): " +
+      time("candidates r12")(candNew.count()))
+    val full = time("full query (served)") {
+      Dedup.prefixFilterPairsRanked(ranked, "doc_id", threshold = t).count()
+    }
+    println(s"verified output pairs: $full")
     spark.stop()
   }
 }
