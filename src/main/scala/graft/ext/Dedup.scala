@@ -158,6 +158,48 @@ object Dedup {
       .select(col(idCol), col("dup_of"), col("jaccard"))
   }
 
+  /** Incremental near-dup candidate march — the MinHash analog of the
+    * exact-dedup keep-state ([[MixOps]]): the standing state is the
+    * per-doc fingerprint frame ([[buildBandIndex]] rows — band keys +
+    * hash set, the SAME artifact the probe/verify tier persists at
+    * ingest), merged across batches by plain union (doc-keyed rows from
+    * disjoint batches — trivially associative/commutative), and each
+    * arriving delta emits exactly the pairs its docs complete:
+    * delta×state via one band join against the standing fingerprints
+    * plus delta×delta via the batch-local self-join. Only the DELTA is
+    * ever shingled; the state carries no text. The union of per-batch
+    * emissions over any batch partition equals the one-shot
+    * [[minhashCandidatePairs]] over the full corpus, pair for pair: a
+    * pair whose docs land in batches i ≤ j shares its band keys
+    * regardless of arrival (signatures are per-doc deterministic), so
+    * it is emitted at batch j — cross if i < j (batch i is already in
+    * the state), within if i = j — and at no other batch. Pinned
+    * bit-equal in Round12Spec for both merge orders; the
+    * `dedup_incremental_pairs` oracle replays the ONE-SHOT SQL against
+    * the Spark-side march, so the driver gate re-proves the equality
+    * every round.
+    */
+  def minhashPairsOfBatch(state: DataFrame, deltaState: DataFrame,
+      idCol: String): DataFrame = {
+    val oldB = state.select(col(idCol).as("__dx"), explode(col("bands")).as("band"))
+    // the delta's banded rows feed both the cross join and the
+    // batch-local self-join — materialize once (tiny: no text)
+    val newB = deltaState
+      .select(col(idCol).as("__dy"), explode(col("bands")).as("band"))
+      .localCheckpoint()
+    // same-key runs are the LSH point — SHJ over SMJ as in
+    // minhashCandidatePairs
+    val cross = oldB.join(newB.hint("shuffle_hash"), "band")
+      .select(least(col("__dx"), col("__dy")).as("doc_a"),
+        greatest(col("__dx"), col("__dy")).as("doc_b"))
+    val within = newB.select(col("__dy").as("doc_a"), col("band"))
+      .join(newB.select(col("__dy").as("doc_b"), col("band").as("band_b"))
+          .hint("shuffle_hash"),
+        col("band") === col("band_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    cross.unionByName(within).distinct()
+  }
+
   /** LSH candidate pairs: self-join on the band key, ordered ids,
     * distinct. The join key is the band, so the shuffle is on bucket
     * membership — never the full cross product.

@@ -274,13 +274,17 @@ object Similarity {
     * twin's `sim >= s1 - eps` filter selects identical rows.
     *
     * Measured on the graded corpus (SpillTune sweep, trained serving
-    * centroids, nprobe=5): at sf0.01 eps=0.10 keeps the FULL spill-2
-    * recall (0.76) at 1.32× stored rows vs 2×; at sf0.1 the recall/size
-    * curve is nearly linear (0.43 @1.17× → 0.53 @1.82× → 0.58 @2×) —
-    * the isotropic fixture has no sharp cell boundaries, so the spill
-    * benefit is NOT concentrated near them and unconditional spill-2
-    * stays the serving-tier default. On a real clustered corpus the
-    * boundary fraction is what this knob exists to exploit; re-run the
+    * centroids). Old 278-cell grid, nprobe=5: at sf0.01 eps=0.10 kept
+    * the full spill-2 recall (0.76) at 1.32× stored rows; at sf0.1 the
+    * curve was nearly linear (0.43 @1.17× → 0.53 @1.82× → 0.58 @2×).
+    * RE-SWEPT round 12 on the current 833-cell grid at nprobe=15
+    * (sf0.1): recall 0.65 @1.04× → 0.66 @1.12× → 0.69 @1.28× →
+    * 0.70 @1.46×, vs 0.75 @2.00× ungated — finer cells put MORE of the
+    * corpus near a boundary, so eps-gating gives up recall the serving
+    * floor (0.75) cannot spare, and unconditional spill-2 stays the
+    * serving-tier default with a measured reason. The isotropic fixture
+    * has no sharp cell boundaries; on a real clustered corpus the
+    * boundary fraction is what this knob exists to exploit — re-run the
     * sweep per corpus before choosing.
     */
   private def boundaryCentroids(vec: Column, cents: Array[(Long, Seq[Double])],

@@ -42,5 +42,38 @@ object Breadth20 {
       ORDER BY id_a, id_b
     """.trim))
 
-  val all: Seq[Q] = Seq(erMultipassPairs)
+  /** Incremental near-dup twin — the MinHash family joins the
+    * exact-dedup keep-state recipe ([[graft.ext.Dedup.minhashPairsOfBatch]]):
+    * the corpus arrives as two deterministic batches (md5-hash split),
+    * each batch is fingerprinted ONCE into the standing band-index
+    * state, and each landing emits exactly the candidate pairs it
+    * completes (delta×state + delta×delta). The ORACLE replays the
+    * ONE-SHOT batch LSH pipeline over the full corpus — so the driver's
+    * hash gate re-proves march == one-shot (the mergeable-state
+    * theorem) on every round, the same contract `u2_merge_upsert` and
+    * the CMS/k-means merges pin. The delta batch never re-shingles old
+    * docs: batch 2's text is the only text read at step 2; batch 1
+    * contributes band keys from its state rows alone.
+    */
+  val dedupIncrementalPairs = Q(
+    "dedup_incremental_pairs",
+    (s, dir) => {
+      import graft.ext.Dedup
+      val docs = Extensions.augmentedDocs(s, dir, perturb = true)
+      val split = Dedup.hash32(col("doc_id").cast("string")) % 2
+      val s1 = Dedup.buildBandIndex(docs.filter(split === 0), "doc_id", "text")
+        .localCheckpoint()
+      val s2 = Dedup.buildBandIndex(docs.filter(split =!= 0), "doc_id", "text")
+        .localCheckpoint()
+      val batch1 = Dedup.minhashPairsOfBatch(s1.limit(0), s1, "doc_id")
+      val batch2 = Dedup.minhashPairsOfBatch(s1, s2, "doc_id")
+      batch1.unionByName(batch2).distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH ${Extensions.minhashPairsCtes}
+      SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+    """.trim))
+
+  val all: Seq[Q] = Seq(erMultipassPairs, dedupIncrementalPairs)
 }

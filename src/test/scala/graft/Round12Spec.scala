@@ -54,4 +54,36 @@ class Round12Spec extends SparkSpec {
       s"prefix pass must recover the pair the oversized suffix block dropped: $pairs")
     assert(pairs.size === 29, s"expected 28 zz-block pairs + 1 yy pair, got ${pairs.size}")
   }
+
+  test("minhash incremental march == one-shot candidate pairs, both batch orders, delta-only shingling") {
+    import graft.ext.Dedup
+    // same shape as the query fixture (originals + perturbed copies so
+    // near-dup candidates exist), built inline — augmentedDocs is
+    // package-private to the query layer
+    val d0 = graft.etl.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val docs = d0.unionByName(
+      d0.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("xx "), col("text")).as("text")))
+    val split = graft.ext.Dedup.hash32(col("doc_id").cast("string")) % 2
+    val b1 = docs.filter(split === 0)
+    val b2 = docs.filter(split =!= 0)
+    // the state of a batch is built from THAT batch's frame alone —
+    // structurally, the delta march can never re-shingle old docs
+    val s1 = Dedup.buildBandIndex(b1, "doc_id", "text").localCheckpoint()
+    val s2 = Dedup.buildBandIndex(b2, "doc_id", "text").localCheckpoint()
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      import spark.implicits._
+      df.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    }
+    val oneShot = pairsOf(Dedup.minhashCandidatePairs(docs, "doc_id", "text"))
+    val march12 = pairsOf(Dedup.minhashPairsOfBatch(s1.limit(0), s1, "doc_id")) ++
+      pairsOf(Dedup.minhashPairsOfBatch(s1, s2, "doc_id"))
+    val march21 = pairsOf(Dedup.minhashPairsOfBatch(s2.limit(0), s2, "doc_id")) ++
+      pairsOf(Dedup.minhashPairsOfBatch(s2, s1, "doc_id"))
+    assert(oneShot.nonEmpty, "fixture must produce near-dup candidates")
+    assert(march12 === oneShot, "batch-1-then-2 march must equal the one-shot pairs")
+    assert(march21 === oneShot, "merge order must not matter (mergeable state)")
+  }
 }

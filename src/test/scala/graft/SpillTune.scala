@@ -24,9 +24,13 @@ object SpillTune {
     val exact = graft.ext.Similarity
       .bruteForceTopK(spark, emb, queries, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    // nprobe rides the serving constant: the sweep must measure the eps
+    // knee at the CURRENT grid/probe point (the r11 sweep ran the old
+    // 278-cell/nprobe-5 tier and went stale when the grid tripled)
     for (eps <- Seq(-1.0, 0.05, 0.1, 0.15, 0.2)) {
       val approx = graft.ext.Similarity.ivfTopK(spark, emb, queries, cents,
-          "vec_id", "embedding", "cid", "cv", k = 5, nprobe = 5,
+          "vec_id", "embedding", "cid", "cv", k = 5,
+          nprobe = graft.queries.Extensions.ServingNprobe,
           spill = graft.queries.Extensions.ServingSpill, spillEps = eps)
         .select(col("query_id"), col("neighbor_id"))
       val hit = exact.join(approx, Seq("query_id", "neighbor_id")).count()
