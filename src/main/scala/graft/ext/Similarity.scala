@@ -514,6 +514,69 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Two-level routed IVF serve — the coarse-quantizer layout a
+    * billion-vector store runs: the trained centroid grid is itself
+    * indexed by a ~√c SUPER grid (a deterministic systematic slice of
+    * the centroid table, `cid % superMod = superResidue` — engine-
+    * portable, no second training job), each centroid routes ONCE per
+    * corpus to its nearest super, and a query scores only the supers
+    * (≈√c cosines) plus the children of its `nsuper` nearest supers
+    * (≈nsuper·√c) before probing the stored lists — ~10× fewer scored
+    * cells per probe here (29 supers + ~58 children vs 833 flat), and
+    * the gap GROWS with the grid (√c vs c) — the routing economics that
+    * keep serve latency flat as a 100 TB corpus pushes the cell count
+    * into the tens of thousands. The price is routing approximation: a
+    * true nearest child under a non-probed super is invisible (the
+    * standard hierarchical trade; `nsuper` > 1 softens exactly the
+    * boundary cases). Everything downstream of routing — probe join
+    * against the int8 index, spill dedup, rounded-cosine rank — is the
+    * [[serveQuantizedIvf]] shape and tie rules, so the DuckDB twin
+    * replays the whole chain row-for-row.
+    */
+  def serveQuantizedIvfTwoLevel(spark: SparkSession, index: DataFrame,
+      queries: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String, k: Int, superMod: Int,
+      superResidue: Int, nsuper: Int, nprobe: Int): DataFrame = {
+    VectorExpressions.register(spark)
+    val supers = collectCentroids(
+      centroids.filter(col(centIdCol) % superMod === superResidue),
+      centIdCol, centVecCol)
+    // per-corpus, k-row work: every centroid's home super (top-1 by the
+    // same rounded-cosine/min-cid rule as every coarse assignment)
+    val cent2super = centroids
+      .select(col(centIdCol).cast("long").as("__cid"), col(centVecCol).as("__cv"))
+      .withColumn("__super",
+        element_at(topCentroids(col("__cv"), supers, 1), 1).getField("cid"))
+    // query → nsuper nearest supers → those supers' children, scored;
+    // children partition across supers (top-1 home), so no dedup is
+    // needed before the per-query rank
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__super", explode(
+        transform(topCentroids(col("__qv"), supers, nsuper),
+          s => s.getField("cid"))))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__negsim"), col("__cid"))
+    val probes = q.join(broadcast(cent2super), "__super")
+      .withColumn("__negsim", -round(expr("graft_cosine(__qv, __cv)"), 9))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__cid").as("query_list"))
+    val c = index.select(col(idCol).as("neighbor_id"), col("list").as("neighbor_list"),
+      transform(col("codes"), x => x.cast("double") * col("scale")).as("__cv2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    // spill-2 stores a vector in 2 lists, so the same neighbor can match
+    // a query through both — dedup before ranking, as in serveQuantizedIvf
+    c.join(broadcast(probes),
+        col("query_list") === col("neighbor_list") &&
+          col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("__qv")).as("__qv"), first(col("__cv2")).as("__cv2"))
+      .withColumn("sim", round(expr("graft_cosine(__qv, __cv2)"), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   /** Two-stage retrieval's second stage: an approximate shortlist (any
     * `(query_id, neighbor_id)` frame from a compressed tier) re-ranked
     * by EXACT cosine over the ORIGINAL vectors. This is the standard

@@ -1174,4 +1174,47 @@ object TextOps {
           (col("n_tri").cast("double") * col("n_tri").cast("double")), 9))
       .drop("__top", "__s2")
   }
+
+  /** Winnowing fingerprints (the MOSS local-fingerprinting scheme,
+    * Schleimer et al., SIGMOD'03): per doc, k-word-gram rolling hashes,
+    * a sliding window of `w` consecutive gram hashes, the MINIMUM hash
+    * per window kept as a fingerprint, distinct per doc — then the
+    * shared-fingerprint mass per doc against the corpus. The two
+    * winnowing guarantees are what make this THE partial-overlap
+    * detector at scale: (1) density — expected fingerprints per doc are
+    * ~2/(w+1) of its grams, so the index is a small fixed fraction of
+    * the corpus regardless of doc length; (2) coverage — any shared
+    * run of at least w+k−1 words shares at least one fingerprint, so
+    * sufficiently long plagiarized/boilerplate spans are NEVER missed
+    * (unlike sampled shingles). Complements [[withFingerprint]] (one
+    * global rolling hash per doc: exact-dup keying) and the dup-spans
+    * counter (every span counted, no density bound). One explode +
+    * hash aggregate + join-back — the dup-spans dataflow, pair-free.
+    * Hashes are the md5-60-bit family shared verbatim with the oracle.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    val grams = (0 until k).map(j => s"__w[i+$j]").mkString(", ")
+    val fps = df
+      .select(col(idCol), words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= k + w - 1)
+      .select(col(idCol), expr(
+        s"""transform(sequence(0, size(__w) - $k),
+            i -> cast(conv(substring(md5(concat_ws(' ', $grams)), 1, 15), 16, 10) AS BIGINT))""")
+        .as("__h"))
+      .select(col(idCol), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(__h) - $w),
+            i -> array_min(slice(__h, i + 1, $w))))""")).as("__fp"))
+      // consumed twice (doc-frequency aggregate + join-back) — the
+      // dup-spans/groupedCdf checkpoint lesson
+      .localCheckpoint()
+    val dfreq = fps.groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    fps.join(dfreq, Seq("__fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fps"),
+        sum((col("__nd") >= 2).cast("long")).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast("double") / col("n_fps").cast("double"), 9))
+  }
 }

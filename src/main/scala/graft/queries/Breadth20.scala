@@ -75,5 +75,113 @@ object Breadth20 {
       SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
     """.trim))
 
-  val all: Seq[Q] = Seq(erMultipassPairs, dedupIncrementalPairs)
+  /** Two-level routed IVF serve over the persisted int8 index —
+    * [[graft.ext.Similarity.serveQuantizedIvfTwoLevel]]: queries route
+    * through a ~29-super systematic slice of the trained 833-cell grid
+    * (score √c supers, then only the 2 nearest supers' children) before
+    * probing stored lists — ~87 routing cosines per query vs 833 flat,
+    * and the gap grows as √c vs c with corpus scale. This is the
+    * serving layout that keeps probe cost flat when a 100 TB corpus
+    * pushes the cell count into the tens of thousands; the flat-routed
+    * `ann_index_serve` stays the exact-routing baseline it trades
+    * against. The oracle replays the whole chain — trained centroids,
+    * super slice, per-centroid home super, 2-super query routing,
+    * nprobe child selection, int8 reconstruction, spill-2 probe,
+    * rounded-cosine rank — row-for-row.
+    */
+  val annTwoLevelServe = Q(
+    "ann_two_level_serve",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val idxDir = Extensions.ensureIvfInt8Index(s, dir)
+      graft.ext.Similarity.serveQuantizedIvfTwoLevel(s, s.read.parquet(idxDir),
+          emb.filter(col("vec_id") % 100 === 0),
+          Extensions.servingCentroids(s, dir),
+          "vec_id", "embedding", "cid", "cv", k = 5,
+          superMod = 29, superResidue = 7, nsuper = 2,
+          nprobe = Extensions.ServingNprobe)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH qn AS (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+                  FROM embeddings),
+      cq AS (SELECT vec_id, round(amax / 127.0, 9) AS s,
+               CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                           x -> CAST(floor(x::DOUBLE / (amax / 127.0) + 0.5) AS INT))
+               END AS codes
+             FROM qn),
+      rec AS (SELECT vec_id, list_transform(range(len(codes)), i -> codes[i+1] * s) AS embedding
+              FROM cq),
+      ${Extensions.sqlTrainedCentCtes},
+      sup AS (SELECT cid, cv FROM cent WHERE cid % 29 = 7),
+      c2s AS (SELECT cid, cv, super FROM (
+          SELECT c.cid, c.cv, s.cid AS super,
+                 row_number() OVER (PARTITION BY c.cid
+                   ORDER BY ${Extensions.sqlCos("c.cv", "s.cv")} DESC, s.cid) AS rn
+          FROM cent c, sup s) WHERE rn = 1),
+      q2s AS (SELECT vec_id, embedding, super FROM (
+          SELECT e.vec_id, e.embedding, s.cid AS super,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "s.cv")} DESC, s.cid) AS rn
+          FROM embeddings e, sup s WHERE e.vec_id % 100 = 0) WHERE rn <= 2),
+      q_a AS (SELECT vec_id, embedding, cid FROM (
+          SELECT q.vec_id, q.embedding, c.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${Extensions.sqlCos("q.embedding", "c.cv")} DESC, c.cid) AS rn
+          FROM q2s q JOIN c2s c ON q.super = c.super)
+        WHERE rn <= ${Extensions.ServingNprobe}),
+      corp_a AS (SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM rec e, cent t) WHERE rn <= ${Extensions.ServingSpill}),
+      p AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${Extensions.sqlCos("q.embedding", "c.embedding")} AS sim
+            FROM q_a q JOIN corp_a c ON q.cid = c.cid AND q.vec_id <> c.vec_id)
+      SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM p) WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim))
+
+  /** Winnowing fingerprints per document —
+    * [[graft.ext.TextOps.winnowFingerprints]] (k=4-word grams, window
+    * w=4): the density-bounded (~2/(w+1) of grams) local fingerprints
+    * whose coverage guarantee (any shared run ≥ w+k−1 words shares a
+    * fingerprint) makes long boilerplate/plagiarized spans impossible
+    * to miss, with the per-doc shared-fingerprint mass as the overlap
+    * signal. The corpus here carries `xx `-prepended near-copies, so
+    * every original/copy pair shares nearly all fingerprints — the
+    * translation-robustness that distinguishes winnowing from the
+    * global rolling hash (`text_fingerprint`, which any prepend
+    * breaks).
+    */
+  val textWinnowFingerprint = Q(
+    "text_winnow_fingerprint",
+    (s, dir) =>
+      graft.ext.TextOps.winnowFingerprints(
+          Extensions.augmentedDocs(s, dir, perturb = true), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH ${Extensions.augCte(perturb = true)},
+      n AS (SELECT doc_id, ${Extensions.NormW} AS w FROM aug),
+      g AS (SELECT doc_id, list_transform(range(len(w) - 3),
+              i -> ('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT) AS hs
+            FROM n WHERE len(w) >= 7),
+      f AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(hs) - 3),
+              i -> list_min(hs[i+1:i+4])))) AS fp
+            FROM g),
+      d AS (SELECT fp, count(DISTINCT doc_id)::BIGINT AS nd FROM f GROUP BY fp)
+      SELECT doc_id, count(*)::BIGINT AS n_fps,
+             sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+             round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 9)
+               AS shared_ratio
+      FROM f JOIN d USING (fp) GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
+  val all: Seq[Q] = Seq(erMultipassPairs, dedupIncrementalPairs,
+    annTwoLevelServe, textWinnowFingerprint)
 }
