@@ -577,6 +577,65 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Probe-economics curve: recall@k of the stored-index serve at each
+    * nprobe tier, from ONE scored candidate frame — the readout a
+    * serving owner tunes nprobe against (every probe tier costs a
+    * proportional slice of the corpus scan; this query prices what each
+    * slice buys). Queries rank the full centroid grid once (the fused
+    * top-k kernel at the LARGEST tier); each candidate pair keeps the
+    * MINIMUM probe rank that reaches it through either of the
+    * neighbor's spill lists; tier t's result set is then exactly the
+    * serve at nprobe = t (filter minrank ≤ t, re-rank, top-k) without
+    * re-probing — the tiers share every cosine. Truth is the exact
+    * full-precision top-k. All ranks ride rounded-cosine/min-id tie
+    * rules, so the DuckDB twin replays the curve row-for-row.
+    */
+  def probeRecallCurve(spark: SparkSession, index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String, k: Int,
+      tiers: Seq[Int]): DataFrame = {
+    require(tiers.nonEmpty && tiers.forall(_ >= 1), s"bad tiers: $tiers")
+    VectorExpressions.register(spark)
+    val cents = collectCentroids(centroids, centIdCol, centVecCol)
+    val truth = bruteForceTopK(spark, corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__t"))
+      .localCheckpoint()
+    val qp = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        posexplode(transform(topCentroids(col("__qv"), cents, tiers.max),
+          s => s.getField("cid"))).as(Seq("__r0", "query_list")))
+      .select(col("query_id"), col("__qv"),
+        (col("__r0") + 1).as("__prank"), col("query_list"))
+    val c = index.select(col(idCol).as("neighbor_id"),
+      col("list").as("neighbor_list"),
+      transform(col("codes"), x => x.cast("double") * col("scale")).as("__cv2"))
+    // one shared candidate frame: min probe rank per pair, scored once
+    val cand = c.join(broadcast(qp),
+        col("query_list") === col("neighbor_list") &&
+          col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("__prank")).as("__minrank"),
+        first(col("__qv")).as("__qv"), first(col("__cv2")).as("__cv2"))
+      .withColumn("sim", round(expr("graft_cosine(__qv, __cv2)"), 9))
+      .select(col("query_id"), col("neighbor_id"), col("__minrank"), col("sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val top = cand
+      .withColumn("nprobe", explode(array(tiers.map(t => lit(t)): _*)))
+      .filter(col("__minrank") <= col("nprobe"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+    val tTot = truth.agg(count(lit(1)).as("n_truth"))
+    top.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe").cast("long").as("nprobe"))
+      .agg(sum(coalesce(col("__t"), lit(0L))).as("n_hit"))
+      .crossJoin(broadcast(tTot))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 9))
+      .select(col("nprobe"), col("n_truth"), col("n_hit"), col("recall"))
+  }
+
   /** Two-stage retrieval's second stage: an approximate shortlist (any
     * `(query_id, neighbor_id)` frame from a compressed tier) re-ranked
     * by EXACT cosine over the ORIGINAL vectors. This is the standard

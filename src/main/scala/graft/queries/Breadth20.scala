@@ -182,6 +182,79 @@ object Breadth20 {
       FROM f JOIN d USING (fp) GROUP BY doc_id ORDER BY doc_id
     """.trim))
 
+  private val ProbeTiers = Seq(1, 3, 5, 9, 15)
+
+  /** Recall@5-per-nprobe curve over the persisted int8 index —
+    * [[graft.ext.Similarity.probeRecallCurve]]: the probe-economics
+    * readout behind every nprobe constant in the serving tier (each
+    * probe tier scans a proportional corpus slice; this prices what
+    * each slice buys). One scored candidate frame serves every tier:
+    * pairs carry the MINIMUM probe rank that reaches them, so tier t
+    * is a filter + re-rank, never a re-probe. Truth is the exact
+    * full-precision top-5.
+    */
+  val evalProbeCurve = Q(
+    "eval_probe_curve",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val idxDir = Extensions.ensureIvfInt8Index(s, dir)
+      graft.ext.Similarity.probeRecallCurve(s, s.read.parquet(idxDir), emb,
+          emb.filter(col("vec_id") % 100 === 0),
+          Extensions.servingCentroids(s, dir),
+          "vec_id", "embedding", "cid", "cv", k = 5, tiers = ProbeTiers)
+        .orderBy(col("nprobe"))
+    },
+    Some(s"""
+      WITH qn AS (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+                  FROM embeddings),
+      cq AS (SELECT vec_id, round(amax / 127.0, 9) AS s,
+               CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                           x -> CAST(floor(x::DOUBLE / (amax / 127.0) + 0.5) AS INT))
+               END AS codes
+             FROM qn),
+      rec AS (SELECT vec_id, list_transform(range(len(codes)), i -> codes[i+1] * s) AS embedding
+              FROM cq),
+      ${Extensions.sqlTrainedCentCtes},
+      corp_a AS (SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM rec e, cent t) WHERE rn <= ${Extensions.ServingSpill}),
+      qp AS (SELECT vec_id, embedding, cid, rn AS prank FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
+        WHERE rn <= ${ProbeTiers.max}),
+      cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      min(q.prank)::BIGINT AS minrank,
+                      min(${Extensions.sqlCos("q.embedding", "c.embedding")}) AS sim
+               FROM qp q JOIN corp_a c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+               GROUP BY q.vec_id, c.vec_id),
+      tq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+      tc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      truth AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${Extensions.sqlCos("qv", "cv")} DESC, neighbor_id) AS rank
+          FROM tq, tc WHERE query_id <> neighbor_id) WHERE rank <= 5),
+      tiers AS (SELECT unnest([${ProbeTiers.mkString(", ")}])::BIGINT AS nprobe),
+      top AS (SELECT nprobe, query_id, neighbor_id FROM (
+          SELECT t.nprobe, query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY t.nprobe, query_id
+                   ORDER BY sim DESC, neighbor_id) AS rk
+          FROM cand, tiers t WHERE minrank <= t.nprobe) WHERE rk <= 5)
+      SELECT nprobe,
+             (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+             sum(CASE WHEN truth.query_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+             round(sum(CASE WHEN truth.query_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                   / (SELECT count(*) FROM truth)::DOUBLE, 9) AS recall
+      FROM top LEFT JOIN truth USING (query_id, neighbor_id)
+      GROUP BY nprobe ORDER BY nprobe
+    """.trim))
+
   val all: Seq[Q] = Seq(erMultipassPairs, dedupIncrementalPairs,
-    annTwoLevelServe, textWinnowFingerprint)
+    annTwoLevelServe, textWinnowFingerprint, evalProbeCurve)
 }
