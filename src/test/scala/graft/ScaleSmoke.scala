@@ -282,6 +282,17 @@ import org.apache.spark.sql.functions._
   * with lineitems keeps density — and so pair volume per supplier —
   * constant.
   *
+  * Round-12 wave at replicas=10: text_winnow_fingerprint 11.9s /
+  * 100,000 rows (×10.0 exactly — hash-keyed span counting with the
+  * winnowing density bound, no pair listing); er_multipass_pairs 7.1s
+  * (runtime row; customers are an unreplicated dim here — the VOLUME
+  * reading is the 100× pair-tier measurement below). At replicas=100
+  * (pair tier): er multipass pairs 68,991 → 7,549,991 over 1.65M recs
+  * — ×109.4, near-linear (the all-but-last-char pass's decade blocks
+  * grow mildly with the dirty-record classes), under the summed
+  * 2·n·(cap−1)/2 = 104.0M bound with 0 dropped blocks, asserted in
+  * the run.
+  *
   * Round-10 wave at replicas=20 (2M docs): epoch materialize 3.7s for
   * 2× the rows — FLAT (scan-side explode parallelizes); training_mix
   * 8.3s, source_cap 15.1s, ccnet 4.7s, snapshot_diff 2.1s (all flat
@@ -537,7 +548,11 @@ object ScaleSmoke {
       // frames; reversed-frame nearest join (user-keyed, 10x users);
       // j8's reversed-frame rewrite rides the same shape
       "dq12_ks_drift", "q67_resample_interp", "j15_nearest_event",
-      "j8_asof_next_after") ++
+      "j8_asof_next_after",
+      // round-12 wave: winnowed-fingerprint span counting (hash-keyed,
+      // density-bounded ~2/(w+1), no pair listing); the two-pass
+      // capped ER propose (summed per-pass n·(cap−1)/2 bound)
+      "text_winnow_fingerprint", "er_multipass_pairs") ++
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
@@ -559,7 +574,11 @@ object ScaleSmoke {
       // join is budget-sliced (both sequential, survivors checkpointed
       // per pass), which removed the r10 single-box scratch-disk gate
       // at 100× — measured ×100.0 rows at blockmgr ≤ 9 GB
-      "dedup_containment")
+      "dedup_containment",
+      // round 12: the incremental band march — same banded propose
+      // economics as minhash_pairs, plus the cross join against the
+      // standing fingerprint state
+      "dedup_incremental_pairs")
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
     val tier = if (pairTier) pairFamily else heavy
