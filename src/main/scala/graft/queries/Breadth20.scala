@@ -84,7 +84,13 @@ object Breadth20 {
     * serving layout that keeps probe cost flat when a 100 TB corpus
     * pushes the cell count into the tens of thousands; the flat-routed
     * `ann_index_serve` stays the exact-routing baseline it trades
-    * against. The oracle replays the whole chain — trained centroids,
+    * against — measured at sf0.1: recall@5 0.50 here vs 0.60 for the
+    * flat-routed nprobe-9 serve, the ~10-point routing-approximation
+    * price of ~10× fewer routing cosines (worth paying only once the
+    * cell count makes flat scoring the serve bottleneck; at 833 cells
+    * the fused kernel keeps flat routing cheap, which is why the
+    * DEFAULT tier stays flat). The oracle replays the whole chain —
+    * trained centroids,
     * super slice, per-centroid home super, 2-super query routing,
     * nprobe child selection, int8 reconstruction, spill-2 probe,
     * rounded-cosine rank — row-for-row.

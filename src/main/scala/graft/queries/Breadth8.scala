@@ -180,7 +180,8 @@ object Breadth8 {
       WITH ${Extensions.augCte(perturb = true)},
       norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM aug
                WHERE len(${Extensions.NormW}) >= 3),
-      t AS (SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS term
+      t AS (SELECT doc_id,
+              ('0x' || substr(md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]), 1, 8))::BIGINT AS term
             FROM norm, unnest(range(1, len(w) - 1)) AS u(i)),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
       dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
