@@ -256,6 +256,68 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank (the topic-sensitive variant, Haveliwala
+    * 2002): identical power iteration to [[pageRank]] except the
+    * teleport mass lands ONLY on the seed set — rank_i(v) =
+    * (1−d)·1[v∈S]/|S| + d·Σ_{u→v} rank_{i−1}(u)/outdeg(u), seeded at
+    * 1[v∈S]/|S|. The result ranks nodes by proximity to the seeds —
+    * the "expand from these known-good sources" primitive behind
+    * seed-based corpus curation (rank crawl hosts near trusted
+    * domains) and related-entity retrieval. Same engine-exactness
+    * contract as [[pageRank]]: contributions rounded to 12 dp, summed
+    * in DECIMAL(38,12) (order-independent), rank frames broadcast
+    * under `broadcastBudgetRows` and shuffle-joined past it,
+    * checkpoint per round so the lineage stays one-round deep. Seeds
+    * outside the graph are dropped (the teleport mass must be
+    * well-defined over reachable nodes); an empty effective seed set
+    * is a loud error, never a silent uniform fallback.
+    */
+  def personalizedPageRank(edgesRaw: DataFrame, seedsRaw: DataFrame,
+      iters: Int, damping: Double = 0.85,
+      broadcastBudgetRows: Long = 4000000L): DataFrame = {
+    require(iters >= 0)
+    val edges = edgesRaw.select(col("src"), col("dst")).distinct()
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val seeds = seedsRaw.select(col("node")).distinct()
+      .join(nodes, "node").localCheckpoint()
+    val nSeeds = seeds.count()
+    require(nSeeds > 0,
+      "personalized PageRank needs at least one seed present in the graph")
+    val n = nodes.count()
+    val base = (1.0 - damping) / nSeeds
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val flagged = nodes
+      .join(seeds.withColumn("__s", lit(1)), Seq("node"), "left")
+      .localCheckpoint()
+    var ranks = flagged
+      .withColumn("rank", when(col("__s").isNotNull,
+        round(lit(1.0 / nSeeds), 12)).otherwise(lit(0.0)))
+      .select(col("node"), col("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val r = if (n <= broadcastBudgetRows) broadcast(ranks) else ranks
+      val od = if (n <= broadcastBudgetRows) broadcast(outdeg) else outdeg
+      val contribs = edges
+        .join(r, col("src") === col("node"))
+        .join(od, "src")
+        .withColumn("__c", round(col("rank") / col("outdeg"), 12))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c").cast(dec)).cast("double").as("__in"))
+      ranks = flagged
+        .join(contribs, col("node") === col("dst"), "left")
+        .withColumn("rank", round(
+          when(col("__s").isNotNull, lit(base)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("__in"), lit(0.0)), 12))
+        .select(col("node"), col("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
     * list — the asymmetric complement of PageRank: a node is a good
     * HUB when it points at good authorities and a good AUTHORITY when

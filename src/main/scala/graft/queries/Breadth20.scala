@@ -261,6 +261,72 @@ object Breadth20 {
       GROUP BY nprobe ORDER BY nprobe
     """.trim))
 
+  /** Unrolled DuckDB twin of the seeded power iteration — the
+    * [[Breadth7]] pageRankSql shape with the teleport mass confined to
+    * the ASIA seed nations.
+    */
+  private def pprSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT dst, CAST(sum(CAST(round(rank / outdeg, 12) AS DECIMAL(38,12))) AS DOUBLE) AS inr
+             FROM edges JOIN r${i - 1} ON src = node JOIN outdeg USING (src) GROUP BY dst),
+      r$i AS (SELECT node, round(CASE WHEN s IS NOT NULL
+                     THEN (1.0::DOUBLE - 0.85::DOUBLE) / ns ELSE 0.0::DOUBLE END
+                   + 0.85::DOUBLE * coalesce(inr, 0.0::DOUBLE), 12) AS rank
+             FROM flagged CROSS JOIN sn LEFT JOIN c$i ON node = dst)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH edges AS (SELECT DISTINCT c_nationkey::BIGINT AS src, s_nationkey::BIGINT AS dst
+                     FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+                     JOIN supplier ON l_suppkey = s_suppkey),
+      nodes AS (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      seeds AS (SELECT n_nationkey::BIGINT AS node FROM nation
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'),
+      sin AS (SELECT seeds.node FROM seeds JOIN nodes USING (node)),
+      sn AS (SELECT count(*) AS ns FROM sin),
+      flagged AS (SELECT nodes.node, sin.node AS s
+                  FROM nodes LEFT JOIN sin ON nodes.node = sin.node),
+      outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      r0 AS (SELECT node, CASE WHEN s IS NOT NULL
+                 THEN round(1.0::DOUBLE / ns, 12) ELSE 0.0::DOUBLE END AS rank
+             FROM flagged CROSS JOIN sn),
+      $rounds
+      SELECT node, rank FROM r$iters ORDER BY node
+    """.trim
+  }
+
+  /** Personalized PageRank from the ASIA seed nations over the
+    * customer-nation → supplier-nation trade graph —
+    * [[graft.ext.GraphOps.personalizedPageRank]], the
+    * "expand from known-good sources" primitive of seed-based corpus
+    * curation: the teleport mass is confined to the seed set, so the
+    * output ranks every node by trade proximity to ASIA rather than by
+    * global centrality (q54's stationary rank). Same edge derivation,
+    * exactness discipline, and unrolled-rounds oracle as q54.
+    */
+  val graphPpr = Q(
+    "graph_ppr",
+    (s, dir) => {
+      val edges = Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val seeds = Tables(s, dir, "nation")
+        .join(Tables(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey").cast("long").as("node"))
+      graft.ext.GraphOps.personalizedPageRank(edges, seeds, iters = 5)
+        .orderBy(col("node"))
+    },
+    Some(pprSql(5)))
+
   val all: Seq[Q] = Seq(erMultipassPairs, dedupIncrementalPairs,
-    annTwoLevelServe, textWinnowFingerprint, evalProbeCurve)
+    annTwoLevelServe, textWinnowFingerprint, evalProbeCurve, graphPpr)
 }
