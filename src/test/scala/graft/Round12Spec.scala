@@ -86,4 +86,56 @@ class Round12Spec extends SparkSpec {
     assert(march12 === oneShot, "batch-1-then-2 march must equal the one-shot pairs")
     assert(march21 === oneShot, "merge order must not matter (mergeable state)")
   }
+
+  test("CentroidTopK kernel == transform/array_sort reference on random inputs (incl. ties, NaN, float)") {
+    import org.apache.spark.sql.graft.PlanDf
+    import spark.implicits._
+    // deterministic pseudo-random vectors; a duplicated centroid forces
+    // exact negsim ties (cid must break them), an all-zero query forces
+    // the NaN path, and float input exercises the elemIsFloat branch
+    val dims = 8
+    def vec(seed: Int): Seq[Double] =
+      (0 until dims).map(j => math.sin(seed * 31 + j * 7).toDouble)
+    val cents: Array[(Long, Seq[Double])] =
+      ((1 to 40).map(i => (i.toLong, vec(i))) :+ (41L, vec(3))).toArray
+    val rows = ((1 to 30).map(i => (i.toLong, vec(100 + i))) :+
+      (31L, Seq.fill(dims)(0.0))).toDF("id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+    def run(df: org.apache.spark.sql.DataFrame, vcol: org.apache.spark.sql.Column,
+        k: Int, kernel: Boolean): Map[Long, Seq[(Double, Long)]] = {
+      val scored =
+        if (kernel)
+          PlanDf.column(graft.functions.CentroidTopK(PlanDf.expression(vcol),
+            cents.map(_._1), cents.map(_._2.toArray), k))
+        else
+          slice(array_sort(transform(typedLit(cents.toSeq), c =>
+            struct(
+              (-round(PlanDf.column(graft.functions.CosineSimilarity(
+                PlanDf.expression(vcol),
+                PlanDf.expression(c.getField("_2")))), 9)).as("negsim"),
+              c.getField("_1").as("cid")))), 1, k)
+      df.select(col("id"), scored.as("s")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getDouble(0), x.getLong(1))).toSeq)
+        .toMap
+    }
+    for (k <- Seq(1, 5, 15)) {
+      val kr = run(rows, col("v"), k, kernel = true)
+      val rf = run(rows, col("v"), k, kernel = false)
+      // NaN != NaN under ==, so compare through a total-order key
+      def key(m: Map[Long, Seq[(Double, Long)]]) =
+        m.view.mapValues(_.map { case (d, c) =>
+          (java.lang.Double.doubleToLongBits(d), c) }).toMap
+      assert(key(kr) === key(rf), s"kernel != reference at k=$k")
+    }
+    // float-typed input takes the same ordering
+    val fRows = rows.withColumn("vf", col("v").cast("array<float>"))
+    val kf = run(fRows, col("vf"), 5, kernel = true)
+    val rff = run(fRows, col("vf"), 5, kernel = false)
+    def key(m: Map[Long, Seq[(Double, Long)]]) =
+      m.view.mapValues(_.map { case (d, c) =>
+        (java.lang.Double.doubleToLongBits(d), c) }).toMap
+    assert(key(kf) === key(rff), "kernel != reference on float input")
+  }
 }
