@@ -358,4 +358,31 @@ object Multimodal {
       .withColumn("scene_no", sum(col("__cut")).over(wRows) - lit(1L))
       .select(col(idCol), col("frame_no"), col("rms"), col("scene_no"))
   }
+
+  /** Silence segments: maximal runs of consecutive frames whose RMS
+    * falls below `maxRms` — the trim-silence / dead-air primitive of
+    * an audio ingest pipeline (and the static-shot detector on video),
+    * here on the opaque-bytes plumbing like every media op. Classic
+    * gaps-and-islands: quiet frames grouped by
+    * `frame_no − row_number()` (constant exactly within a consecutive
+    * run), one aggregate per island. Both windows partition on the
+    * media id — row-scale NDV, per-partition work is one item's
+    * frames; the quiet filter runs scan-side BEFORE either window, so
+    * loud frames never enter the shuffle.
+    */
+  def silenceSegments(df: DataFrame, idCol: String, textCol: String,
+      frame: Int = 64, maxRms: Double = 98.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_no"))
+    frameEnergy(df, idCol, textCol, frame)
+      .filter(col("rms") < maxRms)
+      .withColumn("__grp", col("frame_no") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("frame_no")).as("seg_start"),
+        max(col("frame_no")).as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        round(min(col("rms")), 9).as("min_rms"))
+      .select(col(idCol), col("seg_start"), col("seg_end"),
+        col("n_frames"), col("min_rms"))
+  }
 }

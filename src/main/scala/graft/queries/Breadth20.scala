@@ -327,6 +327,48 @@ object Breadth20 {
     },
     Some(pprSql(5)))
 
+  /** Silence segments over the media byte-stream —
+    * [[graft.ext.Multimodal.silenceSegments]]: maximal runs of
+    * consecutive sub-`maxRms` frames as (start, end, n_frames,
+    * min_rms) islands, the trim-silence / dead-air primitive of audio
+    * ingest. The quiet filter runs scan-side before any window, and
+    * both windows partition on the media id (row-scale NDV). The
+    * 98.0 threshold sits at the fixture's ~25th RMS percentile, so
+    * segments are plentiful but not degenerate.
+    */
+  val mediaSilenceSegments = Q(
+    "media_silence_segments",
+    (s, dir) =>
+      graft.ext.Multimodal.silenceSegments(
+          Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("seg_start")),
+    Some("""
+      WITH f AS (SELECT doc_id, text,
+                        unnest(range((length(text) + 63) // 64)) AS frame_no
+                 FROM documents WHERE length(text) > 0),
+      c AS (SELECT doc_id, frame_no,
+                   substring(text, (frame_no * 64 + 1)::INT, 64) AS chunk
+            FROM f),
+      e AS (SELECT doc_id, frame_no, length(chunk)::BIGINT AS n_samples,
+                   list_sum(list_transform(range(1, length(chunk) + 1),
+                     p -> ord(substring(chunk, p::INT, 1)) *
+                          ord(substring(chunk, p::INT, 1))))::BIGINT AS energy
+            FROM c),
+      r AS (SELECT doc_id, frame_no,
+                   round(sqrt(energy::DOUBLE / n_samples), 9) AS rms
+            FROM e WHERE round(sqrt(energy::DOUBLE / n_samples), 9) < 98.0),
+      g AS (SELECT doc_id, frame_no, rms,
+                   frame_no - row_number() OVER (PARTITION BY doc_id
+                     ORDER BY frame_no) AS grp
+            FROM r)
+      SELECT doc_id, min(frame_no)::BIGINT AS seg_start,
+             max(frame_no)::BIGINT AS seg_end,
+             count(*)::BIGINT AS n_frames,
+             round(min(rms), 9) AS min_rms
+      FROM g GROUP BY doc_id, grp ORDER BY doc_id, seg_start
+    """.trim))
+
   val all: Seq[Q] = Seq(erMultipassPairs, dedupIncrementalPairs,
-    annTwoLevelServe, textWinnowFingerprint, evalProbeCurve, graphPpr)
+    annTwoLevelServe, textWinnowFingerprint, evalProbeCurve, graphPpr,
+    mediaSilenceSegments)
 }
