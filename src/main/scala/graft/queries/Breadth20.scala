@@ -368,7 +368,116 @@ object Breadth20 {
       FROM g GROUP BY doc_id, grp ORDER BY doc_id, seg_start
     """.trim))
 
+  /** The curation FUNNEL report — per-stage survivor counts with drop
+    * rates through the production cleaning order (raw → per-lang Gopher
+    * gate → exact dedup → near-dup canonical → quality gate): the
+    * table every corpus paper publishes and every pipeline owner
+    * watches between crawls (a stage whose drop rate jumps is the
+    * first sign of an upstream regression). Each stage IS an
+    * already-oracled operator; the near-dup stage restricts the
+    * full-corpus candidate pairs to both-endpoints-surviving — exactly
+    * equal to re-proposing among survivors, because band keys are
+    * per-doc (signatures don't depend on the corpus) — then keeps each
+    * restricted component's minimum. Counts are one aggregate per
+    * stage over checkpointed survivor frames; the 5-row lag window is
+    * metadata-scale.
+    */
+  val pipelineCurationFunnel = Q(
+    "pipeline_curation_funnel",
+    (s, dir) => {
+      import graft.ext.{Dedup, TextOps}
+      import org.apache.spark.sql.expressions.Window
+      val docs = Extensions.augmentedDocs(s, dir, perturb = true)
+        .localCheckpoint()
+      val g = TextOps.gopherRulesByLang(docs, "doc_id", "text", "lang")
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val s2 = docs.join(g, Seq("doc_id"), "left_semi").localCheckpoint()
+      val s3 = s2.groupBy(md5(Dedup.normText(col("text"))).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+        .join(s2, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val s3docs = docs.join(s3, Seq("doc_id"), "left_semi")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        .join(s3.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(s3.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      val s4 = Dedup.clusterAssignment(s3docs, pairs, "doc_id")
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"))
+        .localCheckpoint()
+      val s5 = TextOps.withQuality(docs.join(s4, Seq("doc_id"), "left_semi"), "text")
+        .filter(col("quality") >= 0.5 && col("n_words") >= 10)
+        .select(col("doc_id"))
+      val stages = Seq[(Long, String, org.apache.spark.sql.DataFrame)](
+        (1L, "raw", docs), (2L, "gopher_gate", s2), (3L, "exact_dedup", s3),
+        (4L, "near_dup_canonical", s4), (5L, "quality_gate", s5))
+      stages.map { case (i, nm, df) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).as("stage_no"), lit(nm).as("stage"), col("n_docs"))
+      }.reduce(_ unionByName _)
+        .withColumn("__prev",
+          lag(col("n_docs"), 1).over(Window.orderBy(col("stage_no"))))
+        .withColumn("n_dropped", col("__prev") - col("n_docs"))
+        .withColumn("drop_rate", round(
+          (col("__prev") - col("n_docs")).cast("double") /
+            col("__prev").cast("double"), 9))
+        .drop("__prev")
+        .orderBy(col("stage_no"))
+    },
+    Some(s"""
+      WITH RECURSIVE ${Extensions.minhashPairsCtes},
+      gn AS (SELECT doc_id, lang, text, ${Extensions.NormW} AS w,
+               len(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS nc
+             FROM aug),
+      gb AS (SELECT doc_id, text, len(w)::BIGINT AS n_words,
+               (nc - (len(w) - 1))::BIGINT AS n_word_chars,
+               ${Extensions.sqlStopDistinctByLang()} AS n_stop
+             FROM gn),
+      s2 AS (SELECT doc_id, text FROM gb
+             WHERE n_words >= 30 AND n_words <= 100000
+               AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+               AND n_stop >= 2),
+      s3 AS (SELECT min(doc_id) AS doc_id FROM s2
+             GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                WHERE doc_a IN (SELECT doc_id FROM s3)
+                  AND doc_b IN (SELECT doc_id FROM s3)
+                UNION SELECT doc_b, doc_a FROM pairs
+                WHERE doc_a IN (SELECT doc_id FROM s3)
+                  AND doc_b IN (SELECT doc_id FROM s3)),
+      reach(s, d) AS (SELECT s, d FROM edges
+                      UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      comp AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY s),
+      s4 AS (SELECT s3.doc_id FROM s3 LEFT JOIN comp USING (doc_id)
+             WHERE coalesce(least(mn, doc_id), doc_id) = doc_id),
+      qn AS (SELECT doc_id, text, ${Extensions.NormW} AS w FROM aug),
+      qm AS (SELECT doc_id,
+               len(w)::BIGINT AS n_words,
+               length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / len(w) AS avg_word_len,
+               length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+               ${Extensions.sqlHits(graft.ext.TextOps.StopEn)}::DOUBLE / len(w) AS stop_ratio
+             FROM qn),
+      qs AS (SELECT doc_id, n_words,
+               round(least(avg_word_len / 8.0, 1.0) * 0.4
+                     + least(stop_ratio * 5.0, 1.0) * 0.4
+                     + (1.0 - punct_ratio) * 0.2, 9) AS quality
+             FROM qm),
+      s5 AS (SELECT s4.doc_id FROM s4 JOIN qs USING (doc_id)
+             WHERE quality >= 0.5 AND n_words >= 10),
+      c AS (SELECT 1::BIGINT AS stage_no, 'raw' AS stage,
+                   (SELECT count(*) FROM aug)::BIGINT AS n_docs
+            UNION ALL SELECT 2, 'gopher_gate', (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM s3)
+            UNION ALL SELECT 4, 'near_dup_canonical', (SELECT count(*) FROM s4)
+            UNION ALL SELECT 5, 'quality_gate', (SELECT count(*) FROM s5))
+      SELECT stage_no, stage, n_docs,
+             (lag(n_docs) OVER (ORDER BY stage_no) - n_docs)::BIGINT AS n_dropped,
+             round((lag(n_docs) OVER (ORDER BY stage_no) - n_docs)::DOUBLE
+                   / lag(n_docs) OVER (ORDER BY stage_no), 9) AS drop_rate
+      FROM c ORDER BY stage_no
+    """.trim))
+
   val all: Seq[Q] = Seq(erMultipassPairs, dedupIncrementalPairs,
     annTwoLevelServe, textWinnowFingerprint, evalProbeCurve, graphPpr,
-    mediaSilenceSegments)
+    mediaSilenceSegments, pipelineCurationFunnel)
 }
