@@ -477,7 +477,68 @@ object Breadth20 {
       FROM c ORDER BY stage_no
     """.trim))
 
+  /** k-anonymity audit over quasi-identifiers — the governance gate a
+    * training-data release runs before shipping records containing
+    * person-adjacent attributes: every (nation, market-segment,
+    * account-balance-band) equivalence class smaller than k is a
+    * re-identification risk (its members are distinguishable by the
+    * quasi-identifiers alone), reported with its size and the
+    * generalization hint (which single attribute, when dropped, lifts
+    * the class above k — the first move of a generalization ladder).
+    * One aggregate over the quasi-id key plus three broadcast-size
+    * rollup joins; no row-level data leaves the scan.
+    */
+  val dqKAnonymity = Q(
+    "dq13_k_anonymity",
+    (s, dir) => {
+      val k = 5L
+      val q = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+        .localCheckpoint()
+      val classes = q.groupBy(col("nation"), col("segment"), col("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+      def rollup(drop: String): org.apache.spark.sql.DataFrame = {
+        val keep = Seq("nation", "segment", "bal_band").filterNot(_ == drop)
+        q.groupBy(keep.map(col): _*).agg(count(lit(1)).as(s"__n_$drop"))
+      }
+      classes.filter(col("class_size") < k)
+        .join(rollup("nation"), Seq("segment", "bal_band"))
+        .join(rollup("segment"), Seq("nation", "bal_band"))
+        .join(rollup("bal_band"), Seq("nation", "segment"))
+        .withColumn("fix_hint",
+          when(col("__n_bal_band") >= k, "drop_bal_band")
+            .when(col("__n_segment") >= k, "drop_segment")
+            .when(col("__n_nation") >= k, "drop_nation")
+            .otherwise("suppress"))
+        .select(col("nation"), col("segment"), col("bal_band"),
+          col("class_size"), col("fix_hint"))
+        .orderBy(col("nation"), col("segment"), col("bal_band"))
+    },
+    Some("""
+      WITH q AS (SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+                        floor(c_acctbal / 1000.0)::BIGINT AS bal_band
+                 FROM customer),
+      cls AS (SELECT nation, segment, bal_band, count(*)::BIGINT AS class_size
+              FROM q GROUP BY 1, 2, 3),
+      rn AS (SELECT segment, bal_band, count(*)::BIGINT AS n FROM q GROUP BY 1, 2),
+      rs AS (SELECT nation, bal_band, count(*)::BIGINT AS n FROM q GROUP BY 1, 2),
+      rb AS (SELECT nation, segment, count(*)::BIGINT AS n FROM q GROUP BY 1, 2)
+      SELECT cls.nation, cls.segment, cls.bal_band, cls.class_size,
+             CASE WHEN rb.n >= 5 THEN 'drop_bal_band'
+                  WHEN rs.n >= 5 THEN 'drop_segment'
+                  WHEN rn.n >= 5 THEN 'drop_nation'
+                  ELSE 'suppress' END AS fix_hint
+      FROM cls
+      JOIN rn ON rn.segment = cls.segment AND rn.bal_band = cls.bal_band
+      JOIN rs ON rs.nation = cls.nation AND rs.bal_band = cls.bal_band
+      JOIN rb ON rb.nation = cls.nation AND rb.segment = cls.segment
+      WHERE cls.class_size < 5
+      ORDER BY cls.nation, cls.segment, cls.bal_band
+    """.trim))
+
   val all: Seq[Q] = Seq(erMultipassPairs, dedupIncrementalPairs,
     annTwoLevelServe, textWinnowFingerprint, evalProbeCurve, graphPpr,
-    mediaSilenceSegments, pipelineCurationFunnel)
+    mediaSilenceSegments, pipelineCurationFunnel, dqKAnonymity)
 }
