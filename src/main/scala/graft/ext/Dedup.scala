@@ -188,8 +188,13 @@ object Dedup {
       .select(col(idCol).as("__dy"), explode(col("bands")).as("band"))
       .localCheckpoint()
     // same-key runs are the LSH point — SHJ over SMJ as in
-    // minhashCandidatePairs
-    val cross = oldB.join(newB.hint("shuffle_hash"), "band")
+    // minhashCandidatePairs. The __dx =!= __dy predicate guards the
+    // doc-disjointness the march contract assumes: if a doc_id is
+    // re-ingested (appears in both state and delta), the band join would
+    // otherwise emit degenerate doc_a == doc_b self-pairs the one-shot
+    // never produces, silently breaking march == one-shot.
+    val cross = oldB.join(newB.hint("shuffle_hash"),
+        oldB("band") === newB("band") && col("__dx") =!= col("__dy"))
       .select(least(col("__dx"), col("__dy")).as("doc_a"),
         greatest(col("__dx"), col("__dy")).as("doc_b"))
     val within = newB.select(col("__dy").as("doc_a"), col("band"))

@@ -627,9 +627,16 @@ object Similarity {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
     val tTot = truth.agg(count(lit(1)).as("n_truth"))
-    top.join(truth, Seq("query_id", "neighbor_id"), "left")
+    val hits = top.join(truth, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("nprobe").cast("long").as("nprobe"))
       .agg(sum(coalesce(col("__t"), lit(0L))).as("n_hit"))
+    // every REQUESTED tier appears in the readout: a degenerate nprobe
+    // tier with zero surviving candidates must read as recall 0.0, not
+    // as a missing row — the curve exists to expose exactly such tiers
+    val tierRows = spark.range(1)
+      .select(explode(array(tiers.map(t => lit(t.toLong)): _*)).as("nprobe"))
+    tierRows.join(hits, Seq("nprobe"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .crossJoin(broadcast(tTot))
       .withColumn("recall",
         round(col("n_hit").cast("double") / col("n_truth").cast("double"), 9))

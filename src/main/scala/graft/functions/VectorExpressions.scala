@@ -329,6 +329,20 @@ case class PqEncodeCodes(child: Expression, books: Array[Array[Array[Double]]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // Array fields are reference-equal under case-class equality; compare
+  // contents so plan canonicalization / exchange reuse can fire (see
+  // CentroidTopK).
+  override def equals(other: Any): Boolean = other match {
+    case o: PqEncodeCodes =>
+      child == o.child && java.util.Arrays.deepEquals(
+        books.asInstanceOf[Array[AnyRef]], o.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
 }
 
 object PqEncodeCodes {
@@ -422,6 +436,20 @@ case class PqDecode(child: Expression, books: Array[Array[Array[Double]]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // Array fields are reference-equal under case-class equality; compare
+  // contents so plan canonicalization / exchange reuse can fire (see
+  // CentroidTopK).
+  override def equals(other: Any): Boolean = other match {
+    case o: PqDecode =>
+      child == o.child && java.util.Arrays.deepEquals(
+        books.asInstanceOf[Array[AnyRef]], o.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
 }
 
 object PqDecode {
@@ -650,6 +678,18 @@ case class BloomHits(child: Expression, bits: Array[Long], k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // Array fields are reference-equal under case-class equality; compare
+  // contents so plan canonicalization / exchange reuse can fire (see
+  // CentroidTopK).
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomHits =>
+      k == o.k && child == o.child && java.util.Arrays.equals(bits, o.bits)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + k) + java.util.Arrays.hashCode(bits)
 }
 
 object BloomBits {
@@ -754,6 +794,20 @@ case class JlProject(child: Expression, signs: Array[Array[Int]], scale: Double)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // Array fields are reference-equal under case-class equality; compare
+  // contents so plan canonicalization / exchange reuse can fire (see
+  // CentroidTopK).
+  override def equals(other: Any): Boolean = other match {
+    case o: JlProject =>
+      scale == o.scale && child == o.child && java.util.Arrays.deepEquals(
+        signs.asInstanceOf[Array[AnyRef]], o.signs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.lang.Double.hashCode(scale)) +
+      java.util.Arrays.deepHashCode(signs.asInstanceOf[Array[AnyRef]])
 }
 
 object JlProject {
@@ -928,6 +982,25 @@ case class CentroidTopK(child: Expression, ids: Array[Long],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // Case-class equality on Array fields is reference-based, so two
+  // semantically identical instances would never compare equal — plan
+  // canonicalization, subexpression elimination, and exchange reuse all
+  // key on expression equality and would silently miss. Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case o: CentroidTopK =>
+      k == o.k && child == o.child &&
+        java.util.Arrays.equals(ids, o.ids) &&
+        java.util.Arrays.deepEquals(
+          vecs.asInstanceOf[Array[AnyRef]], o.vecs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = 31 * child.hashCode() + k
+    h = 31 * h + java.util.Arrays.hashCode(ids)
+    31 * h + java.util.Arrays.deepHashCode(vecs.asInstanceOf[Array[AnyRef]])
+  }
 }
 
 object CentroidTopK {

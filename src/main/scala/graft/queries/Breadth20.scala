@@ -251,14 +251,17 @@ object Breadth20 {
           SELECT t.nprobe, query_id, neighbor_id,
                  row_number() OVER (PARTITION BY t.nprobe, query_id
                    ORDER BY sim DESC, neighbor_id) AS rk
-          FROM cand, tiers t WHERE minrank <= t.nprobe) WHERE rk <= 5)
-      SELECT nprobe,
+          FROM cand, tiers t WHERE minrank <= t.nprobe) WHERE rk <= 5),
+      hits AS (SELECT nprobe,
+                 sum(CASE WHEN truth.query_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+               FROM top LEFT JOIN truth USING (query_id, neighbor_id)
+               GROUP BY nprobe)
+      SELECT t.nprobe,
              (SELECT count(*) FROM truth)::BIGINT AS n_truth,
-             sum(CASE WHEN truth.query_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
-             round(sum(CASE WHEN truth.query_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+             round(coalesce(h.n_hit, 0)::DOUBLE
                    / (SELECT count(*) FROM truth)::DOUBLE, 9) AS recall
-      FROM top LEFT JOIN truth USING (query_id, neighbor_id)
-      GROUP BY nprobe ORDER BY nprobe
+      FROM tiers t LEFT JOIN hits h USING (nprobe) ORDER BY nprobe
     """.trim))
 
   /** Unrolled DuckDB twin of the seeded power iteration — the
