@@ -58,6 +58,8 @@ object Bench {
       graft.queries.Extensions.ensurePhashClusters(spark, sfDir)
       graft.queries.Breadth7.ensureTextIndex(spark, sfDir)
       graft.queries.Breadth11.ensurePrefixRanked(spark, sfDir)
+      graft.queries.Breadth8.ensureTfidfPostings(spark, sfDir)
+      graft.queries.Breadth20.ensureAugBandIndex(spark, sfDir)
       // the versioned-sink history layout_vacuum classifies is the same
       // ingest class: staged once, audited (dry-run) by the query
       graft.queries.Breadth10.ensureVacuumHistory(spark, sfDir)

@@ -335,7 +335,27 @@ object TextOps {
     * order-independent).
     */
   def tfidfSimilarPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDf: Int, minSim: Double, ngram: Int = 3): DataFrame = {
+      maxDf: Int, minSim: Double, ngram: Int = 3): DataFrame =
+    tfidfPairsFromPostings(
+      // both self-join sides read the postings — materialize unless the
+      // caller staged them at ingest ([[tfidfWeightedPostings]])
+      tfidfWeightedPostings(docs, idCol, textCol, maxDf, ngram)
+        .localCheckpoint(),
+      idCol, minSim)
+
+  /** The df-capped weighted postings frame [[tfidfSimilarPairs]]'s pair
+    * stage joins on: (id, term, w rounded TF-IDF weight, nrm pruned-
+    * subspace L2 norm). Factored out so an ingest phase can persist it
+    * once per corpus (the rankedTokens/ANN-index `ensure*` pattern) —
+    * building it is the op's dominant cold cost (tokenize + shingle +
+    * two corpus aggregates + norm re-join), and postings were the last
+    * pair family still rebuilding in-query every round (VERDICT r12
+    * item 1). Each posting row carries its document's norm: 8 bytes per
+    * posting buys back the two doc-keyed norm joins downstream — the
+    * ngramJaccardPairs widened-row argument.
+    */
+  def tfidfWeightedPostings(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, ngram: Int = 3): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // terms are word n-gram shingles: on a small-vocabulary corpus
     // unigrams are all frequent (the sf0.01 fixture has 31 distinct
@@ -366,11 +386,23 @@ object TextOps {
       .crossJoin(broadcast(n))
       .withColumn("w",
         round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df_docs") + 1)), 9))
-      .localCheckpoint() // reused by norms and both join sides
+      .localCheckpoint() // reused by the norm aggregate and the re-join
     val pruned = w.filter(col("df_docs") <= maxDf)
+    // norms over the df-capped subspace ONLY — full-vector norms would
+    // deflate every score by the pruned mass (see scaladoc above)
     val norms = pruned.groupBy(col(idCol))
       .agg(round(sqrt(sum(round(col("w") * col("w"), 9)
         .cast(DecimalType(27, 9))).cast("double")), 9).as("nrm"))
+    pruned.join(norms, Seq(idCol))
+      .select(col(idCol), col("term"), col("w"), col("nrm"), col("df_docs"))
+  }
+
+  /** [[tfidfSimilarPairs]] from a pre-built [[tfidfWeightedPostings]]
+    * frame (typically read back from an ingest-time parquet artifact).
+    */
+  def tfidfPairsFromPostings(postings: DataFrame, idCol: String,
+      minSim: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     // pair stage stays a shuffled equi join: the bucket-local variant
     // (collect_list(struct(doc, w)) per term + scan-side combination
     // expansion — the containmentPairs rewrite) was measured ~2×
@@ -379,15 +411,25 @@ object TextOps {
     // costs more than it saves, and unlike containment no distinct
     // follows — the dot aggregate dedups anyway. The two shapes are
     // semantically interchangeable; pick per payload.
-    val aSide = pruned.select(col("term"), col(idCol).as("doc_a"), col("w").as("wa"))
-    val bSide = pruned.select(col("term"), col(idCol).as("doc_b"), col("w").as("wb"))
-    aSide.join(bSide, "term")
+    // Singleton terms (df_docs = 1) can never produce a doc_a < doc_b
+    // match — on a shingle vocabulary they are the MAJORITY of postings,
+    // and carrying them through the self-join's build and probe sides
+    // was most of the serve cost. They still count: their weights are
+    // already baked into `nrm` upstream, so dropping them HERE (join
+    // inputs only) leaves every cosine bit-identical.
+    val joinable = postings.filter(col("df_docs") >= 2)
+    val aSide = joinable.select(col("term"), col(idCol).as("doc_a"),
+      col("w").as("wa"), col("nrm").as("__na"))
+    val bSide = joinable.select(col("term"), col(idCol).as("doc_b"),
+      col("w").as("wb"), col("nrm").as("__nb"))
+    // shuffle_hash for the same reason as minhashCandidatePairs: posting
+    // keys repeat per colliding document and SMJ buffers same-key runs
+    aSide.join(bSide.hint("shuffle_hash"), "term")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(round(col("wa") * col("wb"), 9)
-        .cast(DecimalType(27, 9))).cast("double").as("dot"))
-      .join(norms.select(col(idCol).as("doc_a"), col("nrm").as("__na")), "doc_a")
-      .join(norms.select(col(idCol).as("doc_b"), col("nrm").as("__nb")), "doc_b")
+        .cast(DecimalType(27, 9))).cast("double").as("dot"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
       .withColumn("sim", round(col("dot") / (col("__na") * col("__nb")), 9))
       .filter(col("sim") >= minSim)
       .select(col("doc_a"), col("doc_b"), col("sim"))

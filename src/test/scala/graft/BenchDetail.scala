@@ -45,6 +45,8 @@ object BenchDetail {
       graft.queries.Extensions.ensureDedupClusters(spark, sfDir)
       graft.queries.Breadth7.ensureTextIndex(spark, sfDir)
       graft.queries.Breadth11.ensurePrefixRanked(spark, sfDir)
+      graft.queries.Breadth8.ensureTfidfPostings(spark, sfDir)
+      graft.queries.Breadth20.ensureAugBandIndex(spark, sfDir)
     } catch { case _: Throwable => () }
     // Calibration probe (VERDICT r11 item 4): a fixed synthetic set —
     // one scan-agg, one shuffle join, one window — timed AFTER warm-up
