@@ -403,49 +403,60 @@ object Breadth20 {
     * Counts are one aggregate per stage over checkpointed survivor
     * frames; the 5-row lag window is metadata-scale.
     */
+  /** The funnel body over an explicit (docs, full-corpus candidate
+    * pairs) input — factored from the query so specs can drive a
+    * hand-solved fixture through all five stages. `rawPairs` is the
+    * UNRESTRICTED candidate-pair frame (the s3 survivor restriction
+    * happens inside, stage order matters).
+    */
+  private[graft] def curationFunnel(docs0: org.apache.spark.sql.DataFrame,
+      rawPairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.ext.{Dedup, TextOps}
+    import org.apache.spark.sql.expressions.Window
+    val docs = docs0.localCheckpoint()
+    val g = TextOps.gopherRulesByLang(docs, "doc_id", "text", "lang")
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val s2 = docs.join(g, Seq("doc_id"), "left_semi").localCheckpoint()
+    val s3 = s2.groupBy(md5(Dedup.normText(col("text"))).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .join(s2, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val s3docs = docs.join(s3, Seq("doc_id"), "left_semi")
+    val pairs = rawPairs
+      .join(s3.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(s3.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    val s4 = Dedup.clusterAssignment(s3docs, pairs, "doc_id")
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"))
+      .localCheckpoint()
+    val s5 = TextOps.withQuality(docs.join(s4, Seq("doc_id"), "left_semi"), "text")
+      .filter(col("quality") >= 0.5 && col("n_words") >= 10)
+      .select(col("doc_id"))
+    val stages = Seq[(Long, String, org.apache.spark.sql.DataFrame)](
+      (1L, "raw", docs), (2L, "gopher_gate", s2), (3L, "exact_dedup", s3),
+      (4L, "near_dup_canonical", s4), (5L, "quality_gate", s5))
+    stages.map { case (i, nm, df) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage_no"), lit(nm).as("stage"), col("n_docs"))
+    }.reduce(_ unionByName _)
+      .withColumn("__prev",
+        lag(col("n_docs"), 1).over(Window.orderBy(col("stage_no"))))
+      .withColumn("n_dropped", col("__prev") - col("n_docs"))
+      .withColumn("drop_rate", round(
+        (col("__prev") - col("n_docs")).cast("double") /
+          col("__prev").cast("double"), 9))
+      .drop("__prev")
+      .orderBy(col("stage_no"))
+  }
+
   val pipelineCurationFunnel = Q(
     "pipeline_curation_funnel",
-    (s, dir) => {
-      import graft.ext.{Dedup, TextOps}
-      import org.apache.spark.sql.expressions.Window
-      val docs = Extensions.augmentedDocs(s, dir, perturb = true)
-        .localCheckpoint()
-      val g = TextOps.gopherRulesByLang(docs, "doc_id", "text", "lang")
-        .filter(col("keep") === 1).select(col("doc_id"))
-      val s2 = docs.join(g, Seq("doc_id"), "left_semi").localCheckpoint()
-      val s3 = s2.groupBy(md5(Dedup.normText(col("text"))).as("__h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-        .join(s2, Seq("doc_id"), "left_semi")
-        .localCheckpoint()
-      val s3docs = docs.join(s3, Seq("doc_id"), "left_semi")
-      val pairs = Dedup.indexCandidatePairs(
-          s.read.parquet(ensureAugBandIndex(s, dir)), "doc_id")
-        .join(s3.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
-        .join(s3.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
-      val s4 = Dedup.clusterAssignment(s3docs, pairs, "doc_id")
-        .filter(col("doc_id") === col("cluster_id"))
-        .select(col("doc_id"))
-        .localCheckpoint()
-      val s5 = TextOps.withQuality(docs.join(s4, Seq("doc_id"), "left_semi"), "text")
-        .filter(col("quality") >= 0.5 && col("n_words") >= 10)
-        .select(col("doc_id"))
-      val stages = Seq[(Long, String, org.apache.spark.sql.DataFrame)](
-        (1L, "raw", docs), (2L, "gopher_gate", s2), (3L, "exact_dedup", s3),
-        (4L, "near_dup_canonical", s4), (5L, "quality_gate", s5))
-      stages.map { case (i, nm, df) =>
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(i).as("stage_no"), lit(nm).as("stage"), col("n_docs"))
-      }.reduce(_ unionByName _)
-        .withColumn("__prev",
-          lag(col("n_docs"), 1).over(Window.orderBy(col("stage_no"))))
-        .withColumn("n_dropped", col("__prev") - col("n_docs"))
-        .withColumn("drop_rate", round(
-          (col("__prev") - col("n_docs")).cast("double") /
-            col("__prev").cast("double"), 9))
-        .drop("__prev")
-        .orderBy(col("stage_no"))
-    },
+    (s, dir) =>
+      curationFunnel(
+        Extensions.augmentedDocs(s, dir, perturb = true),
+        graft.ext.Dedup.indexCandidatePairs(
+          s.read.parquet(ensureAugBandIndex(s, dir)), "doc_id")),
     Some(s"""
       WITH RECURSIVE ${Extensions.minhashPairsCtes},
       gn AS (SELECT doc_id, lang, text, ${Extensions.NormW} AS w,
@@ -506,38 +517,51 @@ object Breadth20 {
     * re-identification risk (its members are distinguishable by the
     * quasi-identifiers alone), reported with its size and the
     * generalization hint (which single attribute, when dropped, lifts
-    * the class above k — the first move of a generalization ladder).
-    * One aggregate over the quasi-id key plus three broadcast-size
-    * rollup joins; no row-level data leaves the scan.
+    * the class above k — the FIRST RUNG of a generalization ladder
+    * only: a full ladder also weighs multi-attribute generalizations
+    * and value coarsening, which this audit deliberately does not
+    * attempt — the hint answers "is there a one-move fix", nothing
+    * more). One aggregate over the quasi-id key plus three
+    * broadcast-size rollup joins; no row-level data leaves the scan.
     */
+  /** The audit body over an explicit quasi-identifier frame
+    * (nation, segment, bal_band) — factored from the query so specs
+    * can drive a hand fixture where each fix_hint branch fires.
+    */
+  private[graft] def kAnonymityAudit(q0: org.apache.spark.sql.DataFrame,
+      k: Long): org.apache.spark.sql.DataFrame = {
+    val q = q0.localCheckpoint()
+    val classes = q.groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+    def rollup(drop: String): org.apache.spark.sql.DataFrame = {
+      val keep = Seq("nation", "segment", "bal_band").filterNot(_ == drop)
+      q.groupBy(keep.map(col): _*).agg(count(lit(1)).as(s"__n_$drop"))
+    }
+    classes.filter(col("class_size") < k)
+      .join(rollup("nation"), Seq("segment", "bal_band"))
+      .join(rollup("segment"), Seq("nation", "bal_band"))
+      .join(rollup("bal_band"), Seq("nation", "segment"))
+      .withColumn("fix_hint",
+        when(col("__n_bal_band") >= k, "drop_bal_band")
+          .when(col("__n_segment") >= k, "drop_segment")
+          .when(col("__n_nation") >= k, "drop_nation")
+          .otherwise("suppress"))
+      .select(col("nation"), col("segment"), col("bal_band"),
+        col("class_size"), col("fix_hint"))
+      .orderBy(col("nation"), col("segment"), col("bal_band"))
+  }
+
+  /** The customer quasi-identifier projection dq13/dq14 audit. */
+  private[graft] def customerQuasiIds(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+
   val dqKAnonymity = Q(
     "dq13_k_anonymity",
-    (s, dir) => {
-      val k = 5L
-      val q = Tables(s, dir, "customer")
-        .select(col("c_nationkey").cast("long").as("nation"),
-          col("c_mktsegment").as("segment"),
-          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
-        .localCheckpoint()
-      val classes = q.groupBy(col("nation"), col("segment"), col("bal_band"))
-        .agg(count(lit(1)).as("class_size"))
-      def rollup(drop: String): org.apache.spark.sql.DataFrame = {
-        val keep = Seq("nation", "segment", "bal_band").filterNot(_ == drop)
-        q.groupBy(keep.map(col): _*).agg(count(lit(1)).as(s"__n_$drop"))
-      }
-      classes.filter(col("class_size") < k)
-        .join(rollup("nation"), Seq("segment", "bal_band"))
-        .join(rollup("segment"), Seq("nation", "bal_band"))
-        .join(rollup("bal_band"), Seq("nation", "segment"))
-        .withColumn("fix_hint",
-          when(col("__n_bal_band") >= k, "drop_bal_band")
-            .when(col("__n_segment") >= k, "drop_segment")
-            .when(col("__n_nation") >= k, "drop_nation")
-            .otherwise("suppress"))
-        .select(col("nation"), col("segment"), col("bal_band"),
-          col("class_size"), col("fix_hint"))
-        .orderBy(col("nation"), col("segment"), col("bal_band"))
-    },
+    (s, dir) => kAnonymityAudit(customerQuasiIds(s, dir), k = 5L),
     Some("""
       WITH q AS (SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
                         floor(c_acctbal / 1000.0)::BIGINT AS bal_band

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 pins: dedicated specs for the two round-12 post-record
+  * queries (VERDICT r12 item 3) — a hand-solved 6-doc fixture through
+  * all five curation-funnel stages, and a k-anonymity fixture where
+  * each fix_hint branch fires.
+  */
+class Round13Spec extends SparkSpec {
+
+  test("curationFunnel: hand-solved 6-doc fixture through all five stages") {
+    import spark.implicits._
+    // one victim per stage, chosen so each dies at EXACTLY one gate:
+    //   doc 1: clean survivor (stops + long words -> quality 0.689)
+    //   doc 2: byte-identical dup of doc 1 -> dies at exact_dedup (min id kept)
+    //   doc 3: "xx "-prepended near-copy of doc 1 (shingle Jaccard 30/31)
+    //          -> dies at near_dup_canonical (cluster min = 1)
+    //   doc 4: 10 words -> dies at gopher_gate (min 30 words)
+    //   doc 5: 3-char low-letter words ("w01".."w30") -> passes gopher
+    //          (char ratio exactly 3x words, 2 distinct stops) but
+    //          quality 0.35 < 0.5 -> dies at quality_gate
+    //   doc 6: clean survivor with disjoint shingles (stops mid-text)
+    val text1 = (Seq("the", "and", "for", "that") ++
+      (1 to 28).map(i => f"alpha$i%02d")).mkString(" ")
+    val text5 = (Seq("the", "and") ++ (1 to 30).map(i => f"w$i%02d")).mkString(" ")
+    val text6 = ((1 to 15).map(i => f"bravo$i%02d") ++ Seq("is", "it") ++
+      (16 to 30).map(i => f"bravo$i%02d")).mkString(" ")
+    val docs = Seq(
+      (1L, "en", text1),
+      (2L, "en", text1),
+      (3L, "en", "xx " + text1),
+      (4L, "en", "the and one two three four five six seven eight"),
+      (5L, "en", text5),
+      (6L, "en", text6)).toDF("doc_id", "lang", "text")
+    val pairs = graft.ext.Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val out = graft.queries.Breadth20.curationFunnel(docs, pairs)
+      .select(col("stage_no"), col("stage"), col("n_docs"),
+        col("n_dropped"), col("drop_rate"))
+      .as[(Long, String, Long, Option[Long], Option[Double])]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, "raw", 6L, None, None),
+      (2L, "gopher_gate", 5L, Some(1L), Some(0.166666667)),
+      (3L, "exact_dedup", 4L, Some(1L), Some(0.2)),
+      (4L, "near_dup_canonical", 3L, Some(1L), Some(0.25)),
+      (5L, "quality_gate", 2L, Some(1L), Some(0.333333333))))
+  }
+
+  test("curationFunnel: survivor counts are monotone non-increasing on real data") {
+    import spark.implicits._
+    val out = SparkEntry.queries("pipeline_curation_funnel")(
+        spark, "/root/testdata/sf0.001")
+      .select(col("n_docs")).as[Long].collect().toSeq
+    assert(out.length === 5)
+    assert(out.head > 0L)
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a >= b, s"funnel must be monotone, got $out")
+    }
+  }
+
+  test("kAnonymityAudit: each fix_hint branch fires on its own class") {
+    import spark.implicits._
+    // four size-1 risk classes, one per branch, plus size-5 filler
+    // classes that (a) are themselves >= k so they never appear and
+    // (b) push exactly ONE single-attribute rollup over k:
+    //   (1,A,1): rollup over (nation,segment)=(1,A) has 6 rows -> drop_bal_band
+    //   (2,B,3): (2,B) has 1; (nation,band)=(2,3) has 6 -> drop_segment
+    //   (3,D,4): (3,D)=1, (3,4)=1; (segment,band)=(D,4) has 6 -> drop_nation
+    //   (5,E,5): every rollup 1 -> suppress
+    val rows =
+      Seq((1L, "A", 1L), (2L, "B", 3L), (3L, "D", 4L), (5L, "E", 5L)) ++
+        Seq.fill(5)((1L, "A", 2L)) ++ // lifts (1,A,*) rollup to 6
+        Seq.fill(5)((2L, "C", 3L)) ++ // lifts (2,*,3) rollup to 6
+        Seq.fill(5)((4L, "D", 4L))    // lifts (*,D,4) rollup to 6
+    val q = rows.toDF("nation", "segment", "bal_band")
+    val out = graft.queries.Breadth20.kAnonymityAudit(q, k = 5L)
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, "A", 1L, 1L, "drop_bal_band"),
+      (2L, "B", 3L, 1L, "drop_segment"),
+      (3L, "D", 4L, 1L, "drop_nation"),
+      (5L, "E", 5L, 1L, "suppress")))
+  }
+}
