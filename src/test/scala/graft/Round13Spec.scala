@@ -59,6 +59,48 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("agreementNamePairs: tight-dist OR multi-pass evidence keeps a pair; loose single-pass evidence does not") {
+    import spark.implicits._
+    // keys: first-3 and last-3 chars — independent enough that a pair
+    // can be proposed by one pass, the other, or both
+    val recs = Seq(
+      (1L, "ABCxxDEF"), (2L, "ABCyyDEF"), // both passes, dist 2 -> kept (agreement)
+      (3L, "QQQxxGGG"), (4L, "QQQxyGGH"), // prefix pass only, dist 2 -> dropped
+      (5L, "ZZZaaAAA"), (6L, "ZZZaaAAB")) // prefix pass only, dist 1 -> kept (tight)
+      .toDF("id", "name")
+    val out = graft.ext.EntityOps.agreementNamePairs(recs, "id", "name",
+        Seq(expr("substring(name, 1, 3)"), expr("right(name, 3)")),
+        maxDist = 2, tightDist = 1, minPasses = 2, maxBlock = 8)
+      .select("id_a", "id_b", "dist", "n_passes")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 2L, 2L), (5L, 6L, 1L, 1L)))
+  }
+
+  test("eval_er_frontier: agreement tier prices the transposition recall cost; suffix precision is corpus-capped in both tiers") {
+    import spark.implicits._
+    val m = SparkEntry.queries("eval_er_frontier")(spark, "/root/testdata/sf0.001")
+      .select(col("tier"), col("cls"), col("precision"), col("recall"))
+      .as[(String, String, Option[Double], Option[Double])]
+      .collect().map { case (t, c, p, r) => (t, c) -> ((p, r)) }.toMap
+    // the recall-first tier finds every injected pair in every class
+    assert(m(("two_pass_d2", "deletion")) === ((Some(1.0), Some(1.0))))
+    assert(m(("two_pass_d2", "transposition"))._2 === Some(1.0))
+    assert(m(("two_pass_d2", "suffix_typo"))._2 === Some(1.0))
+    // the agreement tier's stated cost: dist-2 single-pass evidence
+    // (here, the whole transposition class) is dropped...
+    assert(m(("agree2_or_d1", "transposition"))._2 === Some(0.0))
+    // ...while unambiguous classes are untouched
+    assert(m(("agree2_or_d1", "deletion")) === ((Some(1.0), Some(1.0))))
+    assert(m(("agree2_or_d1", "suffix_typo"))._2 === Some(1.0))
+    // the single-field ceiling: suffix precision is stuck at ~1/decade
+    // in BOTH tiers (the typo'd name is byte-identical to a wrong serial
+    // neighbor, so every verifier and every pass votes for the imposter)
+    for (t <- Seq("two_pass_d2", "agree2_or_d1")) {
+      val p = m((t, "suffix_typo"))._1.get
+      assert(p > 0.0 && p <= 0.15, s"suffix precision ceiling at $t: $p")
+    }
+  }
+
   test("kAnonymityAudit: each fix_hint branch fires on its own class") {
     import spark.implicits._
     // four size-1 risk classes, one per branch, plus size-5 filler
