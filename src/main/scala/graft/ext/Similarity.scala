@@ -577,6 +577,38 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Per-query ROUTING-COSINE count of the two-level serve — the
+    * economics readout `eval_routed_economics` averages: every query
+    * scores all supers plus the children of its `nsuper` routed supers
+    * (children partition across supers by the top-1 home assignment, so
+    * the per-super child counts sum exactly). Mirrors
+    * [[serveQuantizedIvfTwoLevel]]'s routing bit-for-bit (same rounded-
+    * cosine/min-cid rules), so the count prices the serve actually
+    * shipped, not an idealized one.
+    */
+  def twoLevelRoutingCosines(spark: SparkSession, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      centIdCol: String, centVecCol: String, superMod: Int,
+      superResidue: Int, nsuper: Int): DataFrame = {
+    VectorExpressions.register(spark)
+    val supers = collectCentroids(
+      centroids.filter(col(centIdCol) % superMod === superResidue),
+      centIdCol, centVecCol)
+    val children = centroids
+      .select(col(centIdCol).cast("long").as("__cid"), col(centVecCol).as("__cv"))
+      .withColumn("__super",
+        element_at(topCentroids(col("__cv"), supers, 1), 1).getField("cid"))
+      .groupBy(col("__super")).agg(count(lit(1)).as("__nch"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__super", explode(
+        transform(topCentroids(col("__qv"), supers, nsuper),
+          s => s.getField("cid"))))
+      .join(broadcast(children), "__super")
+      .groupBy(col("query_id"))
+      .agg((lit(supers.length.toLong) + sum(col("__nch")))
+        .as("routing_cosines"))
+  }
+
   /** Probe-economics curve: recall@k of the stored-index serve at each
     * nprobe tier, from ONE scored candidate frame — the readout a
     * serving owner tunes nprobe against (every probe tier costs a

@@ -77,23 +77,25 @@ object Breadth20 {
 
   /** Two-level routed IVF serve over the persisted int8 index —
     * [[graft.ext.Similarity.serveQuantizedIvfTwoLevel]]: queries route
-    * through a ~29-super systematic slice of the trained 833-cell grid
-    * (score √c supers, then only the 2 nearest supers' children) before
-    * probing stored lists — ~87 routing cosines per query vs 833 flat,
-    * and the gap grows as √c vs c with corpus scale. This is the
-    * serving layout that keeps probe cost flat when a 100 TB corpus
-    * pushes the cell count into the tens of thousands; the flat-routed
-    * `ann_index_serve` stays the exact-routing baseline it trades
-    * against — measured at sf0.1: recall@5 0.50 here vs 0.60 for the
-    * flat-routed nprobe-9 serve, the ~10-point routing-approximation
-    * price of ~10× fewer routing cosines (worth paying only once the
-    * cell count makes flat scoring the serve bottleneck; at 833 cells
-    * the fused kernel keeps flat routing cheap, which is why the
-    * DEFAULT tier stays flat). The oracle replays the whole chain —
-    * trained centroids,
-    * super slice, per-centroid home super, 2-super query routing,
-    * nprobe child selection, int8 reconstruction, spill-2 probe,
-    * rounded-cosine rank — row-for-row.
+    * through a ~√c-super systematic slice of the trained centroid grid
+    * (score the supers, then only the `nsuper` nearest supers' children)
+    * before probing stored lists, and the flat-vs-routed gap grows as
+    * √c vs c with corpus scale. This is the serving layout that keeps
+    * probe cost flat when a 100 TB corpus pushes the cell count into
+    * the tens of thousands; the flat-routed `ann_index_serve` stays the
+    * exact-routing baseline it trades against. nsuper is 3 since round
+    * 13 (VERDICT r12 item 5 — nsuper=2 measured recall@5 0.50):
+    * measured at sf0.1 (333-cell grid, 11 supers), recall@5 0.56 at
+    * ~101 routing cosines/query vs 0.75 at 333 cosines for the flat
+    * nprobe-15 serve — the routing-approximation price of ~3× fewer
+    * routing cosines, worth paying only once the cell count makes flat
+    * scoring the serve bottleneck (at a few hundred cells the fused
+    * kernel keeps flat routing cheap, which is why the DEFAULT tier
+    * stays flat; `eval_routed_economics` prices both). The oracle
+    * replays the whole chain — trained centroids, super slice,
+    * per-centroid home super, 3-super query routing, nprobe child
+    * selection, int8 reconstruction, spill-2 probe, rounded-cosine
+    * rank — row-for-row.
     */
   val annTwoLevelServe = Q(
     "ann_two_level_serve",
@@ -104,7 +106,7 @@ object Breadth20 {
           emb.filter(col("vec_id") % 100 === 0),
           Extensions.servingCentroids(s, dir),
           "vec_id", "embedding", "cid", "cv", k = 5,
-          superMod = 29, superResidue = 7, nsuper = 2,
+          superMod = 29, superResidue = 7, nsuper = 3,
           nprobe = Extensions.ServingNprobe)
         .orderBy(col("query_id"), col("rank"))
     },
@@ -131,7 +133,7 @@ object Breadth20 {
           SELECT e.vec_id, e.embedding, s.cid AS super,
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${Extensions.sqlCos("e.embedding", "s.cv")} DESC, s.cid) AS rn
-          FROM embeddings e, sup s WHERE e.vec_id % 100 = 0) WHERE rn <= 2),
+          FROM embeddings e, sup s WHERE e.vec_id % 100 = 0) WHERE rn <= 3),
       q_a AS (SELECT vec_id, embedding, cid FROM (
           SELECT q.vec_id, q.embedding, c.cid,
                  row_number() OVER (PARTITION BY q.vec_id

@@ -169,5 +169,150 @@ object Breadth21 {
       FROM u ORDER BY tier, cls
     """.trim))
 
-  val all: Seq[Q] = Seq(erAgreementPairs, evalErFrontier)
+  /** Routing ECONOMICS of the flat vs two-level serving tiers — what
+    * each tier's routing cosines/query buy in recall@5, from the SAME
+    * persisted int8 index and exact full-precision truth (VERDICT r12
+    * item 5's "routed row"): `flat_nprobe15` scores every trained cell
+    * per query (the exact-routing baseline, c cosines); `routed_nsuper3`
+    * scores the √c supers plus its 3 routed supers' children —
+    * measured at sf0.1: recall 0.75 at 333 cosines vs 0.56 at ~101.
+    * The crossover argument this table exists for: routed cosines grow
+    * as √c while flat grows as c, so the routed tier wins once the
+    * cell count (∝ corpus size at fixed list length) makes flat
+    * scoring the serve bottleneck — at tens of thousands of cells the
+    * flat column would read 10⁴ while routed reads ~3·10². Routing
+    * cosines are exact per-query counts (children partition over
+    * supers), averaged; recall is against the exact top-5.
+    */
+  val evalRoutedEconomics = Q(
+    "eval_routed_economics",
+    (s, dir) => {
+      import graft.ext.Similarity
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val idx = s.read.parquet(Extensions.ensureIvfInt8Index(s, dir))
+      val cents = Extensions.servingCentroids(s, dir)
+      val truth = Similarity.bruteForceTopK(s, emb, queries,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__t"))
+        .localCheckpoint()
+      val tTot = truth.agg(count(lit(1)).as("n_truth"))
+      def metrics(config: String, pred: org.apache.spark.sql.DataFrame,
+          cosines: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        pred.select(col("query_id"), col("neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id"), "left")
+          .agg(sum(coalesce(col("__t"), lit(0L))).as("n_hit"))
+          .crossJoin(broadcast(tTot))
+          .crossJoin(broadcast(cosines))
+          .select(lit(config).as("config"), col("routing_cosines"),
+            col("n_truth"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_truth").cast("double"), 9)
+              .as("recall"))
+      val flat = Similarity.serveQuantizedIvf(s, idx, queries, cents,
+        "vec_id", "embedding", "cid", "cv", k = 5,
+        nprobe = Extensions.ServingNprobe, spill = Extensions.ServingSpill)
+      val flatCos = cents
+        .agg(count(lit(1)).cast("double").as("routing_cosines"))
+      val routed = Similarity.serveQuantizedIvfTwoLevel(s, idx, queries, cents,
+        "vec_id", "embedding", "cid", "cv", k = 5,
+        superMod = 29, superResidue = 7, nsuper = 3,
+        nprobe = Extensions.ServingNprobe)
+      val routedCos = Similarity.twoLevelRoutingCosines(s, queries, cents,
+          "vec_id", "embedding", "cid", "cv",
+          superMod = 29, superResidue = 7, nsuper = 3)
+        .agg(round(avg(col("routing_cosines")), 9).as("routing_cosines"))
+      metrics("flat_nprobe15", flat, flatCos)
+        .unionByName(metrics("routed_nsuper3", routed, routedCos))
+        .orderBy(col("config"))
+    },
+    Some(s"""
+      WITH qn AS (SELECT vec_id, embedding,
+                    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+                  FROM embeddings),
+      cq AS (SELECT vec_id, round(amax / 127.0, 9) AS s,
+               CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                           x -> CAST(floor(x::DOUBLE / (amax / 127.0) + 0.5) AS INT))
+               END AS codes
+             FROM qn),
+      rec AS (SELECT vec_id, list_transform(range(len(codes)), i -> codes[i+1] * s) AS embedding
+              FROM cq),
+      ${Extensions.sqlTrainedCentCtes},
+      corp_a AS (SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM rec e, cent t) WHERE rn <= ${Extensions.ServingSpill}),
+      sup AS (SELECT cid, cv FROM cent WHERE cid % 29 = 7),
+      c2s AS (SELECT cid, cv, super FROM (
+          SELECT c.cid, c.cv, s.cid AS super,
+                 row_number() OVER (PARTITION BY c.cid
+                   ORDER BY ${Extensions.sqlCos("c.cv", "s.cv")} DESC, s.cid) AS rn
+          FROM cent c, sup s) WHERE rn = 1),
+      ch AS (SELECT super, count(*)::BIGINT AS nch FROM c2s GROUP BY super),
+      q2s AS (SELECT vec_id, embedding, super FROM (
+          SELECT e.vec_id, e.embedding, s.cid AS super,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "s.cv")} DESC, s.cid) AS rn
+          FROM embeddings e, sup s WHERE e.vec_id % 100 = 0) WHERE rn <= 3),
+      qcos AS (SELECT vec_id,
+                 (SELECT count(*) FROM sup)::BIGINT + sum(nch) AS rc
+               FROM q2s JOIN ch USING (super) GROUP BY vec_id),
+      rcos AS (SELECT round(avg(rc), 9) AS routing_cosines FROM qcos),
+      qf AS (SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, t.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${Extensions.sqlCos("e.embedding", "t.cv")} DESC, t.cid) AS rn
+          FROM embeddings e, cent t WHERE e.vec_id % 100 = 0)
+        WHERE rn <= ${Extensions.ServingNprobe}),
+      pflat AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${Extensions.sqlCos("q.embedding", "c.embedding")} AS sim
+            FROM qf q JOIN corp_a c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
+      predf AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rank
+          FROM pflat) WHERE rank <= 5),
+      qr AS (SELECT vec_id, embedding, cid FROM (
+          SELECT q.vec_id, q.embedding, c.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${Extensions.sqlCos("q.embedding", "c.cv")} DESC, c.cid) AS rn
+          FROM q2s q JOIN c2s c ON q.super = c.super)
+        WHERE rn <= ${Extensions.ServingNprobe}),
+      prout AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ${Extensions.sqlCos("q.embedding", "c.embedding")} AS sim
+            FROM qr q JOIN corp_a c ON q.cid = c.cid AND q.vec_id <> c.vec_id),
+      predr AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rank
+          FROM prout) WHERE rank <= 5),
+      tq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             WHERE vec_id % 100 = 0),
+      tc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      truth AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${Extensions.sqlCos("qv", "cv")} DESC, neighbor_id) AS rank
+          FROM tq, tc WHERE query_id <> neighbor_id) WHERE rank <= 5),
+      nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+      hf AS (SELECT count(*)::BIGINT AS n_hit
+             FROM predf JOIN truth USING (query_id, neighbor_id)),
+      hr AS (SELECT count(*)::BIGINT AS n_hit
+             FROM predr JOIN truth USING (query_id, neighbor_id))
+      SELECT * FROM (
+        SELECT 'flat_nprobe15' AS config,
+               (SELECT count(*) FROM cent)::DOUBLE AS routing_cosines,
+               nt.n_truth, hf.n_hit,
+               round(hf.n_hit::DOUBLE / nt.n_truth, 9) AS recall
+        FROM nt, hf
+        UNION ALL
+        SELECT 'routed_nsuper3', (SELECT routing_cosines FROM rcos),
+               nt.n_truth, hr.n_hit,
+               round(hr.n_hit::DOUBLE / nt.n_truth, 9)
+        FROM nt, hr)
+      ORDER BY config
+    """.trim))
+
+  val all: Seq[Q] = Seq(erAgreementPairs, evalErFrontier, evalRoutedEconomics)
 }

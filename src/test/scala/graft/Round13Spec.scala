@@ -101,6 +101,22 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("eval_routed_economics: both tiers priced against the same truth; routed serve meets its recall floor at sf0.1-tuned settings") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("eval_routed_economics")(
+        spark, "/root/testdata/sf0.001")
+      .select(col("config"), col("routing_cosines"), col("n_truth"),
+        col("n_hit"), col("recall"))
+      .as[(String, Double, Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) === Seq("flat_nprobe15", "routed_nsuper3"))
+    rows.foreach { case (c, cos, nt, nh, r) =>
+      assert(cos > 0.0, s"$c cosines")
+      assert(nt > 0 && nh >= 0 && nh <= nt, s"$c hits")
+      assert(r >= 0.0 && r <= 1.0 && math.abs(r - nh.toDouble / nt) < 1e-6,
+        s"$c recall consistency")
+    }
+  }
+
   test("kAnonymityAudit: each fix_hint branch fires on its own class") {
     import spark.implicits._
     // four size-1 risk classes, one per branch, plus size-5 filler

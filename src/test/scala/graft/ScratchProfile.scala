@@ -35,28 +35,42 @@ object ScratchProfile {
       try graft.etl.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
 
-    // current shape: decompose dedup_tfidf_pairs — ingest-staged
-    // postings vs in-query build, and the pair stage alone, 3 reps each
+    // current shape: two-level routed serve recall vs nsuper, with
+    // routing-cosine economics (VERDICT r12 item 5)
     import org.apache.spark.sql.functions._
-    import graft.ext.TextOps
-    val pq = time("ensureTfidfPostings (ingest)") {
-      graft.queries.Breadth8.ensureTfidfPostings(spark, sfDir)
-    }
-    (1 to 3).foreach { i =>
-      time(s"serve from parquet rep$i") {
-        TextOps.tfidfPairsFromPostings(spark.read.parquet(pq), "doc_id", 0.5)
-          .orderBy(col("doc_a"), col("doc_b")).count()
-      }
-    }
-    (1 to 3).foreach { i =>
-      time(s"old full build+pairs rep$i") {
-        val docs = graft.etl.Tables(spark, sfDir, "documents")
-          .select(col("doc_id"), col("text"))
-        TextOps.tfidfSimilarPairs(docs, "doc_id", "text",
-          maxDf = 20, minSim = 0.5)
-          .orderBy(col("doc_a"), col("doc_b")).count()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      }
+    import graft.ext.Similarity
+    val emb = graft.etl.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val queries = emb.filter(col("vec_id") % 100 === 0).localCheckpoint()
+    val exact = Similarity.bruteForceTopK(spark, emb, queries,
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+      exact.join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .agg(avg(coalesce(col("__hit"), lit(0L)).cast("double")))
+        .collect()(0).getDouble(0)
+    val idxDir = graft.queries.Extensions.ensureIvfInt8Index(spark, sfDir)
+    val idx = spark.read.parquet(idxDir).localCheckpoint()
+    val cents = graft.queries.Extensions.servingCentroids(spark, sfDir)
+      .localCheckpoint()
+    val nCents = cents.count()
+    val nSupers = cents.filter(col("cid") % 29 === 7).count()
+    println(s"cells=$nCents supers=$nSupers")
+    val flat = Similarity.serveQuantizedIvf(spark, idx, queries, cents,
+      "vec_id", "embedding", "cid", "cv", k = 5,
+      nprobe = graft.queries.Extensions.ServingNprobe,
+      spill = graft.queries.Extensions.ServingSpill)
+    println(f"flat nprobe15 recall ${recallOf(flat)}%.3f cosines=$nCents")
+    for (ns <- Seq(2, 3, 4)) {
+      val routed = Similarity.serveQuantizedIvfTwoLevel(spark, idx, queries,
+        cents, "vec_id", "embedding", "cid", "cv", k = 5,
+        superMod = 29, superResidue = 7, nsuper = ns,
+        nprobe = graft.queries.Extensions.ServingNprobe)
+      // routing cosines: supers + avg children over the ns chosen supers
+      // (children partition over supers; avg child count = cells/supers)
+      val cos = nSupers + ns * nCents / nSupers
+      println(f"routed nsuper=$ns recall ${recallOf(routed)}%.3f cosines~$cos")
     }
     spark.stop()
   }
