@@ -932,6 +932,109 @@ object Dedup {
         size(col("__rt")).as("__n"))
   }
 
+  /** VALUE-ordered token frame for the INCREMENTAL prefix-filter march:
+    * (id, __st token-ascending distinct array, __n). The batch twin of
+    * [[rankedTokens]] with one deliberate difference — the total order
+    * is the token VALUE, not document frequency: df shifts as batches
+    * arrive, so a rarest-first state built at batch i would order
+    * tokens differently than batch j and the prefix-filter theorem
+    * (which needs ONE total order across both sides of every join)
+    * would silently lose pairs. Value order is corpus-independent, so
+    * a doc's prefix never changes after ingest — the property that
+    * makes a STANDING prefix state possible at all. The price is the
+    * lost rarest-first posting-shortening heuristic (a stopword-ish
+    * token can sit in many prefixes), which is why the march carries
+    * the same loud `maxPosting` guard. Exactness is unaffected: the
+    * theorem holds for any fixed total order, and the verified output
+    * (exact Jaccard) is order-independent — pinned equal to the
+    * rarest-first one-shot in Round13Spec.
+    */
+  def valueRankedTokens(df: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    df.select(col(idCol), sort_array(array_distinct(col(tokensCol))).as("__st"))
+      .withColumn("__n", size(col("__st")))
+      .filter(col("__n") >= 1)
+
+  /** Incremental EXACT set-similarity march — the prefix-filter twin of
+    * [[minhashPairsOfBatch]] (VERDICT r12 item 6): the standing state is
+    * the per-doc [[valueRankedTokens]] frame (merged across batches by
+    * plain union — doc-keyed rows from disjoint batches), and each
+    * arriving delta emits exactly the verified pairs its docs complete:
+    * delta×state through one prefix-token join plus delta×delta through
+    * the batch-local PPJoin self-join. Only the DELTA is ever tokenized;
+    * the state carries no text. Union of per-batch emissions over any
+    * batch partition == the one-shot [[prefixFilterPairs]] over the full
+    * corpus, pair for pair WITH equal jaccard values: a qualifying
+    * pair's smallest common token sits in both value-ordered prefixes
+    * regardless of arrival (prefixes are per-doc deterministic), so the
+    * pair is emitted at the batch where its later doc lands — cross if
+    * the docs arrived apart, within if together — and at no other
+    * batch; the exact-Jaccard verify is order-free. Both PPJoin
+    * positional stages apply unchanged (they only need both docs sorted
+    * by the same total order). The `__dx =!= __dy` predicate guards the
+    * doc-disjointness the march assumes, exactly as in the MinHash
+    * march.
+    */
+  def prefixPairsOfBatch(state: DataFrame, delta: DataFrame, idCol: String,
+      threshold: Double, maxPosting: Long = 100000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    def pp(ranked: DataFrame): DataFrame = ranked
+      .withColumn("__p", expr(
+        s"slice(__st, 1, size(__st) - cast(ceil($threshold * size(__st)) as int) + 1)"))
+      .select(col(idCol), col("__n"),
+        posexplode(col("__p")).as(Seq("__i0", "__t")))
+      .select(col(idCol), col("__n"), (col("__i0") + 1).as("__i"), col("__t"))
+      .localCheckpoint()
+    val sp = pp(state)
+    val dp = pp(delta)
+    def maxLen(f: DataFrame): Long = {
+      val r = f.groupBy(col("__t")).agg(count(lit(1)).as("__len"))
+        .agg(max(col("__len"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val longest = math.max(maxLen(sp), maxLen(dp))
+    require(longest <= maxPosting,
+      s"prefix posting list of length $longest exceeds maxPosting=$maxPosting " +
+        "(the within-token candidate join is quadratic in posting length; " +
+        "raise the bound deliberately or pre-clean degenerate tokens)")
+    def passes(bound: Column): Column =
+      bound.cast("double") * (1.0 + threshold) >=
+        (col("__na") + col("__nb")).cast("double") * threshold - 1e-9
+    def candsOf(a: DataFrame, b: DataFrame, cond: Column): DataFrame =
+      a.join(b.hint("shuffle_hash"),
+          col("__t") === col("__t2") && cond &&
+            least(col("__na"), col("__nb")).cast("double") >=
+              greatest(col("__na"), col("__nb")) * threshold &&
+            passes(least(col("__ia"), col("__ib")) +
+              least(col("__na") - col("__ia"), col("__nb") - col("__ib"))))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("__ia")).as("__i1"), min(col("__ib")).as("__j1"),
+          first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+        .filter(passes(lit(1) +
+          least(col("__na") - col("__i1"), col("__nb") - col("__j1"))))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    val sSide = sp.select(col(idCol).as("doc_a"), col("__n").as("__na"),
+      col("__i").as("__ia"), col("__t"))
+    val dSide = dp.select(col(idCol).as("doc_b"), col("__n").as("__nb"),
+      col("__i").as("__ib"), col("__t").as("__t2"))
+    val cross = candsOf(sSide, dSide, col("doc_a") =!= col("doc_b"))
+    val within = candsOf(
+      dp.select(col(idCol).as("doc_a"), col("__n").as("__na"),
+        col("__i").as("__ia"), col("__t")),
+      dSide, col("doc_a") < col("doc_b"))
+    val sets = state.select(col(idCol), col("__st"))
+      .unionByName(delta.select(col(idCol), col("__st")))
+    cross.unionByName(within).distinct()
+      .join(sets.select(col(idCol).as("doc_a"), col("__st").as("__ta")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("__st").as("__tb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("__ta")) + size(col("__tb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** [[prefixFilterPairs]] from a pre-built [[rankedTokens]] frame
     * (typically read back from an ingest-time parquet artifact).
     */

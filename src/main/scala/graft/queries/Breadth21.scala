@@ -314,5 +314,41 @@ object Breadth21 {
       ORDER BY config
     """.trim))
 
-  val all: Seq[Q] = Seq(erAgreementPairs, evalErFrontier, evalRoutedEconomics)
+  /** Incremental EXACT set-similarity march —
+    * [[graft.ext.Dedup.prefixPairsOfBatch]], the prefix-filter twin of
+    * `dedup_incremental_pairs`: the same md5-sampled corpus and 3-word
+    * shingle-hash tokens as `dedup_prefix_filter`, arriving as two
+    * deterministic batches; each batch is value-rank tokenized ONCE
+    * into the standing state and each landing emits exactly the
+    * verified pairs it completes (delta×state prefix join + delta×delta
+    * PPJoin). The ORACLE is byte-identical to the one-shot
+    * `dedup_prefix_filter` SQL (the naive all-pairs exact Jaccard over
+    * the same sample), so the driver's hash gate re-proves march ==
+    * one-shot — including equal jaccard VALUES — every round.
+    */
+  val dedupIncrementalPrefix = Q(
+    "dedup_incremental_prefix",
+    (s, dir) => {
+      import graft.ext.Dedup
+      val docs = Extensions.augmentedDocs(s, dir, perturb = true)
+        .filter(Dedup.hash32(col("doc_id").cast("string")) % 2 === 0)
+      val sh = Dedup.withShingles(docs, "text", k = 3)
+        .withColumn("__tk", expr(
+          "transform(__shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
+        .select(col("doc_id"), col("__tk"))
+      val split = Dedup.hash32(col("doc_id").cast("string")) % 4
+      val s1 = Dedup.valueRankedTokens(sh.filter(split === 0), "doc_id", "__tk")
+        .localCheckpoint()
+      val s2 = Dedup.valueRankedTokens(sh.filter(split =!= 0), "doc_id", "__tk")
+        .localCheckpoint()
+      val batch1 = Dedup.prefixPairsOfBatch(s1.limit(0), s1, "doc_id", threshold = 0.5)
+      val batch2 = Dedup.prefixPairsOfBatch(s1, s2, "doc_id", threshold = 0.5)
+      batch1.unionByName(batch2).distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    // the one-shot oracle, verbatim — the march must equal it exactly
+    Some(Breadth11.dedupPrefixFilter.oracle.get))
+
+  val all: Seq[Q] = Seq(erAgreementPairs, evalErFrontier, evalRoutedEconomics,
+    dedupIncrementalPrefix)
 }

@@ -117,6 +117,43 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("prefix-filter incremental march == one-shot, both batch orders, equal jaccard values") {
+    import graft.ext.Dedup
+    // near-dup-bearing fixture: originals + "xx "-prepended copies
+    val d0 = graft.etl.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val docs = d0.unionByName(
+      d0.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("xx "), col("text")).as("text")))
+    val sh = Dedup.withShingles(docs, "text", k = 3)
+      .withColumn("__tk", expr(
+        "transform(__shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), col("__tk"))
+    val split = Dedup.hash32(col("doc_id").cast("string")) % 2
+    val s1 = Dedup.valueRankedTokens(sh.filter(split === 0), "doc_id", "__tk")
+      .localCheckpoint()
+    val s2 = Dedup.valueRankedTokens(sh.filter(split =!= 0), "doc_id", "__tk")
+      .localCheckpoint()
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = {
+      import spark.implicits._
+      df.select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+        col("jaccard")).as[(Long, Long, Double)].collect().toSet
+    }
+    // one-shot baseline through the RAREST-FIRST shipped path: the
+    // verified pair set is total-order-independent, which is exactly
+    // the property that lets the march use value order
+    val oneShot = pairsOf(Dedup.prefixFilterPairs(sh, "doc_id", "__tk", 0.5))
+    assert(oneShot.nonEmpty, "fixture must produce near-dup pairs")
+    val march12 = pairsOf(
+      Dedup.prefixPairsOfBatch(s1.limit(0), s1, "doc_id", 0.5).unionByName(
+        Dedup.prefixPairsOfBatch(s1, s2, "doc_id", 0.5)))
+    val march21 = pairsOf(
+      Dedup.prefixPairsOfBatch(s2.limit(0), s2, "doc_id", 0.5).unionByName(
+        Dedup.prefixPairsOfBatch(s2, s1, "doc_id", 0.5)))
+    assert(march12 === oneShot)
+    assert(march21 === oneShot)
+  }
+
   test("kAnonymityAudit: each fix_hint branch fires on its own class") {
     import spark.implicits._
     // four size-1 risk classes, one per branch, plus size-5 filler
