@@ -349,6 +349,45 @@ object Breadth21 {
     // the one-shot oracle, verbatim — the march must equal it exactly
     Some(Breadth11.dedupPrefixFilter.oracle.get))
 
+  /** l-diversity audit body over an explicit (nation, segment,
+    * bal_band) frame — factored for the spec fixture. Quasi-identifiers
+    * here are (nation, segment); the SENSITIVE attribute is the
+    * account-balance band (k-anonymity's third quasi-id changes hats:
+    * balance is exactly the attribute a release must not let the
+    * quasi-ids disclose). One shuffled aggregate; the distinct count is
+    * per-class over a ≤11-value attribute, so partial aggregation keeps
+    * it map-side-combined at any corpus size.
+    */
+  private[graft] def lDiversityAudit(q: org.apache.spark.sql.DataFrame,
+      l: Long): org.apache.spark.sql.DataFrame =
+    q.groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("bal_band")).as("n_sensitive"))
+      .withColumn("meets_l", (col("n_sensitive") >= l).cast("long"))
+      .orderBy(col("nation"), col("segment"))
+
+  /** l-diversity companion to `dq13_k_anonymity` (VERDICT r12 item 8):
+    * a class can be large enough for k-anonymity and still disclose —
+    * if every member of (nation, segment) sits in the SAME balance
+    * band, knowing someone's nation+segment reveals their balance band
+    * exactly. Distinct l-diversity requires ≥ l distinct sensitive
+    * values per equivalence class; the report lists every class with
+    * its size, diversity, and the l=3 verdict — the table a release
+    * review reads next to the k-anonymity audit.
+    */
+  val dqLDiversity = Q(
+    "dq14_l_diversity",
+    (s, dir) => lDiversityAudit(Breadth20.customerQuasiIds(s, dir), l = 3L),
+    Some("""
+      WITH q AS (SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+                        floor(c_acctbal / 1000.0)::BIGINT AS bal_band
+                 FROM customer)
+      SELECT nation, segment, count(*)::BIGINT AS class_size,
+             count(DISTINCT bal_band)::BIGINT AS n_sensitive,
+             (count(DISTINCT bal_band) >= 3)::BIGINT AS meets_l
+      FROM q GROUP BY 1, 2 ORDER BY nation, segment
+    """.trim))
+
   val all: Seq[Q] = Seq(erAgreementPairs, evalErFrontier, evalRoutedEconomics,
-    dedupIncrementalPrefix)
+    dedupIncrementalPrefix, dqLDiversity)
 }

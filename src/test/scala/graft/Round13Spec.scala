@@ -154,6 +154,21 @@ class Round13Spec extends SparkSpec {
     assert(march21 === oneShot)
   }
 
+  test("lDiversityAudit: a k-large but single-band class reads as risk; a diverse class meets l") {
+    import spark.implicits._
+    // class (1, A): 6 members, ALL in band 2 -> k-anonymous at k=5 yet
+    // zero-diversity (knowing nation+segment discloses the band);
+    // class (2, B): 4 members across 3 bands -> meets l=3
+    val q = (Seq.fill(6)((1L, "A", 2L)) ++
+      Seq((2L, "B", 1L), (2L, "B", 2L), (2L, "B", 3L), (2L, "B", 3L)))
+      .toDF("nation", "segment", "bal_band")
+    val out = graft.queries.Breadth21.lDiversityAudit(q, l = 3L)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "A", 6L, 1L, 0L),
+      (2L, "B", 4L, 3L, 1L)))
+  }
+
   test("kAnonymityAudit: each fix_hint branch fires on its own class") {
     import spark.implicits._
     // four size-1 risk classes, one per branch, plus size-5 filler
