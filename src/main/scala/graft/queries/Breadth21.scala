@@ -388,6 +388,93 @@ object Breadth21 {
       FROM q GROUP BY 1, 2 ORDER BY nation, segment
     """.trim))
 
+  /** t-closeness audit body (Li et al., ICDE'07) over an explicit
+    * (nation, segment, bal_band) frame — the third rung of the
+    * governance ladder: k-anonymity bounds class SIZE, l-diversity
+    * bounds sensitive CARDINALITY, and t-closeness bounds how much the
+    * class's sensitive DISTRIBUTION deviates from the global one (a
+    * class can be large and diverse yet still leak — e.g. 90% of one
+    * nation+segment in the bottom band when the corpus is uniform).
+    * Distance is the ordinal 1-D earth-mover's distance: the band
+    * domain is ordered, so EMD = Σ|running CDF difference| / (m−1),
+    * exactly the paper's numerical-attribute formula. Plan shape: two
+    * grouped aggregates over the quasi-id key, a broadcast
+    * classes×bands grid (both metadata-scale), and an ≤m-row running
+    * window per class — no row-level data past the first aggregates.
+    * Floats are engine-portable: both engines fold the same ≤m ordered
+    * doubles per class, one final round to 9 dp.
+    */
+  private[graft] def tClosenessAudit(q0: org.apache.spark.sql.DataFrame,
+      t: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = q0.localCheckpoint()
+    val n = q.agg(count(lit(1)).cast("double").as("__n"))
+    val g = q.groupBy(col("bal_band")).agg(count(lit(1)).cast("double").as("__gc"))
+    val m = g.agg(count(lit(1)).as("__m"))
+    val cls = q.groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).cast("double").as("__cs"))
+    val cb = q.groupBy(col("nation"), col("segment"), col("bal_band"))
+      .agg(count(lit(1)).cast("double").as("__cc"))
+    val grid = cls.crossJoin(broadcast(g))
+      .join(cb, Seq("nation", "segment", "bal_band"), "left")
+      .withColumn("__cc", coalesce(col("__cc"), lit(0.0)))
+      .crossJoin(broadcast(n))
+    val w = Window.partitionBy(col("nation"), col("segment"))
+      .orderBy(col("bal_band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("__cum", sum(col("__cc") / col("__cs") - col("__gc") / col("__n")).over(w))
+      .groupBy(col("nation"), col("segment"))
+      // |cum| values are summed as 12-dp DECIMAL so the ≤m-element
+      // aggregate is exact and order-independent (cum itself is a
+      // deterministic sequential window fold in both engines)
+      .agg(first(col("__cs")).cast("long").as("class_size"),
+        sum(round(abs(col("__cum")), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double").as("__d"))
+      .crossJoin(broadcast(m))
+      .withColumn("t_distance", round(col("__d") / (col("__m") - 1), 9))
+      .withColumn("meets_t", (col("t_distance") <= t).cast("long"))
+      .select(col("nation"), col("segment"), col("class_size"),
+        col("t_distance"), col("meets_t"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  /** t-closeness over the customer quasi-ids — see [[tClosenessAudit]];
+    * threshold t = 0.2 (the paper's working example).
+    */
+  val dqTCloseness = Q(
+    "dq15_t_closeness",
+    (s, dir) => tClosenessAudit(Breadth20.customerQuasiIds(s, dir), t = 0.2),
+    Some("""
+      WITH q AS (SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+                        floor(c_acctbal / 1000.0)::BIGINT AS bal_band
+                 FROM customer),
+      n AS (SELECT count(*)::DOUBLE AS n FROM q),
+      g AS (SELECT bal_band, count(*)::DOUBLE AS gc FROM q GROUP BY 1),
+      m AS (SELECT count(*)::BIGINT AS m FROM g),
+      cls AS (SELECT nation, segment, count(*)::DOUBLE AS cs FROM q GROUP BY 1, 2),
+      cb AS (SELECT nation, segment, bal_band, count(*)::DOUBLE AS cc
+             FROM q GROUP BY 1, 2, 3),
+      grid AS (SELECT cls.nation, cls.segment, cls.cs, g.bal_band, g.gc,
+                      coalesce(cb.cc, 0.0) AS cc
+               FROM cls CROSS JOIN g
+               LEFT JOIN cb ON cb.nation = cls.nation
+                 AND cb.segment = cls.segment AND cb.bal_band = g.bal_band),
+      d AS (SELECT nation, segment, cs, bal_band,
+                   sum(cc / cs - gc / (SELECT n FROM n)) OVER (
+                     PARTITION BY nation, segment ORDER BY bal_band
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM grid)
+      SELECT nation, segment, cs::BIGINT AS class_size,
+             round(sum(CAST(round(abs(cum), 12) AS DECIMAL(38, 12)))::DOUBLE
+                   / ((SELECT m FROM m) - 1), 9) AS t_distance,
+             (round(sum(CAST(round(abs(cum), 12) AS DECIMAL(38, 12)))::DOUBLE
+                    / ((SELECT m FROM m) - 1), 9) <= 0.2)::BIGINT AS meets_t
+      FROM d GROUP BY nation, segment, cs
+      ORDER BY nation, segment
+    """.trim))
+
   val all: Seq[Q] = Seq(erAgreementPairs, evalErFrontier, evalRoutedEconomics,
-    dedupIncrementalPrefix, dqLDiversity)
+    dedupIncrementalPrefix, dqLDiversity, dqTCloseness)
 }

@@ -169,6 +169,22 @@ class Round13Spec extends SparkSpec {
       (2L, "B", 4L, 3L, 1L)))
   }
 
+  test("tClosenessAudit: ordinal EMD — global-matching class scores 0, one-band classes score 0.5") {
+    import spark.implicits._
+    // global distribution over bands {1, 2} is (0.5, 0.5); class X sits
+    // entirely in band 1, Y entirely in band 2 (EMD = 0.5 each), Z
+    // mirrors the global exactly (EMD = 0)
+    val q = (Seq.fill(4)((1L, "X", 1L)) ++ Seq.fill(4)((2L, "Y", 2L)) ++
+      Seq((3L, "Z", 1L), (3L, "Z", 1L), (3L, "Z", 2L), (3L, "Z", 2L)))
+      .toDF("nation", "segment", "bal_band")
+    val out = graft.queries.Breadth21.tClosenessAudit(q, t = 0.2)
+      .as[(Long, String, Long, Double, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "X", 4L, 0.5, 0L),
+      (2L, "Y", 4L, 0.5, 0L),
+      (3L, "Z", 4L, 0.0, 1L)))
+  }
+
   test("kAnonymityAudit: each fix_hint branch fires on its own class") {
     import spark.implicits._
     // four size-1 risk classes, one per branch, plus size-5 filler

@@ -295,6 +295,25 @@ import org.apache.spark.sql.functions._
   * 789,951 rows (×103.7, linear — the band march shares
   * minhash_pairs' propose economics) in 17.7s (time ×3.5 vs 1×).
   *
+  * Round-13 rows at replicas=100 (pair tier, content-growth corpus —
+  * the VERDICT-r12 item-7 set): text_winnow_fingerprint 10k →
+  * 1,000,000 rows (×100.0 EXACTLY, time ×19.7 at 38.6 s — hash-keyed
+  * span counting, per-unit cost DOWN 5×); dedup_incremental_prefix
+  * 1,548 → 150,645 pairs (×97.3, time ×19.2 at 278 s — value-ordered
+  * prefix postings stay short under content growth exactly like the
+  * rarest-first ones; pairs are within-replica near-dups, so
+  * mildly sub-linear is the honest reading); pipeline_curation_funnel
+  * 5 → 5 rows, 63.7 → 96.9 s (time ×1.5 at ×100 the corpus — every
+  * stage is one aggregate over checkpointed survivor frames and the
+  * near-dup stage probes the persisted band index; the 1× number is
+  * dominated by the in-run index build + 320-partition fixed cost).
+  * Two-level routing economics at 100× cells (corpus-proportional
+  * centroids, fixed query budget): flat 55 → 5,405 cosines/query
+  * (×98.3 — grows with c) vs routed 29 → 301 (×10.5 — grows with √c);
+  * at the 1× grid routing ~breaks even (29 vs 55), which is exactly
+  * why the graded serving tier stays flat at sf0.1 and the routed
+  * tier exists for the 10⁴-cell regime.
+  *
   * Round-10 wave at replicas=20 (2M docs): epoch materialize 3.7s for
   * 2× the rows — FLAT (scan-side explode parallelizes); training_mix
   * 8.3s, source_cap 15.1s, ccnet 4.7s, snapshot_diff 2.1s (all flat
@@ -580,7 +599,17 @@ object ScaleSmoke {
       // round 12: the incremental band march — same banded propose
       // economics as minhash_pairs, plus the cross join against the
       // standing fingerprint state
-      "dedup_incremental_pairs")
+      "dedup_incremental_pairs",
+      // round 13: the exact-set-similarity march (value-ordered prefix
+      // postings — content growth keeps them short exactly as it keeps
+      // the rarest-first ones short); winnowed fingerprints (hash-keyed
+      // span counting, density-bounded, no pair listing — rows are
+      // per-doc so the linear target is ~replicas); the funnel capstone
+      // post-r13 (probes the persisted band index; stages are one
+      // aggregate each over checkpointed survivor frames — rows stay 5,
+      // the TIME ratio is the reading)
+      "dedup_incremental_prefix", "text_winnow_fingerprint",
+      "pipeline_curation_funnel")
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
     val tier = if (pairTier) pairFamily else heavy
@@ -646,6 +675,43 @@ object ScaleSmoke {
       val cN = proposeCandidates(dir)
       println(f"dedup propose candidates: 1x $c1%d -> ${replicas}x $cN%d " +
         f"(ratio ${cN.toDouble / c1}%.1f, linear target ~$replicas)")
+    }
+
+    // Two-level routing economics (round 13): the √c-vs-c claim at
+    // GROWN cell counts. The shipped serving grid is a scale-fixed
+    // model (vec_id < 5000 seeds), so the graded queries never show
+    // the crossover; here the centroid set is corpus-PROPORTIONAL
+    // (one per 37 vectors, the proposeCandidates discipline), the
+    // super slice is resized to ~√c per corpus, and the measured
+    // per-query routing-cosine averages print next to the flat cost
+    // (= c). Query budget is FIXED (the eval-lint rule), so the
+    // reading isolates cell growth.
+    if (pairTier && selectedExtra("two_level_routing")) {
+      def routing(d: String): (Long, Double) = {
+        val emb = graft.etl.Tables(spark, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val queries = emb.filter(col("vec_id") % 100 === 0 &&
+          col("vec_id") < 100000L) // fixed budget at any scale
+        val cents = emb.filter(col("vec_id") % 37 === 0)
+          .localCheckpoint()
+        val c = cents.count()
+        // centroid ids are multiples of 37; a superMod sharing that
+        // factor makes the residue-1 slice EMPTY by CRT (bit us at
+        // 100×, where √c landed on 74) — nudge to coprime
+        var superMod = math.max(2L, math.round(math.sqrt(c.toDouble)))
+        while (superMod % 37 == 0) superMod += 1
+        val routed = graft.ext.Similarity.twoLevelRoutingCosines(spark,
+            queries, cents, "vec_id", "embedding", "vec_id", "embedding",
+            superMod = superMod.toInt, superResidue = 1, nsuper = 3)
+          .agg(avg(col("routing_cosines"))).collect()(0).getDouble(0)
+        (c, routed)
+      }
+      val (c1, r1) = routing(src)
+      val (cN, rN) = routing(dir)
+      println(f"two-level routing cosines/query: 1x flat $c1%d vs routed $r1%.0f" +
+        f" -> ${replicas}x flat $cN%d vs routed $rN%.0f " +
+        f"(flat grows x${cN.toDouble / c1}%.1f, routed x${rN / r1}%.1f — " +
+        "the sqrt(c) serving argument, measured)")
     }
 
     // ER propose (round 11): blocking-join pair volume under corpus
