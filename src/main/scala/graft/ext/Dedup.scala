@@ -103,6 +103,17 @@ object Dedup {
     s"array(${bandExprs.mkString(", ")})"
   }
 
+  /** (id, band) rows from an ALREADY-SIGNED frame (a `__sig` column of
+    * [[SeedsA]].length minhash values) — the banding stage alone,
+    * exposed so `eval_lsh_curve` can cut ONE signature computation into
+    * every rowsPerBand tier instead of re-shingling per tier.
+    */
+  def bandsOfSig(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
+    require(SeedsA.length % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide the ${SeedsA.length}-hash signature")
+    sig.select(col(idCol), explode(expr(bandArrayExpr(rowsPerBand))).as("band"))
+  }
+
   /** (id, band) rows: the signature cut into bands of `rowsPerBand`
     * hashes; docs sharing any band key are near-dup candidates.
     */

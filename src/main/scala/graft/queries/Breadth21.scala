@@ -475,6 +475,117 @@ object Breadth21 {
       ORDER BY nation, segment
     """.trim))
 
+  private val LshTiers = Seq(1, 2, 4, 8)
+
+  private def lshTierSql(r: Int): String = {
+    val nb = graft.ext.Dedup.SeedsA.length / r
+    val bands = (0 until nb).map { j =>
+      val parts = (0 until r).map(i => s"sig[${j * r + i + 1}]::VARCHAR")
+        .mkString(" || '_' || ")
+      s"'$j:' || $parts"
+    }.mkString(", ")
+    s"""bands_$r AS (SELECT doc_id, unnest([$bands]) AS band FROM sig),
+      cand_$r AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands_$r a JOIN bands_$r b
+                    ON a.band = b.band AND a.doc_id < b.doc_id),
+      m_$r AS (SELECT $r::BIGINT AS rows_per_band, $nb::BIGINT AS n_bands,
+                 (SELECT count(*) FROM tp)::BIGINT AS n_truth,
+                 (SELECT count(*) FROM cand_$r)::BIGINT AS n_proposed,
+                 (SELECT count(*) FROM cand_$r JOIN tp
+                    USING (doc_a, doc_b))::BIGINT AS n_hit)"""
+  }
+
+  /** LSH banding ECONOMICS — the dedup twin of `eval_probe_curve`
+    * (the readout behind every rowsPerBand constant in the MinHash
+    * family): ONE 8-hash signature per doc is cut into every
+    * (rowsPerBand r, bands 8/r) tier, each tier's candidate pairs are
+    * scored against the EXACT distinct-shingle Jaccard ≥ 0.5 truth —
+    * computed by the prefix-filter join, whose zero-false-negative
+    * theorem is what makes an exact truth affordable without an n²
+    * Spark stage — and the table prices the collision s-curve
+    * 1−(1−J^r)^(8/r) empirically: r=1 proposes recall-first (any
+    * shared hash collides), r=8 precision-first (all 8 must agree).
+    * The corpus is the md5-systematic 1-in-4 doc sample (q22
+    * discipline: the ORACLE's truth is the naive all-pairs Jaccard,
+    * quadratic, so the sample keeps it feasible — the lint-admissible
+    * shape for exact pairwise ground truth).
+    */
+  val evalLshCurve = Q(
+    "eval_lsh_curve",
+    (s, dir) => {
+      import graft.ext.Dedup
+      graft.functions.VectorExpressions.register(s)
+      val docs = Extensions.augmentedDocs(s, dir, perturb = true)
+        .filter(Dedup.hash32(col("doc_id").cast("string")) % 4 === 1)
+      val hashed = Dedup.withShingleHashes(docs, "text", k = 3)
+        .select(col("doc_id"), col("__hashes"))
+        .localCheckpoint()
+      val truth = Dedup.prefixFilterPairsRanked(
+          Dedup.rankedTokens(hashed, "doc_id", "__hashes").localCheckpoint(),
+          "doc_id", threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("__t"))
+        .localCheckpoint()
+      val tTot = truth.agg(count(lit(1)).as("n_truth"))
+      val sig = hashed
+        .withColumn("__sig", expr("graft_minhash_sig(__hashes)"))
+        .select(col("doc_id"), col("__sig"))
+        .localCheckpoint()
+      // per-tier metric frames: three scalar counts from the shared
+      // signature — the bands re-cut per tier, the cosine-free joins
+      // are band-bucket work only
+      val rows = LshTiers.map { r =>
+        val bands = Dedup.bandsOfSig(sig, "doc_id", r)
+        val a = bands.select(col("doc_id").as("doc_a"), col("band"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"))
+        val cand = a.join(b.hint("shuffle_hash"),
+            col("band") === col("band_b") && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val nProp = cand.agg(count(lit(1)).as("n_proposed"))
+        val nHit = cand.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hit"))
+        nProp.crossJoin(broadcast(nHit)).crossJoin(broadcast(tTot))
+          .select(lit(r.toLong).as("rows_per_band"),
+            lit((Dedup.SeedsA.length / r).toLong).as("n_bands"),
+            col("n_truth"), col("n_proposed"), col("n_hit"))
+      }
+      rows.reduce(_ unionByName _)
+        .withColumn("precision", when(col("n_proposed") > 0,
+          round(col("n_hit").cast("double") / col("n_proposed"), 9)))
+        .withColumn("recall", when(col("n_truth") > 0,
+          round(col("n_hit").cast("double") / col("n_truth"), 9)))
+        .orderBy(col("rows_per_band"))
+    },
+    Some(s"""
+      WITH ${Extensions.augCte(perturb = true)},
+      samp AS (SELECT doc_id, text FROM aug
+               WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 = 1),
+      norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM samp),
+      sh AS (SELECT doc_id, w FROM norm WHERE len(w) >= 3),
+      hs AS (SELECT doc_id,
+               list_transform(range(len(w) - 2),
+                 i -> ('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), 1, 8))::BIGINT) AS hs
+             FROM sh),
+      sig AS (SELECT doc_id, [${graft.ext.Dedup.SeedsA.zip(graft.ext.Dedup.SeedsB)
+        .map { case (a, b) =>
+          s"list_min(list_transform(hs, h -> ($a * h + $b) % ${graft.ext.Dedup.HashPrime}))"
+        }.mkString(", ")}] AS sig FROM hs),
+      dh AS (SELECT doc_id, list_distinct(hs) AS ds FROM hs),
+      tp AS (SELECT doc_a, doc_b FROM (
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      len(list_filter(a.ds, x -> list_contains(b.ds, x))) AS inter,
+                      len(a.ds) + len(b.ds) AS tot
+               FROM dh a JOIN dh b ON a.doc_id < b.doc_id)
+             WHERE inter::DOUBLE / (tot - inter) >= 0.5),
+      ${LshTiers.map(lshTierSql).mkString(",\n      ")}
+      SELECT rows_per_band, n_bands, n_truth, n_proposed, n_hit,
+             CASE WHEN n_proposed > 0
+                  THEN round(n_hit::DOUBLE / n_proposed, 9) END AS precision,
+             CASE WHEN n_truth > 0
+                  THEN round(n_hit::DOUBLE / n_truth, 9) END AS recall
+      FROM (${LshTiers.map(r => s"SELECT * FROM m_$r").mkString(" UNION ALL ")})
+      ORDER BY rows_per_band
+    """.trim))
+
   val all: Seq[Q] = Seq(erAgreementPairs, evalErFrontier, evalRoutedEconomics,
-    dedupIncrementalPrefix, dqLDiversity, dqTCloseness)
+    dedupIncrementalPrefix, dqLDiversity, dqTCloseness, evalLshCurve)
 }

@@ -185,6 +185,28 @@ class Round13Spec extends SparkSpec {
       (3L, "Z", 4L, 0.0, 1L)))
   }
 
+  test("eval_lsh_curve: aligned power-of-2 bands nest, so proposals and recall are monotone in rows_per_band") {
+    import spark.implicits._
+    // a pair agreeing on an r-hash band agrees on both its aligned
+    // r/2-hash sub-bands, so cand(8) ⊆ cand(4) ⊆ cand(2) ⊆ cand(1) —
+    // n_proposed and recall must be non-increasing in r, and r=1
+    // (any shared minhash collides) must have recall 1.0 on truth
+    // pairs (J ≥ 0.5 forces at least one agreeing hash in expectation
+    // is NOT a theorem — but the nesting and the r=1 ⊇ r=2 relation
+    // are; recall 1.0 at r=1 is pinned as the fixture's measured
+    // property, the curve's anchor row)
+    val rows = SparkEntry.queries("eval_lsh_curve")(spark, "/root/testdata/sf0.001")
+      .select(col("rows_per_band"), col("n_proposed"), col("n_hit"),
+        col("n_truth"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.map(_._1) === Seq(1L, 2L, 4L, 8L))
+    assert(rows.head._4 > 0L, "fixture must have truth pairs")
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 >= b._2, s"proposals must nest: $rows")
+      assert(a._3 >= b._3, s"hits must nest: $rows")
+    }
+  }
+
   test("kAnonymityAudit: each fix_hint branch fires on its own class") {
     import spark.implicits._
     // four size-1 risk classes, one per branch, plus size-5 filler
