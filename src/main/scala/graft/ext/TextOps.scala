@@ -1246,20 +1246,9 @@ object TextOps {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
-    val grams = (0 until k).map(j => s"__w[i+$j]").mkString(", ")
-    val fps = df
-      .select(col(idCol), words(col(textCol)).as("__w"))
-      .filter(size(col("__w")) >= k + w - 1)
-      .select(col(idCol), expr(
-        s"""transform(sequence(0, size(__w) - $k),
-            i -> cast(conv(substring(md5(concat_ws(' ', $grams)), 1, 15), 16, 10) AS BIGINT))""")
-        .as("__h"))
-      .select(col(idCol), explode(expr(
-        s"""array_distinct(transform(sequence(0, size(__h) - $w),
-            i -> array_min(slice(__h, i + 1, $w))))""")).as("__fp"))
-      // consumed twice (doc-frequency aggregate + join-back) — the
-      // dup-spans/groupedCdf checkpoint lesson
-      .localCheckpoint()
+    // consumed twice (doc-frequency aggregate + join-back) — the
+    // dup-spans/groupedCdf checkpoint lesson
+    val fps = winnowPostings(df, idCol, textCol, k, w).localCheckpoint()
     val dfreq = fps.groupBy(col("__fp"))
       .agg(countDistinct(col(idCol)).as("__nd"))
     fps.join(dfreq, Seq("__fp"))
@@ -1268,5 +1257,61 @@ object TextOps {
         sum((col("__nd") >= 2).cast("long")).as("n_shared"))
       .withColumn("shared_ratio",
         round(col("n_shared").cast("double") / col("n_fps").cast("double"), 9))
+  }
+
+  /** Per-doc DISTINCT winnow fingerprints as (id, __fp) posting rows —
+    * the shared stem of the per-doc signal ([[winnowFingerprints]]) and
+    * the pair product ([[winnowPairs]]).
+    */
+  def winnowPostings(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    val grams = (0 until k).map(j => s"__w[i+$j]").mkString(", ")
+    df.select(col(idCol), words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= k + w - 1)
+      .select(col(idCol), expr(
+        s"""transform(sequence(0, size(__w) - $k),
+            i -> cast(conv(substring(md5(concat_ws(' ', $grams)), 1, 15), 16, 10) AS BIGINT))""")
+        .as("__h"))
+      .select(col(idCol), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(__h) - $w),
+            i -> array_min(slice(__h, i + 1, $w))))""")).as("__fp"))
+  }
+
+  /** Winnow-fingerprint PAIR product — the plagiarism/boilerplate pair
+    * detector the per-doc `shared_ratio` signal points at: pairs of
+    * docs sharing ≥ `minShared` winnow fingerprints, with the shared
+    * count and the containment-style overlap (shared / min fingerprint
+    * count — 1.0 means the smaller doc's fingerprint set is fully
+    * inside the larger's, the quotation/wrapper case). The winnowing
+    * coverage guarantee makes the propose span-complete: any shared
+    * run ≥ w+k−1 words shares a fingerprint, so a long-enough lifted
+    * span ALWAYS surfaces its pair — the recall argument the MinHash
+    * bands (whole-doc similarity) cannot make for short spans in long
+    * docs. Scale contract: fingerprints in more than `maxDf` docs are
+    * dropped from pair generation (boilerplate fingerprints carry no
+    * pair signal — the containment df-cap contract, loud in the
+    * signature), so pair volume is Σ df² ≤ maxDf · |postings|, linear
+    * in the corpus; df=1 fingerprints skip the join entirely.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      minShared: Int, maxDf: Int = 20, k: Int = 4, w: Int = 4): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"need minShared >= 1 and maxDf >= 2, got ($minShared, $maxDf)")
+    val fps = winnowPostings(df, idCol, textCol, k, w).localCheckpoint()
+    val totals = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val dfreq = fps.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+    val keep = fps.join(dfreq.filter(col("__df").between(2, maxDf)), "__fp")
+    val a = keep.select(col("__fp"), col(idCol).as("doc_a"))
+    val b = keep.select(col("__fp").as("__fp2"), col(idCol).as("doc_b"))
+    a.join(b.hint("shuffle_hash"),
+        col("__fp") === col("__fp2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(totals.select(col(idCol).as("doc_a"), col("__n").as("__na")), "doc_a")
+      .join(totals.select(col(idCol).as("doc_b"), col("__n").as("__nb")), "doc_b")
+      .withColumn("overlap", round(col("n_shared").cast("double") /
+        least(col("__na"), col("__nb")).cast("double"), 9))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("overlap"))
   }
 }

@@ -586,6 +586,48 @@ object Breadth21 {
       ORDER BY rows_per_band
     """.trim))
 
+  /** Winnow-fingerprint pair product over the perturbed augmented
+    * corpus — [[graft.ext.TextOps.winnowPairs]] (k=4 grams, window 4,
+    * df ≤ 20, ≥ 3 shared fingerprints): the span-complete plagiarism
+    * pair detector. The corpus's `xx `-prepended near-copies share
+    * nearly all fingerprints, so every original/copy pair surfaces at
+    * overlap ≈ 1 — the signal `text_winnow_fingerprint`'s per-doc
+    * ratio aggregates, here as the pair product a review queue
+    * consumes.
+    */
+  val dedupWinnowPairs = Q(
+    "dedup_winnow_pairs",
+    (s, dir) =>
+      graft.ext.TextOps.winnowPairs(
+          Extensions.augmentedDocs(s, dir, perturb = true), "doc_id", "text",
+          minShared = 3, maxDf = 20)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH ${Extensions.augCte(perturb = true)},
+      n AS (SELECT doc_id, ${Extensions.NormW} AS w FROM aug),
+      g AS (SELECT doc_id, list_transform(range(len(w) - 3),
+              i -> ('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]), 1, 15))::BIGINT) AS hs
+            FROM n WHERE len(w) >= 7),
+      f AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(hs) - 3),
+              i -> list_min(hs[i+1:i+4])))) AS fp
+            FROM g),
+      tot AS (SELECT doc_id, count(*)::BIGINT AS nf FROM f GROUP BY doc_id),
+      d AS (SELECT fp, count(*)::BIGINT AS df FROM f GROUP BY fp),
+      k AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)
+            WHERE df BETWEEN 2 AND 20),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS n_shared
+            FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_shared,
+             round(n_shared::DOUBLE / least(ta.nf, tb.nf), 9) AS overlap
+      FROM p JOIN tot ta ON ta.doc_id = p.doc_a
+             JOIN tot tb ON tb.doc_id = p.doc_b
+      WHERE n_shared >= 3
+      ORDER BY doc_a, doc_b
+    """.trim))
+
   val all: Seq[Q] = Seq(erAgreementPairs, evalErFrontier, evalRoutedEconomics,
-    dedupIncrementalPrefix, dqLDiversity, dqTCloseness, evalLshCurve)
+    dedupIncrementalPrefix, dqLDiversity, dqTCloseness, evalLshCurve,
+    dedupWinnowPairs)
 }
