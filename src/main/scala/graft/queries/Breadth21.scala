@@ -627,7 +627,176 @@ object Breadth21 {
       ORDER BY doc_a, doc_b
     """.trim))
 
+  private val DimTiers = Seq(8, 16, 32, 64)
+
+  private def dimTierSql(d: Int): String =
+    s"""q_$d AS (SELECT vec_id AS query_id, embedding[1:$d] AS qv
+              FROM embeddings WHERE vec_id % 100 = 0),
+      c_$d AS (SELECT vec_id AS neighbor_id, embedding[1:$d] AS cv FROM embeddings),
+      p_$d AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${Extensions.sqlCos("qv", "cv")} DESC, neighbor_id) AS rank
+          FROM q_$d, c_$d WHERE query_id <> neighbor_id) WHERE rank <= 5),
+      m_$d AS (SELECT $d::BIGINT AS dims,
+                 (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+                 (SELECT count(*) FROM p_$d JOIN truth
+                    USING (query_id, neighbor_id))::BIGINT AS n_hit)"""
+
+  /** Dimension-truncation recall — the serving-memory economics of
+    * storing only the first d dims of every vector (the matryoshka /
+    * dimension-pruning question: index memory and scan cost are ∝ d,
+    * so what does each prefix buy?): exact top-5 under the truncated
+    * cosine per tier d ∈ {8,16,32,64}, scored against the full-64-dim
+    * exact truth. The d=64 row is the recall-1.0 anchor; the table is
+    * the dial a serving owner reads next to the int8/PQ rows (those
+    * compress PER-dim; this drops dims — independent multiplicative
+    * savings). Brute-force per tier is the honest baseline at the
+    * fixed query budget: cost is n_queries × corpus × d, no index to
+    * confound the reading.
+    */
+  val evalDimTruncation = Q(
+    "eval_dim_truncation",
+    (s, dir) => {
+      import graft.ext.Similarity
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val truth = Similarity.bruteForceTopK(s, emb, queries,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+      val tTot = truth.agg(count(lit(1)).as("n_truth"))
+      DimTiers.map { d =>
+        val tEmb = emb.select(col("vec_id"),
+          expr(s"slice(embedding, 1, $d)").as("embedding"))
+        val pred = Similarity.bruteForceTopK(s, tEmb,
+          tEmb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5)
+        val nHit = pred.select(col("query_id"), col("neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        nHit.crossJoin(broadcast(tTot))
+          .select(lit(d.toLong).as("dims"), col("n_truth"), col("n_hit"))
+      }.reduce(_ unionByName _)
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_truth").cast("double"), 9))
+        .orderBy(col("dims"))
+    },
+    Some(s"""
+      WITH tq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                  WHERE vec_id % 100 = 0),
+      tc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      truth AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ${Extensions.sqlCos("qv", "cv")} DESC, neighbor_id) AS rank
+          FROM tq, tc WHERE query_id <> neighbor_id) WHERE rank <= 5),
+      ${DimTiers.map(dimTierSql).mkString(",\n      ")}
+      SELECT dims, n_truth, n_hit,
+             round(n_hit::DOUBLE / n_truth, 9) AS recall
+      FROM (${DimTiers.map(d => s"SELECT * FROM m_$d").mkString(" UNION ALL ")})
+      ORDER BY dims
+    """.trim))
+
+  /** The release GATE scorecard — the one-page table a data-release
+    * review reads before anything ships (the governance capstone, the
+    * `pipeline_dataset_card` pattern applied to risk): every
+    * already-oracled audit reduced to its risk count and a pass/review
+    * verdict. Checks: k-anonymity (classes smaller than k=5),
+    * l-diversity (classes below l=3 distinct sensitive values),
+    * t-closeness (classes farther than t=0.2 from the global sensitive
+    * distribution), PII (docs with detected email/phone/IP), and split
+    * leakage (content fingerprints straddling train/val/test). Each
+    * check is ONE aggregate over its component's frame — the capstone
+    * adds no new scale term, and a check that fails here points at the
+    * component query that details it.
+    */
+  val pipelineReleaseGate = Q(
+    "pipeline_release_gate",
+    (s, dir) => {
+      def check(no: Long, name: String,
+          risk: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        risk.agg(count(lit(1)).as("n_risk"))
+          .select(lit(no).as("check_no"), lit(name).as("check"), col("n_risk"),
+            when(col("n_risk") === 0L, lit("pass")).otherwise(lit("review"))
+              .as("gate"))
+      val q = Breadth20.customerQuasiIds(s, dir).localCheckpoint()
+      Seq(
+        check(1L, "k_anonymity_k5", Breadth20.kAnonymityAudit(q, k = 5L)),
+        check(2L, "l_diversity_l3",
+          lDiversityAudit(q, l = 3L).filter(col("meets_l") === 0)),
+        check(3L, "t_closeness_t02",
+          tClosenessAudit(q, t = 0.2).filter(col("meets_t") === 0)),
+        check(4L, "pii_hits", Breadth11.textPiiScrub.fn(s, dir)),
+        check(5L, "split_leakage", Breadth8.textSplitLeakage.fn(s, dir)))
+        .reduce(_ unionByName _)
+        .orderBy(col("check_no"))
+    },
+    Some(s"""
+      WITH q AS (SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+                        floor(c_acctbal / 1000.0)::BIGINT AS bal_band
+                 FROM customer),
+      ka AS (SELECT count(*)::BIGINT AS n FROM (
+               SELECT 1 FROM q GROUP BY nation, segment, bal_band
+               HAVING count(*) < 5)),
+      ld AS (SELECT count(*)::BIGINT AS n FROM (
+               SELECT 1 FROM q GROUP BY nation, segment
+               HAVING count(DISTINCT bal_band) < 3)),
+      tn AS (SELECT count(*)::DOUBLE AS n FROM q),
+      tg AS (SELECT bal_band, count(*)::DOUBLE AS gc FROM q GROUP BY 1),
+      tm AS (SELECT count(*)::BIGINT AS m FROM tg),
+      tcls AS (SELECT nation, segment, count(*)::DOUBLE AS cs FROM q GROUP BY 1, 2),
+      tcb AS (SELECT nation, segment, bal_band, count(*)::DOUBLE AS cc
+              FROM q GROUP BY 1, 2, 3),
+      tgrid AS (SELECT tcls.nation, tcls.segment, tcls.cs, tg.bal_band, tg.gc,
+                       coalesce(tcb.cc, 0.0) AS cc
+                FROM tcls CROSS JOIN tg
+                LEFT JOIN tcb ON tcb.nation = tcls.nation
+                  AND tcb.segment = tcls.segment AND tcb.bal_band = tg.bal_band),
+      td AS (SELECT nation, segment,
+                    sum(cc / cs - gc / (SELECT n FROM tn)) OVER (
+                      PARTITION BY nation, segment ORDER BY bal_band
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM tgrid),
+      tc AS (SELECT count(*)::BIGINT AS n FROM (
+               SELECT nation, segment FROM td GROUP BY nation, segment
+               HAVING round(sum(CAST(round(abs(cum), 12) AS DECIMAL(38, 12)))::DOUBLE
+                            / ((SELECT m FROM tm) - 1), 9) > 0.2)),
+      pdirty AS (SELECT doc_id, text ||
+          (CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+          (CASE WHEN doc_id % 11 = 0
+                THEN ' call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                     || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END) ||
+          (CASE WHEN doc_id % 13 = 0
+                THEN ' host 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                ELSE '' END) AS text
+        FROM documents),
+      pii AS (SELECT count(*)::BIGINT AS n FROM pdirty
+              WHERE len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                  + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}-[0-9]{4}'))
+                  + len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0),
+      ${Extensions.augCte(perturb = false)},
+      lt AS (SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                         ELSE 'test' END AS split
+             FROM (SELECT doc_id, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+                   FROM aug)),
+      leak AS (SELECT count(*)::BIGINT AS n FROM (
+                 SELECT fingerprint FROM lt GROUP BY fingerprint
+                 HAVING count(DISTINCT split) >= 2)),
+      u AS (SELECT 1::BIGINT AS check_no, 'k_anonymity_k5' AS "check",
+                   (SELECT n FROM ka) AS n_risk
+            UNION ALL SELECT 2, 'l_diversity_l3', (SELECT n FROM ld)
+            UNION ALL SELECT 3, 't_closeness_t02', (SELECT n FROM tc)
+            UNION ALL SELECT 4, 'pii_hits', (SELECT n FROM pii)
+            UNION ALL SELECT 5, 'split_leakage', (SELECT n FROM leak))
+      SELECT check_no, "check", n_risk,
+             CASE WHEN n_risk = 0 THEN 'pass' ELSE 'review' END AS gate
+      FROM u ORDER BY check_no
+    """.trim))
+
   val all: Seq[Q] = Seq(erAgreementPairs, evalErFrontier, evalRoutedEconomics,
     dedupIncrementalPrefix, dqLDiversity, dqTCloseness, evalLshCurve,
-    dedupWinnowPairs)
+    dedupWinnowPairs, evalDimTruncation, pipelineReleaseGate)
 }
