@@ -370,6 +370,27 @@ object Multimodal {
     * frames; the quiet filter runs scan-side BEFORE either window, so
     * loud frames never enter the shuffle.
     */
+  /** Keyframe selection: per detected scene, the highest-energy frame
+    * (ties → earliest) — the thumbnail/representative-frame rule of a
+    * video ingest pipeline, composed from the oracled scene
+    * segmentation. One O(1)-state min-struct argmax per (media, scene)
+    * group on top of [[sceneChanges]]' per-media window — no new scale
+    * term: at 100 TB the cost is the scene window's one media-keyed
+    * shuffle, and the argmax is map-side combinable.
+    */
+  def keyframes(df: DataFrame, idCol: String, textCol: String,
+      frame: Int = 64, threshold: Double = 12.0): DataFrame =
+    sceneChanges(df, idCol, textCol, frame, threshold)
+      .groupBy(col(idCol), col("scene_no"))
+      .agg(min(struct((-col("rms")).as("nr"), col("frame_no").as("fn"),
+          col("rms").as("r"))).as("__b"),
+        min(col("frame_no")).as("scene_start"),
+        max(col("frame_no")).as("scene_end"),
+        count(lit(1)).as("n_frames"))
+      .select(col(idCol), col("scene_no"), col("__b.fn").as("keyframe_no"),
+        col("__b.r").as("key_rms"), col("scene_start"), col("scene_end"),
+        col("n_frames"))
+
   def silenceSegments(df: DataFrame, idCol: String, textCol: String,
       frame: Int = 64, maxRms: Double = 98.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

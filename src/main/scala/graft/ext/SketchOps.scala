@@ -62,6 +62,79 @@ object SketchOps {
       .agg(min(coalesce(col("cell"), lit(0L))).as("cms_est"))
   }
 
+  /** KMV (k-minimum-values / bottom-k) distinct sketch per group
+    * (Beyer et al., SIGMOD'07): each group's sketch is its k smallest
+    * md5-32 key hashes — a CONSTANT-size mergeable state (merging two
+    * sketches = k smallest of their union) whose k-th value estimates
+    * the group's distinct count as (k−1)/U_(k) with hashes normalized
+    * to [0,1). The sketch that, unlike HLL, also supports SET
+    * OPERATIONS ([[kmvIntersectEstimates]]). Input is a DISTINCT
+    * (group, hash) frame (typically an aggregate, e.g. the heavy-user
+    * rollup); the per-group bottom-k here is a rank window — fine
+    * while groups are few and the input is an aggregate (the shipped
+    * shape); a user-scale deployment pre-filters scan-side at
+    * `hash < cut` with cut ≈ C·k/n_min·2³² before the window, the
+    * silence-segments discipline (not defaulted here because an
+    * under-sized cut silently truncates the sketch of a small group —
+    * the knob must be set per corpus, loudly).
+    */
+  def kmvSketches(grouped: DataFrame, groupCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    grouped.select(col(groupCol), col(hashCol).as("__h")).distinct()
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__h"))))
+      .filter(col("__rk") <= k)
+      .select(col(groupCol), col("__h"), col("__rk"))
+  }
+
+  /** Pairwise distinct-INTERSECTION estimates from per-group KMV
+    * sketches: for each group pair, the k smallest hashes of the
+    * MERGED sketch vote — ρ = (fraction present in BOTH sides'
+    * sketches), |A∪B|est = (kk−1)/U_(kk) (or the exact merged count
+    * when the merged sketch holds fewer than k values — the sketches
+    * are then complete sets), |A∩B|est = ρ·|A∪B|est. Everything after
+    * the sketches is (groups² × k)-scale — metadata, never corpus.
+    * All hashes are md5-32, so a DuckDB twin replays the estimates
+    * bit-for-bit.
+    */
+  def kmvIntersectEstimates(sketches: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = sketches.select(col(groupCol).as("type_a"), col("__h"))
+    val b = sketches.select(col(groupCol).as("type_b"), col("__h"))
+    // merged candidate values per pair, deduped (a value in both
+    // sketches appears once), re-ranked; membership flags ride along
+    val merged = a.select(col("type_a"), col("__h"))
+      .join(b.select(col("type_b")).distinct(), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("__h"), lit(1L).as("__ina"))
+      .unionByName(
+        b.select(col("type_b"), col("__h"))
+          .join(a.select(col("type_a")).distinct(), col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"), col("__h"), lit(2L).as("__ina")))
+      .groupBy(col("type_a"), col("type_b"), col("__h"))
+      .agg(max(when(col("__ina") === 1L, 1L).otherwise(0L)).as("__in_a"),
+        max(when(col("__ina") === 2L, 1L).otherwise(0L)).as("__in_b"))
+    val wp = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("__h"))
+    val topk = merged.withColumn("__rk", row_number().over(wp))
+      .filter(col("__rk") <= k)
+    topk.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("__kk"),
+        max(col("__h")).as("__uk"),
+        sum(col("__in_a") * col("__in_b")).as("__match"))
+      .withColumn("est_union",
+        when(col("__kk") < k, col("__kk").cast("double"))
+          .otherwise(round((col("__kk") - 1).cast("double") /
+            (col("__uk").cast("double") / 4294967296.0), 6)))
+      .withColumn("jaccard_est",
+        round(col("__match").cast("double") / col("__kk"), 9))
+      .withColumn("est_inter",
+        round(col("jaccard_est") * col("est_union"), 6))
+      .select(col("type_a"), col("type_b"), col("__kk").cast("long").as("kk"),
+        col("est_union"), col("jaccard_est"), col("est_inter"))
+  }
+
   /** Streaming maintenance of the cell grid: one occurrence per input
     * row, cells as a standard streaming aggregate (complete/update
     * mode). State is the d×w grid — CONSTANT regardless of stream

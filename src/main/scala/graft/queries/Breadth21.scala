@@ -796,7 +796,154 @@ object Breadth21 {
       FROM u ORDER BY check_no
     """.trim))
 
+  /** Keyframe per scene over the media byte-stream —
+    * [[graft.ext.Multimodal.keyframes]]: the representative-frame
+    * product (thumbnailing, dedup-by-keyframe, preview strips) on top
+    * of the oracled scene segmentation. The oracle replays frame
+    * energy → cut detection → scene numbering → per-scene
+    * (rms DESC, frame ASC) argmax row-for-row.
+    */
+  val mediaKeyframes = Q(
+    "media_keyframes",
+    (s, dir) =>
+      graft.ext.Multimodal.keyframes(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("scene_no")),
+    Some("""
+      WITH f AS (SELECT doc_id, text,
+                        unnest(range((length(text) + 63) // 64)) AS frame_no
+                 FROM documents WHERE length(text) > 0),
+      c AS (SELECT doc_id, frame_no,
+                   substring(text, (frame_no * 64 + 1)::INT, 64) AS chunk
+            FROM f),
+      e AS (SELECT doc_id, frame_no, length(chunk)::BIGINT AS n_samples,
+                   list_sum(list_transform(range(1, length(chunk) + 1),
+                     p -> ord(substring(chunk, p::INT, 1)) *
+                          ord(substring(chunk, p::INT, 1))))::BIGINT AS energy
+            FROM c),
+      r AS (SELECT doc_id, frame_no,
+                   round(sqrt(energy::DOUBLE / n_samples), 9) AS rms
+            FROM e),
+      d AS (SELECT doc_id, frame_no, rms,
+                   lag(rms) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev
+            FROM r),
+      s AS (SELECT doc_id, frame_no, rms,
+                   CASE WHEN prev IS NULL OR abs(rms - prev) > 12.0
+                        THEN 1 ELSE 0 END AS cut
+            FROM d),
+      sc AS (SELECT doc_id, frame_no, rms,
+                    (sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT
+                      AS scene_no
+             FROM s),
+      k AS (SELECT doc_id, scene_no, frame_no, rms,
+                   row_number() OVER (PARTITION BY doc_id, scene_no
+                     ORDER BY rms DESC, frame_no) AS rk
+            FROM sc)
+      SELECT k.doc_id, k.scene_no, k.frame_no AS keyframe_no, k.rms AS key_rms,
+             g.scene_start, g.scene_end, g.n_frames
+      FROM k JOIN (SELECT doc_id, scene_no, min(frame_no) AS scene_start,
+                          max(frame_no) AS scene_end, count(*)::BIGINT AS n_frames
+                   FROM sc GROUP BY doc_id, scene_no) g
+        USING (doc_id, scene_no)
+      WHERE k.rk = 1
+      ORDER BY doc_id, scene_no
+    """.trim))
+
+  /** KMV set-operation sketch — distinct-audience OVERLAP between
+    * event types from constant-size mergeable sketches
+    * ([[graft.ext.SketchOps.kmvSketches]] /
+    * [[graft.ext.SketchOps.kmvIntersectEstimates]]): the question HLL
+    * (q34) cannot answer (HLL unions; it never intersects). Each
+    * type's "heavy users" (per-user decimal value total above the
+    * type's mean — a deliberately non-degenerate audience: every user
+    * appears in every raw type) sketch to their 32 smallest md5
+    * hashes; pair estimates come from the merged sketch's membership
+    * votes next to the EXACT intersection, so the table shows the
+    * estimator's error honestly. Everything after the one heavy-user
+    * aggregate is sketch-scale (groups² × k rows); md5 hashing makes
+    * the whole estimate replayable bit-for-bit in the oracle.
+    */
+  val sketchKmvIntersection = Q(
+    "sketch_kmv_intersection",
+    (s, dir) => {
+      import graft.ext.{Dedup, SketchOps}
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value"))
+      val heavy = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("__tot"))
+        .localCheckpoint()
+      val avgs = heavy.groupBy(col("event_type"))
+        .agg((sum(col("__tot")).cast("double") / count(lit(1))).as("__avg"))
+      val hs = heavy.join(broadcast(avgs), "event_type")
+        .filter(col("__tot").cast("double") > col("__avg"))
+        .select(col("event_type"), col("user_id"))
+        .localCheckpoint()
+      val exact = hs.select(col("event_type").as("type_a"), col("user_id"))
+        .join(hs.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_exact"))
+      val tu = hs.withColumn("__h", Dedup.hash32(col("user_id").cast("string")))
+      val sk = SketchOps.kmvSketches(tu, "event_type", "__h", k = 32)
+      SketchOps.kmvIntersectEstimates(sk, "event_type", k = 32)
+        .join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_exact"), col("kk"),
+          col("est_union"), col("jaccard_est"), col("est_inter"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""
+      WITH t AS (SELECT event_type, user_id,
+                        sum(CAST(value AS DECIMAL(18, 2))) AS tot
+                 FROM events GROUP BY 1, 2),
+      a AS (SELECT event_type, sum(tot)::DOUBLE / count(*) AS avg_tot
+            FROM t GROUP BY 1),
+      h AS (SELECT t.event_type, t.user_id FROM t JOIN a USING (event_type)
+            WHERE t.tot::DOUBLE > a.avg_tot),
+      ex AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                    count(*)::BIGINT AS n_exact
+             FROM h x JOIN h y ON x.user_id = y.user_id
+               AND x.event_type < y.event_type
+             GROUP BY 1, 2),
+      tu AS (SELECT DISTINCT event_type,
+                    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hh
+             FROM h),
+      sk AS (SELECT event_type, hh FROM (
+               SELECT event_type, hh,
+                      row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rk
+               FROM tu) WHERE rk <= 32),
+      ty AS (SELECT DISTINCT event_type FROM sk),
+      mg0 AS (SELECT s.event_type AS type_a, b.event_type AS type_b, s.hh, 1 AS src
+              FROM sk s CROSS JOIN ty b WHERE s.event_type < b.event_type
+              UNION ALL
+              SELECT a2.event_type, s.event_type, s.hh, 2
+              FROM sk s CROSS JOIN ty a2 WHERE a2.event_type < s.event_type),
+      mg AS (SELECT type_a, type_b, hh,
+                    max(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS in_a,
+                    max(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS in_b
+             FROM mg0 GROUP BY 1, 2, 3),
+      tk AS (SELECT * FROM (
+               SELECT mg.*, row_number() OVER (PARTITION BY type_a, type_b
+                 ORDER BY hh) AS rk FROM mg) WHERE rk <= 32),
+      st AS (SELECT type_a, type_b, count(*)::BIGINT AS kk, max(hh) AS uk,
+                    sum(in_a * in_b)::BIGINT AS n_match
+             FROM tk GROUP BY 1, 2),
+      est AS (SELECT type_a, type_b, kk,
+                     CASE WHEN kk < 32 THEN kk::DOUBLE
+                          ELSE round((kk - 1)::DOUBLE
+                                     / (uk::DOUBLE / 4294967296.0), 6)
+                     END AS est_union,
+                     round(n_match::DOUBLE / kk, 9) AS jaccard_est
+              FROM st)
+      SELECT est.type_a, est.type_b, ex.n_exact, est.kk, est.est_union,
+             est.jaccard_est,
+             round(est.jaccard_est * est.est_union, 6) AS est_inter
+      FROM est JOIN ex USING (type_a, type_b)
+      ORDER BY type_a, type_b
+    """.trim))
+
   val all: Seq[Q] = Seq(erAgreementPairs, evalErFrontier, evalRoutedEconomics,
     dedupIncrementalPrefix, dqLDiversity, dqTCloseness, evalLshCurve,
-    dedupWinnowPairs, evalDimTruncation, pipelineReleaseGate)
+    dedupWinnowPairs, evalDimTruncation, pipelineReleaseGate, mediaKeyframes,
+    sketchKmvIntersection)
 }

@@ -207,6 +207,22 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("KMV intersection: complete sketches (groups smaller than k) estimate exactly") {
+    import spark.implicits._
+    import graft.ext.{Dedup, SketchOps}
+    // |A|=10, |B|=10, |A∩B|=5 — with k=32 > |A∪B| the merged sketch
+    // holds every value, so est_union = 15 exactly and est_inter = 5
+    val rows = ((1 to 10).map(u => ("A", u.toLong)) ++
+      (6 to 15).map(u => ("B", u.toLong))).toDF("grp", "user_id")
+    val tu = rows.withColumn("__h", Dedup.hash32(col("user_id").cast("string")))
+    val sk = SketchOps.kmvSketches(tu, "grp", "__h", k = 32)
+    val out = SketchOps.kmvIntersectEstimates(sk, "grp", k = 32)
+      .select(col("type_a"), col("type_b"), col("kk"), col("est_union"),
+        col("est_inter"))
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(("A", "B", 15L, 15.0, 5.0)))
+  }
+
   test("kAnonymityAudit: each fix_hint branch fires on its own class") {
     import spark.implicits._
     // four size-1 risk classes, one per branch, plus size-5 filler
