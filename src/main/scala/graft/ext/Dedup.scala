@@ -989,54 +989,109 @@ object Dedup {
       threshold: Double, maxPosting: Long = 100000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    def pp(ranked: DataFrame): DataFrame = ranked
-      .withColumn("__p", expr(
-        s"slice(__st, 1, size(__st) - cast(ceil($threshold * size(__st)) as int) + 1)"))
-      .select(col(idCol), col("__n"),
-        posexplode(col("__p")).as(Seq("__i0", "__t")))
-      .select(col(idCol), col("__n"), (col("__i0") + 1).as("__i"), col("__t"))
-      .localCheckpoint()
-    val sp = pp(state)
-    val dp = pp(delta)
+    val sp = prefixPosted(state, idCol, threshold)
+    val dp = prefixPosted(delta, idCol, threshold)
+    guardPosting(Seq(sp, dp), maxPosting)
+    val cross = prefixCandsOf(sp, dp, idCol, threshold,
+      col("doc_a") =!= col("doc_b"))
+    val within = prefixCandsOf(dp, dp, idCol, threshold,
+      col("doc_a") < col("doc_b"))
+    val sets = state.select(col(idCol), col("__st"))
+      .unionByName(delta.select(col(idCol), col("__st")))
+    prefixVerify(cross.unionByName(within).distinct(), sets, idCol, threshold)
+  }
+
+  /** Whole-corpus march in ONE call — the shape a replay/backfill job
+    * runs over n batch states: each batch's prefix postings
+    * materialize once (the 2-call-per-batch query shape paid pp(state)
+    * twice), every batch-j emission joins the ACCUMULATED prior
+    * postings, and one verify scores all candidates together. Output ==
+    * the union of pairwise [[prefixPairsOfBatch]] emissions == the
+    * one-shot (Round13Spec pins all three equal).
+    */
+  def prefixPairsMarch(states: Seq[DataFrame], idCol: String,
+      threshold: Double, maxPosting: Long = 100000L): DataFrame = {
+    require(states.nonEmpty, "at least one batch state is required")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val pps = states.map(prefixPosted(_, idCol, threshold))
+    guardPosting(pps, maxPosting)
+    val cands = pps.zipWithIndex.map { case (dp, j) =>
+      val within = prefixCandsOf(dp, dp, idCol, threshold,
+        col("doc_a") < col("doc_b"))
+      if (j == 0) within
+      else within.unionByName(
+        prefixCandsOf(pps.take(j).reduce(_ unionByName _), dp, idCol,
+          threshold, col("doc_a") =!= col("doc_b")))
+    }.reduce(_ unionByName _).distinct()
+    val sets = states.map(_.select(col(idCol), col("__st")))
+      .reduce(_ unionByName _)
+    prefixVerify(cands, sets, idCol, threshold)
+  }
+
+  /** Prefix postings of a value/rarest-ranked frame: (id, __n, __i
+    * 1-based position, __t token), materialized once — both the self-
+    * and cross-joins of the march consume it.
+    */
+  private def prefixPosted(ranked: DataFrame, idCol: String,
+      threshold: Double): DataFrame = ranked
+    .withColumn("__p", expr(
+      s"slice(__st, 1, size(__st) - cast(ceil($threshold * size(__st)) as int) + 1)"))
+    .select(col(idCol), col("__n"),
+      posexplode(col("__p")).as(Seq("__i0", "__t")))
+    .select(col(idCol), col("__n"), (col("__i0") + 1).as("__i"), col("__t"))
+    .localCheckpoint()
+
+  private def guardPosting(pps: Seq[DataFrame], maxPosting: Long): Unit = {
     def maxLen(f: DataFrame): Long = {
       val r = f.groupBy(col("__t")).agg(count(lit(1)).as("__len"))
         .agg(max(col("__len"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val longest = math.max(maxLen(sp), maxLen(dp))
+    val longest = pps.map(maxLen).max
     require(longest <= maxPosting,
       s"prefix posting list of length $longest exceeds maxPosting=$maxPosting " +
         "(the within-token candidate join is quadratic in posting length; " +
         "raise the bound deliberately or pre-clean degenerate tokens)")
-    def passes(bound: Column): Column =
-      bound.cast("double") * (1.0 + threshold) >=
-        (col("__na") + col("__nb")).cast("double") * threshold - 1e-9
-    def candsOf(a: DataFrame, b: DataFrame, cond: Column): DataFrame =
-      a.join(b.hint("shuffle_hash"),
-          col("__t") === col("__t2") && cond &&
-            least(col("__na"), col("__nb")).cast("double") >=
-              greatest(col("__na"), col("__nb")) * threshold &&
-            passes(least(col("__ia"), col("__ib")) +
-              least(col("__na") - col("__ia"), col("__nb") - col("__ib"))))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(min(col("__ia")).as("__i1"), min(col("__ib")).as("__j1"),
-          first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
-        .filter(passes(lit(1) +
-          least(col("__na") - col("__i1"), col("__nb") - col("__j1"))))
-        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-    val sSide = sp.select(col(idCol).as("doc_a"), col("__n").as("__na"),
+  }
+
+  private def passesOverlap(threshold: Double)(bound: Column): Column =
+    bound.cast("double") * (1.0 + threshold) >=
+      (col("__na") + col("__nb")).cast("double") * threshold - 1e-9
+
+  /** PPJoin candidate stage between two prefix-posting frames (see
+    * [[prefixFilterPairsRanked]] for the two positional stages' exact-
+    * ness argument — both frames must share one total token order).
+    * Output pairs are id-ordered (least, greatest).
+    */
+  private def prefixCandsOf(pa: DataFrame, pb: DataFrame, idCol: String,
+      threshold: Double, cond: Column): DataFrame = {
+    val passes = passesOverlap(threshold) _
+    val a = pa.select(col(idCol).as("doc_a"), col("__n").as("__na"),
       col("__i").as("__ia"), col("__t"))
-    val dSide = dp.select(col(idCol).as("doc_b"), col("__n").as("__nb"),
+    val b = pb.select(col(idCol).as("doc_b"), col("__n").as("__nb"),
       col("__i").as("__ib"), col("__t").as("__t2"))
-    val cross = candsOf(sSide, dSide, col("doc_a") =!= col("doc_b"))
-    val within = candsOf(
-      dp.select(col(idCol).as("doc_a"), col("__n").as("__na"),
-        col("__i").as("__ia"), col("__t")),
-      dSide, col("doc_a") < col("doc_b"))
-    val sets = state.select(col(idCol), col("__st"))
-      .unionByName(delta.select(col(idCol), col("__st")))
-    cross.unionByName(within).distinct()
+    a.join(b.hint("shuffle_hash"),
+        col("__t") === col("__t2") && cond &&
+          least(col("__na"), col("__nb")).cast("double") >=
+            greatest(col("__na"), col("__nb")) * threshold &&
+          passes(least(col("__ia"), col("__ib")) +
+            least(col("__na") - col("__ia"), col("__nb") - col("__ib"))))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("__ia")).as("__i1"), min(col("__ib")).as("__j1"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+      .filter(passes(lit(1) +
+        least(col("__na") - col("__i1"), col("__nb") - col("__j1"))))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+  }
+
+  /** Exact-Jaccard verify of candidate pairs against the full sorted
+    * token arrays.
+    */
+  private def prefixVerify(cands: DataFrame, sets: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    cands
       .join(sets.select(col(idCol).as("doc_a"), col("__st").as("__ta")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("__st").as("__tb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))))
@@ -1044,7 +1099,6 @@ object Dedup {
         (size(col("__ta")) + size(col("__tb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** [[prefixFilterPairs]] from a pre-built [[rankedTokens]] frame
     * (typically read back from an ingest-time parquet artifact).

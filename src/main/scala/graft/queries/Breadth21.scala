@@ -315,35 +315,31 @@ object Breadth21 {
     """.trim))
 
   /** Incremental EXACT set-similarity march —
-    * [[graft.ext.Dedup.prefixPairsOfBatch]], the prefix-filter twin of
+    * [[graft.ext.Dedup.prefixPairsMarch]], the prefix-filter twin of
     * `dedup_incremental_pairs`: the same md5-sampled corpus and 3-word
     * shingle-hash tokens as `dedup_prefix_filter`, arriving as two
-    * deterministic batches; each batch is value-rank tokenized ONCE
-    * into the standing state and each landing emits exactly the
-    * verified pairs it completes (delta×state prefix join + delta×delta
-    * PPJoin). The ORACLE is byte-identical to the one-shot
-    * `dedup_prefix_filter` SQL (the naive all-pairs exact Jaccard over
-    * the same sample), so the driver's hash gate re-proves march ==
-    * one-shot — including equal jaccard VALUES — every round.
+    * deterministic batches whose per-doc ranked states are doc-slices
+    * of the PERSISTED frozen-rarity artifact (`ensurePrefixRanked` —
+    * per-doc rows under ONE total order, so slicing by doc is exactly
+    * what an ingest phase persists per batch; a from-scratch march
+    * uses [[graft.ext.Dedup.valueRankedTokens]]' corpus-independent
+    * value order instead, Round13Spec pins both equal). Each landing
+    * emits exactly the verified pairs it completes (delta×state prefix
+    * join + delta×delta PPJoin). The ORACLE is byte-identical to the
+    * one-shot `dedup_prefix_filter` SQL (the naive all-pairs exact
+    * Jaccard over the same sample), so the driver's hash gate
+    * re-proves march == one-shot — including equal jaccard VALUES —
+    * every round.
     */
   val dedupIncrementalPrefix = Q(
     "dedup_incremental_prefix",
     (s, dir) => {
       import graft.ext.Dedup
-      val docs = Extensions.augmentedDocs(s, dir, perturb = true)
-        .filter(Dedup.hash32(col("doc_id").cast("string")) % 2 === 0)
-      val sh = Dedup.withShingles(docs, "text", k = 3)
-        .withColumn("__tk", expr(
-          "transform(__shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"))
-        .select(col("doc_id"), col("__tk"))
+      val ranked = s.read.parquet(Breadth11.ensurePrefixRanked(s, dir))
       val split = Dedup.hash32(col("doc_id").cast("string")) % 4
-      val s1 = Dedup.valueRankedTokens(sh.filter(split === 0), "doc_id", "__tk")
-        .localCheckpoint()
-      val s2 = Dedup.valueRankedTokens(sh.filter(split =!= 0), "doc_id", "__tk")
-        .localCheckpoint()
-      val batch1 = Dedup.prefixPairsOfBatch(s1.limit(0), s1, "doc_id", threshold = 0.5)
-      val batch2 = Dedup.prefixPairsOfBatch(s1, s2, "doc_id", threshold = 0.5)
-      batch1.unionByName(batch2).distinct()
+      Dedup.prefixPairsMarch(
+          Seq(ranked.filter(split === 0), ranked.filter(split =!= 0)),
+          "doc_id", threshold = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     },
     // the one-shot oracle, verbatim — the march must equal it exactly

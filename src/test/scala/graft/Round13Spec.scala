@@ -152,6 +152,10 @@ class Round13Spec extends SparkSpec {
         Dedup.prefixPairsOfBatch(s2, s1, "doc_id", 0.5)))
     assert(march12 === oneShot)
     assert(march21 === oneShot)
+    // the single-call whole-corpus march (shared postings, one verify)
+    // equals both, in either batch order
+    assert(pairsOf(Dedup.prefixPairsMarch(Seq(s1, s2), "doc_id", 0.5)) === oneShot)
+    assert(pairsOf(Dedup.prefixPairsMarch(Seq(s2, s1), "doc_id", 0.5)) === oneShot)
   }
 
   test("lDiversityAudit: a k-large but single-band class reads as risk; a diverse class meets l") {

@@ -35,42 +35,31 @@ object ScratchProfile {
       try graft.etl.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
 
-    // current shape: two-level routed serve recall vs nsuper, with
-    // routing-cosine economics (VERDICT r12 item 5)
+    // current shape: decompose dedup_incremental_prefix at sf0.1
     import org.apache.spark.sql.functions._
-    import graft.ext.Similarity
-    val emb = graft.etl.Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding")).localCheckpoint()
-    val queries = emb.filter(col("vec_id") % 100 === 0).localCheckpoint()
-    val exact = Similarity.bruteForceTopK(spark, emb, queries,
-        "vec_id", "embedding", k = 5)
-      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
-    def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
-      exact.join(approx.select(col("query_id"), col("neighbor_id"))
-          .withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
-        .agg(avg(coalesce(col("__hit"), lit(0L)).cast("double")))
-        .collect()(0).getDouble(0)
-    val idxDir = graft.queries.Extensions.ensureIvfInt8Index(spark, sfDir)
-    val idx = spark.read.parquet(idxDir).localCheckpoint()
-    val cents = graft.queries.Extensions.servingCentroids(spark, sfDir)
-      .localCheckpoint()
-    val nCents = cents.count()
-    val nSupers = cents.filter(col("cid") % 29 === 7).count()
-    println(s"cells=$nCents supers=$nSupers")
-    val flat = Similarity.serveQuantizedIvf(spark, idx, queries, cents,
-      "vec_id", "embedding", "cid", "cv", k = 5,
-      nprobe = graft.queries.Extensions.ServingNprobe,
-      spill = graft.queries.Extensions.ServingSpill)
-    println(f"flat nprobe15 recall ${recallOf(flat)}%.3f cosines=$nCents")
-    for (ns <- Seq(2, 3, 4)) {
-      val routed = Similarity.serveQuantizedIvfTwoLevel(spark, idx, queries,
-        cents, "vec_id", "embedding", "cid", "cv", k = 5,
-        superMod = 29, superResidue = 7, nsuper = ns,
-        nprobe = graft.queries.Extensions.ServingNprobe)
-      // routing cosines: supers + avg children over the ns chosen supers
-      // (children partition over supers; avg child count = cells/supers)
-      val cos = nSupers + ns * nCents / nSupers
-      println(f"routed nsuper=$ns recall ${recallOf(routed)}%.3f cosines~$cos")
+    import graft.ext.Dedup
+    graft.functions.VectorExpressions.register(spark)
+    val d0 = graft.etl.Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val docs = d0.unionByName(
+      d0.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("xx "), col("text")).as("text")))
+      .filter(Dedup.hash32(col("doc_id").cast("string")) % 2 === 0)
+    val sh = time("shingle-hash") {
+      Dedup.withShingleHashes(docs, "text", k = 3)
+        .select(col("doc_id"), col("__hashes").as("__tk")).localCheckpoint()
+    }
+    val split = Dedup.hash32(col("doc_id").cast("string")) % 4
+    val s1 = time("rank s1")(Dedup.valueRankedTokens(sh.filter(split === 0), "doc_id", "__tk").localCheckpoint())
+    val s2 = time("rank s2")(Dedup.valueRankedTokens(sh.filter(split =!= 0), "doc_id", "__tk").localCheckpoint())
+    (1 to 2).foreach { i =>
+      time(s"march rep$i") {
+        Dedup.prefixPairsMarch(Seq(s1, s2), "doc_id", 0.5).count()
+      }
+    }
+    (1 to 2).foreach { i =>
+      time(s"one-shot rarest rep$i") {
+        Dedup.prefixFilterPairs(sh, "doc_id", "__tk", 0.5).count()
+      }
     }
     spark.stop()
   }
