@@ -744,4 +744,62 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  final case class KmvIn(group: String, h: Long)
+  final case class KmvState(version: Long, hashes: Seq[Long])
+  final case class KmvOut(group: String, h: Long, rk: Long, version: Long)
+
+  /** Per-group streaming KMV maintenance — the incremental face of the
+    * batch [[graft.ext.SketchOps.kmvSketches]]: hashed keys arrive on a
+    * stream, each group's state holds ONLY its k smallest DISTINCT
+    * hashes (the KMV sketch is itself the minimal mergeable state —
+    * merging is "k smallest of the union", which is exactly what each
+    * micro-batch applies), and whenever a batch changes a group's
+    * sketch the whole sketch re-emits under a bumped per-group version.
+    * Serving rule is the engine-wide versioned-upsert discipline (keep
+    * max-version rows per group), so the served sketch equals the batch
+    * build over everything streamed so far in ANY arrival order —
+    * Round13Spec pins the equivalence, and the downstream
+    * [[graft.ext.SketchOps.kmvIntersectEstimates]] consumes either side
+    * unchanged. State is ≤ k longs per group regardless of stream
+    * volume.
+    */
+  class KmvProcessor(k: Int) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, KmvIn, KmvOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[KmvState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KmvState]("kmv",
+        Encoders.product[KmvState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KmvIn],
+        timerValues: TimerValues): Iterator[KmvOut] = {
+      val cur = if (state.exists()) state.get() else KmvState(0L, Nil)
+      val merged = (cur.hashes ++ rows.map(_.h)).distinct.sorted.take(k)
+      if (merged == cur.hashes) Iterator.empty
+      else {
+        val next = KmvState(cur.version + 1, merged)
+        state.update(next)
+        merged.iterator.zipWithIndex.map { case (h, i) =>
+          KmvOut(key, h, i + 1L, next.version)
+        }
+      }
+    }
+  }
+
+  def streamingKmv(stream: DataFrame, k: Int): org.apache.spark.sql.Dataset[KmvOut] = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("group").cast("string").as("group"),
+        col("h").cast("long").as("h"))
+      .as[KmvIn]
+      .groupByKey(_.group)
+      .transformWithState(new KmvProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }

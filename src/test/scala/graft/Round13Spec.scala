@@ -227,6 +227,45 @@ class Round13Spec extends SparkSpec {
     assert(out === Seq(("A", "B", 15L, 15.0, 5.0)))
   }
 
+  test("streamingKmv converges to the batch sketch (<= k longs state per group)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tu = graft.etl.Tables(spark, "/root/testdata/sf0.001", "events")
+        .select(col("event_type").as("group"),
+          graft.ext.Dedup.hash32(col("user_id").cast("string")).as("h"))
+      val rows = tu.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val stream = MemoryStream[(String, Long)]
+      val out = graft.streaming.StreamingOps.streamingKmv(
+        stream.toDS().toDF("group", "h"), k = 8)
+      val q = out.writeStream.format("memory").queryName("kmv_stream")
+        .outputMode("append").start()
+      try {
+        rows.grouped(23).foreach { b => stream.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      val emitted = spark.table("kmv_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val served = emitted.groupBy(_._1).values.flatMap { rs =>
+        val mx = rs.map(_._4).max
+        rs.filter(_._4 == mx).map(r => (r._1, r._2, r._3))
+      }.toSet
+      val batch = graft.ext.SketchOps.kmvSketches(tu, "group", "h", k = 8)
+        .select(col("group"), col("__h"), col("__rk").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty)
+      assert(served === batch, "streamed KMV diverges from the batch sketch")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("kAnonymityAudit: each fix_hint branch fires on its own class") {
     import spark.implicits._
     // four size-1 risk classes, one per branch, plus size-5 filler
