@@ -416,13 +416,21 @@ object Breadth20 {
     import graft.ext.{Dedup, TextOps}
     import org.apache.spark.sql.expressions.Window
     val docs = docs0.localCheckpoint()
-    val g = TextOps.gopherRulesByLang(docs, "doc_id", "text", "lang")
+    // every inter-stage frame is IDS ONLY: the corpus text lives in the
+    // one `docs` checkpoint and each gate scans it at most once — the
+    // first cut checkpointed the stage-2 survivors WITH text, which was
+    // the funnel's single biggest cost (~2.4 s of the 3.4 s one-shot at
+    // sf0.1, all of it block-manager writes of text the later stages
+    // could read from `docs` anyway)
+    val s2 = TextOps.gopherRulesByLang(docs, "doc_id", "text", "lang")
       .filter(col("keep") === 1).select(col("doc_id"))
-    val s2 = docs.join(g, Seq("doc_id"), "left_semi").localCheckpoint()
-    val s3 = s2.groupBy(md5(Dedup.normText(col("text"))).as("__h"))
+      .localCheckpoint()
+    // min doc_id per content hash is itself a stage-2 survivor, so the
+    // group-by output needs no semi-join back
+    val s3 = docs.join(s2, Seq("doc_id"), "left_semi")
+      .groupBy(md5(Dedup.normText(col("text"))).as("__h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-      .join(s2, Seq("doc_id"), "left_semi")
       .localCheckpoint()
     val s3docs = docs.join(s3, Seq("doc_id"), "left_semi")
     val pairs = rawPairs

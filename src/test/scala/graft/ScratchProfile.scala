@@ -35,31 +35,44 @@ object ScratchProfile {
       try graft.etl.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
 
-    // current shape: decompose dedup_incremental_prefix at sf0.1
+    // current shape: decompose pipeline_curation_funnel at sf0.1
     import org.apache.spark.sql.functions._
-    import graft.ext.Dedup
+    import graft.ext.{Dedup, TextOps}
     graft.functions.VectorExpressions.register(spark)
-    val d0 = graft.etl.Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val dir = sfDir
+    val idx = time("ensureAugBandIndex") {
+      graft.queries.Breadth20.ensureAugBandIndex(spark, dir)
+    }
+    // augmentedDocs is private to queries; rebuild the equivalent corpus
+    val d0 = graft.etl.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
     val docs = d0.unionByName(
-      d0.select((col("doc_id") + 100000L).as("doc_id"),
-        concat(lit("xx "), col("text")).as("text")))
-      .filter(Dedup.hash32(col("doc_id").cast("string")) % 2 === 0)
-    val sh = time("shingle-hash") {
-      Dedup.withShingleHashes(docs, "text", k = 3)
-        .select(col("doc_id"), col("__hashes").as("__tk")).localCheckpoint()
+      d0.withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(lit("xx "), col("text"))))
+    val dcp = time("docs checkpoint")(docs.localCheckpoint())
+    val g = time("gopher gate") {
+      TextOps.gopherRulesByLang(dcp, "doc_id", "text", "lang")
+        .filter(col("keep") === 1).select(col("doc_id"))
     }
-    val split = Dedup.hash32(col("doc_id").cast("string")) % 4
-    val s1 = time("rank s1")(Dedup.valueRankedTokens(sh.filter(split === 0), "doc_id", "__tk").localCheckpoint())
-    val s2 = time("rank s2")(Dedup.valueRankedTokens(sh.filter(split =!= 0), "doc_id", "__tk").localCheckpoint())
-    (1 to 2).foreach { i =>
-      time(s"march rep$i") {
-        Dedup.prefixPairsMarch(Seq(s1, s2), "doc_id", 0.5).count()
-      }
+    val s2 = time("s2 checkpoint")(dcp.join(g, Seq("doc_id"), "left_semi").localCheckpoint())
+    val s3 = time("s3 exact dedup") {
+      s2.groupBy(md5(Dedup.normText(col("text"))).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        .join(s2, Seq("doc_id"), "left_semi").localCheckpoint()
     }
-    (1 to 2).foreach { i =>
-      time(s"one-shot rarest rep$i") {
-        Dedup.prefixFilterPairs(sh, "doc_id", "__tk", 0.5).count()
-      }
+    val pairs = time("pairs from index") {
+      Dedup.indexCandidatePairs(spark.read.parquet(idx), "doc_id")
+        .join(s3.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(s3.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+        .localCheckpoint()
+    }
+    val s4 = time("cluster assignment") {
+      Dedup.clusterAssignment(dcp.join(s3, Seq("doc_id"), "left_semi"), pairs, "doc_id")
+        .filter(col("doc_id") === col("cluster_id")).select(col("doc_id")).localCheckpoint()
+    }
+    val s5 = time("quality gate") {
+      TextOps.withQuality(dcp.join(s4, Seq("doc_id"), "left_semi"), "text")
+        .filter(col("quality") >= 0.5 && col("n_words") >= 10).select(col("doc_id")).count()
     }
     spark.stop()
   }
