@@ -264,4 +264,122 @@ object StatOps {
       .select(col("n_a"), col("n_b"),
         round(col("__mx.__d"), 9).as("ks_stat"), col("__mx.__v").as("ks_at"))
   }
+
+  /** Classical moving-average seasonal decomposition over an ALREADY
+    * AGGREGATED daily series (one row per date — the caller's groupBy
+    * provides it, which also satisfies the aggregate-below-window scale
+    * rule: the windows here sort days, not events):
+    *
+    *   trend_d    = centered (2·half+1)-day moving average, defined
+    *                only where the window is full (no half-window edge
+    *                estimates — they bias the seasonal fit);
+    *   phase_d    = epoch-day mod `period` (engine-portable — no
+    *                day-of-week convention to reconcile);
+    *   seasonal_p = mean of (value − trend) over the phase;
+    *   residual_d = value − trend − seasonal.
+    *
+    * The monitoring readout behind "is this drop a weekly dip or an
+    * incident": dq5's MAD flags a day against its own magnitude, this
+    * op explains it against trend and weekday shape first. Engine
+    * exactness: frame sums and the per-phase sums ride DECIMAL(27,9)
+    * over 9-dp-rounded terms (order-free), every division/subtraction
+    * is then one double op on identical operands. Scale: days are
+    * ~10³ rows per series at any corpus size — the fact-table pass is
+    * the caller's aggregate; production partitions the windows by
+    * series key.
+    */
+  def seasonalDecompose(daily: DataFrame, dateCol: String, valueCol: String,
+      period: Int = 7, half: Int = 3): DataFrame = {
+    require(period >= 2 && half >= 1)
+    val dec = DecimalType(27, 9)
+    val win = 2 * half + 1
+    val w = Window.orderBy(col(dateCol)).rowsBetween(-half, half)
+    val dt = daily
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum(round(col(valueCol), 9).cast(dec)).over(w))
+      .withColumn("trend", when(col("__n") === win,
+        round(col("__s").cast("double") / win, 9)))
+      .withColumn("phase",
+        (datediff(col(dateCol), lit("1970-01-01")) % period).cast("long"))
+      .withColumn("__detr", round(col(valueCol) - col("trend"), 9))
+    val si = dt.filter(col("__detr").isNotNull)
+      .groupBy(col("phase"))
+      .agg(round(sum(col("__detr").cast(dec)).cast("double") /
+        count(lit(1)).cast("double"), 9).as("seasonal"))
+    dt.join(broadcast(si), Seq("phase"), "left")
+      .select(col(dateCol), col(valueCol), col("trend"), col("phase"),
+        col("seasonal"),
+        round(col("__detr") - col("seasonal"), 9).as("residual"))
+  }
+
+  /** Two-sided CUSUM changepoint detector over an ALREADY AGGREGATED
+    * daily series, in the clamped form's closed formula: the textbook
+    * recursion S_t = max(0, S_{t−1} + d_t) equals P_t − min_{j≤t} P_j
+    * for the prefix sums P of the drift terms d — so the whole
+    * detector is two running windows (sum + min) over the day frame,
+    * no recursion and no driver loop. Drift terms:
+    *
+    *   d⁺_t = (x_t − μ) − k·σ      (upward shift evidence)
+    *   d⁻_t = (μ − x_t) − k·σ      (downward)
+    *
+    * with μ, σ the series' global moments, slack k and alarm threshold
+    * h·σ the standard CUSUM knobs. A day flags when either side's
+    * statistic clears h·σ. Engine exactness: moments come from exact
+    * decimal sums cast to double (then identical IEEE ops — sqrt is
+    * correctly rounded, so σ is bit-portable); drift terms are rounded
+    * to 9 dp and prefix-summed in DECIMAL(27,9) (order-free), and the
+    * running min is a min over exact decimals. Scale: the day frame is
+    * tiny (the fact pass is the caller's aggregate); production
+    * partitions by series key.
+    */
+  def cusumChangepoints(daily: DataFrame, dateCol: String, valueCol: String,
+      k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    val dec = DecimalType(27, 9)
+    // The square's operands are DECIMAL(18,9), NOT (27,9): a (27,9)²
+    // product needs precision 55 and Spark's allowPrecisionLoss would
+    // silently round its scale down (engine-divergent); (18,9)² is
+    // (37,18) — exact in both engines for any 9-dp series below 10⁹.
+    val dsq = DecimalType(18, 9)
+    val m = daily.agg(count(lit(1)).as("__n"),
+      sum(round(col(valueCol), 9).cast(dec)).as("__s"),
+      sum(round(col(valueCol), 9).cast(dsq) * round(col(valueCol), 9).cast(dsq))
+        .as("__q"))
+    val wRun = Window.orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mu = col("__s").cast("double") / col("__n").cast("double")
+    val variance = (col("__q").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") /
+        col("__n").cast("double")) / (col("__n").cast("double") - lit(1.0))
+    daily.crossJoin(broadcast(m))
+      .withColumn("__mu", mu)
+      .withColumn("__sd", sqrt(variance))
+      .withColumn("__dp",
+        round(col(valueCol) - col("__mu") - lit(k) * col("__sd"), 9).cast(dec))
+      .withColumn("__dn",
+        round(col("__mu") - col(valueCol) - lit(k) * col("__sd"), 9).cast(dec))
+      .withColumn("__pp", sum(col("__dp")).over(wRun))
+      .withColumn("__pn", sum(col("__dn")).over(wRun))
+      // P_0 = 0 participates in the running min (the clamp's floor).
+      // CASE, not least(): DuckDB's least() demotes DECIMAL to DOUBLE,
+      // which re-introduces the accumulation-order ulps the decimal
+      // prefix sums exist to remove. The 0 literal is (37,9) — the
+      // window sum's own type — NOT (38,9): promoting the min to 38
+      // makes the final subtraction need precision 39, and Spark's
+      // allowPrecisionLoss would silently shave the scale to 8 dp.
+      .withColumn("__mp", {
+        val mp = min(col("__pp")).over(wRun)
+        when(mp > 0, lit(0).cast(DecimalType(37, 9))).otherwise(mp)
+      })
+      .withColumn("__mn", {
+        val mn = min(col("__pn")).over(wRun)
+        when(mn > 0, lit(0).cast(DecimalType(37, 9))).otherwise(mn)
+      })
+      .withColumn("cusum_pos", (col("__pp") - col("__mp")).cast("double"))
+      .withColumn("cusum_neg", (col("__pn") - col("__mn")).cast("double"))
+      .select(col(dateCol), round(col(valueCol), 9).as("x"),
+        round(col("__mu"), 9).as("mu"), round(col("__sd"), 9).as("sd"),
+        col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > lit(h) * col("__sd") ||
+          col("cusum_neg") > lit(h) * col("__sd")).cast("long").as("changepoint"))
+  }
 }

@@ -806,6 +806,92 @@ object TextOps {
         round(col("dup_words").cast("double") / col("n_words"), 9))
   }
 
+  /** Position packing bound for [[spanRemoval]]'s canonical-occurrence
+    * key (doc_id·2²⁰ + pos must be collision-free, so docs are capped
+    * at 2²⁰ words — a ~6 MB text; the guard fails loudly, and a corpus
+    * with longer docs raises the shift, not the semantics).
+    */
+  val SpanPosPack: Long = 1L << 20
+
+  /** SURGICAL exact-substring removal — the cut [[repeatedSpans]] only
+    * meters (Lee et al. 2022 apply it: all but one occurrence of each
+    * duplicated substring is deleted, the rest of the document
+    * survives). Every word `n`-gram occurring ≥ 2 times corpus-wide
+    * keeps its lexicographically first occurrence (min (doc_id, pos),
+    * packed as doc_id·2²⁰+pos) as CANONICAL; every other occurrence's
+    * covered word positions [p, p+n−1] are cut. Per document: word
+    * counts before/after, the removed-word count, and an md5 pin of
+    * the exact cleaned text (space-joined surviving words in original
+    * order) — the oracle checks the surgery itself, not just its size.
+    *
+    * Gram-granular approximation, stated honestly: when two DIFFERENT
+    * duplicated grams overlap and their canonicals live in different
+    * documents, a canonical copy can lose words to the other gram's
+    * cut — the union-of-cuts semantics. The one-maximal-substring
+    * refinement needs cross-gram run merging before choosing keepers;
+    * at corpus scale the union semantics is what one hash pass buys,
+    * and it never deletes BOTH copies of the n-gram itself (its own
+    * canonical always survives its own cut).
+    *
+    * Plan shape for 100 TB: gram hashing is scan-side (md5-derived
+    * 60-bit keys, the `text_dup_spans` discipline — the hash is the
+    * shuffle key, corpus text never reshuffles); the canonical pass is
+    * one map-side-combinable (count, min) aggregate on the hash; only
+    * grams whose hash repeats (a small fraction) flow back through the
+    * hash-keyed join; the cut itself is per-document array arithmetic
+    * over the collected start positions — no window, no pair listing,
+    * no propose bound to tune. The gram frame is checkpointed because
+    * it feeds both the aggregate and the join-back (the groupedCdf
+    * lesson, ADVICE r11).
+    */
+  def spanRemoval(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, posPack: Long = SpanPosPack): DataFrame = {
+    require(n >= 2 && posPack >= 2)
+    val gramCols = (1 to n).map(j => s"__w[i+${j - 1}]").mkString(", ")
+    // packed occurrence key; the when-guard cannot be pruned away (it
+    // sits inside the aggregate/filter expressions themselves), so an
+    // over-long doc fails loudly instead of colliding keys silently
+    def packed(idc: Column, p: Column): Column =
+      when(p < posPack, idc * posPack + p)
+        .otherwise(raise_error(lit(
+          s"spanRemoval: gram position >= $posPack — raise SpanPosPack"))
+          .cast("long"))
+    val base = df.select(col(idCol), words(col(textCol)).as("__w"))
+    val sp = base
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol),
+        explode(expr(
+          s"""transform(sequence(0, size(__w) - $n),
+              i -> named_struct(
+                'pos', i,
+                'h', cast(conv(substring(md5(concat_ws(' ', $gramCols)), 1, 15), 16, 10) AS BIGINT)))"""))
+          .as("gr"))
+      .select(col(idCol), col("gr.pos").as("__pos"), col("gr.h").as("__h"))
+      .localCheckpoint()
+    val canon = sp.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(packed(col(idCol), col("__pos"))).as("__ck"))
+      .filter(col("__c") >= 2)
+    val cuts = sp.join(canon, Seq("__h"))
+      .filter(packed(col(idCol), col("__pos")) =!= col("__ck"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("__pos"))).as("__starts"))
+    base.join(cuts, Seq(idCol), "left")
+      .withColumn("__cov", when(col("__starts").isNotNull,
+          array_distinct(flatten(transform(col("__starts"),
+            s => sequence(s, s + (n - 1))))))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("__kept",
+        expr("filter(__w, (x, i) -> NOT array_contains(__cov, i))"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        size(col("__cov")).cast("long").as("removed_words"),
+        size(col("__kept")).cast("long").as("kept_words"),
+        md5(concat_ws(" ", col("__kept"))).as("clean_md5"))
+      .withColumn("removed_ratio",
+        round(col("removed_words").cast("double") / col("n_words"), 9))
+  }
+
   /** Greedy longest-match subword tokenization per document: one
     * codegen'd kernel pass ([[graft.functions.SubwordTokens]]) over the
     * normalized word stream — scan-side, shuffle-free. Emits the token

@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.etl.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-13 second wave: the surgical exact-substring cut, the
+  * time-series monitoring tier (seasonal decomposition + CUSUM
+  * changepoints), leakage-free feature encoding, and corpus-statistics
+  * evals (Zipf/Heaps, padding economics).
+  */
+object Breadth22 {
+
+  private val SpanN = 8
+
+  /** Surgical exact-substring removal over the perturbed augmented
+    * corpus ([[graft.ext.TextOps.spanRemoval]]): every duplicated word
+    * 8-gram keeps its first occurrence, every other occurrence's words
+    * are cut, and the md5 of each document's SURVIVING text is pinned —
+    * the actual Lee-et-al cut whose size `text_dup_spans` only meters.
+    * The "xx "-perturbed copies share every interior 8-gram with their
+    * originals, so the fixture guarantees real surgery: originals
+    * (lower id = canonical) survive intact, copies lose their shared
+    * spans and keep only the perturbation fringe.
+    */
+  val dedupSpanRemoval = Q(
+    "dedup_span_removal",
+    (s, dir) =>
+      graft.ext.TextOps.spanRemoval(
+          Extensions.augmentedDocs(s, dir, perturb = true), "doc_id", "text",
+          n = SpanN)
+        .orderBy(col("doc_id")),
+    Some {
+      val gram = (1 to SpanN).map(j => s"w[pos+$j]").mkString(" || ' ' || ")
+      s"""
+      WITH ${Extensions.augCte(perturb = true)},
+      nw AS (SELECT doc_id, ${Extensions.NormW} AS w FROM aug),
+      g0 AS (SELECT doc_id, unnest(range(len(w) - ${SpanN - 1})) AS pos, w
+             FROM nw WHERE len(w) >= $SpanN),
+      gh AS (SELECT doc_id, pos,
+               ('0x' || substr(md5($gram), 1, 15))::BIGINT AS h
+             FROM g0),
+      c AS (SELECT h, count(*) AS cnt, min(doc_id * 1048576 + pos) AS ck
+            FROM gh GROUP BY h),
+      cut AS (SELECT gh.doc_id, gh.pos FROM gh JOIN c USING (h)
+              WHERE c.cnt >= 2 AND gh.doc_id * 1048576 + gh.pos <> c.ck),
+      cov AS (SELECT DISTINCT doc_id, cp FROM
+                (SELECT doc_id, pos + unnest(range($SpanN)) AS cp FROM cut)),
+      wr AS (SELECT doc_id, unnest(range(len(w))) AS i, w FROM nw),
+      kept AS (SELECT wr.doc_id, wr.i, wr.w[wr.i + 1] AS word
+               FROM wr LEFT JOIN cov ON wr.doc_id = cov.doc_id AND wr.i = cov.cp
+               WHERE cov.cp IS NULL),
+      per AS (SELECT doc_id, count(*)::BIGINT AS kept_words,
+                     md5(string_agg(word, ' ' ORDER BY i)) AS clean_md5
+              FROM kept GROUP BY doc_id),
+      rem AS (SELECT doc_id, count(*)::BIGINT AS removed_words
+              FROM cov GROUP BY doc_id)
+      SELECT nw.doc_id, len(nw.w)::BIGINT AS n_words,
+             coalesce(rem.removed_words, 0)::BIGINT AS removed_words,
+             coalesce(per.kept_words, 0)::BIGINT AS kept_words,
+             coalesce(per.clean_md5, md5('')) AS clean_md5,
+             round(coalesce(rem.removed_words, 0)::DOUBLE / len(nw.w)::DOUBLE, 9)
+               AS removed_ratio
+      FROM nw LEFT JOIN per USING (doc_id) LEFT JOIN rem USING (doc_id)
+      ORDER BY doc_id
+    """.trim
+    })
+
+  private def dailyTotals(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("value"))
+      .groupBy(col("d"))
+      .agg(sum(round(col("value"), 9).cast(DecimalType(27, 9)))
+        .cast("double").as("total"))
+  }
+
+  /** Moving-average seasonal decomposition of the daily event-value
+    * series ([[graft.etl.StatOps.seasonalDecompose]]): trend = centered
+    * 7-day MA (full windows only), seasonal = per-phase mean of the
+    * detrended values (phase = epoch-day mod 7 — engine-portable, no
+    * day-of-week convention), residual = the rest. The monitoring tier
+    * between dq5's MAD ("is this day extreme?") and q69's CUSUM ("did
+    * the level shift?"): it answers "is this dip just the weekly
+    * shape". Windows sort DAYS (the aggregate below them did the
+    * fact-table pass), so the global order-by is ~10³ rows at any
+    * corpus size.
+    */
+  val q68SeasonalDecompose = Q(
+    "q68_seasonal_decompose",
+    (s, dir) =>
+      graft.etl.StatOps.seasonalDecompose(dailyTotals(s, dir), "d", "total",
+          period = 7, half = 3)
+        .orderBy(col("d")),
+    Some("""
+      WITH ev AS (SELECT ts::DATE AS d, value FROM events),
+      daily AS (SELECT d, sum(CAST(round(value, 9) AS DECIMAL(27,9)))::DOUBLE AS total
+                FROM ev GROUP BY d),
+      m AS (SELECT d, total, count(*) OVER w AS n,
+              sum(CAST(round(total, 9) AS DECIMAL(27,9))) OVER w AS s
+            FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      t AS (SELECT d, total,
+              CASE WHEN n = 7 THEN round(s::DOUBLE / 7, 9) END AS trend,
+              (date_diff('day', DATE '1970-01-01', d) % 7)::BIGINT AS phase
+            FROM m),
+      dt AS (SELECT d, total, trend, phase, round(total - trend, 9) AS detr FROM t),
+      si AS (SELECT phase,
+               round(sum(CAST(detr AS DECIMAL(27,9)))::DOUBLE / count(*), 9) AS seasonal
+             FROM dt WHERE detr IS NOT NULL GROUP BY phase)
+      SELECT dt.d, dt.total, dt.trend, dt.phase, si.seasonal,
+             round(dt.detr - si.seasonal, 9) AS residual
+      FROM dt LEFT JOIN si USING (phase) ORDER BY d
+    """.trim))
+
+  /** Two-sided CUSUM level-shift detector over the daily event-value
+    * mean ([[graft.etl.StatOps.cusumChangepoints]]), with a
+    * deterministically injected +8.0 shift on the series' last 8 days
+    * (the injected-fault pattern of `text_pii_scrub`/`dq9`): the
+    * detector must fire inside the shifted window and stay quiet long
+    * before it — detection and its null case in one output. The
+    * clamped CUSUM recursion rides its closed form P_t − min_{j≤t} P_j
+    * (two running windows over the day frame), so there is no
+    * recursion, no driver loop, and nothing that grows with corpus
+    * size except the caller's aggregate.
+    */
+  val q69CusumChangepoint = Q(
+    "q69_cusum_changepoint",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("value"))
+      val anchor = ev.agg(max(col("d")).as("gd"))
+      val shifted = ev.crossJoin(broadcast(anchor))
+        .withColumn("value",
+          when(col("d") > date_sub(col("gd"), 8), col("value") + 8.0)
+            .otherwise(col("value")))
+      val daily = shifted.groupBy(col("d"))
+        .agg(round(sum(round(col("value"), 9).cast(DecimalType(27, 9)))
+          .cast("double") / count(lit(1)).cast("double"), 9).as("x"))
+      graft.etl.StatOps.cusumChangepoints(daily, "d", "x", k = 0.5, h = 4.0)
+        .orderBy(col("d"))
+    },
+    Some("""
+      WITH ev AS (SELECT ts::DATE AS d, value FROM events),
+      a AS (SELECT max(d) AS gd FROM ev),
+      sh AS (SELECT d, CASE WHEN d > gd - 8 THEN value + 8.0 ELSE value END AS value
+             FROM ev, a),
+      dl AS (SELECT d, round(sum(CAST(round(value, 9) AS DECIMAL(27,9)))::DOUBLE
+                       / count(*), 9) AS x
+             FROM sh GROUP BY d),
+      m AS (SELECT count(*) AS n, sum(CAST(round(x, 9) AS DECIMAL(27,9))) AS s,
+              sum(CAST(round(x, 9) AS DECIMAL(18,9)) * CAST(round(x, 9) AS DECIMAL(18,9))) AS q
+            FROM dl),
+      st AS (SELECT dl.d, dl.x, m.s::DOUBLE / m.n AS mu,
+               sqrt((m.q::DOUBLE - m.s::DOUBLE * m.s::DOUBLE / m.n) / (m.n - 1.0)) AS sd
+             FROM dl, m),
+      dr AS (SELECT d, x, mu, sd,
+               CAST(round(x - mu - 0.5 * sd, 9) AS DECIMAL(27,9)) AS dp,
+               CAST(round(mu - x - 0.5 * sd, 9) AS DECIMAL(27,9)) AS dn
+             FROM st),
+      r1 AS (SELECT d, x, mu, sd, sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+             FROM dr WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      r2 AS (SELECT d, x, mu, sd, pp, pn,
+               min(pp) OVER w AS mp0, min(pn) OVER w AS mn0
+             FROM r1 WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      -- CASE, not least(): DuckDB least() demotes DECIMAL to DOUBLE
+      r3 AS (SELECT d, x, mu, sd, pp, pn,
+               CASE WHEN mp0 > 0 THEN CAST(0 AS DECIMAL(38,9)) ELSE mp0 END AS mp,
+               CASE WHEN mn0 > 0 THEN CAST(0 AS DECIMAL(38,9)) ELSE mn0 END AS mn
+             FROM r2)
+      SELECT d, round(x, 9) AS x, round(mu, 9) AS mu, round(sd, 9) AS sd,
+             (pp - mp)::DOUBLE AS cusum_pos, (pn - mn)::DOUBLE AS cusum_neg,
+             (CASE WHEN (pp - mp)::DOUBLE > 4.0 * sd
+                     OR (pn - mn)::DOUBLE > 4.0 * sd THEN 1 ELSE 0 END)::BIGINT
+               AS changepoint
+      FROM r3 ORDER BY d
+    """.trim))
+
+  /** K-fold out-of-fold target encoding of order priority against the
+    * order-finished label ([[graft.etl.FeatureOps.targetEncodeOof]]):
+    * the leakage-free categorical encoding a training job broadcast-
+    * joins back onto its rows. Folds are md5-deterministic (the q22
+    * discipline), so the encoding replays bit-identically from the
+    * data alone; the fact-table cost is ONE map-side-combined
+    * (category × fold) aggregate at any corpus size.
+    */
+  val featTargetEncode = Q(
+    "feat_target_encode",
+    (s, dir) =>
+      graft.etl.FeatureOps.targetEncodeOof(
+          Tables(s, dir, "orders"),
+          "o_orderpriority",
+          (col("o_orderstatus") === "F").cast("long"),
+          graft.ext.Dedup.hash32(col("o_orderkey").cast("string")) % 5,
+          smoothing = 20.0)
+        .orderBy(col("cat"), col("fold")),
+    Some("""
+      WITH b AS (SELECT o_orderpriority AS cat,
+               (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS y,
+               ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 5 AS fold
+             FROM orders),
+      cf AS (SELECT cat, fold, count(*)::BIGINT AS ncf, sum(y)::BIGINT AS scf
+             FROM b GROUP BY 1, 2),
+      ct AS (SELECT cat, sum(ncf)::BIGINT AS nc, sum(scf)::BIGINT AS sc
+             FROM cf GROUP BY 1),
+      ft AS (SELECT fold, sum(ncf)::BIGINT AS nf, sum(scf)::BIGINT AS sf
+             FROM cf GROUP BY 1),
+      g AS (SELECT sum(ncf)::BIGINT AS n, sum(scf)::BIGINT AS s FROM cf)
+      SELECT cf.cat, cf.fold, (nc - ncf)::BIGINT AS n_oof,
+             round((s - sf)::DOUBLE / (n - nf), 9) AS prior,
+             round(((sc - scf)::DOUBLE + 20.0 * ((s - sf)::DOUBLE / (n - nf)))
+                   / ((nc - ncf)::DOUBLE + 20.0), 9) AS enc
+      FROM cf JOIN ct USING (cat) JOIN ft USING (fold), g
+      ORDER BY cat, fold
+    """.trim))
+
+  /** Weight-of-evidence / information-value table for market segment
+    * against the high-balance label ([[graft.etl.FeatureOps.woeIv]]) —
+    * the feature-screening readout (which categoricals carry signal)
+    * next to `feat_target_encode`'s encoding itself. One aggregate
+    * over the table; ln rides the 9-dp round that keeps engine libm
+    * disagreement out of the hash.
+    */
+  val featWoeIv = Q(
+    "feat_woe_iv",
+    (s, dir) =>
+      graft.etl.FeatureOps.woeIv(
+          Tables(s, dir, "customer"),
+          "c_mktsegment",
+          (col("c_acctbal") > 5000.0).cast("long"))
+        .orderBy(col("cat")),
+    Some("""
+      WITH b AS (SELECT c_mktsegment AS cat,
+               (CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END)::BIGINT AS y
+             FROM customer),
+      c AS (SELECT cat, count(*)::BIGINT AS n, sum(y)::BIGINT AS good
+            FROM b GROUP BY 1),
+      c2 AS (SELECT cat, n, good, (n - good)::BIGINT AS bad FROM c),
+      g AS (SELECT sum(good)::BIGINT AS gg, sum(bad)::BIGINT AS bb FROM c2)
+      SELECT cat, n, good, bad,
+             round(ln(((good::DOUBLE + 0.5) / gg) / ((bad::DOUBLE + 0.5) / bb)), 9)
+               AS woe,
+             round(((good::DOUBLE + 0.5) / gg - (bad::DOUBLE + 0.5) / bb)
+               * round(ln(((good::DOUBLE + 0.5) / gg) / ((bad::DOUBLE + 0.5) / bb)), 9), 9)
+               AS iv_term
+      FROM c2, g ORDER BY cat
+    """.trim))
+
+  val all: Seq[Q] = Seq(dedupSpanRemoval, q68SeasonalDecompose,
+    q69CusumChangepoint, featTargetEncode, featWoeIv)
+}

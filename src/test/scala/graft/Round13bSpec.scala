@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 second-wave pins: the surgical exact-substring cut, the
+  * time-series monitoring tier, leakage-free feature encoding, and the
+  * corpus-statistics evals.
+  */
+class Round13bSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("spanRemoval: hand-solved fixture — canonical survives, copies cut") {
+    import spark.implicits._
+    // doc 1: 20 distinct words; doc 2 lifts doc 1's words a05..a12 (one
+    // shared 8-gram, canonical in doc 1) inside a fringe; doc 3 repeats
+    // its own first 8 words once (within-doc dup: first kept, second cut)
+    val w1 = (1 to 20).map(i => f"a$i%02d")
+    val d1 = w1.mkString(" ")
+    val d2 = (Seq("x1", "x2") ++ w1.slice(4, 12) ++ Seq("y1", "y2")).mkString(" ")
+    val d3 = ((1 to 8).map(i => s"b$i") ++ (1 to 8).map(i => s"b$i") ++
+      Seq("c1", "c2")).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = graft.ext.TextOps.spanRemoval(docs, "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("removed_words"),
+        col("kept_words"), col("clean_md5"))
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 20L, 0L, 20L, md5hex(d1)),
+      (2L, 12L, 8L, 4L, md5hex("x1 x2 y1 y2")),
+      (3L, 18L, 8L, 10L, md5hex(((1 to 8).map(i => s"b$i") ++
+        Seq("c1", "c2")).mkString(" ")))))
+  }
+
+  test("spanRemoval: cut positions partition the document exactly") {
+    import spark.implicits._
+    val out = SparkEntry.queries("dedup_span_removal")(
+        spark, "/root/testdata/sf0.001")
+      .select(col("n_words"), col("removed_words"), col("kept_words"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (n, r, k) =>
+      assert(r + k === n, s"removed + kept must equal n_words, got ($n,$r,$k)")
+    }
+    // the perturbed copies guarantee real surgery somewhere
+    assert(out.map(_._2).sum > 0L, "augmented corpus must lose spans")
+  }
+
+  test("spanRemoval: over-long doc fails loudly, not silently") {
+    import spark.implicits._
+    // shrink the pack bound so the guard path exercises cheaply — the
+    // production default is the same expression at SpanPosPack
+    val big = (0 until 80).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, big)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.ext.TextOps.spanRemoval(docs, "doc_id", "text", n = 8,
+          posPack = 64L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("SpanPosPack")))
+  }
+
+  test("seasonalDecompose: pure trend+weekly series decomposes exactly") {
+    import spark.implicits._
+    // value = 10 + s(phase) with s summing to 0 over any 7 consecutive
+    // days: the 7-day centered MA recovers the base exactly on every
+    // full-window day, the detrended value IS the weekly shape, and
+    // the residual is identically zero.
+    val shape = Seq(3.0, -1.0, 2.0, -4.0, 0.0, 1.0, -1.0)
+    val day0 = java.time.LocalDate.parse("2024-03-04")
+    val rows = (0 until 21).map { i =>
+      val d = day0.plusDays(i)
+      val phase = (d.toEpochDay % 7).toInt
+      (java.sql.Date.valueOf(d), 10.0 + shape(phase))
+    }
+    val out = graft.etl.StatOps.seasonalDecompose(
+        rows.toDF("d", "total"), "d", "total", period = 7, half = 3)
+      .orderBy(col("d"))
+      .select(col("d"), col("trend"), col("phase"), col("seasonal"),
+        col("residual"))
+      .as[(java.sql.Date, Option[Double], Long, Double, Option[Double])]
+      .collect().toSeq
+    assert(out.length === 21)
+    out.take(3).foreach { case (_, t, _, _, r) =>
+      assert(t.isEmpty && r.isEmpty, "edge days carry no trend")
+    }
+    out.takeRight(3).foreach { case (_, t, _, _, r) =>
+      assert(t.isEmpty && r.isEmpty)
+    }
+    out.slice(3, 18).foreach { case (d, t, p, s, r) =>
+      assert(t === Some(10.0), s"trend at $d")
+      assert(s === shape(p.toInt), s"seasonal at phase $p")
+      assert(r === Some(0.0), s"residual at $d")
+    }
+  }
+
+  test("cusumChangepoints: closed form equals the textbook recursion; step fires") {
+    import spark.implicits._
+    // 20 quiet days at 10 (with a deterministic ripple so sd > 0),
+    // then 10 shifted days at 20
+    val day0 = java.time.LocalDate.parse("2024-05-01")
+    val xs = (0 until 30).map { i =>
+      val base = if (i < 20) 10.0 else 20.0
+      base + (i % 3) * 0.5
+    }
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (java.sql.Date.valueOf(day0.plusDays(i)), x)
+    }
+    val out = graft.etl.StatOps.cusumChangepoints(
+        rows.toDF("d", "x"), "d", "x", k = 0.5, h = 4.0)
+      .orderBy(col("d"))
+      .select(col("cusum_pos"), col("cusum_neg"), col("changepoint"),
+        col("mu"), col("sd"))
+      .as[(Double, Double, Long, Double, Double)].collect().toSeq
+    // textbook recursion S_t = max(0, S_{t-1} + d_t) on the same terms
+    val n = xs.length
+    val s = xs.sum
+    val q = xs.map(x => x * x).sum
+    val mu = s / n
+    val sd = math.sqrt((q - s * s / n) / (n - 1.0))
+    def rec(drift: Double => Double): Seq[Double] =
+      xs.scanLeft(0.0)((acc, x) =>
+        math.max(0.0, acc + BigDecimal(drift(x)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)).tail
+    val expPos = rec(x => x - mu - 0.5 * sd)
+    val expNeg = rec(x => mu - x - 0.5 * sd)
+    out.zip(expPos.zip(expNeg)).zipWithIndex.foreach {
+      case (((p, ng, _, _, _), (ep, en)), i) =>
+        assert(math.abs(p - ep) < 1e-6, s"cusum_pos day $i: $p vs $ep")
+        assert(math.abs(ng - en) < 1e-6, s"cusum_neg day $i: $ng vs $en")
+    }
+    // the quiet head never flags; the shifted tail must flag
+    assert(out.take(20).forall(_._3 === 0L), "no false alarm pre-shift")
+    assert(out.drop(21).exists(_._3 === 1L), "shift must be detected")
+  }
+
+  private def encFixture(flip: Boolean) = {
+    import spark.implicits._
+    // (cat, fold, y): A/f0 = {1,1}, A/f1 = {0}, B/f0 = {0,0}, B/f1 = {1,1,1}
+    val y0 = if (flip) 0L else 1L
+    Seq(("A", 0L, y0), ("A", 0L, 1L), ("A", 1L, 0L),
+      ("B", 0L, 0L), ("B", 0L, 0L),
+      ("B", 1L, 1L), ("B", 1L, 1L), ("B", 1L, 1L))
+      .toDF("cat0", "fold0", "y")
+  }
+
+  private def encMap(df: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    graft.etl.FeatureOps.targetEncodeOof(df, "cat0", col("y"), col("fold0"),
+        smoothing = 2.0)
+      .select(col("cat"), col("fold"), col("n_oof"), col("enc"))
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (c, f, n, e) => (c, f) -> (n, e) }.toMap
+  }
+
+  test("targetEncodeOof: hand-solved 2x2 fixture") {
+    val m = encMap(encFixture(flip = false))
+    // grand (n, s) = (8, 5); priors excluding fold 0 / fold 1:
+    // (5-2)/(8-4) = 0.75 and (5-3)/(8-4) = 0.5
+    assert(m(("A", 0L)) === ((1L, 0.5)))  // (0 + 2*0.75) / (1 + 2)
+    assert(m(("A", 1L)) === ((2L, 0.75))) // (2 + 2*0.5)  / (2 + 2)
+    assert(m(("B", 0L)) === ((3L, 0.9)))  // (3 + 2*0.75) / (3 + 2)
+    assert(m(("B", 1L)) === ((2L, 0.25))) // (0 + 2*0.5)  / (2 + 2)
+  }
+
+  test("targetEncodeOof: a row's own target cannot reach its own encoding") {
+    // flip one (A, fold 0) label: that fold-cell's own encoding must be
+    // UNCHANGED (its target is excluded from both the cell sum and the
+    // excluded-fold prior) — the structural no-leak theorem
+    val before = encMap(encFixture(flip = false))
+    val after = encMap(encFixture(flip = true))
+    assert(before(("A", 0L)) === after(("A", 0L)))
+    // while encodings that legitimately see the row DO move
+    assert(before(("A", 1L)) !== after(("A", 1L)))
+  }
+
+  test("woeIv: hand-solved two-category fixture") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("X", 1L)) ++ Seq(("X", 0L)) ++
+      Seq(("Y", 1L)) ++ Seq.fill(3)(("Y", 0L))).toDF("cat0", "y")
+    val out = graft.etl.FeatureOps.woeIv(df, "cat0", col("y"))
+      .orderBy(col("cat"))
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    def r9(x: Double) = BigDecimal(x).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val woeX = r9(math.log((3.5 / 4) / (1.5 / 4)))
+    val ivX = r9((3.5 / 4 - 1.5 / 4) * woeX)
+    val woeY = r9(math.log((1.5 / 4) / (3.5 / 4)))
+    val ivY = r9((1.5 / 4 - 3.5 / 4) * woeY)
+    assert(out === Seq(("X", 4L, 3L, 1L, woeX, ivX),
+      ("Y", 4L, 1L, 3L, woeY, ivY)))
+    // evidence is symmetric and IV is non-negative by construction
+    assert(woeX === -woeY && ivX > 0 && ivY > 0)
+  }
+}
