@@ -892,6 +892,136 @@ object TextOps {
         round(col("removed_words").cast("double") / col("n_words"), 9))
   }
 
+  /** OLS slope of ln(freq) on ln(rank) over the aggregate frame's
+    * decimal moment sums — shared by [[zipfCurve]]/[[heapsGrowth]].
+    * Point coordinates are 9-dp-rounded lns in DECIMAL(18,9) (so the
+    * cross-moment products stay exact at (37,18) and engine libm
+    * disagreement dies at the round); the closing algebra is IEEE
+    * doubles on identical operands.
+    */
+  private def olsSlope(pts: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(18, 9)
+    val lx = round(log(x), 9).cast(d)
+    val ly = round(log(y), 9).cast(d)
+    pts.agg(count(lit(1)).as("__n"), sum(lx).as("__sx"), sum(ly).as("__sy"),
+        sum(lx * ly).as("__sxy"), sum(lx * lx).as("__sxx"))
+      .select(round(
+        (col("__n").cast("double") * col("__sxy").cast("double") -
+          col("__sx").cast("double") * col("__sy").cast("double")) /
+        (col("__n").cast("double") * col("__sxx").cast("double") -
+          col("__sx").cast("double") * col("__sx").cast("double")), 9)
+        .as("__slope"))
+  }
+
+  /** Zipf head of the corpus: the top-R token frequencies with their
+    * rank and the fitted log-log slope (a healthy natural-language
+    * corpus sits near −1; a slope collapsing toward 0 marks template/
+    * boilerplate floods, a cliff marks vocabulary truncation) — the
+    * one-look corpus-health readout next to `text_ngram_diversity`.
+    * Scale shape: one token-frequency aggregate (map-side combined),
+    * then a DISTRIBUTED top-R (orderBy+limit = TopK per partition,
+    * not a global window sort over the vocabulary); the R-row fit is
+    * arithmetic on one aggregate row.
+    */
+  def zipfCurve(df: DataFrame, idCol: String, textCol: String,
+      topR: Int = 20): DataFrame = {
+    require(topR >= 3)
+    val tf = df.select(explode(words(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val top = tf.orderBy(col("freq").desc, col("token")).limit(topR)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("token"))).cast("long"))
+    val fit = olsSlope(top, col("rank").cast("double"), col("freq").cast("double"))
+    top.crossJoin(broadcast(fit))
+      .select(col("rank"), col("token"), col("freq"),
+        col("__slope").as("zipf_slope"))
+  }
+
+  /** Heaps vocabulary-growth curve: cumulative distinct tokens vs
+    * cumulative documents over `buckets` corpus prefixes (prefix order
+    * = doc id), with the fitted log-log slope — Heaps' law's β
+    * (English prose ~0.5; β drifting up marks vocabulary churn/noise,
+    * down marks duplication). The prefix trick makes it one pass: a
+    * token's FIRST-SEEN document (min id) decides which prefix first
+    * counts it, so there is no per-prefix distinct — just two
+    * bucket-keyed aggregates and a 10-row running sum.
+    */
+  def heapsGrowth(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 3)
+    val spark = df.sparkSession
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val base = df.select((col(idCol) + 1L).as("__rk"),
+      words(col(textCol)).as("__w"))
+    val mx = base.agg(max(col("__rk")).as("__N"))
+    def bucketOf(rk: Column, n: Column): Column =
+      (floor((rk * buckets - 1).cast("double") / n.cast("double")) + 1)
+        .cast("long")
+    val docsPer = base.crossJoin(broadcast(mx))
+      .groupBy(bucketOf(col("__rk"), col("__N")).as("bucket"))
+      .agg(count(lit(1)).as("__nd"))
+    val vocabPer = base
+      .select(col("__rk"), explode(col("__w")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(min(col("__rk")).as("__fs"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucketOf(col("__fs"), col("__N")).as("bucket"))
+      .agg(count(lit(1)).as("__nv"))
+    val spine = spark.range(1, buckets + 1).select(col("id").as("bucket"))
+    val cum = spine
+      .join(broadcast(docsPer), Seq("bucket"), "left")
+      .join(broadcast(vocabPer), Seq("bucket"), "left")
+      .withColumn("n_docs", sum(coalesce(col("__nd"), lit(0L))).over(w))
+      .withColumn("vocab", sum(coalesce(col("__nv"), lit(0L))).over(w))
+    val fit = olsSlope(cum, col("n_docs").cast("double"),
+      col("vocab").cast("double"))
+    cum.crossJoin(broadcast(fit))
+      .select(col("bucket"), col("n_docs"), col("vocab"),
+        col("__slope").as("heaps_beta"))
+  }
+
+  /** Padding-waste economics of batch formation at a fixed batch size:
+    * 'arrival' batches documents in id order, 'length_sorted' batches
+    * them ordered by token count — per batch every sequence pads to the
+    * batch max, so waste = 1 − real/padded tokens. The readout that
+    * justifies length-grouped batching in a training loader (typically
+    * several-fold less padding) measured on THIS corpus. Batches form
+    * per md5-deterministic shard — exactly how a distributed loader
+    * forms them, and the shard key keeps every window partitioned
+    * (nothing global sorts at any corpus size; add shards, not sort
+    * capacity).
+    */
+  def paddingWaste(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int = 16, shards: Int = 64): DataFrame = {
+    require(batchSize >= 2 && shards >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"),
+        size(words(col(textCol))).cast("long").as("__nt"))
+      .withColumn("__shard", Dedup.hash32(col("__id").cast("string")) % shards)
+    def strat(name: String, order: Seq[Column]): DataFrame = {
+      val rn = row_number().over(
+        Window.partitionBy(col("__shard")).orderBy(order: _*))
+      base.withColumn("__b", ((rn - 1).cast("long") / batchSize).cast("long"))
+        .groupBy(col("__shard"), col("__b"))
+        .agg(count(lit(1)).as("__c"), max(col("__nt")).as("__mx"),
+          sum(col("__nt")).as("__s"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("__s")).as("real_tokens"),
+          sum(col("__mx") * col("__c")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("real_tokens"), col("padded_tokens"),
+          round(lit(1.0) - col("real_tokens").cast("double") /
+            col("padded_tokens").cast("double"), 9).as("waste_ratio"))
+    }
+    strat("arrival", Seq(col("__id")))
+      .unionByName(strat("length_sorted", Seq(col("__nt"), col("__id"))))
+  }
+
   /** Greedy longest-match subword tokenization per document: one
     * codegen'd kernel pass ([[graft.functions.SubwordTokens]]) over the
     * normalized word stream — scan-side, shuffle-free. Emits the token

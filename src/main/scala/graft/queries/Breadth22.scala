@@ -245,6 +245,121 @@ object Breadth22 {
       FROM c2, g ORDER BY cat
     """.trim))
 
+  private val OlsSql =
+    """f AS (SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+              sum(lx * ly) AS sxy, sum(lx * lx) AS sxx FROM lp)"""
+
+  private val SlopeSql =
+    """round((f.n * f.sxy::DOUBLE - f.sx::DOUBLE * f.sy::DOUBLE)
+           / (f.n * f.sxx::DOUBLE - f.sx::DOUBLE * f.sx::DOUBLE), 9)"""
+
+  /** Zipf head of the corpus ([[graft.ext.TextOps.zipfCurve]]): top-20
+    * token frequencies with the fitted log-log slope — the corpus-
+    * health one-look (natural prose ≈ −1; boilerplate floods flatten
+    * it). TopK is distributed (orderBy+limit, no global window sort
+    * over the vocabulary).
+    */
+  val evalZipfCurve = Q(
+    "eval_zipf_curve",
+    (s, dir) =>
+      graft.ext.TextOps.zipfCurve(Tables(s, dir, "documents"),
+          "doc_id", "text", topR = 20)
+        .orderBy(col("rank")),
+    Some(s"""
+      WITH n AS (SELECT doc_id, ${Extensions.NormW} AS w FROM documents),
+      tok AS (SELECT unnest(w) AS token FROM n),
+      tf AS (SELECT token, count(*)::BIGINT AS freq FROM tok
+             WHERE token <> '' GROUP BY token),
+      top AS (SELECT token, freq,
+                row_number() OVER (ORDER BY freq DESC, token)::BIGINT AS rank
+              FROM tf ORDER BY freq DESC, token LIMIT 20),
+      lp AS (SELECT rank, token, freq,
+               CAST(round(ln(rank), 9) AS DECIMAL(18,9)) AS lx,
+               CAST(round(ln(freq), 9) AS DECIMAL(18,9)) AS ly FROM top),
+      $OlsSql
+      SELECT lp.rank, lp.token, lp.freq, $SlopeSql AS zipf_slope
+      FROM lp, f ORDER BY rank
+    """.trim))
+
+  /** Heaps vocabulary growth ([[graft.ext.TextOps.heapsGrowth]]):
+    * cumulative vocabulary vs cumulative documents over 10 corpus
+    * prefixes plus the fitted β — computed in ONE pass via each
+    * token's first-seen document (no per-prefix distinct).
+    */
+  val evalHeapsGrowth = Q(
+    "eval_heaps_growth",
+    (s, dir) =>
+      graft.ext.TextOps.heapsGrowth(Tables(s, dir, "documents"),
+          "doc_id", "text", buckets = 10)
+        .orderBy(col("bucket")),
+    Some(s"""
+      WITH nw AS (SELECT doc_id + 1 AS rk, ${Extensions.NormW} AS w FROM documents),
+      mx AS (SELECT max(rk) AS nn FROM nw),
+      dp AS (SELECT (floor((rk * 10 - 1) / nn::DOUBLE) + 1)::BIGINT AS bucket,
+               count(*)::BIGINT AS nd
+             FROM nw, mx GROUP BY 1),
+      fs AS (SELECT token, min(rk) AS fsr
+             FROM (SELECT rk, unnest(w) AS token FROM nw)
+             WHERE token <> '' GROUP BY token),
+      vp AS (SELECT (floor((fsr * 10 - 1) / nn::DOUBLE) + 1)::BIGINT AS bucket,
+               count(*)::BIGINT AS nv
+             FROM fs, mx GROUP BY 1),
+      sp AS (SELECT unnest(range(1, 11))::BIGINT AS bucket),
+      cum AS (SELECT sp.bucket,
+                sum(coalesce(nd, 0)) OVER w AS n_docs0,
+                sum(coalesce(nv, 0)) OVER w AS vocab0
+              FROM sp LEFT JOIN dp USING (bucket) LEFT JOIN vp USING (bucket)
+              WINDOW w AS (ORDER BY sp.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      lp AS (SELECT bucket, n_docs0::BIGINT AS n_docs, vocab0::BIGINT AS vocab,
+               CAST(round(ln(n_docs0::BIGINT), 9) AS DECIMAL(18,9)) AS lx,
+               CAST(round(ln(vocab0::BIGINT), 9) AS DECIMAL(18,9)) AS ly FROM cum),
+      $OlsSql
+      SELECT lp.bucket, lp.n_docs, lp.vocab, $SlopeSql AS heaps_beta
+      FROM lp, f ORDER BY bucket
+    """.trim))
+
+  /** Padding-waste economics ([[graft.ext.TextOps.paddingWaste]]):
+    * arrival-order vs length-sorted batch formation at batch size 16
+    * over 8 md5-deterministic shards (few enough that every shard
+    * forms several batches at bench scale; production adds shards
+    * with corpus size — the waste estimate is shard-count-invariant
+    * once shards hold many batches) — the measured justification for
+    * a length-grouped training loader on THIS corpus.
+    */
+  val evalPaddingWaste = Q(
+    "eval_padding_waste",
+    (s, dir) =>
+      graft.ext.TextOps.paddingWaste(Tables(s, dir, "documents"),
+          "doc_id", "text", batchSize = 16, shards = 8)
+        .orderBy(col("strategy")),
+    Some(s"""
+      WITH b AS (SELECT doc_id AS id,
+               len(${Extensions.NormW})::BIGINT AS nt,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+             FROM documents),
+      a1 AS (SELECT shard, nt,
+               row_number() OVER (PARTITION BY shard ORDER BY id) AS rn FROM b),
+      a3 AS (SELECT shard, ((rn - 1) // 16) AS bt, count(*)::BIGINT AS c,
+               max(nt) AS mxt, sum(nt)::BIGINT AS s
+             FROM a1 GROUP BY 1, 2),
+      a4 AS (SELECT 'arrival' AS strategy, count(*)::BIGINT AS n_batches,
+               sum(s)::BIGINT AS real_tokens,
+               sum(mxt * c)::BIGINT AS padded_tokens FROM a3),
+      s1 AS (SELECT shard, nt,
+               row_number() OVER (PARTITION BY shard ORDER BY nt, id) AS rn FROM b),
+      s3 AS (SELECT shard, ((rn - 1) // 16) AS bt, count(*)::BIGINT AS c,
+               max(nt) AS mxt, sum(nt)::BIGINT AS s
+             FROM s1 GROUP BY 1, 2),
+      s4 AS (SELECT 'length_sorted' AS strategy, count(*)::BIGINT AS n_batches,
+               sum(s)::BIGINT AS real_tokens,
+               sum(mxt * c)::BIGINT AS padded_tokens FROM s3),
+      u AS (SELECT * FROM a4 UNION ALL SELECT * FROM s4)
+      SELECT strategy, n_batches, real_tokens, padded_tokens,
+             round(1.0 - real_tokens::DOUBLE / padded_tokens, 9) AS waste_ratio
+      FROM u ORDER BY strategy
+    """.trim))
+
   val all: Seq[Q] = Seq(dedupSpanRemoval, q68SeasonalDecompose,
-    q69CusumChangepoint, featTargetEncode, featWoeIv)
+    q69CusumChangepoint, featTargetEncode, featWoeIv, evalZipfCurve,
+    evalHeapsGrowth, evalPaddingWaste)
 }

@@ -197,4 +197,62 @@ class Round13bSpec extends SparkSpec {
     // evidence is symmetric and IV is non-negative by construction
     assert(woeX === -woeY && ivX > 0 && ivY > 0)
   }
+
+  test("zipfCurve: exact 1/r corpus fits slope -1") {
+    import spark.implicits._
+    // freq(r) = 12/r for r = 1..4: ln freq = ln 12 - ln r, slope -1
+    val toks = Seq.fill(12)("t1") ++ Seq.fill(6)("t2") ++
+      Seq.fill(4)("t3") ++ Seq.fill(3)("t4")
+    val docs = toks.grouped(5).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.zipfCurve(docs, "doc_id", "text", topR = 4)
+      .orderBy(col("rank"))
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      Seq((1L, "t1", 12L), (2L, "t2", 6L), (3L, "t3", 4L), (4L, "t4", 3L)))
+    out.foreach(r => assert(math.abs(r._4 - (-1.0)) < 1e-6,
+      s"slope ${r._4} must be -1"))
+  }
+
+  test("heapsGrowth: one new token per document accumulates exactly") {
+    import spark.implicits._
+    // doc i = {shared} ∪ {unique_i}: with 10 docs in 10 buckets the
+    // cumulative vocab at bucket k is k+1 and n_docs is k
+    val docs = (0 until 10).map(i => (i.toLong, s"shared uniq$i"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.heapsGrowth(docs, "doc_id", "text",
+        buckets = 10)
+      .orderBy(col("bucket"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      (1 to 10).map(k => (k.toLong, k.toLong, k.toLong + 1)))
+    // the fitted beta matches the same OLS computed by hand
+    def r9(x: Double) = BigDecimal(x).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pts = (1 to 10).map(k => (r9(math.log(k)), r9(math.log(k + 1))))
+    val n = pts.length
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    out.foreach(r => assert(math.abs(r._4 - beta) < 1e-6))
+  }
+
+  test("paddingWaste: sorted batching removes all padding on a bimodal fixture") {
+    import spark.implicits._
+    // lengths (1, 9, 1, 9) in id order, one shard, batch size 2:
+    //   arrival = (1,9),(1,9) -> padded 36, real 20, waste 4/9
+    //   sorted  = (1,1),(9,9) -> padded 20, waste 0
+    val docs = Seq(
+      (1L, "w"), (2L, ("x " * 9).trim), (3L, "y"), (4L, ("z " * 9).trim))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextOps.paddingWaste(docs, "doc_id", "text",
+        batchSize = 2, shards = 1)
+      .orderBy(col("strategy"))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      ("arrival", 2L, 20L, 36L, 0.444444444),
+      ("length_sorted", 2L, 20L, 20L, 0.0)))
+  }
 }
