@@ -802,4 +802,80 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  final case class CusumIn(series: String, day: Long, x: Double)
+  final case class CusumState(lastDay: Long, pp: Long, mp: Long,
+      pn: Long, mn: Long)
+  final case class CusumOut(series: String, day: Long, cusumPos: Double,
+      cusumNeg: Double, changepoint: Long)
+
+  /** Streaming twin of [[graft.etl.StatOps.cusumChangepoints]] — the
+    * monitoring detector as it actually deploys: reference moments
+    * (μ, σ) come from a TRAINED baseline (the batch op's output
+    * carries them), and the per-series state is four scaled longs —
+    * the two drift prefix sums and their running minimums, i.e. the
+    * closed form P_t − min_{j≤t} P_j held incrementally. Arithmetic is
+    * the batch op's 9-dp grid exactly: drift terms round HALF_UP at
+    * 9 dp into 10⁻⁹-scaled longs (the decimal column's own unscaled
+    * representation), so streamed and batch statistics are
+    * bit-identical, flag included — Round13bSpec pins it. Days must
+    * arrive in strictly increasing event-time order per series (the
+    * running min is order-DEPENDENT, unlike the band/prefix marches'
+    * order-free states) — out-of-order arrival fails loudly rather
+    * than silently corrupting the minimum.
+    */
+  class CusumProcessor(mu: Double, sd: Double, k: Double, h: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, CusumIn, CusumOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CusumState]("cusum",
+        Encoders.product[CusumState], TTLConfig.NONE)
+
+    // HALF_UP at scale 9, then the decimal's unscaled long — the exact
+    // integer Spark's round(col, 9)::DECIMAL(27,9) carries
+    private def scaled9(v: Double): Long =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.unscaledValue().longValueExact()
+
+    override def handleInputRows(key: String, rows: Iterator[CusumIn],
+        timerValues: TimerValues): Iterator[CusumOut] = {
+      val cur = if (state.exists()) state.get()
+        else CusumState(Long.MinValue, 0L, 0L, 0L, 0L)
+      var st = cur
+      val out = rows.toVector.sortBy(_.day).map { r =>
+        require(r.day > st.lastDay,
+          s"streamingCusum: series $key day ${r.day} arrived at or before " +
+            s"state day ${st.lastDay} — the running min needs in-order days")
+        val pp = st.pp + scaled9(r.x - mu - k * sd)
+        val pn = st.pn + scaled9(mu - r.x - k * sd)
+        val mp = math.min(st.mp, pp)
+        val mn = math.min(st.mn, pn)
+        st = CusumState(r.day, pp, mp, pn, mn)
+        val cp = (pp - mp).toDouble / 1e9
+        val cn = (pn - mn).toDouble / 1e9
+        CusumOut(key, r.day, cp, cn,
+          if (cp > h * sd || cn > h * sd) 1L else 0L)
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  def streamingCusum(stream: DataFrame, mu: Double, sd: Double,
+      k: Double = 0.5, h: Double = 4.0): org.apache.spark.sql.Dataset[CusumOut] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("series").cast("string").as("series"),
+        col("day").cast("long").as("day"), col("x").cast("double").as("x"))
+      .as[CusumIn]
+      .groupByKey(_.series)
+      .transformWithState(new CusumProcessor(mu, sd, k, h),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }

@@ -255,4 +255,77 @@ class Round13bSpec extends SparkSpec {
       ("arrival", 2L, 20L, 36L, 0.444444444),
       ("length_sorted", 2L, 20L, 20L, 0.0)))
   }
+
+  test("streamingCusum == batch detector bit-for-bit; out-of-order fails loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { streamingCusumBody() } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  private def streamingCusumBody(): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val day0 = java.time.LocalDate.parse("2024-05-01")
+    val xs = (0 until 30).map { i =>
+      (if (i < 20) 10.0 else 20.0) + (i % 3) * 0.5
+    }
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (java.sql.Date.valueOf(day0.plusDays(i)), x)
+    }
+    val batch = graft.etl.StatOps.cusumChangepoints(
+        rows.toDF("d", "x"), "d", "x", k = 0.5, h = 4.0)
+      .orderBy(col("d"))
+      .select(col("d"), col("cusum_pos"), col("cusum_neg"), col("changepoint"))
+      .as[(java.sql.Date, Double, Double, Long)].collect().toSeq
+      .map(r => (r._1.toLocalDate.toEpochDay, r._2, r._3, r._4))
+    // the batch op's INTERNAL (unrounded) moments, reproduced on the
+    // same exact-in-double fixture (all values are multiples of 0.5)
+    val n = xs.length
+    val s = xs.sum
+    val q = xs.map(x => x * x).sum
+    val mu = s / n
+    val sd = math.sqrt((q - s * s / n) / (n - 1.0))
+    val stream = MemoryStream[(String, Long, Double)]
+    val out = graft.streaming.StreamingOps.streamingCusum(
+      stream.toDS().toDF("series", "day", "x"), mu, sd, k = 0.5, h = 4.0)
+    val qy = out.writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("append").start()
+    try {
+      xs.zipWithIndex.map { case (x, i) =>
+        ("ev", day0.plusDays(i).toEpochDay, x)
+      }.grouped(7).foreach { b => stream.addData(b); qy.processAllAvailable() }
+    } finally qy.stop()
+    val streamed = spark.table("cusum_stream").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(streamed === batch,
+      "streamed CUSUM must equal the batch detector bit-for-bit")
+    // out-of-order arrival corrupts the running min — must fail loudly
+    val bad = MemoryStream[(String, Long, Double)]
+    val out2 = graft.streaming.StreamingOps.streamingCusum(
+      bad.toDS().toDF("series", "day", "x"), mu, sd)
+    val qy2 = out2.writeStream.format("memory").queryName("cusum_bad")
+      .outputMode("append").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        bad.addData(Seq(("ev", 10L, 1.0)))
+        qy2.processAllAvailable()
+        bad.addData(Seq(("ev", 9L, 1.0)))
+        qy2.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("in-order days")))
+    } finally qy2.stop()
+  }
 }
