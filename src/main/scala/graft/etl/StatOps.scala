@@ -312,6 +312,45 @@ object StatOps {
         round(col("__detr") - col("seasonal"), 9).as("residual"))
   }
 
+  /** Autocorrelation function of an ALREADY AGGREGATED daily series at
+    * lags 1..maxLag — the periodicity readout that closes the
+    * monitoring trio (seasonalDecompose EXPLAINS a known cycle, the
+    * ACF FINDS it: the lag of the first strong peak is the period to
+    * feed seasonalDecompose). r_k = Σ(dev_t · dev_{t−k}) / Σ dev² over
+    * the 9-dp-rounded deviations from the series mean, implemented as
+    * one row-number self-join against a broadcast lag spine (k·n tiny
+    * rows; the fact pass is the caller's aggregate). Cross-moment
+    * products ride (18,9)² decimals — exact at (37,18) in both
+    * engines; each r_k is then one double division.
+    */
+  def autocorrelation(daily: DataFrame, dateCol: String, valueCol: String,
+      maxLag: Int = 14): DataFrame = {
+    require(maxLag >= 1)
+    val spark = daily.sparkSession
+    val dsq = DecimalType(18, 9)
+    val m = daily.agg(count(lit(1)).as("__n"),
+      sum(round(col(valueCol), 9).cast(DecimalType(27, 9))).as("__s"))
+    val mu = col("__s").cast("double") / col("__n").cast("double")
+    val wRn = Window.orderBy(col(dateCol))
+    val dd = daily.crossJoin(broadcast(m))
+      .withColumn("__dev", round(col(valueCol) - mu, 9).cast(dsq))
+      .withColumn("__rn", row_number().over(wRn).cast("long"))
+      .select(col("__rn"), col("__dev"))
+    val den = dd.agg(sum(col("__dev") * col("__dev")).as("__den"))
+    val spine = spark.range(1, maxLag + 1).select(col("id").as("lag_k"))
+    val a = dd.select(col("__rn").as("__ra"), col("__dev").as("__da"))
+    val b = dd.select(col("__rn").as("__rb"), col("__dev").as("__db"))
+    a.crossJoin(broadcast(spine))
+      .join(b, col("__rb") === col("__ra") - col("lag_k"))
+      .groupBy(col("lag_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__da") * col("__db")).as("__num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag_k"), col("n_pairs"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 9)
+          .as("acf"))
+  }
+
   /** Two-sided CUSUM changepoint detector over an ALREADY AGGREGATED
     * daily series, in the clamped form's closed formula: the textbook
     * recursion S_t = max(0, S_{t−1} + d_t) equals P_t − min_{j≤t} P_j

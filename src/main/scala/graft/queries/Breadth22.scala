@@ -359,7 +359,39 @@ object Breadth22 {
       FROM u ORDER BY strategy
     """.trim))
 
+  /** Autocorrelation of the daily event-value series at lags 1..14
+    * ([[graft.etl.StatOps.autocorrelation]]) — the periodicity FINDER
+    * that closes the monitoring trio: q68 explains a cycle you name,
+    * the ACF names it (the first strong peak's lag is the period).
+    * One row-number self-join against a broadcast lag spine over the
+    * tiny day frame; cross-moments in exact (18,9)² decimals.
+    */
+  val q70Autocorrelation = Q(
+    "q70_autocorrelation",
+    (s, dir) =>
+      graft.etl.StatOps.autocorrelation(dailyTotals(s, dir), "d", "total",
+          maxLag = 14)
+        .orderBy(col("lag_k")),
+    Some("""
+      WITH ev AS (SELECT ts::DATE AS d, value FROM events),
+      daily AS (SELECT d, sum(CAST(round(value, 9) AS DECIMAL(27,9)))::DOUBLE AS total
+                FROM ev GROUP BY d),
+      m AS (SELECT count(*) AS n, sum(CAST(round(total, 9) AS DECIMAL(27,9))) AS s
+            FROM daily),
+      dd AS (SELECT row_number() OVER (ORDER BY d) AS rn,
+               CAST(round(total - (m.s::DOUBLE / m.n), 9) AS DECIMAL(18,9)) AS dev
+             FROM daily, m),
+      den AS (SELECT sum(dev * dev) AS dn FROM dd),
+      sp AS (SELECT unnest(range(1, 15))::BIGINT AS lag_k),
+      num AS (SELECT sp.lag_k, count(*)::BIGINT AS n_pairs,
+                sum(a.dev * b.dev) AS nm
+              FROM dd a, sp, dd b WHERE b.rn = a.rn - sp.lag_k
+              GROUP BY sp.lag_k)
+      SELECT lag_k, n_pairs, round(nm::DOUBLE / dn::DOUBLE, 9) AS acf
+      FROM num, den ORDER BY lag_k
+    """.trim))
+
   val all: Seq[Q] = Seq(dedupSpanRemoval, q68SeasonalDecompose,
     q69CusumChangepoint, featTargetEncode, featWoeIv, evalZipfCurve,
-    evalHeapsGrowth, evalPaddingWaste)
+    evalHeapsGrowth, evalPaddingWaste, q70Autocorrelation)
 }

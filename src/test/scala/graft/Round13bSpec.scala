@@ -328,4 +328,31 @@ class Round13bSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains("in-order days")))
     } finally qy2.stop()
   }
+
+  test("autocorrelation: exact period-3 series peaks at lag 3 with r = 0.9") {
+    import spark.implicits._
+    // 30 days repeating (1, 2, 3): dev = (-1, 0, 1, ...), so
+    // r_3 = (sum dev^2 over t>3) / (sum dev^2) = 18/20 = 0.9 exactly
+    val day0 = java.time.LocalDate.parse("2024-07-01")
+    val xs = (0 until 30).map(i => 1.0 + (i % 3))
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (java.sql.Date.valueOf(day0.plusDays(i)), x)
+    }
+    val out = graft.etl.StatOps.autocorrelation(
+        rows.toDF("d", "x"), "d", "x", maxLag = 6)
+      .orderBy(col("lag_k"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ===
+      (1 to 6).map(k => (k.toLong, 30L - k)))
+    val acf = out.map(r => r._1 -> r._3).toMap
+    assert(acf(3L) === 0.9 && acf(6L) === 0.8, "period-3 harmonics")
+    // direct-formula cross-check at every lag
+    val mu = xs.sum / xs.length
+    val dev = xs.map(_ - mu)
+    val den = dev.map(d => d * d).sum
+    (1 to 6).foreach { k =>
+      val num = (k until 30).map(t => dev(t) * dev(t - k)).sum
+      assert(math.abs(acf(k.toLong) - num / den) < 1e-9, s"lag $k")
+    }
+  }
 }

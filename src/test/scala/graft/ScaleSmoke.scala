@@ -314,6 +314,13 @@ import org.apache.spark.sql.functions._
   * why the graded serving tier stays flat at sf0.1 and the routed
   * tier exists for the 10⁴-cell regime.
   *
+  * Round-13 second wave at replicas=100 (pair tier):
+  * dedup_span_removal 10k → 1,000,000 rows (×100.0 EXACTLY, time
+  * ×13.9 at 61.5 s vs 4.4 s at 1× — no pair listing anywhere: the
+  * hash count+min canonical pass and the repeated-gram join are both
+  * linear in gram volume, and the per-doc cut arithmetic is bounded
+  * by doc length; per-unit cost DOWN 7×).
+  *
   * Round-10 wave at replicas=20 (2M docs): epoch materialize 3.7s for
   * 2× the rows — FLAT (scan-side explode parallelizes); training_mix
   * 8.3s, source_cap 15.1s, ccnet 4.7s, snapshot_diff 2.1s (all flat
@@ -609,7 +616,14 @@ object ScaleSmoke {
       // aggregate each over checkpointed survivor frames — rows stay 5,
       // the TIME ratio is the reading)
       "dedup_incremental_prefix", "text_winnow_fingerprint",
-      "pipeline_curation_funnel")
+      "pipeline_curation_funnel",
+      // round-13 second wave: the surgical exact-substring cut — no
+      // pair listing anywhere (hash count+min canonical pass, only
+      // repeated grams re-join), rows are per-doc so the linear
+      // target is ~replicas and the TIME ratio is the reading; the
+      // content-growth corpus keeps cross-replica grams distinct, so
+      // the cut volume it measures is the within-replica dup mass
+      "dedup_span_removal")
     // optional arg 2+: name substrings selecting a subset (targeted
     // reruns of one family without paying the whole sweep)
     val tier = if (pairTier) pairFamily else heavy
