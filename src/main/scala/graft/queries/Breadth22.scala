@@ -391,7 +391,143 @@ object Breadth22 {
       FROM num, den ORDER BY lag_k
     """.trim))
 
+  /** The monitoring capstone's composition, factored for the spec: the
+    * three detectors over one daily series reduced to per-day flags —
+    *
+    *   z_flag     |x − μ| > 2σ          (is the day extreme at all?)
+    *   resid_flag |residual| > 2σ_resid (extreme AFTER trend + weekly
+    *                                     shape are explained away)
+    *   cusum_flag CUSUM alarm            (part of a sustained shift?)
+    *
+    * verdict: anomaly (≥ 2 flags) / watch (1) / ok (0). All thresholds
+    * compare the detectors' own 9-dp-rounded outputs, so the scorecard
+    * is engine-exact by construction. Every component is one window or
+    * aggregate over the tiny day frame — the fact-table pass is the
+    * caller's aggregate (the `pipeline_release_gate` shape, applied to
+    * monitoring).
+    */
+  private[graft] def anomalyReport(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cus = graft.etl.StatOps.cusumChangepoints(daily, "d", "x",
+        k = 0.5, h = 4.0)
+      .select(col("d"), col("x"), col("mu"), col("sd"),
+        col("changepoint").as("cusum_flag"))
+    val sea = graft.etl.StatOps.seasonalDecompose(daily, "d", "x",
+        period = 7, half = 3)
+      .select(col("d"), col("residual"))
+    val dec = DecimalType(27, 9)
+    val dsq = DecimalType(18, 9)
+    val rm = sea.filter(col("residual").isNotNull)
+      .agg(count(lit(1)).as("__rn"),
+        sum(col("residual").cast(dec)).as("__rs"),
+        sum(col("residual").cast(dsq) * col("residual").cast(dsq)).as("__rq"))
+    val sdr = round(sqrt((col("__rq").cast("double") -
+      col("__rs").cast("double") * col("__rs").cast("double") /
+        col("__rn").cast("double")) /
+      (col("__rn").cast("double") - lit(1.0))), 9)
+    cus.join(sea, Seq("d"))
+      .crossJoin(broadcast(rm))
+      .withColumn("z_flag",
+        (abs(col("x") - col("mu")) > lit(2.0) * col("sd")).cast("long"))
+      .withColumn("resid_flag",
+        coalesce((abs(col("residual")) > lit(2.0) * sdr).cast("long"), lit(0L)))
+      .withColumn("n_flags",
+        col("z_flag") + col("resid_flag") + col("cusum_flag"))
+      .withColumn("verdict",
+        when(col("n_flags") >= 2, "anomaly")
+          .when(col("n_flags") === 1, "watch").otherwise("ok"))
+      .select(col("d"), col("x"), col("z_flag"), col("resid_flag"),
+        col("cusum_flag"), col("n_flags"), col("verdict"))
+  }
+
+  /** Day-level anomaly scorecard over the injected-shift daily series
+    * (q69's fixture): the three monitoring detectors voting per day.
+    * The shifted tail must read `anomaly`/`watch`, the quiet head `ok`
+    * — detection and its null case in one report.
+    */
+  val pipelineAnomalyReport = Q(
+    "pipeline_anomaly_report",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("value"))
+      val anchor = ev.agg(max(col("d")).as("gd"))
+      val daily = ev.crossJoin(broadcast(anchor))
+        .withColumn("value",
+          when(col("d") > date_sub(col("gd"), 8), col("value") + 8.0)
+            .otherwise(col("value")))
+        .groupBy(col("d"))
+        .agg(round(sum(round(col("value"), 9).cast(DecimalType(27, 9)))
+          .cast("double") / count(lit(1)).cast("double"), 9).as("x"))
+      anomalyReport(daily).orderBy(col("d"))
+    },
+    Some("""
+      WITH ev AS (SELECT ts::DATE AS d, value FROM events),
+      a AS (SELECT max(d) AS gd FROM ev),
+      sh AS (SELECT d, CASE WHEN d > gd - 8 THEN value + 8.0 ELSE value END AS value
+             FROM ev, a),
+      dl AS (SELECT d, round(sum(CAST(round(value, 9) AS DECIMAL(27,9)))::DOUBLE
+                       / count(*), 9) AS x
+             FROM sh GROUP BY d),
+      m AS (SELECT count(*) AS n, sum(CAST(round(x, 9) AS DECIMAL(27,9))) AS s,
+              sum(CAST(round(x, 9) AS DECIMAL(18,9)) * CAST(round(x, 9) AS DECIMAL(18,9))) AS q
+            FROM dl),
+      st AS (SELECT dl.d, dl.x, m.s::DOUBLE / m.n AS mu,
+               sqrt((m.q::DOUBLE - m.s::DOUBLE * m.s::DOUBLE / m.n) / (m.n - 1.0)) AS sd
+             FROM dl, m),
+      dr AS (SELECT d, x, mu, sd,
+               CAST(round(x - mu - 0.5 * sd, 9) AS DECIMAL(27,9)) AS dp,
+               CAST(round(mu - x - 0.5 * sd, 9) AS DECIMAL(27,9)) AS dn
+             FROM st),
+      r1 AS (SELECT d, x, mu, sd, sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+             FROM dr WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      r2 AS (SELECT d, x, mu, sd, pp, pn,
+               min(pp) OVER w AS mp0, min(pn) OVER w AS mn0
+             FROM r1 WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      r3 AS (SELECT d, x, mu, sd, pp, pn,
+               CASE WHEN mp0 > 0 THEN CAST(0 AS DECIMAL(38,9)) ELSE mp0 END AS mp,
+               CASE WHEN mn0 > 0 THEN CAST(0 AS DECIMAL(38,9)) ELSE mn0 END AS mn
+             FROM r2),
+      fin AS (SELECT d, round(x, 9) AS x, round(mu, 9) AS mu, round(sd, 9) AS sd,
+                (CASE WHEN (pp - mp)::DOUBLE > 4.0 * sd
+                        OR (pn - mn)::DOUBLE > 4.0 * sd THEN 1 ELSE 0 END)::BIGINT
+                  AS cusum_flag
+              FROM r3),
+      m2 AS (SELECT d, x, count(*) OVER w AS n7,
+               sum(CAST(round(x, 9) AS DECIMAL(27,9))) OVER w AS s7
+             FROM dl WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      t2 AS (SELECT d, x, CASE WHEN n7 = 7 THEN round(s7::DOUBLE / 7, 9) END AS trend,
+               (date_diff('day', DATE '1970-01-01', d) % 7)::BIGINT AS phase
+             FROM m2),
+      dt2 AS (SELECT d, x, trend, phase, round(x - trend, 9) AS detr FROM t2),
+      si AS (SELECT phase,
+               round(sum(CAST(detr AS DECIMAL(27,9)))::DOUBLE / count(*), 9) AS seasonal
+             FROM dt2 WHERE detr IS NOT NULL GROUP BY phase),
+      res AS (SELECT dt2.d, round(dt2.detr - si.seasonal, 9) AS residual
+              FROM dt2 LEFT JOIN si USING (phase)),
+      rm AS (SELECT count(*) AS rn, sum(CAST(residual AS DECIMAL(27,9))) AS rs,
+               sum(CAST(residual AS DECIMAL(18,9)) * CAST(residual AS DECIMAL(18,9))) AS rq
+             FROM res WHERE residual IS NOT NULL),
+      sr AS (SELECT round(sqrt((rq::DOUBLE - rs::DOUBLE * rs::DOUBLE / rn)
+                      / (rn - 1.0)), 9) AS sdr FROM rm),
+      fl AS (SELECT fin.d, fin.x,
+               (CASE WHEN abs(fin.x - fin.mu) > 2.0 * fin.sd THEN 1 ELSE 0 END)::BIGINT
+                 AS z_flag,
+               (CASE WHEN abs(res.residual) > 2.0 * sr.sdr THEN 1 ELSE 0 END)::BIGINT
+                 AS resid_flag,
+               fin.cusum_flag
+             FROM fin JOIN res USING (d), sr)
+      SELECT d, x, z_flag, resid_flag, cusum_flag,
+             (z_flag + resid_flag + cusum_flag)::BIGINT AS n_flags,
+             CASE WHEN z_flag + resid_flag + cusum_flag >= 2 THEN 'anomaly'
+                  WHEN z_flag + resid_flag + cusum_flag = 1 THEN 'watch'
+                  ELSE 'ok' END AS verdict
+      FROM fl ORDER BY d
+    """.trim))
+
   val all: Seq[Q] = Seq(dedupSpanRemoval, q68SeasonalDecompose,
     q69CusumChangepoint, featTargetEncode, featWoeIv, evalZipfCurve,
-    evalHeapsGrowth, evalPaddingWaste, q70Autocorrelation)
+    evalHeapsGrowth, evalPaddingWaste, q70Autocorrelation,
+    pipelineAnomalyReport)
 }

@@ -355,4 +355,30 @@ class Round13bSpec extends SparkSpec {
       assert(math.abs(acf(k.toLong) - num / den) < 1e-9, s"lag $k")
     }
   }
+
+  test("anomalyReport: quiet head ok, incident spike escalates, counts consistent") {
+    import spark.implicits._
+    // a 2-day incident spike mid-series — SHORT, so the contaminated
+    // global moments cannot absorb it (a 1/3-duration step caps the
+    // contaminated z at sqrt(2) < 2 no matter its size; a 2/30 spike
+    // reaches ~3.7 sigma) and all three detectors can catch it
+    val day0 = java.time.LocalDate.parse("2024-05-01")
+    val rows = (0 until 30).map { i =>
+      val base = if (i == 14 || i == 15) 30.0 else 10.0
+      (java.sql.Date.valueOf(day0.plusDays(i)), base + (i % 3) * 0.5)
+    }
+    val out = graft.queries.Breadth22.anomalyReport(rows.toDF("d", "x"))
+      .orderBy(col("d"))
+      .select(col("z_flag"), col("resid_flag"), col("cusum_flag"),
+        col("n_flags"), col("verdict"))
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    out.foreach { case (z, r, c, n, v) =>
+      assert(n === z + r + c, "n_flags must be the flag sum")
+      assert(v === (if (n >= 2) "anomaly" else if (n == 1) "watch" else "ok"))
+    }
+    // days far from the spike's MA window stay quiet
+    assert(out.take(11).forall(_._5 === "ok"), "no false alarm pre-spike")
+    // the spike days must escalate to a multi-detector anomaly verdict
+    assert(out.slice(14, 16).exists(_._5 === "anomaly"), "spike must escalate")
+  }
 }
