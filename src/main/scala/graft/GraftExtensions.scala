@@ -26,11 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes32"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes32"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), intArg(exprs(1)), hash64 = false)))
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), intArg(exprs(1)), graft.functions.ShingleHashes.ModeMd5_32)))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes64"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes64"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), intArg(exprs(1)), hash64 = true)))
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), intArg(exprs(1)), graft.functions.ShingleHashes.ModeXx64)))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),

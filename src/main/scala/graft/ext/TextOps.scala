@@ -847,7 +847,7 @@ object TextOps {
   def spanRemoval(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, posPack: Long = SpanPosPack): DataFrame = {
     require(n >= 2 && posPack >= 2)
-    val gramCols = (1 to n).map(j => s"__w[i+${j - 1}]").mkString(", ")
+    graft.functions.VectorExpressions.register(df.sparkSession)
     // packed occurrence key; the when-guard cannot be pruned away (it
     // sits inside the aggregate/filter expressions themselves), so an
     // over-long doc fails loudly instead of colliding keys silently
@@ -857,16 +857,14 @@ object TextOps {
           s"spanRemoval: gram position >= $posPack — raise SpanPosPack"))
           .cast("long"))
     val base = df.select(col(idCol), words(col(textCol)).as("__w"))
+    // gram hashing is the codegen'd md5-60 kernel (one loop, no gram
+    // strings materialized) — bit-equal to the oracle idiom
+    // ('0x'||substr(md5(gram),1,15))::BIGINT, pinned in PropertySpec
     val sp = base
       .filter(size(col("__w")) >= n)
       .select(col(idCol),
-        explode(expr(
-          s"""transform(sequence(0, size(__w) - $n),
-              i -> named_struct(
-                'pos', i,
-                'h', cast(conv(substring(md5(concat_ws(' ', $gramCols)), 1, 15), 16, 10) AS BIGINT)))"""))
-          .as("gr"))
-      .select(col(idCol), col("gr.pos").as("__pos"), col("gr.h").as("__h"))
+        posexplode(expr(s"graft_shingle_md5_60(__w, $n)")))
+      .select(col(idCol), col("pos").as("__pos"), col("col").as("__h"))
       .localCheckpoint()
     val canon = sp.groupBy(col("__h"))
       .agg(count(lit(1)).as("__c"),

@@ -119,6 +119,23 @@ object Md5Hash32 {
     val b = md.digest(s.getBytes)
     ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) | ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
   }
+
+  /** First 60 md5 bits (= the oracle idiom
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`: 15 hex chars are the
+    * top 7.5 digest bytes): the first 8 bytes big-endian, shifted
+    * right 4. The wide-key tier for ops where a collision CORRUPTS
+    * output (span removal cuts text on hash equality) rather than
+    * merely perturbing a signature.
+    */
+  def compute60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val b = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
 }
 
 /** k-word shingle hashes in one codegen'd pass: words array → array of
@@ -130,7 +147,7 @@ object Md5Hash32 {
   * xxhash64 (seed 42, bit-identical to the builtin) for engine-internal
   * join keys.
   */
-case class ShingleHashes(child: Expression, k: Int, hash64: Boolean)
+case class ShingleHashes(child: Expression, k: Int, mode: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -143,11 +160,11 @@ case class ShingleHashes(child: Expression, k: Int, hash64: Boolean)
   }
 
   override def nullSafeEval(v: Any): Any =
-    ShingleHashes.compute(v.asInstanceOf[ArrayData], k, hash64)
+    ShingleHashes.compute(v.asInstanceOf[ArrayData], k, mode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleHashes.compute($c, $k, $hash64)")
+      c => s"graft.functions.ShingleHashes.compute($c, $k, $mode)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -156,7 +173,14 @@ case class ShingleHashes(child: Expression, k: Int, hash64: Boolean)
 object ShingleHashes {
   private val Sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
-  def compute(words: ArrayData, k: Int, hash64: Boolean): ArrayData = {
+  val ModeMd5_32 = 0
+  val ModeXx64 = 1
+  val ModeMd5_60 = 2
+
+  def compute(words: ArrayData, k: Int, hash64: Boolean): ArrayData =
+    compute(words, k, if (hash64) ModeXx64 else ModeMd5_32)
+
+  def compute(words: ArrayData, k: Int, mode: Int): ArrayData = {
     val n = words.numElements()
     if (n < k)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
@@ -167,11 +191,13 @@ object ShingleHashes {
       var j = 0
       while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
       val s = org.apache.spark.unsafe.types.UTF8String.concatWs(Sep, parts: _*)
-      out(i) =
-        if (hash64)
+      out(i) = mode match {
+        case ModeXx64 =>
           org.apache.spark.sql.catalyst.expressions.XXH64
             .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        else Md5Hash32.compute(s)
+        case ModeMd5_60 => Md5Hash32.compute60(s)
+        case _ => Md5Hash32.compute(s)
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -902,10 +928,16 @@ object VectorExpressions {
     def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
     reg.createOrReplaceTempFunction(
       "graft_shingle_hashes32",
-      exprs => ShingleHashes(exprs(0), intArg(exprs(1)), hash64 = false), "scala_udf")
+      exprs => ShingleHashes(exprs(0), intArg(exprs(1)),
+        ShingleHashes.ModeMd5_32), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_shingle_hashes64",
-      exprs => ShingleHashes(exprs(0), intArg(exprs(1)), hash64 = true), "scala_udf")
+      exprs => ShingleHashes(exprs(0), intArg(exprs(1)),
+        ShingleHashes.ModeXx64), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_md5_60",
+      exprs => ShingleHashes(exprs(0), intArg(exprs(1)),
+        ShingleHashes.ModeMd5_60), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(

@@ -49,6 +49,24 @@ class Round13bSpec extends SparkSpec {
     assert(out.map(_._2).sum > 0L, "augmented corpus must lose spans")
   }
 
+  test("md5-60 shingle kernel == hex-round-trip formulation, value for value") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, (0 until 20).map(j => s"w${(i * 7 + j * 3) % 13}").mkString(" "))
+    }.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+    val n = docs
+      .select(expr("graft_shingle_md5_60(__w, 8)").as("k"),
+        expr("""transform(sequence(0, size(__w) - 8), i ->
+          cast(conv(substring(md5(concat_ws(' ', __w[i], __w[i+1], __w[i+2],
+            __w[i+3], __w[i+4], __w[i+5], __w[i+6], __w[i+7])), 1, 15), 16, 10)
+          AS BIGINT))""").as("r"))
+      .filter(expr("k <> r"))
+      .count()
+    assert(n === 0L, "kernel must be bit-equal to the md5 hex idiom")
+  }
+
   test("spanRemoval: over-long doc fails loudly, not silently") {
     import spark.implicits._
     // shrink the pack bound so the guard path exercises cheaply — the
