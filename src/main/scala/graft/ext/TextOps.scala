@@ -1195,6 +1195,41 @@ object TextOps {
       stats, idCol, k)
   }
 
+  /** BM25 with pseudo-relevance feedback (Rocchio/RM1-lite, two
+    * rounds): score the base query, take the top `feedbackK` docs as
+    * the feedback set, pick the `expandE` terms with the highest
+    * summed tf inside it (base terms excluded; ties by term — all
+    * integer evidence, so the expansion set is deterministic), then
+    * re-score with base ∪ expansion. The classic recall lever when
+    * queries underspecify (the expansion terms are whatever the
+    * corpus itself says co-occurs with the hits).
+    *
+    * Serve-shaped: takes the PERSISTED postings/stats (the
+    * `ensureTextIndex` artifact — ingest builds, queries probe), and
+    * every stage is term-keyed: base scoring touches base-term
+    * postings only, the feedback tf scan is an idCol-broadcast semi
+    * join (feedbackK rows), final scoring touches the ≤ |base|+E term
+    * postings. Nothing rescans the corpus text.
+    */
+  def bm25Prf(postings: DataFrame, stats: DataFrame, idCol: String,
+      baseTerms: Seq[String], feedbackK: Int = 5, expandE: Int = 3,
+      k: Int = 25): DataFrame = {
+    require(feedbackK >= 1 && expandE >= 0)
+    val base = bm25RankFromPostings(
+      postings.filter(col("term").isInCollection(baseTerms)), stats, idCol,
+      feedbackK)
+    val fb = base.select(col(idCol))
+    val exp = postings.join(broadcast(fb), idCol)
+      .filter(!col("term").isInCollection(baseTerms))
+      .groupBy(col("term")).agg(sum(col("tf")).as("__w"))
+      .orderBy(col("__w").desc, col("term")).limit(expandE)
+      .select(col("term"))
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qt = baseTerms.toDF("term").unionByName(exp).distinct()
+    bm25RankFromPostings(postings.join(broadcast(qt), "term"), stats, idCol, k)
+  }
+
   /** Batch BM25: a whole query TABLE (query_id, term) scores in one
     * pass — the broadcast query set probes the postings on the term
     * key, df(term) comes from the postings restricted to the query

@@ -530,8 +530,126 @@ object Breadth22 {
       FROM fl ORDER BY d
     """.trim))
 
+  private val PrfTerms = Seq("vector", "stream")
+
+  private val Bm25Formula =
+    """ln(1.0::DOUBLE + (n_docs - df_docs + 0.5::DOUBLE) / (df_docs + 0.5::DOUBLE)) *
+       ((tf * 2.2::DOUBLE) /
+        (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+          (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))"""
+
+  /** BM25 with pseudo-relevance feedback
+    * ([[graft.ext.TextOps.bm25Prf]]): base query → top-5 feedback docs
+    * → 3 highest-tf expansion terms → final ranking over base ∪
+    * expansion. Serves from the persisted inverted index (ingest
+    * builds, queries probe); expansion evidence is all-integer so the
+    * whole two-round pipeline is deterministic and the oracle replays
+    * it term-for-term.
+    */
+  val textBm25Prf = Q(
+    "text_bm25_prf",
+    (s, dir) => {
+      val (postsDir, statsDir) = Breadth7.ensureTextIndex(s, dir)
+      graft.ext.TextOps.bm25Prf(s.read.parquet(postsDir),
+          s.read.parquet(statsDir), "doc_id", PrfTerms,
+          feedbackK = 5, expandE = 3, k = 25)
+        .orderBy(col("rank"))
+    },
+    Some {
+      val inList = PrfTerms.map(t => s"'$t'").mkString(", ")
+      s"""
+      WITH norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM documents),
+      t AS (SELECT doc_id, unnest(w) AS term FROM norm),
+      dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+      tfall AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+      tf0 AS (SELECT * FROM tfall WHERE term IN ($inList)),
+      df0 AS (SELECT term, count(*) AS df_docs FROM tf0 GROUP BY term),
+      sc0 AS (SELECT tf0.doc_id, round($Bm25Formula, 9) AS score_t
+              FROM tf0 JOIN df0 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      agg0 AS (SELECT doc_id, CAST(sum(CAST(score_t AS DECIMAL(27,9))) AS DOUBLE) AS score
+               FROM sc0 GROUP BY doc_id),
+      fb AS (SELECT doc_id FROM agg0 ORDER BY score DESC, doc_id LIMIT 5),
+      exp AS (SELECT term FROM tfall JOIN fb USING (doc_id)
+              WHERE term NOT IN ($inList)
+              GROUP BY term ORDER BY sum(tf) DESC, term LIMIT 3),
+      qt AS (SELECT term FROM exp UNION SELECT unnest([$inList]) AS term),
+      tf2 AS (SELECT tfall.* FROM tfall JOIN qt USING (term)),
+      df2 AS (SELECT term, count(*) AS df_docs FROM tf2 GROUP BY term),
+      sc2 AS (SELECT tf2.doc_id, round($Bm25Formula, 9) AS score_t
+              FROM tf2 JOIN df2 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      agg2 AS (SELECT doc_id, CAST(sum(CAST(score_t AS DECIMAL(27,9))) AS DOUBLE) AS score
+               FROM sc2 GROUP BY doc_id),
+      topk AS (SELECT doc_id, score FROM agg2 ORDER BY score DESC, doc_id LIMIT 25)
+      SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank, doc_id, score
+      FROM topk ORDER BY rank
+    """.trim
+    })
+
+  /** Parent/child money reconciliation: recompute each order's total
+    * from its lineitems (extendedprice · (1+tax) · (1−discount),
+    * 9-dp-exact per line, cent-rounded after the exact decimal fold) and audit the gap against
+    * o_totalprice per order status — the cross-table consistency rung
+    * dq2's referential orphans doesn't cover (a child can exist AND
+    * not add up). On this synthetic corpus the identity does NOT hold
+    * — the audit's honest product is the mismatch magnitude readout
+    * (like dq2 reporting real orphans), and 257 orders have no
+    * lineitems at sf0.01. One lineitem aggregate + one keyed join.
+    */
+  /** dq16's composition, factored for the spec. Per-line rounding at
+    * 9 dp, NOT 2: the true product has <= 6 decimal digits (2dp price
+    * x 2dp tax x 2dp discount), so the 9-dp grid recovers it exactly
+    * in both engines, while cent-rounding the raw double lands on
+    * .xx5 boundaries where Spark (decimal-string HALF_UP) and DuckDB
+    * (binary) disagree; the cent round then applies to the EXACT
+    * decimal sum, and the gap never exists as a bare double.
+    */
+  private[graft] def reconciliationAudit(orders: org.apache.spark.sql.DataFrame,
+      lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = lineitem.groupBy(col("l_orderkey"))
+      .agg(round(sum(round(col("l_extendedprice") * (lit(1.0) + col("l_tax")) *
+        (lit(1.0) - col("l_discount")), 9).cast(DecimalType(27, 9))), 2)
+        .cast(DecimalType(18, 2)).as("calc"))
+    orders
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("gap",
+        abs(col("o_totalprice").cast(DecimalType(18, 2)) - col("calc")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("calc").isNull.cast("long")).as("n_no_lines"),
+        sum((col("gap") < 0.01).cast("long")).as("n_reconciled"),
+        sum((col("gap") >= 0.01).cast("long")).as("n_mismatched"),
+        sum(col("gap")).cast("double").as("sum_abs_gap"),
+        max(col("gap")).cast("double").as("max_abs_gap"))
+  }
+
+  val dq16Reconciliation = Q(
+    "dq16_reconciliation",
+    (s, dir) => reconciliationAudit(
+      Tables(s, dir, "orders"), Tables(s, dir, "lineitem"))
+      .orderBy(col("o_orderstatus")),
+    Some("""
+      WITH li AS (SELECT l_orderkey,
+              CAST(round(sum(CAST(round(l_extendedprice * (1.0 + l_tax) * (1.0 - l_discount), 9)
+                AS DECIMAL(27,9))), 2) AS DECIMAL(18,2)) AS calc
+            FROM lineitem GROUP BY 1),
+      j AS (SELECT o_orderstatus, calc,
+              abs(CAST(o_totalprice AS DECIMAL(18,2)) - calc) AS gap
+            FROM orders LEFT JOIN li ON o_orderkey = l_orderkey)
+      SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+             sum(CASE WHEN calc IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_no_lines,
+             sum(CASE WHEN gap IS NULL THEN NULL
+                      WHEN gap < 0.01 THEN 1 ELSE 0 END)::BIGINT AS n_reconciled,
+             sum(CASE WHEN gap IS NULL THEN NULL
+                      WHEN gap >= 0.01 THEN 1 ELSE 0 END)::BIGINT AS n_mismatched,
+             CAST(sum(gap) AS DOUBLE) AS sum_abs_gap,
+             CAST(max(gap) AS DOUBLE) AS max_abs_gap
+      FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """.trim))
+
   val all: Seq[Q] = Seq(dedupSpanRemoval, q68SeasonalDecompose,
     q69CusumChangepoint, featTargetEncode, featWoeIv, evalZipfCurve,
     evalHeapsGrowth, evalPaddingWaste, q70Autocorrelation,
-    pipelineAnomalyReport)
+    pipelineAnomalyReport, textBm25Prf, dq16Reconciliation)
 }

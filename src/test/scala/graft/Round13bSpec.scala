@@ -399,4 +399,55 @@ class Round13bSpec extends SparkSpec {
     // the spike days must escalate to a multi-detector anomaly verdict
     assert(out.slice(14, 16).exists(_._5 === "anomaly"), "spike must escalate")
   }
+
+  test("bm25Prf: feedback expansion surfaces a doc the base query cannot see") {
+    import spark.implicits._
+    // docs 1-3 match 'alpha' and are saturated with 'beta'; doc 4 has
+    // ONLY 'beta' (invisible to the base query); docs 5+ are noise.
+    // PRF must pick 'beta' as an expansion term and pull doc 4 in.
+    val docs = Seq(
+      (1L, "alpha beta beta beta pad1"),
+      (2L, "alpha beta beta beta pad2"),
+      (3L, "alpha beta beta beta pad3"),
+      (4L, "beta beta beta beta beta"),
+      (5L, "gamma delta pad4 pad5 pad6"),
+      (6L, "gamma delta pad7 pad8 pad9")).toDF("doc_id", "text")
+    val postings = graft.ext.TextOps.buildInvertedIndex(docs, "doc_id", "text")
+      .localCheckpoint()
+    val stats = graft.ext.TextOps.corpusStats(postings, "doc_id")
+    val base = graft.ext.TextOps.bm25RankFromPostings(
+        postings.filter(col("term") === "alpha"), stats, "doc_id", 25)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val prf = graft.ext.TextOps.bm25Prf(postings, stats, "doc_id",
+        Seq("alpha"), feedbackK = 3, expandE = 1, k = 25)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(!base.contains(4L), "base query must not see the beta-only doc")
+    assert(prf.contains(4L), "expansion must surface the beta-only doc")
+    assert(Set(1L, 2L, 3L).subsetOf(prf), "original hits survive expansion")
+    assert(!prf.contains(5L) && !prf.contains(6L),
+      "noise docs share no query term and stay out")
+  }
+
+  test("reconciliationAudit: reconciled, mismatched and orphan orders each counted") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "O", 21.0),  // matches its lines exactly
+      (2L, "O", 30.0),  // lines sum to 21 -> gap 9.00
+      (3L, "F", 10.0))  // no lines at all
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    // each line: 10.00 * 1.10 * 0.95 = 10.45 exactly; two lines = 20.90
+    // plus one 0.10-line (0.10 * 1.0 * 1.0) -> 21.00
+    val li = Seq(
+      (1L, 10.0, 0.10, 0.05), (1L, 10.0, 0.10, 0.05), (1L, 0.1, 0.0, 0.0),
+      (2L, 10.0, 0.10, 0.05), (2L, 10.0, 0.10, 0.05), (2L, 0.1, 0.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_tax", "l_discount")
+    val out = graft.queries.Breadth22.reconciliationAudit(orders, li)
+      .orderBy(col("o_orderstatus"))
+      .as[(String, Long, Long, Option[Long], Option[Long],
+        Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out === Seq(
+      ("F", 1L, 1L, None, None, None, None),
+      ("O", 2L, 0L, Some(1L), Some(1L), Some(9.0), Some(9.0))))
+  }
 }
