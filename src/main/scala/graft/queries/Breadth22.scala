@@ -406,13 +406,15 @@ object Breadth22 {
     * caller's aggregate (the `pipeline_release_gate` shape, applied to
     * monitoring).
     */
-  private[graft] def anomalyReport(daily0: org.apache.spark.sql.DataFrame)
+  private[graft] def anomalyReport(daily: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // the day frame is tiny but its upstream is a fact-table aggregate
-    // consumed by all three detectors — checkpoint once (groupedCdf
-    // lesson, ADVICE r11)
-    val daily = daily0.localCheckpoint()
+    // deliberately NOT checkpointed: truncating the day frame's lineage
+    // would hide its Aggregate from the windows above it, making the
+    // detectors' global day-sorts indistinguishable (to the plan lint
+    // and to a reader) from a window over raw facts; the repeated
+    // events aggregate is the price of a provably aggregate-below plan,
+    // and a production deployment feeds a persisted daily rollup here
     val cus = graft.etl.StatOps.cusumChangepoints(daily, "d", "x",
         k = 0.5, h = 4.0)
       .select(col("d"), col("x"), col("mu"), col("sd"),
