@@ -68,6 +68,47 @@ object SampleOps {
       .select(col(idCol), col("__wt").as("weight"))
   }
 
+  /** [[ppsSystematicSample]] with the design bookkeeping an estimator
+    * needs: each selected unit's HIT COUNT (how many stride multiples
+    * its weight interval covers — a unit heavier than the stride is
+    * "selected more than once" and its estimator term scales
+    * accordingly) and the population weight total. Selection is
+    * bit-identical to the sample op (same prefix sums, same integer
+    * stride); `eval_ht_estimate` consumes this to price the design.
+    */
+  def ppsSystematicHits(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val rows = df
+      .select(col(idCol), col(weightCol).cast("long").as("__wt"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = rows.groupBy(col("__pid"))
+      .agg(sum(col("__wt")).as("__ptotal"))
+      .withColumn("__offset",
+        coalesce(sum(col("__ptotal"))
+          .over(Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__total", sum(col("__ptotal")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__offset"), col("__total"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    rows.join(broadcast(offsets), "__pid")
+      .withColumn("__stride", expr(s"__total div $n"))
+      .withColumn("__stride",
+        when(assert_true(col("__stride") >= 1,
+          lit(s"ppsSystematicHits: total weight < n=$n — stride would be 0")).isNull,
+          col("__stride")))
+      .withColumn("__end", sum(col("__wt")).over(wIn) + col("__offset"))
+      .withColumn("__start", col("__end") - col("__wt"))
+      .withColumn("hits",
+        (floor(col("__end") / col("__stride")) -
+          floor(col("__start") / col("__stride"))).cast("long"))
+      .filter(col("hits") >= 1)
+      .select(col(idCol), col("__wt").as("weight"), col("hits"),
+        col("__total").as("w_total"))
+  }
+
   /** Deterministic mixture (data-mixing) sample: downsample each
     * stratum toward a target count — the language/domain rebalancing
     * step of a training-data pipeline (e.g. cap English at parity with

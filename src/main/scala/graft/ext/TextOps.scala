@@ -635,6 +635,56 @@ object TextOps {
             s => s.getField("__norm")))).as("cleaned_md5"))
   }
 
+  /** PER-SOURCE boilerplate scrub — the line-granular, domain-
+    * conditioned member of the surgical-removal family (doc tier:
+    * `Dedup.exact`; span tier: [[spanRemoval]]; global line tier:
+    * [[lineDedupGlobal]]): a line is boilerplate FOR A SOURCE when it
+    * appears in ≥ fracPct% of that source's documents (and ≥ 2 docs) —
+    * the CCNet/RefinedWeb-style per-domain cut. The distinction
+    * matters both ways at corpus scale: a site's nav footer saturates
+    * its own domain but can sit below any global count on a small
+    * crawl slice, and a phrase mildly common EVERYWHERE (a share
+    * button, a date format) never dominates one source and survives —
+    * where a global threshold would wrongly cut it. The threshold
+    * compares in integer arithmetic (df·100 ≥ fracPct·nDocs), so
+    * boundary sources flag identically in every engine.
+    *
+    * Plan: lines explode scan-side, the dictionary is one
+    * (source, line-hash) distinct-doc aggregate against a broadcast
+    * per-source size table, and the scrub is the same hash-keyed
+    * left join + in-order reassembly as the global tier. Corpus text
+    * reshuffles nowhere.
+    */
+  def boilerplateScrubBySource(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, fracPct: Int = 25): DataFrame = {
+    require(fracPct >= 1 && fracPct <= 100)
+    val lines = df
+      .select(col(idCol), col(srcCol).as("source"),
+        posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("source"), col("pos"),
+        Dedup.normText(col("col")).as("__norm"))
+      .withColumn("__h", md5(col("__norm")))
+    val srcSizes = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("__nd"))
+    val boiler = lines.groupBy(col("source"), col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .join(broadcast(srcSizes), Seq("source"))
+      .filter(col("__df") * 100 >= lit(fracPct) * col("__nd") &&
+        col("__df") >= 2)
+      .select(col("source"), col("__h"), lit(true).as("__bp"))
+    lines.join(boiler, Seq("source", "__h"), "left")
+      .withColumn("__kept", col("__bp").isNull)
+      .groupBy(col(idCol), col("source"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(col("__kept"),
+              struct(col("pos"), col("__norm"))))),
+            s => s.getField("__norm")))).as("cleaned_md5"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, §A1.1): word
     * count in [minWords, maxWords], mean word length in [minWlen,
     * maxWlen], at least `minStopDistinct` distinct English stop words

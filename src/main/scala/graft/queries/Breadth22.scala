@@ -650,8 +650,126 @@ object Breadth22 {
       FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus
     """.trim))
 
+  /** Per-source boilerplate scrub over a deterministically "lined"
+    * corpus ([[graft.ext.TextOps.boilerplateScrubBySource]]). The
+    * fixture injects BOTH semantics the per-domain threshold must
+    * separate: a source-specific banner on half of each source's docs
+    * (50% ≥ 25% ⇒ scrubbed) and a cross-source promo line on every
+    * 9th doc (~11% of EACH source ⇒ kept — though its GLOBAL count is
+    * far above `text_line_dedup`'s minDocs, so the two tiers provably
+    * differ on this corpus). Cleaned text is md5-pinned per document.
+    */
+  val textBoilerplateScrub = Q(
+    "text_boilerplate_scrub",
+    (s, dir) => {
+      val lined = Tables(s, dir, "documents").select(col("doc_id"),
+        col("source"),
+        concat(
+          when(col("doc_id") % 2 === 0,
+            concat(lit("visit "), col("source"), lit(" homepage\n")))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 9 === 0, lit("\nlimited time offer"))
+            .otherwise(lit(""))).as("text"))
+      graft.ext.TextOps.boilerplateScrubBySource(lined, "doc_id", "source",
+          "text", fracPct = 25)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH lined AS (SELECT doc_id, source,
+             (CASE WHEN doc_id % 2 = 0 THEN 'visit ' || source || ' homepage' || chr(10) ELSE '' END) ||
+             text ||
+             (CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'limited time offer' ELSE '' END) AS text
+           FROM documents),
+      ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS a FROM lined),
+      l AS (SELECT doc_id, source, i AS pos,
+              regexp_replace(trim(lower(a[i+1])), '\s+', ' ', 'g') AS norm
+            FROM (SELECT doc_id, source, a, unnest(range(len(a))) AS i FROM ls)),
+      sz AS (SELECT source, count(*) AS nd FROM lined GROUP BY 1),
+      f AS (SELECT source, md5(norm) AS h, count(DISTINCT doc_id) AS dfd
+            FROM l GROUP BY 1, 2),
+      bp AS (SELECT source, h FROM f JOIN sz USING (source)
+             WHERE dfd * 100 >= 25 * nd AND dfd >= 2),
+      k AS (SELECT l.doc_id, l.source, l.pos, l.norm, bp.h IS NULL AS kept
+            FROM l LEFT JOIN bp ON l.source = bp.source AND md5(l.norm) = bp.h)
+      SELECT doc_id, source, count(*)::BIGINT AS n_lines,
+             sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             md5(array_to_string(list(norm ORDER BY pos) FILTER (WHERE kept),
+                 chr(10))) AS cleaned_md5
+      FROM k GROUP BY doc_id, source ORDER BY doc_id
+    """.trim))
+
+  /** Horvitz–Thompson estimates from the q47 PPS-systematic design
+    * ([[graft.etl.SampleOps.ppsSystematicHits]]): each sampled unit
+    * contributes hits · y · X / (n · w), so the 100-doc sample prices
+    * how well the design recovers population statistics — exactly for
+    * the size measure itself (Σ hits = n by construction), with real
+    * error for the count. Everything is integer evidence until one
+    * double expression per term.
+    */
+  val evalHtEstimate = Q(
+    "eval_ht_estimate",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables(s, dir, "documents")
+      val sampleN = 100
+      val hits = graft.etl.SampleOps.ppsSystematicHits(docs, "doc_id",
+        "n_chars", n = sampleN)
+      val exact = docs.agg(count(lit(1)).as("__n"),
+        sum(col("n_chars")).as("__chars"))
+      def ht(yOverW: org.apache.spark.sql.Column) =
+        sum(round(col("hits").cast("double") * yOverW *
+          col("w_total").cast("double") / lit(sampleN.toDouble), 9)
+          .cast(DecimalType(27, 9))).cast("double")
+      val est = hits.agg(
+        ht(lit(1.0) / col("weight").cast("double")).as("__est_n"),
+        ht(lit(1.0)).as("__est_chars"))
+      val spark = s
+      import spark.implicits._
+      est.crossJoin(broadcast(exact))
+        .select(
+          explode(array(
+            struct(lit("n_docs").as("metric"),
+              col("__n").cast("double").as("exact"),
+              col("__est_n").as("estimate")),
+            struct(lit("total_chars").as("metric"),
+              col("__chars").cast("double").as("exact"),
+              col("__est_chars").as("estimate")))).as("r"))
+        .select(col("r.metric").as("metric"), col("r.exact").as("exact"),
+          col("r.estimate").as("estimate"))
+        .withColumn("rel_err",
+          round((col("estimate") - col("exact")) / col("exact"), 9))
+        .orderBy(col("metric"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, n_chars::BIGINT AS weight,
+                        sum(n_chars::BIGINT) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend,
+                        sum(n_chars::BIGINT) OVER () AS total
+                 FROM documents),
+      h AS (SELECT doc_id, weight, total,
+              (floor(cend / (total // 100)) - floor((cend - weight) / (total // 100)))::BIGINT AS hits
+            FROM w
+            WHERE floor((cend - weight) / (total // 100)) < floor(cend / (total // 100))),
+      est AS (SELECT
+          CAST(sum(CAST(round(hits::DOUBLE * (1.0 / weight) * total / 100.0, 9)
+            AS DECIMAL(27,9))) AS DOUBLE) AS est_n,
+          CAST(sum(CAST(round(hits::DOUBLE * 1.0 * total / 100.0, 9)
+            AS DECIMAL(27,9))) AS DOUBLE) AS est_chars
+        FROM h),
+      ex AS (SELECT count(*)::DOUBLE AS exact_n, sum(n_chars::BIGINT)::DOUBLE AS exact_chars
+             FROM documents),
+      u AS (SELECT 'n_docs' AS metric, exact_n AS exact, est_n AS estimate FROM est, ex
+            UNION ALL
+            SELECT 'total_chars', exact_chars, est_chars FROM est, ex)
+      SELECT metric, exact, estimate,
+             round((estimate - exact) / exact, 9) AS rel_err
+      FROM u ORDER BY metric
+    """.trim))
+
   val all: Seq[Q] = Seq(dedupSpanRemoval, q68SeasonalDecompose,
     q69CusumChangepoint, featTargetEncode, featWoeIv, evalZipfCurve,
     evalHeapsGrowth, evalPaddingWaste, q70Autocorrelation,
-    pipelineAnomalyReport, textBm25Prf, dq16Reconciliation)
+    pipelineAnomalyReport, textBm25Prf, dq16Reconciliation,
+    textBoilerplateScrub, evalHtEstimate)
 }

@@ -450,4 +450,54 @@ class Round13bSpec extends SparkSpec {
       ("F", 1L, 1L, None, None, None, None),
       ("O", 2L, 0L, Some(1L), Some(1L), Some(9.0), Some(9.0))))
   }
+
+  test("boilerplateScrubBySource: per-source threshold cuts A's banner, keeps B's rarity") {
+    import spark.implicits._
+    // source A: banner on all 4 docs (scrubbed); 'shared promo' in 1/4
+    // of A (kept there) but 4/4 of B (scrubbed there) — the same line
+    // text gets OPPOSITE verdicts per source, which no global
+    // threshold can express
+    val docs = Seq(
+      (1L, "A", "nav bar a\nbody one\nshared promo"),
+      (2L, "A", "nav bar a\nbody two"),
+      (3L, "A", "nav bar a\nbody three"),
+      (4L, "A", "nav bar a\nbody four"),
+      (5L, "B", "shared promo\nbeta one"),
+      (6L, "B", "shared promo\nbeta two"),
+      (7L, "B", "shared promo\nbeta three"),
+      (8L, "B", "shared promo\nbeta four"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ext.TextOps.boilerplateScrubBySource(
+        docs, "doc_id", "source", "text", fracPct = 25)
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, "A", 3L, 2L, md5hex("body one\nshared promo")),
+      (2L, "A", 2L, 1L, md5hex("body two")),
+      (3L, "A", 2L, 1L, md5hex("body three")),
+      (4L, "A", 2L, 1L, md5hex("body four")),
+      (5L, "B", 2L, 1L, md5hex("beta one")),
+      (6L, "B", 2L, 1L, md5hex("beta two")),
+      (7L, "B", 2L, 1L, md5hex("beta three")),
+      (8L, "B", 2L, 1L, md5hex("beta four"))))
+  }
+
+  test("ppsSystematicHits: heavy unit multi-hits; HT recovers the size total exactly") {
+    import spark.implicits._
+    // weights (1,1,1,7), total 10, n=5 -> stride 2: unit 2 hits once,
+    // unit 4 (interval [3,10)) covers strides 4,6,8,10 -> 4 hits
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 7L))
+      .toDF("doc_id", "w")
+    val out = graft.etl.SampleOps.ppsSystematicHits(df, "doc_id", "w", n = 5)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 1L, 1L, 10L), (4L, 7L, 4L, 10L)))
+    assert(out.map(_._3).sum === 5L, "hit counts sum to n by construction")
+    // HT estimator: exact for the size measure, biased-for-this-draw
+    // for the count (2 + 8/7)
+    val htW = out.map { case (_, w, h, tot) => h.toDouble * w * tot / (5.0 * w) }.sum
+    val htN = out.map { case (_, w, h, tot) => h.toDouble * 1.0 * tot / (5.0 * w) }.sum
+    assert(htW === 10.0)
+    assert(math.abs(htN - (2.0 + 8.0 / 7.0)) < 1e-12)
+  }
 }
