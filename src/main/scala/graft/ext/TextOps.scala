@@ -664,6 +664,9 @@ object TextOps {
       .select(col(idCol), col("source"), col("pos"),
         Dedup.normText(col("col")).as("__norm"))
       .withColumn("__h", md5(col("__norm")))
+      // consumed twice (dictionary aggregate + scrub join-back) —
+      // without this the corpus line-explode runs twice (ADVICE r11)
+      .localCheckpoint()
     val srcSizes = df.groupBy(col(srcCol).as("source"))
       .agg(count(lit(1)).as("__nd"))
     val boiler = lines.groupBy(col("source"), col("__h"))
