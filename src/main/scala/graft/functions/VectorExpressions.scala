@@ -123,9 +123,10 @@ object Md5Hash32 {
   /** First 60 md5 bits (= the oracle idiom
     * `('0x' || substr(md5(s), 1, 15))::BIGINT`: 15 hex chars are the
     * top 7.5 digest bytes): the first 8 bytes big-endian, shifted
-    * right 4. The wide-key tier for ops where a collision CORRUPTS
-    * output (span removal cuts text on hash equality) rather than
-    * merely perturbing a signature.
+    * right 4. The wide-key tier for METERING ops where a collision
+    * only perturbs a count (`text_dup_spans`) — safe to ~10⁹ grams;
+    * an op that CUTS on key equality needs [[compute120]] (span
+    * removal uses it: 60 bits collide in volume at 10¹²-gram scale).
     */
   def compute60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val md = digest.get()
@@ -135,6 +136,26 @@ object Md5Hash32 {
     var i = 0
     while (i < 8) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
     v >>> 4
+  }
+
+  /** Both 60-bit md5 halves in ONE digest: (_1) bits 0-59 = the
+    * [[compute60]] oracle idiom `substr(md5(s), 1, 15)`, (_2) bits
+    * 64-123 = `substr(md5(s), 17, 15)` — together a 120-bit key for
+    * ops where a collision CORRUPTS output (span removal deletes text
+    * on key equality): at 10¹²-gram corpus scale 60-bit birthday
+    * collisions arrive in volume (~G²/2⁶¹ pairs) while 120 bits leave
+    * ~G²/2¹²¹ ≈ 10⁻¹³ expected — negligible.
+    */
+  def compute120(s: org.apache.spark.unsafe.types.UTF8String): (Long, Long) = {
+    val md = digest.get()
+    md.reset()
+    val b = md.digest(s.getBytes)
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < 8) { hi = (hi << 8) | (b(i) & 0xffL); i += 1 }
+    while (i < 16) { lo = (lo << 8) | (b(i) & 0xffL); i += 1 }
+    (hi >>> 4, lo >>> 4)
   }
 }
 
@@ -198,6 +219,66 @@ object ShingleHashes {
         case ModeMd5_60 => Md5Hash32.compute60(s)
         case _ => Md5Hash32.compute(s)
       }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** k-word shingle 120-bit keys in one codegen'd pass: words array →
+  * `array<struct<h1, h2>>` where h1/h2 are the two md5 halves of each
+  * space-joined k-gram ([[Md5Hash32.compute120]] — ONE digest per
+  * gram, not two kernel passes). The corruption-safe key tier for
+  * [[graft.ext.TextOps.spanRemoval]]: text is deleted on key equality,
+  * so the key must not birthday-collide at 10¹²-gram corpus scale.
+  * Oracle idioms: h1 = `('0x'||substr(md5(g),1,15))::BIGINT`,
+  * h2 = `('0x'||substr(md5(g),17,15))::BIGINT`.
+  */
+case class ShingleHashPairs(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_md5_120 expects array<string> and k>=1, got " +
+        s"${child.dataType.catalogString} / k=$k")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashPairs.compute(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashPairs.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashPairs {
+  private val Sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      val s = org.apache.spark.unsafe.types.UTF8String.concatWs(Sep, parts: _*)
+      val (h1, h2) = Md5Hash32.compute120(s)
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](h1, h2))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -938,6 +1019,9 @@ object VectorExpressions {
       "graft_shingle_md5_60",
       exprs => ShingleHashes(exprs(0), intArg(exprs(1)),
         ShingleHashes.ModeMd5_60), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_md5_120",
+      exprs => ShingleHashPairs(exprs(0), intArg(exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(

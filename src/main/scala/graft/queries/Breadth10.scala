@@ -405,16 +405,23 @@ object Breadth10 {
     * pathological mega-cluster costs nothing extra (the general-k cap
     * is [[graft.etl.SampleOps.topKPerGroup]]; using its CDF machinery
     * here measured 3 s slower for no scale benefit).
+    *
+    * Serves entirely from ingest artifacts (VERDICT r13 item 7): the
+    * propose probes the persisted band index (per-doc band keys, so
+    * index-probe ≡ re-propose — the funnel's proven equivalence) and
+    * the per-lang quality comes from the doc-stats table; the query
+    * touches ids + scalars, never corpus text.
     */
   val dedupCanonicalQuality = Q(
     "dedup_canonical_quality",
     (s, dir) => {
-      import graft.ext.{Dedup, TextOps}
-      val docs = Extensions.augmentedDocs(s, dir, perturb = true)
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-      val clusters = Dedup.clusterAssignment(docs, pairs, "doc_id")
-      val scored = TextOps.withQualityByLang(docs, "text", "lang")
-        .select(col("doc_id"), col("quality"))
+      import graft.ext.Dedup
+      val stats = s.read.parquet(Breadth20.ensureDocStats(s, dir))
+      val pairs = Dedup.indexCandidatePairs(
+        s.read.parquet(Breadth20.ensureAugBandIndex(s, dir)), "doc_id")
+      val clusters = Dedup.clusterAssignment(stats, pairs, "doc_id")
+      val scored = stats.select(col("doc_id"),
+        col("quality_lang").as("quality"))
       val members = clusters.join(scored, "doc_id")
       members.groupBy(col("cluster_id"))
         .agg(min(struct((-col("quality")).as("nq"),

@@ -256,11 +256,24 @@ object Breadth12 {
     * stopword of this graph, quadratic in fan-out and zero signal,
     * the same economics as containment's maxDf.
     */
+  /** Ingest-staged link-prediction postings: the distinct fan-capped
+    * (part, supplier) projection of lineitem, built once per corpus
+    * (the `ensureTfidfPostings` recipe — r13's slowest query rebuilt
+    * this propose in-query; every other pair family serves from an
+    * ingest artifact).
+    */
+  def ensureLinkPostings(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "graph_link_postings") { d =>
+      graft.ext.GraphOps.linkPostings(Tables(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", maxFan = 64).write.parquet(d)
+    }
+
   val graphLinkPredict = Q(
     "graph_link_predict",
     (s, dir) =>
-      graft.ext.GraphOps.linkPredict(Tables(s, dir, "lineitem"),
-          "l_partkey", "l_suppkey", maxFan = 64)
+      graft.ext.GraphOps.linkPredictFromPostings(
+          s.read.parquet(ensureLinkPostings(s, dir)))
         .select(col("node_a").as("supp_a"), col("node_b").as("supp_b"),
           col("common").as("common_parts"), col("jaccard"), col("ra_index"))
         .orderBy(col("supp_a"), col("supp_b")),

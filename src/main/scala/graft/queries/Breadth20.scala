@@ -389,6 +389,33 @@ object Breadth20 {
         .write.parquet(d)
     }
 
+  /** Build-if-absent the per-document STATS artifact over the augmented
+    * perturbed corpus — doc_id, the per-lang Gopher keep flag, the
+    * normalized-content md5, n_words, and both quality scores (English
+    * list + per-lang). The other half of the funnel's ingest layout
+    * (VERDICT r13 items 6-7): with the band index covering the
+    * near-dup propose, these per-doc scalars were the funnel's and
+    * canonical-quality's remaining reason to re-scan corpus text per
+    * query. At 100 TB this is the silver-layer table a curation
+    * pipeline materializes once per crawl; every downstream gate reads
+    * ids + scalars, never text.
+    */
+  def ensureDocStats(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "doc_stats_aug") { d =>
+      import graft.ext.{Dedup, TextOps}
+      val docs = Extensions.augmentedDocs(s, dir, perturb = true)
+      val keep = TextOps.gopherRulesByLang(docs, "doc_id", "text", "lang")
+        .select(col("doc_id"), col("keep").as("gopher_keep"))
+      val qual = TextOps.withQuality(docs, "text")
+        .select(col("doc_id"),
+          md5(Dedup.normText(col("text"))).as("content_md5"),
+          col("n_words"), col("quality").as("quality_en"))
+      val qlang = TextOps.withQualityByLang(docs, "text", "lang")
+        .select(col("doc_id"), col("quality").as("quality_lang"))
+      qual.join(keep, "doc_id").join(qlang, "doc_id").write.parquet(d)
+    }
+
   /** The curation FUNNEL report — per-stage survivor counts with drop
     * rates through the production cleaning order (raw → per-lang Gopher
     * gate → exact dedup → near-dup canonical → quality gate): the
@@ -414,37 +441,53 @@ object Breadth20 {
   private[graft] def curationFunnel(docs0: org.apache.spark.sql.DataFrame,
       rawPairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.ext.{Dedup, TextOps}
+    // the spec-fixture path: derive the per-doc stats inline (same
+    // expressions [[ensureDocStats]] persists), then run the
+    // stats-driven body the production query serves from parquet
+    val keep = TextOps.gopherRulesByLang(docs0, "doc_id", "text", "lang")
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val qual = TextOps.withQuality(docs0, "text")
+      .select(col("doc_id"),
+        md5(Dedup.normText(col("text"))).as("content_md5"),
+        col("n_words"), col("quality").as("quality_en"))
+    curationFunnelFromStats(qual.join(keep, "doc_id"), rawPairs)
+  }
+
+  /** The funnel body over the per-doc STATS frame ([[ensureDocStats]]
+    * columns; `quality_lang` unused) — zero corpus text scans: the
+    * gates read persisted scalars, the near-dup stage reads the
+    * persisted band index's candidate pairs. Every inter-stage frame
+    * is IDS ONLY (the r13 funnel's remaining cost was the gopher and
+    * quality gates each re-scanning corpus text — VERDICT r13 item 6;
+    * both gates are now flag/score filters on the stats artifact).
+    */
+  private[graft] def curationFunnelFromStats(
+      stats0: org.apache.spark.sql.DataFrame,
+      rawPairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.ext.Dedup
     import org.apache.spark.sql.expressions.Window
-    val docs = docs0.localCheckpoint()
-    // every inter-stage frame is IDS ONLY: the corpus text lives in the
-    // one `docs` checkpoint and each gate scans it at most once — the
-    // first cut checkpointed the stage-2 survivors WITH text, which was
-    // the funnel's single biggest cost (~2.4 s of the 3.4 s one-shot at
-    // sf0.1, all of it block-manager writes of text the later stages
-    // could read from `docs` anyway)
-    val s2 = TextOps.gopherRulesByLang(docs, "doc_id", "text", "lang")
-      .filter(col("keep") === 1).select(col("doc_id"))
+    val stats = stats0.localCheckpoint()
+    val s2 = stats.filter(col("gopher_keep") === 1).select(col("doc_id"))
       .localCheckpoint()
     // min doc_id per content hash is itself a stage-2 survivor, so the
     // group-by output needs no semi-join back
-    val s3 = docs.join(s2, Seq("doc_id"), "left_semi")
-      .groupBy(md5(Dedup.normText(col("text"))).as("__h"))
+    val s3 = stats.join(s2, Seq("doc_id"), "left_semi")
+      .groupBy(col("content_md5"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
       .localCheckpoint()
-    val s3docs = docs.join(s3, Seq("doc_id"), "left_semi")
     val pairs = rawPairs
       .join(s3.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
       .join(s3.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
-    val s4 = Dedup.clusterAssignment(s3docs, pairs, "doc_id")
+    val s4 = Dedup.clusterAssignment(s3, pairs, "doc_id")
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"))
       .localCheckpoint()
-    val s5 = TextOps.withQuality(docs.join(s4, Seq("doc_id"), "left_semi"), "text")
-      .filter(col("quality") >= 0.5 && col("n_words") >= 10)
+    val s5 = stats.join(s4, Seq("doc_id"), "left_semi")
+      .filter(col("quality_en") >= 0.5 && col("n_words") >= 10)
       .select(col("doc_id"))
     val stages = Seq[(Long, String, org.apache.spark.sql.DataFrame)](
-      (1L, "raw", docs), (2L, "gopher_gate", s2), (3L, "exact_dedup", s3),
+      (1L, "raw", stats), (2L, "gopher_gate", s2), (3L, "exact_dedup", s3),
       (4L, "near_dup_canonical", s4), (5L, "quality_gate", s5))
     stages.map { case (i, nm, df) =>
       df.agg(count(lit(1)).as("n_docs"))
@@ -463,8 +506,8 @@ object Breadth20 {
   val pipelineCurationFunnel = Q(
     "pipeline_curation_funnel",
     (s, dir) =>
-      curationFunnel(
-        Extensions.augmentedDocs(s, dir, perturb = true),
+      curationFunnelFromStats(
+        s.read.parquet(ensureDocStats(s, dir)),
         graft.ext.Dedup.indexCandidatePairs(
           s.read.parquet(ensureAugBandIndex(s, dir)), "doc_id")),
     Some(s"""

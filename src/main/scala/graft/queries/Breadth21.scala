@@ -501,10 +501,16 @@ object Breadth21 {
     * Spark stage — and the table prices the collision s-curve
     * 1−(1−J^r)^(8/r) empirically: r=1 proposes recall-first (any
     * shared hash collides), r=8 precision-first (all 8 must agree).
-    * The corpus is the md5-systematic 1-in-4 doc sample (q22
-    * discipline: the ORACLE's truth is the naive all-pairs Jaccard,
-    * quadratic, so the sample keeps it feasible — the lint-admissible
-    * shape for exact pairwise ground truth).
+    * The corpus is an md5-systematic sample of BASE doc ids under an
+    * ABSOLUTE cap (1-in-4 of base id < 1000, both the original and
+    * its perturbed copy — the r10 eval_knn_accuracy budget
+    * discipline): the r=1 tier proposes on ANY shared hash, so
+    * candidate volume is quadratic in sampled docs — a proportional
+    * sample grows linearly with the corpus and the tier blows up at
+    * 100× (VERDICT r13 #3); the fixed budget keeps the EVAL's cost
+    * flat at any corpus size (the cap never binds below sf0.02).
+    * Base-keyed sampling keeps each original WITH its copy, so the
+    * truth set stays rich in real near-dup pairs.
     */
   val evalLshCurve = Q(
     "eval_lsh_curve",
@@ -512,7 +518,11 @@ object Breadth21 {
       import graft.ext.Dedup
       graft.functions.VectorExpressions.register(s)
       val docs = Extensions.augmentedDocs(s, dir, perturb = true)
-        .filter(Dedup.hash32(col("doc_id").cast("string")) % 4 === 1)
+        // base id < 1000 bounds the budget within one id epoch; the
+        // absolute doc_id < 200000 bound keeps it fixed even when a
+        // grown corpus (ScaleSmoke's replica strides) adds new epochs
+        .filter(Dedup.hash32((col("doc_id") % 100000L).cast("string")) % 4 === 1
+          && col("doc_id") % 100000L < 1000L && col("doc_id") < 200000L)
       val hashed = Dedup.withShingleHashes(docs, "text", k = 3)
         .select(col("doc_id"), col("__hashes"))
         .localCheckpoint()
@@ -554,7 +564,8 @@ object Breadth21 {
     Some(s"""
       WITH ${Extensions.augCte(perturb = true)},
       samp AS (SELECT doc_id, text FROM aug
-               WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 4 = 1),
+               WHERE ('0x' || substr(md5((doc_id % 100000)::VARCHAR), 1, 8))::BIGINT % 4 = 1
+                 AND doc_id % 100000 < 1000 AND doc_id < 200000),
       norm AS (SELECT doc_id, ${Extensions.NormW} AS w FROM samp),
       sh AS (SELECT doc_id, w FROM norm WHERE len(w) >= 3),
       hs AS (SELECT doc_id,

@@ -37,11 +37,12 @@ object Breadth22 {
       g0 AS (SELECT doc_id, unnest(range(len(w) - ${SpanN - 1})) AS pos, w
              FROM nw WHERE len(w) >= $SpanN),
       gh AS (SELECT doc_id, pos,
-               ('0x' || substr(md5($gram), 1, 15))::BIGINT AS h
+               ('0x' || substr(md5($gram), 1, 15))::BIGINT AS h,
+               ('0x' || substr(md5($gram), 17, 15))::BIGINT AS h2
              FROM g0),
-      c AS (SELECT h, count(*) AS cnt, min(doc_id * 1048576 + pos) AS ck
-            FROM gh GROUP BY h),
-      cut AS (SELECT gh.doc_id, gh.pos FROM gh JOIN c USING (h)
+      c AS (SELECT h, h2, count(*) AS cnt, min(doc_id * 1048576 + pos) AS ck
+            FROM gh GROUP BY h, h2),
+      cut AS (SELECT gh.doc_id, gh.pos FROM gh JOIN c USING (h, h2)
               WHERE c.cnt >= 2 AND gh.doc_id * 1048576 + gh.pos <> c.ck),
       cov AS (SELECT DISTINCT doc_id, cp FROM
                 (SELECT doc_id, pos + unnest(range($SpanN)) AS cp FROM cut)),
@@ -65,7 +66,7 @@ object Breadth22 {
     """.trim
     })
 
-  private def dailyTotals(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[queries] def dailyTotals(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import org.apache.spark.sql.types.DecimalType
     Tables(s, dir, "events")
       .select(to_date(col("ts")).as("d"), col("value"))
@@ -245,13 +246,23 @@ object Breadth22 {
       FROM c2, g ORDER BY cat
     """.trim))
 
+  /** Moments over positive-coordinate points only (lx/ly are NULL for
+    * zero counts in the heaps lp) — mirrors olsSlope's x>0 && y>0
+    * filter so a zero-count leading bucket can't poison the fit.
+    */
   private val OlsSql =
     """f AS (SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
-              sum(lx * ly) AS sxy, sum(lx * lx) AS sxx FROM lp)"""
+              sum(lx * ly) AS sxy, sum(lx * lx) AS sxx FROM lp
+            WHERE lx IS NOT NULL AND ly IS NOT NULL)"""
 
+  /** The trailing `+ 0.0` normalizes IEEE signed zero: DuckDB's binary
+    * round keeps the sign of an exact-0-crossed-with-ulps numerator
+    * (-0.0) while Spark's BigDecimal round emits +0.0 — byte-aware
+    * hashes diverge on the degenerate constant-y fit without it.
+    */
   private val SlopeSql =
-    """round((f.n * f.sxy::DOUBLE - f.sx::DOUBLE * f.sy::DOUBLE)
-           / (f.n * f.sxx::DOUBLE - f.sx::DOUBLE * f.sx::DOUBLE), 9)"""
+    """(round((f.n * f.sxy::DOUBLE - f.sx::DOUBLE * f.sy::DOUBLE)
+           / (f.n * f.sxx::DOUBLE - f.sx::DOUBLE * f.sx::DOUBLE), 9) + 0.0)"""
 
   /** Zipf head of the corpus ([[graft.ext.TextOps.zipfCurve]]): top-20
     * token frequencies with the fitted log-log slope — the corpus-
@@ -311,8 +322,10 @@ object Breadth22 {
               FROM sp LEFT JOIN dp USING (bucket) LEFT JOIN vp USING (bucket)
               WINDOW w AS (ORDER BY sp.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       lp AS (SELECT bucket, n_docs0::BIGINT AS n_docs, vocab0::BIGINT AS vocab,
-               CAST(round(ln(n_docs0::BIGINT), 9) AS DECIMAL(18,9)) AS lx,
-               CAST(round(ln(vocab0::BIGINT), 9) AS DECIMAL(18,9)) AS ly FROM cum),
+               CASE WHEN n_docs0 > 0
+                 THEN CAST(round(ln(n_docs0::BIGINT), 9) AS DECIMAL(18,9)) END AS lx,
+               CASE WHEN vocab0 > 0
+                 THEN CAST(round(ln(vocab0::BIGINT), 9) AS DECIMAL(18,9)) END AS ly FROM cum),
       $OlsSql
       SELECT lp.bucket, lp.n_docs, lp.vocab, $SlopeSql AS heaps_beta
       FROM lp, f ORDER BY bucket
@@ -657,29 +670,39 @@ object Breadth22 {
     * (50% ≥ 25% ⇒ scrubbed) and a cross-source promo line on every
     * 9th doc (~11% of EACH source ⇒ kept — though its GLOBAL count is
     * far above `text_line_dedup`'s minDocs, so the two tiers provably
-    * differ on this corpus). Cleaned text is md5-pinned per document.
+    * differ on this corpus). Every 97th doc is REPLACED by the bare
+    * banner — an all-boilerplate document whose every line is
+    * scrubbed, pinning the n_kept = 0 edge where Spark's
+    * collect_list-of-nulls gives md5('') but a FILTERed list aggregate
+    * gives md5(NULL) = NULL unless coalesced (ADVICE r13). Cleaned
+    * text is md5-pinned per document.
     */
   val textBoilerplateScrub = Q(
     "text_boilerplate_scrub",
     (s, dir) => {
       val lined = Tables(s, dir, "documents").select(col("doc_id"),
         col("source"),
-        concat(
+        when(col("doc_id") % 97 === 0,
+          concat(lit("visit "), col("source"), lit(" homepage")))
+        .otherwise(concat(
           when(col("doc_id") % 2 === 0,
             concat(lit("visit "), col("source"), lit(" homepage\n")))
             .otherwise(lit("")),
           col("text"),
           when(col("doc_id") % 9 === 0, lit("\nlimited time offer"))
-            .otherwise(lit(""))).as("text"))
+            .otherwise(lit("")))).as("text"))
       graft.ext.TextOps.boilerplateScrubBySource(lined, "doc_id", "source",
           "text", fracPct = 25)
         .orderBy(col("doc_id"))
     },
     Some("""
       WITH lined AS (SELECT doc_id, source,
-             (CASE WHEN doc_id % 2 = 0 THEN 'visit ' || source || ' homepage' || chr(10) ELSE '' END) ||
-             text ||
-             (CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'limited time offer' ELSE '' END) AS text
+             CASE WHEN doc_id % 97 = 0 THEN 'visit ' || source || ' homepage'
+               ELSE
+                 (CASE WHEN doc_id % 2 = 0 THEN 'visit ' || source || ' homepage' || chr(10) ELSE '' END) ||
+                 text ||
+                 (CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'limited time offer' ELSE '' END)
+             END AS text
            FROM documents),
       ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS a FROM lined),
       l AS (SELECT doc_id, source, i AS pos,
@@ -694,18 +717,19 @@ object Breadth22 {
             FROM l LEFT JOIN bp ON l.source = bp.source AND md5(l.norm) = bp.h)
       SELECT doc_id, source, count(*)::BIGINT AS n_lines,
              sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-             md5(array_to_string(list(norm ORDER BY pos) FILTER (WHERE kept),
-                 chr(10))) AS cleaned_md5
+             md5(coalesce(array_to_string(list(norm ORDER BY pos) FILTER (WHERE kept),
+                 chr(10)), '')) AS cleaned_md5
       FROM k GROUP BY doc_id, source ORDER BY doc_id
     """.trim))
 
   /** Horvitz–Thompson estimates from the q47 PPS-systematic design
     * ([[graft.etl.SampleOps.ppsSystematicHits]]): each sampled unit
-    * contributes hits · y · X / (n · w), so the 100-doc sample prices
-    * how well the design recovers population statistics — exactly for
-    * the size measure itself (Σ hits = n by construction), with real
-    * error for the count. Everything is integer evidence until one
-    * double expression per term.
+    * contributes hits · y · X / (S · w) where S is the REALIZED
+    * Σ hits — not the nominal n, which only equals S when
+    * total mod n < floor(total/n) (roughly total ≥ n²); dividing by
+    * the realized draw count keeps the size-measure estimate exact by
+    * construction at any total. Everything is integer evidence until
+    * one double expression per term.
     */
   val evalHtEstimate = Q(
     "eval_ht_estimate",
@@ -715,13 +739,14 @@ object Breadth22 {
       val sampleN = 100
       val hits = graft.etl.SampleOps.ppsSystematicHits(docs, "doc_id",
         "n_chars", n = sampleN)
+      val realized = hits.agg(sum(col("hits")).as("__sh"))
       val exact = docs.agg(count(lit(1)).as("__n"),
         sum(col("n_chars")).as("__chars"))
       def ht(yOverW: org.apache.spark.sql.Column) =
         sum(round(col("hits").cast("double") * yOverW *
-          col("w_total").cast("double") / lit(sampleN.toDouble), 9)
+          col("w_total").cast("double") / col("__sh").cast("double"), 9)
           .cast(DecimalType(27, 9))).cast("double")
-      val est = hits.agg(
+      val est = hits.crossJoin(broadcast(realized)).agg(
         ht(lit(1.0) / col("weight").cast("double")).as("__est_n"),
         ht(lit(1.0)).as("__est_chars"))
       val spark = s
@@ -751,12 +776,13 @@ object Breadth22 {
               (floor(cend / (total // 100)) - floor((cend - weight) / (total // 100)))::BIGINT AS hits
             FROM w
             WHERE floor((cend - weight) / (total // 100)) < floor(cend / (total // 100))),
+      sh AS (SELECT sum(hits)::BIGINT AS s FROM h),
       est AS (SELECT
-          CAST(sum(CAST(round(hits::DOUBLE * (1.0 / weight) * total / 100.0, 9)
+          CAST(sum(CAST(round(hits::DOUBLE * (1.0 / weight) * total / s::DOUBLE, 9)
             AS DECIMAL(27,9))) AS DOUBLE) AS est_n,
-          CAST(sum(CAST(round(hits::DOUBLE * 1.0 * total / 100.0, 9)
+          CAST(sum(CAST(round(hits::DOUBLE * 1.0 * total / s::DOUBLE, 9)
             AS DECIMAL(27,9))) AS DOUBLE) AS est_chars
-        FROM h),
+        FROM h, sh),
       ex AS (SELECT count(*)::DOUBLE AS exact_n, sum(n_chars::BIGINT)::DOUBLE AS exact_chars
              FROM documents),
       u AS (SELECT 'n_docs' AS metric, exact_n AS exact, est_n AS estimate FROM est, ex

@@ -46,7 +46,9 @@ object BenchDetail {
       graft.queries.Breadth7.ensureTextIndex(spark, sfDir)
       graft.queries.Breadth11.ensurePrefixRanked(spark, sfDir)
       graft.queries.Breadth8.ensureTfidfPostings(spark, sfDir)
+      graft.queries.Breadth12.ensureLinkPostings(spark, sfDir)
       graft.queries.Breadth20.ensureAugBandIndex(spark, sfDir)
+      graft.queries.Breadth20.ensureDocStats(spark, sfDir)
     } catch { case _: Throwable => () }
     // Calibration probe (VERDICT r11 item 4): a fixed synthetic set —
     // one scan-agg, one shuffle join, one window — timed AFTER warm-up

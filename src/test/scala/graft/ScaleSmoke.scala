@@ -617,6 +617,12 @@ object ScaleSmoke {
       // the TIME ratio is the reading)
       "dedup_incremental_prefix", "text_winnow_fingerprint",
       "pipeline_curation_funnel",
+      // round 14: the banding-economics eval — its truth sample is an
+      // ABSOLUTE budget (1-in-4 of base id < 1000, doc_id < 200000),
+      // so rows stay 4 and the TIME target is ~x1 at any corpus size
+      // (VERDICT r13 #3: the old 1-in-4 proportional sample made the
+      // r=1 tier quadratic in corpus growth)
+      "eval_lsh_curve",
       // round-13 second wave: the surgical exact-substring cut — no
       // pair listing anywhere (hash count+min canonical pass, only
       // repeated grams re-join), rows are per-doc so the linear

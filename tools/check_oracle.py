@@ -9,9 +9,19 @@ DuckDB over the same testdata tables and compares: schema (column names),
 row count, and values (columns sorted by name, rows sorted by all
 columns, exact equality).
 """
-import sys, json, math, os
+import sys, json, math, os, struct
 
 import duckdb
+
+NEG_ZERO_BITS = struct.pack('<d', -0.0)
+
+
+def is_negzero(x):
+    if isinstance(x, float):
+        return struct.pack('<d', x) == NEG_ZERO_BITS
+    if isinstance(x, (list, tuple)):
+        return any(is_negzero(v) for v in x)
+    return False
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -33,7 +43,10 @@ def eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        # Bit-compare, like the driver's type/byte-aware hash: -0.0 != +0.0.
+        return struct.pack('<d', a) == struct.pack('<d', b)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
     return a == b
 
 
@@ -57,7 +70,11 @@ def main():
             n_fail += 1
             continue
         if name not in oracle:
-            print(f"SKIP {name}: no oracle (rows-only check: {len(grows)} rows)")
+            if any(is_negzero(x) for r in grows for x in r):
+                print(f"FAIL {name}: negative-zero lint (rows-only query)")
+                n_fail += 1
+            else:
+                print(f"SKIP {name}: no oracle (rows-only check: {len(grows)} rows)")
             continue
         try:
             ocols, orows = canon(con, oracle[name])
@@ -71,6 +88,28 @@ def main():
             continue
         if len(grows) != len(orows):
             print(f"FAIL {name}: row count spark={len(grows)} oracle={len(orows)}")
+            n_fail += 1
+            continue
+        # Registry-wide negative-zero lint: round(x, 9) of a tiny-negative
+        # double yields -0.0 in DuckDB (binary round keeps the IEEE sign)
+        # but +0.0 in Spark (BigDecimal has no signed zero) — a knife-edge
+        # class the value-compare below can't see on its own side.
+        # Normalize at source (when(c === 0d, lit(0d)) / x + 0.0) instead.
+        nz = None
+        for side, rws in (("spark", grows), ("oracle", orows)):
+            for i, r in enumerate(rws):
+                for c, x in zip(gcols, r):
+                    if is_negzero(x):
+                        nz = (side, i, c, x)
+                        break
+                if nz:
+                    break
+            if nz:
+                break
+        if nz:
+            side, i, c, x = nz
+            print(f"FAIL {name}: negative-zero lint: {side} row {i} col {c} "
+                  f"is -0.0 — normalize signed zero at the source")
             n_fail += 1
             continue
         bad = None
