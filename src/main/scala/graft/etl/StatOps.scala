@@ -351,6 +351,53 @@ object StatOps {
           .as("acf"))
   }
 
+  /** Theil–Sen robust trend of an ALREADY AGGREGATED daily series: the
+    * median of all pairwise slopes (y_j − y_i)/(x_j − x_i) over day
+    * pairs i < j (x = epoch day), plus the standard intercept (median
+    * of y_t − slope·x_t) and the per-day fit/residual. The robust rung
+    * under the monitoring trio: q68's MA trend is mean-based, so ONE
+    * outlier day drags a whole 7-day window — the median-of-slopes
+    * estimator (breakdown point ~29%) ignores it, and residuals
+    * against THIS line flag the outlier instead of smearing it.
+    *
+    * Engine exactness: each slope is one double division of exact
+    * decimal/integer operands rounded to 9 dp; both medians ride
+    * [[percentiles]]' distributed prefix-sum order statistics
+    * (quantile_cont semantics — the q9 oracle-proven formula); the fit
+    * is then identical IEEE ops. Scale: days are metadata-scale per
+    * series (~10³ rows — the fact pass is the caller's aggregate), so
+    * the pair frame is ~n²/2 ≈ 5·10⁵ tiny rows via a broadcast
+    * nested-loop, and the median selection never sorts globally;
+    * production partitions by series key and bounds the window (a
+    * year of days), not the corpus.
+    */
+  def theilSenTrend(daily: DataFrame, dateCol: String,
+      valueCol: String): DataFrame = {
+    val dec = DecimalType(27, 9)
+    val pts = daily.select(col(dateCol),
+      datediff(col(dateCol), lit("1970-01-01")).cast("long").as("__x"),
+      round(col(valueCol), 9).cast(dec).as("__y"))
+      .localCheckpoint()
+    val a = pts.select(col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = pts.select(col("__x").as("__xb"), col("__y").as("__yb"))
+    val slopes = a.join(broadcast(b), col("__xa") < col("__xb"))
+      .select(round((col("__yb") - col("__ya")).cast("double") /
+        (col("__xb") - col("__xa")).cast("double"), 9).as("__s"))
+    val nP = slopes.agg(count(lit(1)).as("n_pairs"))
+    val med = percentiles(slopes, Nil, "__s", Seq("ts_slope" -> 0.5))
+      .crossJoin(broadcast(nP))
+    val resid = pts.crossJoin(broadcast(med))
+      .select(round(col("__y").cast("double") -
+        col("ts_slope") * col("__x").cast("double"), 9).as("__r"))
+    val icept = percentiles(resid, Nil, "__r", Seq("ts_intercept" -> 0.5))
+    pts.crossJoin(broadcast(med)).crossJoin(broadcast(icept))
+      .select(col(dateCol), col("__y").cast("double").as("total"),
+        col("n_pairs"), col("ts_slope"), col("ts_intercept"),
+        round(col("ts_slope") * col("__x").cast("double") +
+          col("ts_intercept"), 9).as("fitted"))
+      .withColumn("residual", round(col("total") - col("fitted"), 9))
+  }
+
   /** Two-sided CUSUM changepoint detector over an ALREADY AGGREGATED
     * daily series, in the clamped form's closed formula: the textbook
     * recursion S_t = max(0, S_{t−1} + d_t) equals P_t − min_{j≤t} P_j
