@@ -62,6 +62,7 @@ object Bench {
       graft.queries.Breadth12.ensureLinkPostings(spark, sfDir)
       graft.queries.Breadth20.ensureAugBandIndex(spark, sfDir)
       graft.queries.Breadth20.ensureDocStats(spark, sfDir)
+      graft.queries.Breadth23.ensureOrdersManifest(spark, sfDir)
       // the versioned-sink history layout_vacuum classifies is the same
       // ingest class: staged once, audited (dry-run) by the query
       graft.queries.Breadth10.ensureVacuumHistory(spark, sfDir)

@@ -134,6 +134,59 @@ object LayoutOps {
         .write.partitionBy("o_month").parquet(dir)
     }
 
+  /** Ceiling on files a manifest-pruned read may enumerate to the
+    * driver — file lists are metadata (a 100 TB table at 512 MB files
+    * is ~200k rows), but a caller pruning against a manifest of
+    * row-scale "files" passed the wrong frame; fail loudly, not OOM.
+    */
+  val MaxManifestFiles = 1000000
+
+  /** Per-file min/max/count manifest over a parquet table directory —
+    * the data-skipping half of a table format (what Iceberg/Delta keep
+    * in manifests, and what parquet footers already know, lifted into
+    * one queryable metadata table so planning never opens data files).
+    * Built ONCE at ingest (a single scan, map-side combinable: one
+    * group per file); reads then prune FILES against it before
+    * touching data ([[manifestPrunedRead]]). Worth it exactly when the
+    * layout clusters the stat column — range-partitioned or z-ordered
+    * writes make [min,max] intervals narrow and disjoint, which is the
+    * measured point of `layout_zorder`/`layout_overlap_depth`.
+    */
+  def buildFileManifest(spark: SparkSession, tableDir: String,
+      statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "need at least one stat column")
+    val df = spark.read.parquet(tableDir)
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Manifest-pruned read: keep only the files whose [min, max]
+    * interval on `statCol` can intersect [lo, hi], then read THOSE
+    * files — the residual filter must still be applied by the caller
+    * (manifest pruning guarantees a superset, never exactness; a file
+    * with a null min/max — all-null stat column — is conservatively
+    * kept). The driver-side collect is file NAMES (metadata-scale, the
+    * metastore planning pattern, loudly capped at
+    * [[MaxManifestFiles]]), never rows. Returns an empty frame with
+    * the table's schema when every file prunes away.
+    */
+  def manifestPrunedRead(spark: SparkSession, tableDir: String,
+      manifest: DataFrame, statCol: String,
+      lo: Column, hi: Column): DataFrame = {
+    val keep = coalesce(
+      col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi, lit(true))
+    val files = manifest.filter(keep).select(col("file"))
+      .limit(MaxManifestFiles + 1).collect().map(_.getString(0))
+    require(files.length <= MaxManifestFiles,
+      s"manifestPrunedRead: more than $MaxManifestFiles files selected — " +
+        "the manifest frame must be per-FILE metadata, not row-scale data")
+    if (files.isEmpty)
+      spark.read.parquet(tableDir).limit(0)
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   /** Small-files compaction: rewrite a parquet directory into files of
     * ~`targetFileBytes`. Streaming sinks and over-partitioned writes
     * leave thousands of KB-sized files whose open/footer cost dominates

@@ -87,5 +87,68 @@ object Breadth23 {
       FROM sh ORDER BY doc_id
     """.trim))
 
-  val all: Seq[Q] = Seq(q71TheilSen, q72CurriculumOrder)
+  /** Range-clustered orders layout (16 files range-partitioned by
+    * o_orderdate) — the write discipline that makes per-file [min,max]
+    * intervals narrow and disjoint, i.e. the layout a manifest can
+    * actually skip against.
+    */
+  def ensureRangeOrders(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.etl.LayoutOps.ensureDir(s, dir, "orders_range16") { d =>
+      Tables(s, dir, "orders")
+        .repartitionByRange(16, col("o_orderdate"), col("o_orderkey"))
+        .write.parquet(d)
+    }
+
+  /** File-stats manifest over [[ensureRangeOrders]] — built once at
+    * ingest ([[graft.etl.LayoutOps.buildFileManifest]]), the metadata
+    * table every read plans against.
+    */
+  def ensureOrdersManifest(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val table = ensureRangeOrders(s, dir)
+    graft.etl.LayoutOps.ensureDir(s, dir, "orders_range16_manifest") { d =>
+      graft.etl.LayoutOps.buildFileManifest(s, table, Seq("o_orderdate"))
+        .write.parquet(d)
+    }
+  }
+
+  /** Manifest-driven file skipping ([[graft.etl.LayoutOps
+    * .manifestPrunedRead]]): a quarter's revenue read plans against the
+    * per-file [min,max] manifest and opens ONLY the files whose date
+    * interval intersects the predicate — the Iceberg/Delta data-skipping
+    * contract on plain parquet, and the capability tier above
+    * `layout_partition_prune` (directory-level) and `layout_zorder`
+    * (which makes these intervals narrow in the first place). At 100 TB
+    * the difference is opening ~2% of files instead of listing all of
+    * them into the scan. The oracle runs the same quarter over the raw
+    * table: manifest pruning must be invisible in the answer (superset
+    * guarantee + residual filter), visible only in files touched
+    * (pinned in Round14Spec).
+    */
+  val layoutManifestSkip = Q(
+    "layout_manifest_skip",
+    (s, dir) => {
+      val table = ensureRangeOrders(s, dir)
+      val mani = s.read.parquet(ensureOrdersManifest(s, dir))
+      val lo = lit(java.sql.Date.valueOf("1995-01-01"))
+      val hi = lit(java.sql.Date.valueOf("1995-03-31"))
+      graft.etl.LayoutOps.manifestPrunedRead(s, table, mani, "o_orderdate",
+          lo, hi)
+        .filter(col("o_orderdate").between(lo, hi))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          Q.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             count(*)::BIGINT AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  val all: Seq[Q] = Seq(q71TheilSen, q72CurriculumOrder, layoutManifestSkip)
 }

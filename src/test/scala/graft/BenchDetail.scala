@@ -49,6 +49,7 @@ object BenchDetail {
       graft.queries.Breadth12.ensureLinkPostings(spark, sfDir)
       graft.queries.Breadth20.ensureAugBandIndex(spark, sfDir)
       graft.queries.Breadth20.ensureDocStats(spark, sfDir)
+      graft.queries.Breadth23.ensureOrdersManifest(spark, sfDir)
     } catch { case _: Throwable => () }
     // Calibration probe (VERDICT r11 item 4): a fixed synthetic set —
     // one scan-agg, one shuffle join, one window — timed AFTER warm-up

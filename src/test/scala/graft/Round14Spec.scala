@@ -172,6 +172,56 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("manifest file skipping: strict subset of files, answers unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_spec_").toString
+    // 4 range-clustered files over k = 0..399: per-file [min,max] are
+    // narrow and disjoint, so a k in [50, 99] predicate must plan to
+    // ~1 file of 4
+    (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.parquet(s"$dir/t")
+    val mani = graft.etl.LayoutOps.buildFileManifest(spark, s"$dir/t", Seq("k"))
+      .localCheckpoint()
+    val nFiles = mani.count()
+    assert(nFiles === 4L)
+    // pruned planning: the selected file set is a strict subset...
+    val selected = mani
+      .filter(coalesce(col("max_k") >= 50L && col("min_k") <= 99L, lit(true)))
+      .count()
+    assert(selected < nFiles && selected >= 1L,
+      s"narrow range must prune files, selected $selected of $nFiles")
+    // ...and the answers are IDENTICAL to the unpruned read (superset
+    // guarantee + residual filter)
+    val pruned = graft.etl.LayoutOps.manifestPrunedRead(spark, s"$dir/t",
+        mani, "k", lit(50L), lit(99L))
+      .filter(col("k").between(50L, 99L))
+      .orderBy(col("k")).as[(Long, String)].collect().toSeq
+    val direct = spark.read.parquet(s"$dir/t")
+      .filter(col("k").between(50L, 99L))
+      .orderBy(col("k")).as[(Long, String)].collect().toSeq
+    assert(pruned === direct)
+    assert(pruned.size === 50)
+    // an empty range prunes everything and returns the table's schema
+    val none = graft.etl.LayoutOps.manifestPrunedRead(spark, s"$dir/t",
+      mani, "k", lit(10000L), lit(20000L))
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("k", "v"))
+  }
+
+  test("manifest file skipping: all-null stat column is conservatively kept") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest_null_").toString
+    Seq((Option.empty[Long], "a"), (Option.empty[Long], "b"))
+      .toDF("k", "v").coalesce(1).write.parquet(s"$dir/t")
+    val mani = graft.etl.LayoutOps.buildFileManifest(spark, s"$dir/t", Seq("k"))
+    // min_k/max_k are NULL: the file's interval is unknown, so a
+    // pruned read must still open it (superset guarantee)
+    val out = graft.etl.LayoutOps.manifestPrunedRead(spark, s"$dir/t",
+      mani, "k", lit(0L), lit(1L))
+    assert(out.count() === 2L)
+  }
+
   test("olsSlope callers: zipfCurve unaffected by the positive-point filter") {
     import spark.implicits._
     // rank/freq are always >= 1 so the x>0 && y>0 filter is a no-op for
