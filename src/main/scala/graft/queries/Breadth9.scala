@@ -161,8 +161,12 @@ object Breadth9 {
         .orderBy(col("o_orderkey")),
     Some("""
       WITH k AS (SELECT o_orderkey, o_totalprice,
-                   round(ln((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
-                       + 1)::DOUBLE / 4294967296.0) / o_totalprice, 12) AS sel_key
+                   -- '+ 0.0' normalizes IEEE signed zero: a weight large
+                   -- enough that |ln(u)/w| < 0.5e-12 rounds to -0.0 under
+                   -- DuckDB's binary round but +0.0 under Spark's
+                   -- BigDecimal round (hit at sf0.1 by the preflight lint)
+                   (round(ln((('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                       + 1)::DOUBLE / 4294967296.0) / o_totalprice, 12) + 0.0) AS sel_key
                  FROM orders),
       top AS (SELECT * FROM k ORDER BY sel_key DESC, o_orderkey LIMIT 25)
       SELECT o_orderkey, o_totalprice, sel_key FROM top ORDER BY o_orderkey
