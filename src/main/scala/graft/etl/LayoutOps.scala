@@ -184,7 +184,10 @@ object LayoutOps {
         "the manifest frame must be per-FILE metadata, not row-scale data")
     if (files.isEmpty)
       spark.read.parquet(tableDir).limit(0)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    // basePath keeps hive-style partition columns when tableDir is a
+    // directory-partitioned layout — an explicit-file read without it
+    // silently drops them, diverging from the empty-prune branch above
+    else spark.read.option("basePath", tableDir).parquet(files.toIndexedSeq: _*)
   }
 
   /** Small-files compaction: rewrite a parquet directory into files of

@@ -737,8 +737,11 @@ object Breadth22 {
       import org.apache.spark.sql.types.DecimalType
       val docs = Tables(s, dir, "documents")
       val sampleN = 100
+      // ≤ n sampled units; checkpoint so the PPS prefix-sum pipeline runs
+      // once — both the realized-Σhits aggregate and the estimate read it
+      // (ADVICE r14: the deterministic sample was recomputed twice)
       val hits = graft.etl.SampleOps.ppsSystematicHits(docs, "doc_id",
-        "n_chars", n = sampleN)
+        "n_chars", n = sampleN).localCheckpoint()
       val realized = hits.agg(sum(col("hits")).as("__sh"))
       val exact = docs.agg(count(lit(1)).as("__n"),
         sum(col("n_chars")).as("__chars"))

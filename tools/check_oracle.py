@@ -21,6 +21,8 @@ def is_negzero(x):
         return struct.pack('<d', x) == NEG_ZERO_BITS
     if isinstance(x, (list, tuple)):
         return any(is_negzero(v) for v in x)
+    if isinstance(x, dict):
+        return any(is_negzero(v) for v in x.values())
     return False
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -47,6 +49,8 @@ def eq(a, b):
         return struct.pack('<d', a) == struct.pack('<d', b)
     if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
         return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(eq(v, b[k]) for k, v in a.items())
     return a == b
 
 
