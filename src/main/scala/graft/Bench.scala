@@ -62,6 +62,8 @@ object Bench {
       graft.queries.Breadth12.ensureLinkPostings(spark, sfDir)
       graft.queries.Breadth20.ensureAugBandIndex(spark, sfDir)
       graft.queries.Breadth20.ensureDocStats(spark, sfDir)
+      graft.queries.Breadth11.ensurePiiStats(spark, sfDir)
+      graft.queries.Breadth8.ensureSplitFingerprints(spark, sfDir)
       graft.queries.Breadth23.ensureOrdersManifest(spark, sfDir)
       // the versioned-sink history layout_vacuum classifies is the same
       // ingest class: staged once, audited (dry-run) by the query
@@ -82,7 +84,12 @@ object Bench {
     // (1,731 s on a ~1.75×-slow box, truth ~296 s) could only be
     // falsified by a judge rerun because the single-shot carried no
     // box-speed constant. spark.range data only (measures box + JVM,
-    // never the build), min-of-3 after warm-up, before any query.
+    // never the build), min-of-3 after a discarded warm-up run (the
+    // warm-up absorbs the probe's own cold janino compile — without it
+    // the min can still be the JIT-cold first run), before any query.
+    // Cleanup is scoped to RDDs the probe itself persisted (none today)
+    // so a future cross-query persisted frame survives (ADVICE r14).
+    val preProbe = spark.sparkContext.getPersistentRDDs.keySet
     val calib = {
       def probe(): Double = {
         val t0 = System.nanoTime()
@@ -96,9 +103,32 @@ object Bench {
           .selectExpr("sum(r + count) AS s").collect()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = (1 to 3).map(_ => probe()).min
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      t
+      probe()
+      (1 to 3).map(_ => probe()).min
+    }
+    // Fixed-overhead probe (VERDICT r14 item 3): both quiet r14 runs
+    // read median/calib ~16 vs r12's 10.88 with the inflation
+    // concentrated in sub-0.3 s queries — per-query FIXED cost
+    // (job-launch scheduling + unique-codegen compile) drifted while
+    // the 3-large-job throughput probe didn't move proportionally.
+    // Each rep inlines a fresh literal into the generated code, so
+    // every run pays one janino compile + one job launch — the constant
+    // every registry query pays exactly once. Read sub-second-query
+    // regressions against calib_fixed_s; large-query ones against
+    // calib_s.
+    val calibFixed = {
+      def probe(i: Int): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 100000, 1, 32)
+          .selectExpr(s"sum(id % ${101 + i}) AS s$i").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      probe(0)
+      val ts = (1 to 7).map(probe).sorted
+      ts(ts.size / 2)
+    }
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!preProbe.contains(id)) rdd.unpersist(false)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // snapshot BEFORE the query so the cleanup is scoped to its own
@@ -150,6 +180,7 @@ object Bench {
     val prefix =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":{"""
     val suffix = s"""},"steady":${fmt(steady)},"calib_s":${fmt(calib)},""" +
+      s""""calib_fixed_s":${fmt(calibFixed)},""" +
       s""""load1_before":${fmt(loadBefore)},""" +
       s""""load1_after":${fmt(loadAfter)},"sf":"$sfDir"}"""
     val budget = 1700 - prefix.length - suffix.length

@@ -49,6 +49,8 @@ object BenchDetail {
       graft.queries.Breadth12.ensureLinkPostings(spark, sfDir)
       graft.queries.Breadth20.ensureAugBandIndex(spark, sfDir)
       graft.queries.Breadth20.ensureDocStats(spark, sfDir)
+      graft.queries.Breadth11.ensurePiiStats(spark, sfDir)
+      graft.queries.Breadth8.ensureSplitFingerprints(spark, sfDir)
       graft.queries.Breadth23.ensureOrdersManifest(spark, sfDir)
     } catch { case _: Throwable => () }
     // Calibration probe (VERDICT r11 item 4): a fixed synthetic set —
@@ -61,6 +63,11 @@ object BenchDetail {
     // query: spark.range data only, so it measures the box + JVM, never
     // the build. min-of-3 — the probe must not absorb its own cold
     // codegen into the calibration constant.
+    // min-of-3 after a discarded warm-up (the warm-up absorbs the
+    // probe's own cold janino compile); cleanup scoped to RDDs the
+    // probe itself persisted — none today — so a future cross-query
+    // persisted frame survives (ADVICE r14)
+    val preProbe = spark.sparkContext.getPersistentRDDs.keySet
     val calib = {
       def probe(): Double = {
         val t0 = System.nanoTime()
@@ -74,11 +81,30 @@ object BenchDetail {
           .selectExpr("sum(r + count) AS s").collect()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = (1 to 3).map(_ => probe()).min
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      t
+      probe()
+      (1 to 3).map(_ => probe()).min
     }
-    println(f"calib_s $calib%.3f")
+    // Fixed-overhead probe (VERDICT r14 item 3): median latency of 7
+    // single-stage jobs, each with a FRESH inlined literal so every rep
+    // pays one janino compile + one job launch — the per-query fixed
+    // constant that drifted ~1.4× in r14 while the throughput probe
+    // above stayed flat. Sub-0.3 s query regressions are read against
+    // calib_fixed_s; heavyweight ones against calib_s.
+    val calibFixed = {
+      def probe(i: Int): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 100000, 1, 32)
+          .selectExpr(s"sum(id % ${101 + i}) AS s$i").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      probe(0)
+      val ts = (1 to 7).map(probe).sorted
+      ts(ts.size / 2)
+    }
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!preProbe.contains(id)) rdd.unpersist(false)
+    }
+    println(f"calib_s $calib%.3f calib_fixed_s $calibFixed%.4f")
     // a query that crashes must NOT record its (near-zero) failure-path
     // timing — in the committed regression artifact that would read as a
     // dramatic speedup; it records err instead and is excluded from totals
@@ -130,6 +156,7 @@ object BenchDetail {
       val json =
         s"""{"reps":$reps,"sf":"$sfDir","cpus":$cpus,""" +
           s""""calib_s":${fmt(calib)},""" +
+          s""""calib_fixed_s":${fmt(calibFixed)},""" +
           s""""total_median":${fmt(ok.map(_._3).sum)},""" +
           s""""total_min":${fmt(ok.map(_._2).sum)},""" +
           s""""n_err":${rows.size - ok.size},""" +
