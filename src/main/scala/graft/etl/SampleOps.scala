@@ -438,23 +438,40 @@ object SampleOps {
     * data job must feed batches in the same order to reproduce a
     * training run).
     *
-    * Scale shape: the shard is the window PARTITION key, so no global
-    * sort ever happens — production sizes `shards` so one shard's rows
-    * fit a task (add shards with corpus size, like [[mixtureSample]]'s
-    * modulus note), and each shard is one loader stream. The per-shard
-    * interleave means position p of every shard holds similar-score
-    * rows, so difficulty ramps in lockstep across parallel readers.
+    * Scale shape (VERDICT r14 item 1): `shards` is the LOADER-STREAM
+    * count — a handful of streams over a 100 TB corpus is a legitimate
+    * ask — so per-shard positions must NOT come from a window
+    * partitioned on the shard key (corpus/shards rows through one
+    * reducer task; the exact small-modulus hazard the ScaleSpec lint
+    * now flags). Positions are computed by the distributed prefix-sum
+    * rank discipline ([[StatOps.groupedCdf]]/[[StatOps.withRunningSum]]):
+    * range-partition on (shard, score desc, md5 tie), per-partition
+    * running counts, broadcast per-(partition, shard) offsets — every
+    * window below partitions on (partition-id, shard), so per-task rows
+    * shrink with the shuffle-partition count at any shard count. The
+    * per-shard interleave means position p of every shard holds
+    * similar-score rows, so difficulty ramps in lockstep across
+    * parallel readers.
+    *
+    * Emits `shard`/`position`/`score`; fails loudly if the input
+    * already carries any of those names (no silent overwrite).
     */
   def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
       shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    val clash = df.columns.toSet.intersect(Set("shard", "position", "score"))
+    require(clash.isEmpty,
+      s"curriculumOrder emits shard/position/score; input already has ${clash.mkString(", ")}")
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(round(col(scoreCol).cast("double"), 9).desc,
-        md5(col(idCol).cast("string")))
-    df.withColumn("shard", h % shards)
-      .withColumn("position", row_number().over(w).cast("long"))
-      .withColumn("score", round(col(scoreCol).cast("double"), 9))
+    val keyed = df
+      .withColumn("__shard", h % shards)
+      .withColumn("__score", round(col(scoreCol).cast("double"), 9))
+      .withColumn("__tie", md5(col(idCol).cast("string")))
+    StatOps.withRowNumber(keyed, Seq("__shard"),
+        Seq(col("__score").desc, col("__tie")), "__pos")
+      .select(df.columns.map(col) ++ Seq(col("__shard").as("shard"),
+        col("__pos").cast("long").as("position"),
+        col("__score").as("score")): _*)
   }
 }

@@ -53,8 +53,10 @@ object Breadth23 {
     * within the shard (quality DESC, md5 tie-break) — the loader-order
     * pin a reproducible training run needs, and the missing half of
     * the mix chain (pipeline_training_mix decides what trains; this
-    * decides in what order the shards feed it). No global sort at any
-    * corpus size: the shard is the window partition key.
+    * decides in what order the shards feed it). No low-NDV window at
+    * any corpus size: positions come from the distributed prefix-sum
+    * rank (range partition + broadcast offsets), so 8 loader streams
+    * never means 8 reducer tasks (VERDICT r14 item 1).
     */
   val q72CurriculumOrder = Q(
     "q72_curriculum_order",

@@ -112,32 +112,88 @@ class ScaleSpec extends SparkSpec {
         s"at 100 TB — use StatOps.percentiles): ${offenders.mkString(", ")}")
   }
 
-  test("registry-wide plan hygiene: no low-NDV window over an un-aggregated fact table") {
-    // A window partitioned only on a known handful-of-values column
-    // sorts the whole input into that many reducer tasks (n/3 rows
-    // through one task at 100 TB). Over a tiny aggregated frame the
-    // same shape is fine — so only windows with NO Aggregate below
-    // them are flagged (this rule shipped one offender in round 8:
-    // q56_quantile_transform's 3-partition percent_rank).
-    import org.apache.spark.sql.catalyst.expressions.AttributeReference
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    val sf = "/root/testdata/sf0.001"
+  /** Detector for the low-NDV window hazard: a Window whose EVERY
+    * partition key has statically-bounded NDV sorts the whole input
+    * into that many reducer tasks (n/3 rows through one task at
+    * 100 TB). Bounded-NDV keys are (a) known handful-of-values named
+    * columns, and (b) COMPUTED keys of the form `expr % <small
+    * literal>` — resolved through Project aliases, the shape the name
+    * list cannot see (VERDICT r14 item 1: q72's md5 % 8 shard window
+    * funneled the corpus through 8 tasks and the lint was blind to
+    * it). Windows with an Aggregate below are exempt (tiny frames by
+    * construction).
+    */
+  private def lowNdvWindowOffenders(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, ExprId, Pmod, Remainder}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project, Window => LWindow}
     val lowNdvCols = Set("l_returnflag", "l_linestatus", "o_orderstatus",
       "o_orderpriority", "l_shipmode", "event_type", "lang", "split")
-    // a window with NO partition key at all is the degenerate case of
-    // the same hazard: ALL rows through one reducer task
+    val MaxModulus = 64L
+    // alias definitions anywhere in the plan — window partition keys are
+    // AttributeReferences into the Projects below them
+    val defs: Map[ExprId, Expression] = plan.collect {
+      case p: Project => p.projectList.collect { case a: Alias => a.exprId -> a.child }
+    }.flatten.toMap
+    def smallLit(e: Expression): Boolean = e.foldable && (e.eval() match {
+      case n: java.lang.Number => math.abs(n.longValue) <= MaxModulus
+      case _ => false
+    })
+    def bounded(e: Expression, depth: Int): Boolean = e match {
+      case a: AttributeReference =>
+        lowNdvCols(a.name) ||
+          (depth < 8 && defs.get(a.exprId).exists(bounded(_, depth + 1)))
+      case c: Cast => bounded(c.child, depth)
+      case r: Remainder => smallLit(r.right)
+      case p: Pmod => smallLit(p.right)
+      case _ => false
+    }
+    plan.collect {
+      // a window with NO partition key at all is the degenerate case of
+      // the same hazard: ALL rows through one reducer task
+      case w: LWindow if w.partitionSpec.forall(bounded(_, 0)) &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+        s"[${w.partitionSpec.mkString(",")}]"
+    }
+  }
+
+  test("registry-wide plan hygiene: no low-NDV window over an un-aggregated fact table") {
+    // This rule shipped one offender in round 8 (q56_quantile_transform's
+    // 3-partition percent_rank); the computed-modulus arm would have
+    // shipped two more in round 14 (q72's md5 % 8 curriculum shard,
+    // paddingWaste's hash32 % 64 batch shard — both now ride the
+    // distributed prefix-sum rank, StatOps.withRowNumber).
+    val sf = "/root/testdata/sf0.001"
     val offenders = graft.queries.Registry.all.flatMap { q =>
-      q.fn(spark, sf).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.forall {
-          case a: AttributeReference => lowNdvCols(a.name)
-          case _ => false
-        } && w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
-          s"${q.name}: [${w.partitionSpec.mkString(",")}]"
-      }
+      lowNdvWindowOffenders(q.fn(spark, sf).queryExecution.optimizedPlan)
+        .map(s => s"${q.name}: $s")
     }
     assert(offenders.isEmpty,
       s"low-NDV/global window over an un-aggregated input (single-task " +
         s"sort at scale): ${offenders.mkString("; ")}")
+  }
+
+  test("low-NDV window lint self-check: flags the retired q72 shape (md5 % 8 window)") {
+    // regression fixture: the exact round-14 curriculumOrder plan shape —
+    // row_number() over a window partitioned on a computed small-modulus
+    // shard key over an un-aggregated input. The lint MUST go red on it
+    // (it was blind to computed keys in r14), and must stay green on the
+    // same key once an Aggregate sits below the window.
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.range(100).select(col("id").cast("string").as("doc_id"),
+      (col("id") % 13).cast("double").as("quality"))
+    val h = conv(substring(md5(col("doc_id")), 1, 8), 16, 10).cast("long")
+    val oldShape = docs.withColumn("shard", h % 8)
+      .withColumn("position", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("quality").desc)))
+    assert(lowNdvWindowOffenders(oldShape.queryExecution.optimizedPlan).nonEmpty,
+      "lint must flag a computed small-modulus window partition key")
+    val aggBelow = docs.withColumn("shard", h % 8)
+      .groupBy(col("shard"), col("quality")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("quality").desc)))
+    assert(lowNdvWindowOffenders(aggBelow.queryExecution.optimizedPlan).isEmpty,
+      "lint must exempt windows over aggregated frames")
   }
 
   test("registry-wide plan hygiene: no shrinking unbounded-FOLLOWING window frame") {
