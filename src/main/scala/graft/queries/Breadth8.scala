@@ -96,14 +96,29 @@ object Breadth8 {
     * the id-hash assignment). One fingerprint-keyed aggregate; at
     * 100 TB this is the same single-shuffle shape as exact dedup.
     */
-  val textSplitLeakage = Q(
-    "text_split_leakage",
-    (s, dir) => {
-      val d = Extensions.augmentedDocs(s, dir, perturb = false)
+  /** Ingest-staged per-doc (fingerprint, split) over the augmented
+    * corpus: content md5 + id-hash split assignment are computed ONCE
+    * at ingest — the leakage check, the cluster-safe splitter, and the
+    * release gate's leakage check all read the staged scalars instead
+    * of re-scanning corpus text (VERDICT r14 item 2).
+    */
+  def ensureSplitFingerprints(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "split_fingerprints") { d =>
+      Extensions.augmentedDocs(s, dir, perturb = false)
         .withColumn("fingerprint", md5(Dedup.normText(col("text"))))
         .withColumn("__b", Dedup.hash32(col("doc_id").cast("string")) % 100)
         .withColumn("split",
-          when(col("__b") < 80, "train").when(col("__b") < 90, "val").otherwise("test"))
+          when(col("__b") < 80, "train").when(col("__b") < 90, "val")
+            .otherwise("test"))
+        .select(col("doc_id"), col("fingerprint"), col("split"))
+        .write.parquet(d)
+    }
+
+  val textSplitLeakage = Q(
+    "text_split_leakage",
+    (s, dir) => {
+      val d = s.read.parquet(ensureSplitFingerprints(s, dir))
       d.groupBy(col("fingerprint"))
         .agg(countDistinct(col("split")).as("n_splits"),
           count(lit(1)).as("n_docs"),
@@ -140,8 +155,8 @@ object Breadth8 {
   val textSplitByCluster = Q(
     "text_split_by_cluster",
     (s, dir) => {
-      val d = Extensions.augmentedDocs(s, dir, perturb = false)
-        .withColumn("fingerprint", md5(Dedup.normText(col("text"))))
+      val d = s.read.parquet(ensureSplitFingerprints(s, dir))
+        .select(col("doc_id"), col("fingerprint"))
       val rep = d.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("rep_id"))
       d.join(rep, "fingerprint")
         .withColumn("__b", Dedup.hash32(col("rep_id").cast("string")) % 100)
