@@ -949,37 +949,45 @@ object TextOps {
         round(col("removed_words").cast("double") / col("n_words"), 9))
   }
 
-  /** OLS slope of ln(freq) on ln(rank) over the aggregate frame's
-    * decimal moment sums — shared by [[zipfCurve]]/[[heapsGrowth]].
-    * Point coordinates are 9-dp-rounded lns in DECIMAL(18,9) (so the
-    * cross-moment products stay exact at (37,18) and engine libm
-    * disagreement dies at the round); the closing algebra is IEEE
-    * doubles on identical operands.
+  /** OLS slope of ln(y) on ln(x) over the ≤R collected fit points —
+    * shared by [[zipfCurve]]/[[heapsGrowth]], whose point frames are
+    * bounded (topR rows / `buckets` rows), so the fit is driver-side
+    * arithmetic on a bounded read, not a Spark job (the former
+    * aggregate + broadcast-fit shape cost two extra jobs per query —
+    * VERDICT r14 item 5's residual). The arithmetic is the exact twin
+    * of the retired aggregate and of the oracle's OlsSql: point
+    * coordinates are 9-dp-rounded lns (BigDecimal-of-string HALF_UP ==
+    * Spark `round`) held exact as BigDecimal so the cross-moments match
+    * the old DECIMAL(18,9)/(37,18) sums bit-for-bit; the closing
+    * algebra is IEEE doubles on identical operands. Positive points
+    * only (log(0) is NULL in Spark but ln(0) raises/-inf elsewhere),
+    * signed zero normalized (+0.0), non-finite passthrough, null on an
+    * empty fit — all pinned behaviors of the aggregate version.
     */
-  private def olsSlope(pts: DataFrame, x: Column, y: Column): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val d = DecimalType(18, 9)
-    val lx = round(log(x), 9).cast(d)
-    val ly = round(log(y), 9).cast(d)
-    // Fit over positive points only: log(0) is NULL in Spark but ln(0)
-    // raises/-inf elsewhere — a zero-count leading bucket must not
-    // poison the moments (the oracle SQL filters its lp the same way).
-    val raw = pts.filter(x > 0d && y > 0d)
-      .agg(count(lit(1)).as("__n"), sum(lx).as("__sx"), sum(ly).as("__sy"),
-        sum(lx * ly).as("__sxy"), sum(lx * lx).as("__sxx"))
-      .select(round(
-        (col("__n").cast("double") * col("__sxy").cast("double") -
-          col("__sx").cast("double") * col("__sy").cast("double")) /
-        (col("__n").cast("double") * col("__sxx").cast("double") -
-          col("__sx").cast("double") * col("__sx").cast("double")), 9)
-        .as("__raw"))
-    // Normalize IEEE signed zero: a degenerate fit (constant y) crosses
-    // an exact-0 numerator with double-cast ulps — Spark's round goes
-    // through BigDecimal (no signed zero, emits +0.0) while a binary
-    // round keeps the sign (-0.0); byte-aware hashes then diverge.
-    raw.select(when(col("__raw") === 0d, lit(0d)).otherwise(col("__raw"))
-      .as("__slope"))
+  private def olsSlopeLocal(pts: Seq[(Double, Double)]): java.lang.Double = {
+    val p = pts.filter { case (x, y) => x > 0d && y > 0d }
+      .map { case (x, y) =>
+        (BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP),
+          BigDecimal(math.log(y)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      }
+    if (p.isEmpty) null
+    else {
+      val n = p.size.toDouble
+      val sx = p.map(_._1).sum.toDouble
+      val sy = p.map(_._2).sum.toDouble
+      val sxy = p.map { case (a, b) => a * b }.sum.toDouble
+      val sxx = p.map { case (a, _) => a * a }.sum.toDouble
+      val v = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val r =
+        if (v.isNaN || v.isInfinite) v
+        else BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (r == 0d) 0d else r
+    }
   }
+
+  /** The fitted slope as a literal double column (null-safe). */
+  private def slopeLit(beta: java.lang.Double): Column =
+    if (beta == null) lit(null).cast("double") else lit(beta.doubleValue)
 
   /** Zipf head of the corpus: the top-R token frequencies with their
     * rank and the fitted log-log slope (a healthy natural-language
@@ -994,17 +1002,23 @@ object TextOps {
   def zipfCurve(df: DataFrame, idCol: String, textCol: String,
       topR: Int = 20): DataFrame = {
     require(topR >= 3)
+    val spark = df.sparkSession
     val tf = df.select(explode(words(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    // distributed TopK (TakeOrderedAndProject — per-partition heads,
+    // never a global window sort over the vocabulary), then the ≤R
+    // rows collect once: rank assignment, the log-log fit, and the
+    // output frame are driver-side on a bounded read
     val top = tf.orderBy(col("freq").desc, col("token")).limit(topR)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("freq").desc, col("token"))).cast("long"))
-    val fit = olsSlope(top, col("rank").cast("double"), col("freq").cast("double"))
-    top.crossJoin(broadcast(fit))
-      .select(col("rank"), col("token"), col("freq"),
-        col("__slope").as("zipf_slope"))
+      .collect().toSeq
+    val ranked = top.zipWithIndex.map { case (r, i) =>
+      (i + 1L, r.getString(0), r.getLong(1))
+    }
+    val beta = olsSlopeLocal(ranked.map(t => (t._1.toDouble, t._3.toDouble)))
+    import spark.implicits._
+    ranked.toDF("rank", "token", "freq")
+      .withColumn("zipf_slope", slopeLit(beta))
   }
 
   /** Heaps vocabulary-growth curve: cumulative distinct tokens vs
@@ -1013,58 +1027,69 @@ object TextOps {
     * (English prose ~0.5; β drifting up marks vocabulary churn/noise,
     * down marks duplication). The prefix trick makes it one pass: a
     * token's FIRST-SEEN document (min id) decides which prefix first
-    * counts it, so there is no per-prefix distinct — just two
-    * bucket-keyed aggregates and a 10-row running sum.
+    * counts it, so there is no per-prefix distinct — one token
+    * aggregate plus a bounded driver-side closing (running sums, doc
+    * boundaries, fit).
     */
   def heapsGrowth(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 3)
     val spark = df.sparkSession
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
     val base = df.select((col(idCol) + 1L).as("__rk"),
       words(col(textCol)).as("__w"))
     // Prefix rank = doc id + 1 REQUIRES dense 0-based ids; gapped or
     // offset ids would skew bucket sizes (and can zero out leading
     // buckets). Guard loudly rather than paying a global row_number
     // sort over the corpus — the documents table's contract is dense.
-    val mx = base.agg(max(col("__rk")).as("__mx"), count(lit(1)).as("__ct"))
-      .select(when(col("__mx") =!= col("__ct"),
-          raise_error(concat(
-            lit(s"heapsGrowth requires dense 0-based $idCol: max+1="),
-            col("__mx").cast("string"), lit(", count="),
-            col("__ct").cast("string"))))
-        .otherwise(col("__mx")).as("__N"))
-    def bucketOf(rk: Column, n: Column): Column =
-      (floor((rk * buckets - 1).cast("double") / n.cast("double")) + 1)
-        .cast("long")
-    val docsPer = base.crossJoin(broadcast(mx))
-      .groupBy(bucketOf(col("__rk"), col("__N")).as("bucket"))
-      .agg(count(lit(1)).as("__nd"))
+    // The max/count pair is ONE bounded one-row driver read (the
+    // convergence-aggregate pattern); inlining N as a literal keeps the
+    // guard out of the distributed plan, where it was re-broadcast into
+    // both bucket aggregates (one extra corpus scan each — the residual
+    // cost VERDICT r14 item 5 asked to fold away).
+    val head = base.agg(max(col("__rk")), count(lit(1))).head()
+    val n = if (head.isNullAt(0)) 0L else head.getLong(0)
+    require(n == head.getLong(1),
+      s"heapsGrowth requires dense 0-based $idCol: max+1=$n, " +
+        s"count=${head.getLong(1)}")
+    def bucketOf(rk: Column): Column =
+      (floor((rk * buckets - 1).cast("double") /
+        lit(n).cast("double")) + 1).cast("long")
+    // ≤ `buckets` rows collect once — the only corpus pass left is the
+    // token first-seen aggregate (VERDICT r14 item 5: the aggregate-fit
+    // shape paid two extra jobs and re-read this frame)
     val vocabPer = base
       .select(col("__rk"), explode(col("__w")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(min(col("__rk")).as("__fs"))
-      .crossJoin(broadcast(mx))
-      .groupBy(bucketOf(col("__fs"), col("__N")).as("bucket"))
+      .groupBy(bucketOf(col("__fs")).as("bucket"))
       .agg(count(lit(1)).as("__nv"))
-    val spine = spark.range(1, buckets + 1).select(col("id").as("bucket"))
-    val cum = spine
-      .join(broadcast(docsPer), Seq("bucket"), "left")
-      .join(broadcast(vocabPer), Seq("bucket"), "left")
-      .withColumn("n_docs", sum(coalesce(col("__nd"), lit(0L))).over(w))
-      .withColumn("vocab", sum(coalesce(col("__nv"), lit(0L))).over(w))
-      // `buckets` rows; checkpoint so the token-explode first-seen
-      // aggregate (and the dense-id guard scans feeding it) runs ONCE —
-      // both the fit and the output read cum (VERDICT r14 item 5: the
-      // broadcast fit re-evaluated the whole upstream a second time)
-      .localCheckpoint()
-    val fit = olsSlope(cum, col("n_docs").cast("double"),
-      col("vocab").cast("double"))
-    cum.crossJoin(broadcast(fit))
-      .select(col("bucket"), col("n_docs"), col("vocab"),
-        col("__slope").as("heaps_beta"))
+      .collect()
+    val nv = vocabPer.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Per-bucket DOC counts need no scan: with dense ranks 1..N,
+    // bucketOf is monotone in rk, so bucket b's cumulative doc count is
+    // the largest rk whose bucket ≤ b — a driver-side binary search
+    // over the SAME long→double arithmetic the distributed expression
+    // evaluates (bit-identical IEEE ops, so it matches the oracle's
+    // grouped count exactly), replacing a whole-corpus aggregate.
+    def bucketOfL(rk: Long): Long =
+      math.floor((rk * buckets - 1).toDouble / n.toDouble).toLong + 1
+    def boundary(b: Long): Long = {
+      var lo = 0L
+      var hi = n
+      while (lo < hi) {
+        val mid = lo + (hi - lo + 1) / 2
+        if (bucketOfL(mid) <= b) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    val rows = (1 to buckets).map { b =>
+      (b.toLong, boundary(b.toLong),
+        (1 to b).map(i => nv.getOrElse(i.toLong, 0L)).sum)
+    }
+    val beta = olsSlopeLocal(rows.map(r => (r._2.toDouble, r._3.toDouble)))
+    import spark.implicits._
+    rows.toDF("bucket", "n_docs", "vocab")
+      .withColumn("heaps_beta", slopeLit(beta))
   }
 
   /** Padding-waste economics of batch formation at a fixed batch size:

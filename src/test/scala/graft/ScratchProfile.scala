@@ -6,10 +6,8 @@ import org.apache.spark.sql.SparkSession
   * Not part of the registry or test suite; edit freely between runs.
   *   SPARK_GRAFT_SF_DIR=... sbt "Test/runMain graft.ScratchProfile"
   *
-  * Current shape: decompose the per-query FIXED cost (plan build,
-  * analyze+optimize+physical, codegen+execute) for a few cheap
-  * registry queries, repeated, to see what a 145-query bench pays
-  * per query beyond the data.
+  * Current shape: decompose eval_heaps_growth's two jobs (dense-id
+  * guard aggregate vs the bucket-aggregate collect) at sf0.1.
   */
 object ScratchProfile {
   def time[T](label: String)(f: => T): T = {
@@ -29,50 +27,36 @@ object ScratchProfile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.VectorExpressions.register(spark)
-
-    // table warm-up as in Bench
     graft.etl.Tables.names.foreach { t =>
       try graft.etl.Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
-
-    // current shape: decompose pipeline_curation_funnel at sf0.1
     import org.apache.spark.sql.functions._
-    import graft.ext.{Dedup, TextOps}
-    graft.functions.VectorExpressions.register(spark)
-    val dir = sfDir
-    val idx = time("ensureAugBandIndex") {
-      graft.queries.Breadth20.ensureAugBandIndex(spark, dir)
-    }
-    // augmentedDocs is private to queries; rebuild the equivalent corpus
-    val d0 = graft.etl.Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("lang"))
-    val docs = d0.unionByName(
-      d0.withColumn("doc_id", col("doc_id") + 100000L)
-        .withColumn("text", concat(lit("xx "), col("text"))))
-    val dcp = time("docs checkpoint")(docs.localCheckpoint())
-    val g = time("gopher gate") {
-      TextOps.gopherRulesByLang(dcp, "doc_id", "text", "lang")
-        .filter(col("keep") === 1).select(col("doc_id"))
-    }
-    val s2 = time("s2 checkpoint")(dcp.join(g, Seq("doc_id"), "left_semi").localCheckpoint())
-    val s3 = time("s3 exact dedup") {
-      s2.groupBy(md5(Dedup.normText(col("text"))).as("__h"))
-        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-        .join(s2, Seq("doc_id"), "left_semi").localCheckpoint()
-    }
-    val pairs = time("pairs from index") {
-      Dedup.indexCandidatePairs(spark.read.parquet(idx), "doc_id")
-        .join(s3.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
-        .join(s3.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
-        .localCheckpoint()
-    }
-    val s4 = time("cluster assignment") {
-      Dedup.clusterAssignment(dcp.join(s3, Seq("doc_id"), "left_semi"), pairs, "doc_id")
-        .filter(col("doc_id") === col("cluster_id")).select(col("doc_id")).localCheckpoint()
-    }
-    val s5 = time("quality gate") {
-      TextOps.withQuality(dcp.join(s4, Seq("doc_id"), "left_semi"), "text")
-        .filter(col("quality") >= 0.5 && col("n_words") >= 10).select(col("doc_id")).count()
+    val docs = graft.etl.Tables(spark, sfDir, "documents")
+    (1 to 3).foreach { i =>
+      time(s"[$i] head agg (max,count doc_id)") {
+        docs.select((col("doc_id") + 1L).as("__rk"))
+          .agg(max(col("__rk")), count(lit(1))).head()
+      }
+      time(s"[$i] docsPer-only agg") {
+        docs.select((col("doc_id") + 1L).as("__rk"))
+          .groupBy((floor((col("__rk") * 10 - 1).cast("double") / 100000.0) + 1).as("b"))
+          .agg(count(lit(1))).collect()
+      }
+      time(s"[$i] vocab first-seen agg") {
+        docs.select((col("doc_id") + 1L).as("__rk"),
+            explode(split(lower(col("text")), "\\s+")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("token")).agg(min(col("__rk")).as("__fs"))
+          .groupBy((floor((col("__fs") * 10 - 1).cast("double") / 100000.0) + 1).as("b"))
+          .agg(count(lit(1))).collect()
+      }
+      time(s"[$i] full heapsGrowth") {
+        graft.ext.TextOps.heapsGrowth(docs, "doc_id", "text", buckets = 10)
+          .collect()
+      }
+      time(s"[$i] full zipfCurve") {
+        graft.ext.TextOps.zipfCurve(docs, "doc_id", "text").collect()
+      }
     }
     spark.stop()
   }
