@@ -162,6 +162,70 @@ object LayoutOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Parquet DATA files under a table directory — recursive FS-metadata
+    * listing, hidden entries (`_SUCCESS`, `.crc`, staging dirs)
+    * skipped. The listing a manifest refresh diffs against and a
+    * commit protocol stats; never reads data.
+    */
+  private[etl] def listDataFiles(spark: SparkSession,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isDirectory) walk(s.getPath)
+        else Seq(s)
+      }
+    if (fs.exists(root)) walk(root) else Seq.empty
+  }
+
+  /** `file` column (an `input_file_name()` URI) normalized to a bare
+    * path, so FS listings (`file:/x`) and scan-reported names
+    * (`file:///x`) compare equal.
+    */
+  private[etl] def normFileCol(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** Incremental manifest maintenance (VERDICT r14 item 4):
+    * [[buildFileManifest]] is a full-rebuild — one whole-table scan per
+    * refresh, which at 100 TB makes the manifest stale in practice.
+    * This refresh diffs the manifest against the directory's CURRENT
+    * file listing (FS metadata only) and stats ONLY the new files (one
+    * scan proportional to the appended data), dropping manifest rows
+    * whose files disappeared (compaction/vacuum). `statCols` must match
+    * the columns the manifest was built with (the union is by name).
+    * Contract (spec-pinned): refresh(dir, manifest) ==
+    * buildFileManifest(dir) row-for-row. Driver-side state is file
+    * NAMES only, loudly capped at [[MaxManifestFiles]].
+    */
+  def refreshFileManifest(spark: SparkSession, tableDir: String,
+      manifest: DataFrame, statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "need at least one stat column")
+    val current = listDataFiles(spark, tableDir)
+    require(current.size <= MaxManifestFiles,
+      s"refreshFileManifest: ${current.size} files exceeds $MaxManifestFiles — " +
+        "the manifest frame must be per-FILE metadata, not row-scale data")
+    val known = manifest.select(normFileCol(col("file")).as("__p"))
+      .limit(MaxManifestFiles + 1).collect().map(_.getString(0)).toSet
+    require(known.size <= MaxManifestFiles,
+      s"refreshFileManifest: manifest exceeds $MaxManifestFiles files")
+    val newFiles = current.filter(s => !known(s.getPath.toUri.getPath))
+    import spark.implicits._
+    val curDf = current.map(_.getPath.toUri.getPath).toDF("__p")
+    val kept = manifest
+      .join(broadcast(curDf), normFileCol(col("file")) === col("__p"), "left_semi")
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    if (newFiles.isEmpty) kept
+    else kept.unionByName(
+      spark.read.option("basePath", tableDir)
+        .parquet(newFiles.map(_.getPath.toString): _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*))
+  }
+
   /** Manifest-pruned read: keep only the files whose [min, max]
     * interval on `statCol` can intersect [lo, hi], then read THOSE
     * files — the residual filter must still be applied by the caller
@@ -230,8 +294,13 @@ object LayoutOps {
     * derive it from the manifest itself (e.g. a multiple of the mean
     * file size), keeping the op scale-free.
     */
-  def compactionPlan(manifest: DataFrame, partCol: String, fileCol: String,
-      sizeCol: String, target: Column): DataFrame = {
+  /** Per-file bin assignment — the fill half of [[compactionPlan]],
+    * one row per manifest file with its `bin_id` (what a rewrite
+    * executor like CommitOps.compactCommit consumes; the plan's
+    * per-bin report is the groupBy on top).
+    */
+  def compactionPlanBins(manifest: DataFrame, partCol: String,
+      fileCol: String, sizeCol: String, target: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(partCol))
       .orderBy(col(sizeCol).desc, col(fileCol))
@@ -240,6 +309,12 @@ object LayoutOps {
       .withColumn("__cum", sum(col(sizeCol)).over(w))
       .withColumn("bin_id",
         floor((col("__cum") - col(sizeCol)).cast("double") / target).cast("long"))
+      .drop("__cum")
+  }
+
+  def compactionPlan(manifest: DataFrame, partCol: String, fileCol: String,
+      sizeCol: String, target: Column): DataFrame =
+    compactionPlanBins(manifest, partCol, fileCol, sizeCol, target)
       .groupBy(col(partCol), col("bin_id"))
       .agg(count(lit(1)).as("n_files"),
         sum(col(sizeCol)).cast("long").as("total_size"),
@@ -247,7 +322,6 @@ object LayoutOps {
         max(col(fileCol)).as("last_file"))
       .withColumn("action",
         when(col("n_files") > 1, lit("compact")).otherwise(lit("keep")))
-  }
 
   /** One version directory's pre-vacuum state and the action taken. */
   final case class VersionVacuum(version: Long, committed: Boolean,

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.etl.{CommitOps, LayoutOps, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-15 layout rungs (VERDICT r14 items 4 and 8): incremental
+  * manifest maintenance over an appended range-clustered table, and the
+  * snapshot-consistent append-commit protocol on plain parquet.
+  */
+object Breadth24 {
+
+  /** Two-phase staged copy of the range-clustered orders layout: batch
+    * one (o_orderkey % 4 != 0, 12 range files) with its file manifest
+    * built THEN, batch two (the remaining quarter of rows, 4 more range
+    * files) appended AFTER — the exact state an incremental manifest
+    * refresh exists for: a table that grew since its manifest was last
+    * built. Returns (tableDir, staleManifestDir). Staged per-JVM
+    * (writer-code-dependent content — ensureRunDir discipline).
+    */
+  def ensureStagedOrdersAppend(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val root = graft.etl.LayoutOps.ensureRunDir(s, dir, "orders_append_staged") { d =>
+      val orders = Tables(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 4 =!= 0)
+        .repartitionByRange(12, col("o_orderdate"), col("o_orderkey"))
+        .write.parquet(s"$d/table")
+      LayoutOps.buildFileManifest(s, s"$d/table", Seq("o_orderdate"))
+        .write.parquet(s"$d/mani0")
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .repartitionByRange(4, col("o_orderdate"), col("o_orderkey"))
+        .write.mode("append").parquet(s"$d/table")
+    }
+    (s"$root/table", s"$root/mani0")
+  }
+
+  /** Incremental manifest refresh + pruned read
+    * ([[graft.etl.LayoutOps.refreshFileManifest]]): the staged table
+    * grew by 4 files AFTER its manifest was built; the refresh diffs
+    * the directory listing against the stale manifest and stats ONLY
+    * the new files (cost ∝ appended data — at 100 TB a full rebuild
+    * per append is one whole-table scan, the r14 gap), then a
+    * quarter's revenue plans against the refreshed manifest exactly as
+    * `layout_manifest_skip` does. The oracle runs the plain quarter
+    * over raw orders: a refresh that missed a new file or kept a stale
+    * row would under/over-count and hash-red.
+    */
+  val layoutManifestRefresh = Q(
+    "layout_manifest_refresh",
+    (s, dir) => {
+      val (table, mani0) = ensureStagedOrdersAppend(s, dir)
+      val refreshed = LayoutOps.refreshFileManifest(s, table,
+        s.read.parquet(mani0), Seq("o_orderdate"))
+      val lo = lit(java.sql.Date.valueOf("1996-04-01"))
+      val hi = lit(java.sql.Date.valueOf("1996-06-30"))
+      LayoutOps.manifestPrunedRead(s, table, refreshed, "o_orderdate",
+          lo, hi)
+        .filter(col("o_orderdate").between(lo, hi))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          Q.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             count(*)::BIGINT AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1996-04-01' AND DATE '1996-06-30'
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** Versioned orders table staged through TWO append commits
+    * ([[graft.etl.CommitOps.appendCommit]] — even keys then odd keys),
+    * so the latest snapshot holds the whole table across two commits'
+    * immutable files. Returns the table root.
+    */
+  def ensureOrdersCommits(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "orders_commits") { d =>
+      val orders = Tables(s, dir, "orders")
+      val root = s"$d/table"
+      CommitOps.appendCommit(s, root,
+        orders.filter(col("o_orderkey") % 2 === 0), Seq("o_orderdate"))
+      CommitOps.appendCommit(s, root,
+        orders.filter(col("o_orderkey") % 2 =!= 0), Seq("o_orderdate"))
+    }
+
+  /** Snapshot read over the append-committed table
+    * ([[graft.etl.CommitOps.readSnapshot]]): the latest committed
+    * manifest's immutable file list IS the table — per-status order
+    * counts and exact revenue must equal the raw table (a commit
+    * protocol that lost or duplicated an append's rows hash-reds
+    * here). Reader isolation, crash-debris invisibility, compaction,
+    * and vacuum retention are pinned in Round15Spec.
+    */
+  val layoutAppendCommit = Q(
+    "layout_append_commit",
+    (s, dir) => {
+      val root = s"${ensureOrdersCommits(s, dir)}/table"
+      CommitOps.readSnapshot(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          Q.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  val all: Seq[Q] = Seq(layoutManifestRefresh, layoutAppendCommit)
+}

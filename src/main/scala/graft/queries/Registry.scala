@@ -35,7 +35,7 @@ object Registry {
       Breadth11.all ++ Breadth12.all ++ Breadth13.all ++ Breadth14.all ++
       Breadth15.all ++ Breadth16.all ++ Breadth17.all ++ Breadth18.all ++
       Breadth19.all ++ Breadth20.all ++ Breadth21.all ++ Breadth22.all ++
-      Breadth23.all
+      Breadth23.all ++ Breadth24.all
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names would shadow silently: ${dups.mkString(", ")}")
     qs
