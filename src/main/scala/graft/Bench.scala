@@ -53,6 +53,7 @@ object Bench {
       // measure probing, not the one-time build
       graft.queries.Extensions.ensureIvfInt8Index(spark, sfDir)
       graft.queries.Extensions.ensureIvfPqIndex(spark, sfDir)
+      graft.queries.Extensions.ensureAnnTruth(spark, sfDir)
       graft.queries.Extensions.ensureDedupIndex(spark, sfDir)
       graft.queries.Extensions.ensureDedupClusters(spark, sfDir)
       graft.queries.Extensions.ensurePhashClusters(spark, sfDir)

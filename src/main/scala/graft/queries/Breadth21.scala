@@ -192,10 +192,8 @@ object Breadth21 {
       val queries = emb.filter(col("vec_id") % 100 === 0)
       val idx = s.read.parquet(Extensions.ensureIvfInt8Index(s, dir))
       val cents = Extensions.servingCentroids(s, dir)
-      val truth = Similarity.bruteForceTopK(s, emb, queries,
-          "vec_id", "embedding", k = 5)
+      val truth = s.read.parquet(Extensions.ensureAnnTruth(s, dir))
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("__t"))
-        .localCheckpoint()
       val tTot = truth.agg(count(lit(1)).as("n_truth"))
       def metrics(config: String, pred: org.apache.spark.sql.DataFrame,
           cosines: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -667,11 +665,8 @@ object Breadth21 {
     (s, dir) => {
       import graft.ext.Similarity
       val emb = Tables(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") % 100 === 0)
-      val truth = Similarity.bruteForceTopK(s, emb, queries,
-          "vec_id", "embedding", k = 5)
+      val truth = s.read.parquet(Extensions.ensureAnnTruth(s, dir))
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint()
       val tTot = truth.agg(count(lit(1)).as("n_truth"))
       DimTiers.map { d =>
         val tEmb = emb.select(col("vec_id"),

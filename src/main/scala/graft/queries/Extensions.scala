@@ -702,6 +702,25 @@ object Extensions {
       cent AS (SELECT cid, list(v ORDER BY dim) AS cv FROM tcm2 GROUP BY cid)"""
   }
 
+  /** Exact top-5 truth for the fixed 1%-query panel, staged once per
+    * corpus: the recall evals (routed economics, dim truncation) read
+    * the SAME persisted truth instead of re-running the brute-force
+    * tier in-query — which was both their dominant cost and the
+    * round-over-round measurement instability of
+    * eval_routed_economics (VERDICT r14 item 7: 1.58 ↔ 3.58 s between
+    * quiet runs; the probe/serve tiers it exists to price are
+    * sub-second and stable). `ann_cosine_topk` still computes the
+    * brute force live — pricing that tier is that query's point.
+    */
+  def ensureAnnTruth(s: SparkSession, dir: String): String = {
+    val emb = Tables(s, dir, "embeddings")
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "ann_truth_top5") { d =>
+      Similarity.bruteForceTopK(s, emb,
+        emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5).write.parquet(d)
+    }
+  }
+
   /** Build-if-absent the persisted int8-IVF index and return its path.
     * Called by the serve query AND by Bench's ingest warm-up: the index
     * build is a once-per-corpus ingest job (the same class as bucketed/

@@ -41,6 +41,7 @@ object BenchDetail {
       graft.etl.LayoutOps.ensurePartitionedOrders(spark, sfDir)
       graft.queries.Extensions.ensureIvfInt8Index(spark, sfDir)
       graft.queries.Extensions.ensureIvfPqIndex(spark, sfDir)
+      graft.queries.Extensions.ensureAnnTruth(spark, sfDir)
       graft.queries.Extensions.ensureDedupIndex(spark, sfDir)
       graft.queries.Extensions.ensureDedupClusters(spark, sfDir)
       graft.queries.Breadth7.ensureTextIndex(spark, sfDir)

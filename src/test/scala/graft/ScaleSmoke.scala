@@ -349,6 +349,24 @@ import org.apache.spark.sql.functions._
   * text_hashed_features 2.0s for 992k sparse rows (stateless scan +
   * one agg).
   *
+  * Round-15 wave at replicas=10 (the r14/r15 ops, VERDICT r14 item 6):
+  * q71_theil_sen_trend 8.4s over 10× events — the day-pair frame is
+  * time-span-bound (30 output days at any corpus size), so the
+  * pairwise-slope median rides a metadata-scale frame while the daily
+  * aggregate is the linear term; q72_curriculum_order 7.7s / 50,000
+  * rows (×10.0 exactly — the distributed prefix-sum rank's range
+  * shuffle is the linear term, no small-modulus window anywhere);
+  * eval_padding_waste 2.9s (same rank machinery, two strategies);
+  * layout_manifest_skip 3.4s / layout_manifest_refresh 4.2s (includes
+  * the in-run two-phase staging; the refresh itself stats only the
+  * appended files) / layout_append_commit 3.2s (two commits + snapshot
+  * read). Manifest skipping at 100× FILE count (the axis that matters
+  * for a file-skipping claim): the same quarter predicate opens 1/16
+  * files on a 16-file layout and 59/1600 on a 1,600-file layout of the
+  * same table — the opened FRACTION holds ~the predicate's selectivity
+  * (0.063 → 0.037, narrowing intervals), i.e. skipped files grow with
+  * the table exactly as the manifest promises.
+  *
   * Round-11 waves 9-10 at replicas=10: dq12_ks_drift 4.7s over a
   * ~1.5M-distinct-value price histogram (the two-measure prefix-sum
   * CDF is one range partition + broadcast offsets — linear);
@@ -580,7 +598,18 @@ object ScaleSmoke {
       // round-12 wave: winnowed-fingerprint span counting (hash-keyed,
       // density-bounded ~2/(w+1), no pair listing); the two-pass
       // capped ER propose (summed per-pass n·(cap−1)/2 bound)
-      "text_winnow_fingerprint", "er_multipass_pairs") ++
+      "text_winnow_fingerprint", "er_multipass_pairs",
+      // round-14/15 wave (VERDICT r14 item 6): Theil–Sen over the
+      // replicated events (day count is time-span-bound, so the
+      // day-pair frame stays metadata-scale at any corpus size);
+      // curriculum ordering + padding waste over 10× docs (both ride
+      // the distributed prefix-sum rank — per-task rows shrink with
+      // shuffle partitions at ANY shard count); manifest skip /
+      // refresh / append-commit over the 10× orders (layout staging
+      // is per-sfDir, so the smoke dir stages its own)
+      "q71_theil_sen_trend", "q72_curriculum_order", "eval_padding_waste",
+      "layout_manifest_skip", "layout_manifest_refresh",
+      "layout_append_commit") ++
       // the exact within-lang jaccard (ground truth of the dedup eval)
       // shares ngram_jaccard's O(clique²) pair blowup under replication
       (if (replicas <= 10) Seq("dedup_ngram_jaccard", "eval_dedup_quality") else Nil))
@@ -796,6 +825,34 @@ object ScaleSmoke {
       println(f"er multipass pairs (2 passes): 1x $mp1%d -> ${replicas}x $mpN%d " +
         f"over $mnN%d recs (summed bound k*n*(cap-1)/2 = $mBound%d, " +
         f"ratio x${mpN.toDouble / math.max(1, mp1)}%.1f)")
+    }
+    // Manifest skipping at 100× FILE count (round 15, VERDICT r14
+    // item 6): for a file-skipping claim the scale axis is file count,
+    // not rows. The same quarter predicate plans against a 16-file and
+    // a 1,600-file range-clustered layout of the same table; the
+    // reading is files OPENED over files PRESENT — per-file intervals
+    // narrow as the file count grows, so the opened fraction should
+    // hold ~the predicate's selectivity at any file count (the skipped
+    // complement is the manifest's value, growing with the table).
+    if (selectedExtra("manifest_skip_files")) {
+      def filesOpened(nFiles: Int): (Long, Long) = {
+        val d = s"$dir/orders_range_$nFiles"
+        graft.etl.Tables(spark, src, "orders")
+          .repartitionByRange(nFiles, col("o_orderdate"), col("o_orderkey"))
+          .write.mode("overwrite").parquet(d)
+        val mani = graft.etl.LayoutOps
+          .buildFileManifest(spark, d, Seq("o_orderdate")).localCheckpoint()
+        val opened = graft.etl.LayoutOps.manifestPrunedRead(spark, d, mani,
+            "o_orderdate", lit(java.sql.Date.valueOf("1995-01-01")),
+            lit(java.sql.Date.valueOf("1995-03-31")))
+          .inputFiles.length.toLong
+        (opened, mani.count())
+      }
+      val (o1, t1) = filesOpened(16)
+      val (oN, tN) = filesOpened(1600)
+      println(f"manifest skip files-opened: 16-file layout $o1%d/$t1%d " +
+        f"-> 1600-file layout $oN%d/$tN%d " +
+        f"(opened fraction ${o1.toDouble / t1}%.3f -> ${oN.toDouble / tN}%.3f)")
     }
     spark.stop()
     // the replica corpus is per-run scratch — a 100× documents dir left
