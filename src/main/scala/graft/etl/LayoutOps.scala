@@ -254,6 +254,56 @@ object LayoutOps {
     else spark.read.option("basePath", tableDir).parquet(files.toIndexedSeq: _*)
   }
 
+  /** Ceiling on dim-side keys driving a join-key file prune: a runtime
+    * filter from a non-selective dim prunes nothing (you read the
+    * table anyway) and its key set stops being broadcast-scale — past
+    * this, the right tool is the shuffle join itself. Loud, not silent.
+    */
+  val MaxJoinPruneKeys = 10000
+
+  /** Join-key manifest pruning — the RUNTIME-FILTER tier of data
+    * skipping (Iceberg/Delta min-max runtime filtering; Spark's DPP is
+    * the directory-partition rung of the same idea): before a
+    * fact ⋈ selective-dim join, keep only the fact files whose
+    * [min, max] interval on the join key can contain ANY dim key, then
+    * read THOSE files. The caller's join provides exactness (superset
+    * contract — a kept file may hold no matching row, a pruned file
+    * provably cannot). Worth it exactly when the fact layout clusters
+    * the join key (range/z-order writes), where a point-selective dim
+    * turns a 100 TB scan into a handful of file opens — the
+    * index-nested-loop pattern on plain parquet.
+    *
+    * Scale shape: the interval test is manifest rows × dim keys — a
+    * broadcast non-equi join of two METADATA-scale frames (files on
+    * one side, ≤ [[MaxJoinPruneKeys]] loud-capped keys on the other);
+    * the fact table itself is never touched until the pruned read.
+    * Null-stat files are conservatively kept (unknown interval), and
+    * an empty dim prunes everything (the join output is empty anyway).
+    */
+  def manifestJoinPrunedRead(spark: SparkSession, tableDir: String,
+      manifest: DataFrame, statCol: String, dimKeys: DataFrame): DataFrame = {
+    require(dimKeys.columns.length == 1,
+      s"dimKeys must be a one-column key frame, got ${dimKeys.columns.mkString(",")}")
+    val keys = dimKeys.select(col(dimKeys.columns.head).as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+      .limit(MaxJoinPruneKeys + 1).localCheckpoint()
+    require(keys.count() <= MaxJoinPruneKeys,
+      s"manifestJoinPrunedRead: dim side exceeds $MaxJoinPruneKeys distinct " +
+        "keys — a runtime filter this wide prunes nothing; shuffle-join instead")
+    val hit = coalesce(
+      col(s"min_$statCol") <= col("__k") && col(s"max_$statCol") >= col("__k"),
+      lit(true))
+    val files = manifest.join(broadcast(keys), hit, "left_semi")
+      .select(col("file"))
+      .limit(MaxManifestFiles + 1).collect().map(_.getString(0))
+    require(files.length <= MaxManifestFiles,
+      s"manifestJoinPrunedRead: more than $MaxManifestFiles files selected — " +
+        "the manifest frame must be per-FILE metadata, not row-scale data")
+    if (files.isEmpty)
+      spark.read.parquet(tableDir).limit(0)
+    else spark.read.option("basePath", tableDir).parquet(files.toIndexedSeq: _*)
+  }
+
   /** Small-files compaction: rewrite a parquet directory into files of
     * ~`targetFileBytes`. Streaming sinks and over-partitioned writes
     * leave thousands of KB-sized files whose open/footer cost dominates

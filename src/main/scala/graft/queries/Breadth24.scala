@@ -109,5 +109,67 @@ object Breadth24 {
       FROM orders GROUP BY 1 ORDER BY 1
     """.trim))
 
-  val all: Seq[Q] = Seq(layoutManifestRefresh, layoutAppendCommit)
+  /** Range-clustered lineitem layout (16 files by l_orderkey) + its
+    * file manifest — the fact side a join-key runtime filter prunes
+    * against. Pure functions of the source table (ensureDir reuse).
+    */
+  def ensureRangeLineitem(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.etl.LayoutOps.ensureDir(s, dir, "lineitem_range16") { d =>
+      Tables(s, dir, "lineitem")
+        .repartitionByRange(16, col("l_orderkey"), col("l_linenumber"))
+        .write.parquet(d)
+    }
+
+  def ensureLineitemManifest(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val table = ensureRangeLineitem(s, dir)
+    graft.etl.LayoutOps.ensureDir(s, dir, "lineitem_range16_manifest") { d =>
+      graft.etl.LayoutOps.buildFileManifest(s, table, Seq("l_orderkey"))
+        .write.parquet(d)
+    }
+  }
+
+  /** Join-key file skipping
+    * ([[graft.etl.LayoutOps.manifestJoinPrunedRead]]): one customer's
+    * order keys (a point-selective dim, resolved first) prune the
+    * range-clustered lineitem's files through the manifest BEFORE the
+    * join — the index-nested-loop pattern on plain parquet, and the
+    * runtime-filter rung above `layout_manifest_skip`'s static
+    * predicate pruning. At 100 TB this is the difference between a
+    * full fact scan and opening the handful of files that can hold the
+    * dim's keys. The oracle joins the raw tables: pruning must be
+    * invisible in the answer (superset contract — the join provides
+    * exactness), visible only in files opened (pinned in Round15Spec).
+    */
+  val layoutJoinSkip = Q(
+    "layout_join_skip",
+    (s, dir) => {
+      val table = ensureRangeLineitem(s, dir)
+      val mani = s.read.parquet(ensureLineitemManifest(s, dir))
+      val orders = Tables(s, dir, "orders")
+      val minCust = orders.agg(min(col("o_custkey"))).head().getLong(0)
+      val dim = orders.filter(col("o_custkey") === minCust)
+        .select(col("o_orderkey")).localCheckpoint()
+      val fact = graft.etl.LayoutOps.manifestJoinPrunedRead(s, table, mani,
+        "l_orderkey", dim)
+      fact.join(broadcast(dim.select(col("o_orderkey").as("l_orderkey"))),
+          Seq("l_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          Q.moneySum(col("l_extendedprice")).as("revenue"))
+        .select(col("l_orderkey").as("o_orderkey"), col("n_items"),
+          col("revenue"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o.o_orderkey, count(*)::BIGINT AS n_items,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey = (SELECT min(o_custkey) FROM orders)
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  val all: Seq[Q] = Seq(layoutManifestRefresh, layoutAppendCommit,
+    layoutJoinSkip)
 }

@@ -55,6 +55,7 @@ object BenchDetail {
       graft.queries.Breadth23.ensureOrdersManifest(spark, sfDir)
       graft.queries.Breadth24.ensureStagedOrdersAppend(spark, sfDir)
       graft.queries.Breadth24.ensureOrdersCommits(spark, sfDir)
+      graft.queries.Breadth24.ensureLineitemManifest(spark, sfDir)
     } catch { case _: Throwable => () }
     // Calibration probe (VERDICT r11 item 4): a fixed synthetic set —
     // one scan-agg, one shuffle join, one window — timed AFTER warm-up

@@ -156,6 +156,34 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("manifestJoinPrunedRead: dim keys prune fact files, join answers unchanged") {
+    val dir = freshDir("joinskip_")
+    (0L until 800L).map(k => (k, k * 2)).toDF("k", "v")
+      .repartitionByRange(8, col("k")).write.parquet(s"$dir/t")
+    val mani = graft.etl.LayoutOps
+      .buildFileManifest(spark, s"$dir/t", Seq("k")).localCheckpoint()
+    val dim = Seq(10L, 11L, 720L).toDF("k") // keys at both ends of the range
+    val pruned = graft.etl.LayoutOps.manifestJoinPrunedRead(
+      spark, s"$dir/t", mani, "k", dim)
+    assert(pruned.inputFiles.length >= 1 && pruned.inputFiles.length < 8,
+      s"point-selective dim must prune files, opened ${pruned.inputFiles.length} of 8")
+    val got = pruned.join(dim, Seq("k")).orderBy(col("k"))
+      .as[(Long, Long)].collect().toSeq
+    val want = spark.read.parquet(s"$dir/t").join(dim, Seq("k"))
+      .orderBy(col("k")).as[(Long, Long)].collect().toSeq
+    assert(got === want && got.size === 3)
+    // empty dim prunes everything and keeps the table's schema
+    val none = graft.etl.LayoutOps.manifestJoinPrunedRead(
+      spark, s"$dir/t", mani, "k", Seq.empty[Long].toDF("k"))
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("k", "v"))
+    // a non-selective dim fails loudly at the key cap
+    intercept[IllegalArgumentException] {
+      graft.etl.LayoutOps.manifestJoinPrunedRead(spark, s"$dir/t", mani,
+        "k", spark.range(20001).toDF("k"))
+    }
+  }
+
   test("layout_manifest_refresh and layout_append_commit: registry rows run green at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val r = graft.queries.Breadth24.layoutManifestRefresh.fn(spark, sf)
