@@ -69,6 +69,7 @@ object Bench {
       graft.queries.Breadth24.ensureStagedOrdersAppend(spark, sfDir)
       graft.queries.Breadth24.ensureOrdersCommits(spark, sfDir)
       graft.queries.Breadth24.ensureLineitemManifest(spark, sfDir)
+      graft.queries.Breadth24.ensureOrdersMergeCommit(spark, sfDir)
       // the versioned-sink history layout_vacuum classifies is the same
       // ingest class: staged once, audited (dry-run) by the query
       graft.queries.Breadth10.ensureVacuumHistory(spark, sfDir)

@@ -192,6 +192,62 @@ object CommitOps {
     commitManifest(spark, root, Some(keepDf), newFiles, statCols)
   }
 
+  /** Copy-on-write MERGE as a commit — the Delta/Iceberg upsert
+    * pattern composed from this round's pieces: files that can contain
+    * a matched key are found through the manifest's [min, max]
+    * intervals on `keyCol` (the [[LayoutOps.manifestJoinPrunedRead]]
+    * runtime-filter test when the update-key set is broadcast-scale;
+    * the keys' [min, max] envelope past [[LayoutOps.MaxJoinPruneKeys]]
+    * — a coarser superset, never a miss), and ONLY those files
+    * rewrite (surviving rows anti-joined on the key + the updates
+    * appended); every untouched file keeps its manifest row verbatim.
+    * Rows whose key matches an update are replaced; unmatched update
+    * keys insert. Old files stay for open readers until
+    * [[vacuumCommits]]. At 100 TB the rewrite cost is the matched
+    * files' bytes, not the table — which is the entire point of
+    * keeping key-clustered layouts under a manifest. The snapshot's
+    * manifest must carry `min_/max_$keyCol` stats (commit with
+    * `keyCol` in `statCols`).
+    */
+  def mergeCommit(spark: SparkSession, root: String, updates: DataFrame,
+      keyCol: String, statCols: Seq[String]): Long = {
+    val mani = snapshotManifest(spark, root).localCheckpoint()
+    require(mani.columns.contains(s"min_$keyCol"),
+      s"mergeCommit needs min_/max_$keyCol stats in the snapshot manifest")
+    val ks = updates.select(col(keyCol).as("__k"))
+      .filter(col("__k").isNotNull).distinct().localCheckpoint()
+    val nk = ks.count()
+    val hitFiles =
+      if (nk <= LayoutOps.MaxJoinPruneKeys)
+        mani.join(broadcast(ks), coalesce(
+          col(s"min_$keyCol") <= col("__k") &&
+            col(s"max_$keyCol") >= col("__k"), lit(true)), "left_semi")
+      else {
+        val env = ks.agg(min(col("__k")).as("__lo"), max(col("__k")).as("__hi"))
+          .head()
+        mani.filter(coalesce(
+          col(s"max_$keyCol") >= lit(env.get(0)) &&
+            col(s"min_$keyCol") <= lit(env.get(1)), lit(true)))
+      }
+    val touched = hitFiles.select(col("file"))
+      .limit(LayoutOps.MaxManifestFiles + 1).collect().map(_.getString(0))
+    require(touched.length <= LayoutOps.MaxManifestFiles,
+      s"mergeCommit: more than ${LayoutOps.MaxManifestFiles} files touched")
+    import spark.implicits._
+    val untouched = mani.join(broadcast(touched.toSeq.toDF("__f")),
+      col("file") === col("__f"), "left_anti")
+    val newData =
+      if (touched.isEmpty) updates
+      else spark.read.parquet(touched.toIndexedSeq: _*)
+        .join(ks, col(keyCol) === col("__k"), "left_anti")
+        .unionByName(updates)
+    val commitDir =
+      s"$root/data/c${java.util.UUID.randomUUID().toString.take(12)}"
+    newData.write.parquet(commitDir)
+    val newFiles = LayoutOps.listDataFiles(spark, commitDir)
+    commitManifest(spark, root, Some(untouched), newFiles, statCols)
+  }
+
   /** Retention: keep the newest `keep` committed manifests, delete
     * older/debris manifests and every data file no kept manifest
     * references. FS metadata + a driver-side name set (capped at the

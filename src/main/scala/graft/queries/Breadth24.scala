@@ -170,6 +170,62 @@ object Breadth24 {
       GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Versioned orders table staged through one full commit
+    * (key-clustered so merge pruning has intervals to cut) and one
+    * copy-on-write MERGE commit: the min-custkey customer's orders
+    * flip to status 'U' (updates) and re-insert under offset keys as
+    * status 'I' (inserts). Returns the table root.
+    */
+  def ensureOrdersMergeCommit(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "orders_merge_commit") { d =>
+      val root = s"$d/table"
+      val orders = Tables(s, dir, "orders")
+      CommitOps.appendCommit(s, root,
+        orders.repartitionByRange(16, col("o_orderkey")), Seq("o_orderkey"))
+      val minCust = orders.agg(min(col("o_custkey"))).head().getLong(0)
+      val tgt = orders.filter(col("o_custkey") === minCust).localCheckpoint()
+      CommitOps.mergeCommit(s, root,
+        tgt.withColumn("o_orderstatus", lit("U"))
+          .unionByName(tgt
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .withColumn("o_orderstatus", lit("I"))),
+        "o_orderkey", Seq("o_orderkey"))
+    }
+
+  /** Copy-on-write MERGE commit ([[graft.etl.CommitOps.mergeCommit]]):
+    * the snapshot after upserting one customer's orders (status flip)
+    * plus fresh inserts must aggregate exactly as the SQL-replayed
+    * upsert over the raw table — a merge that lost a survivor row,
+    * duplicated a matched key, or dropped an insert hash-reds. The
+    * file-level claim (only key-overlapping files rewrite; untouched
+    * manifest rows survive verbatim) is pinned in Round15Spec.
+    */
+  val layoutMergeCommit = Q(
+    "layout_merge_commit",
+    (s, dir) => {
+      val root = s"${ensureOrdersMergeCommit(s, dir)}/table"
+      CommitOps.readSnapshot(s, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          Q.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      WITH mc AS (SELECT min(o_custkey) AS m FROM orders),
+      t AS (SELECT o_orderkey,
+              CASE WHEN o_custkey = (SELECT m FROM mc) THEN 'U'
+                   ELSE o_orderstatus END AS o_orderstatus,
+              o_totalprice
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + 10000000, 'I', o_totalprice
+            FROM orders WHERE o_custkey = (SELECT m FROM mc))
+      SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM t GROUP BY 1 ORDER BY 1
+    """.trim))
+
   val all: Seq[Q] = Seq(layoutManifestRefresh, layoutAppendCommit,
-    layoutJoinSkip)
+    layoutJoinSkip, layoutMergeCommit)
 }

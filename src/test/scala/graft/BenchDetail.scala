@@ -56,6 +56,7 @@ object BenchDetail {
       graft.queries.Breadth24.ensureStagedOrdersAppend(spark, sfDir)
       graft.queries.Breadth24.ensureOrdersCommits(spark, sfDir)
       graft.queries.Breadth24.ensureLineitemManifest(spark, sfDir)
+      graft.queries.Breadth24.ensureOrdersMergeCommit(spark, sfDir)
     } catch { case _: Throwable => () }
     // Calibration probe (VERDICT r11 item 4): a fixed synthetic set —
     // one scan-agg, one shuffle join, one window — timed AFTER warm-up

@@ -134,6 +134,37 @@ class Round15Spec extends SparkSpec {
       targetFileBytes = 1L << 26, statCols = Seq("k")) === 6L)
   }
 
+  test("mergeCommit: copy-on-write upsert rewrites only key-overlapping files") {
+    val root = freshDir("commit_merge_") + "/t"
+    // key-clustered base: 4 range files over k = 0..99
+    graft.etl.CommitOps.appendCommit(spark, root,
+      (0L until 100L).map(k => (k, "old")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), Seq("k"))
+    val baseFiles = graft.etl.CommitOps.snapshotManifest(spark, root)
+      .select(col("file")).as[String].collect().toSet
+    assert(baseFiles.size === 4)
+    // updates hit keys 5 and 7 (one file's interval) + one pure insert
+    val v = graft.etl.CommitOps.mergeCommit(spark, root,
+      Seq((5L, "new"), (7L, "new"), (150L, "ins")).toDF("k", "v"),
+      "k", Seq("k"))
+    assert(v === 2L)
+    val snap = graft.etl.CommitOps.readSnapshot(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(snap.size === 101)
+    assert(snap(5L) === "new" && snap(7L) === "new" && snap(150L) === "ins")
+    assert(snap(6L) === "old" && snap(99L) === "old")
+    // only the one key-overlapping file rewrote: the other 3 base
+    // files' manifest rows survive VERBATIM (same file names)
+    val after = graft.etl.CommitOps.snapshotManifest(spark, root)
+      .select(col("file")).as[String].collect().toSet
+    assert((baseFiles intersect after).size === 3,
+      s"3 untouched base files must keep their manifest rows, " +
+        s"kept ${(baseFiles intersect after).size}")
+    // an open v1 reader still sees the pre-merge contents
+    assert(graft.etl.CommitOps.readSnapshot(spark, root, Some(1L))
+      .filter(col("k") === 5L).as[(Long, String)].head()._2 === "old")
+  }
+
   test("vacuumCommits: retention keeps the serving snapshot readable, reclaims the rest") {
     val root = freshDir("commit_vacuum_") + "/t"
     (0 until 4).foreach { i =>
