@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot-consistent incremental ingest on plain parquet — the
@@ -75,9 +75,9 @@ object CommitOps {
   /** Read a snapshot: the manifest's explicit immutable file list
     * (driver-side file NAMES, loudly capped — the metastore planning
     * pattern), so the frame is pinned to the snapshot no matter what
-    * commits after. An empty snapshot (possible after compacting an
-    * empty table) reads as an empty frame via the manifest's own
-    * emptiness, never a directory listing.
+    * commits after. A snapshot listing no files fails loudly (an
+    * all-empty-append history has nothing to read; zero-row data files
+    * never enter a manifest because their stat pass emits no row).
     */
   def readSnapshot(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
