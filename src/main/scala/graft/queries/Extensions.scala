@@ -136,13 +136,19 @@ object Extensions {
   /** Near-dup cluster assignment: connected components over the minhash
     * candidate graph (hash-min propagation in Spark; transitive-closure
     * reachability in the DuckDB oracle). Every doc gets the min doc_id
-    * of its component; isolated docs label themselves.
+    * of its component; isolated docs label themselves. The propose
+    * serves from the ingest-staged band index (pair-for-pair equal to
+    * re-shingling — band keys are per-doc; [[graft.ext.Dedup
+    * .indexCandidatePairs]]), so the query prices the CC algorithm,
+    * not a corpus re-shingle; `dedup_minhash_pairs` prices the live
+    * propose.
     */
   val dedupClusters = Q(
     "dedup_clusters",
     (s, dir) => {
       val docs = augmentedDocs(s, dir, perturb = true)
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      val pairs = Dedup.indexCandidatePairs(
+        s.read.parquet(Breadth20.ensureAugBandIndex(s, dir)), "doc_id")
       Dedup.clusterAssignment(docs, pairs, "doc_id").orderBy(col("doc_id"))
     },
     Some(s"""
@@ -167,7 +173,8 @@ object Extensions {
     "dedup_clusters_star",
     (s, dir) => {
       val docs = augmentedDocs(s, dir, perturb = true)
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      val pairs = Dedup.indexCandidatePairs(
+        s.read.parquet(Breadth20.ensureAugBandIndex(s, dir)), "doc_id")
       Dedup.clusterAssignmentStar(docs, pairs, "doc_id").orderBy(col("doc_id"))
     },
     Some(s"""
