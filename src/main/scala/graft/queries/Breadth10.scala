@@ -406,20 +406,19 @@ object Breadth10 {
     * is [[graft.etl.SampleOps.topKPerGroup]]; using its CDF machinery
     * here measured 3 s slower for no scale benefit).
     *
-    * Serves entirely from ingest artifacts (VERDICT r13 item 7): the
-    * propose probes the persisted band index (per-doc band keys, so
-    * index-probe ≡ re-propose — the funnel's proven equivalence) and
-    * the per-lang quality comes from the doc-stats table; the query
-    * touches ids + scalars, never corpus text.
+    * Serves entirely from ingest artifacts (VERDICT r13 item 7, r15
+    * completing it): the cluster assignment is the ingest dedup pass's
+    * persisted output ([[Breadth20.ensureAugClusters]] — the in-query
+    * hash-min CC was the query's residual cost, ~80% of its r14
+    * median) and the per-lang quality comes from the doc-stats table;
+    * the query is one join + one O(1)-state argmax over ids and
+    * scalars, never corpus text.
     */
   val dedupCanonicalQuality = Q(
     "dedup_canonical_quality",
     (s, dir) => {
-      import graft.ext.Dedup
       val stats = s.read.parquet(Breadth20.ensureDocStats(s, dir))
-      val pairs = Dedup.indexCandidatePairs(
-        s.read.parquet(Breadth20.ensureAugBandIndex(s, dir)), "doc_id")
-      val clusters = Dedup.clusterAssignment(stats, pairs, "doc_id")
+      val clusters = s.read.parquet(Breadth20.ensureAugClusters(s, dir))
       val scored = stats.select(col("doc_id"),
         col("quality_lang").as("quality"))
       val members = clusters.join(scored, "doc_id")

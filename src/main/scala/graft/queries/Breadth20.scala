@@ -389,6 +389,24 @@ object Breadth20 {
         .write.parquet(d)
     }
 
+  /** Build-if-absent the persisted AUG-corpus cluster assignment — the
+    * ingest dedup pass's output table (min-id cluster label per doc),
+    * computed ONCE from the staged band index by the O(log n) star
+    * algorithm; downstream consumers (canonical selection) read it
+    * like any other silver-layer scalar. The live CC algorithms stay
+    * priced by dedup_clusters / dedup_clusters_star.
+    */
+  def ensureAugClusters(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val idx = ensureAugBandIndex(s, dir)
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "dedup_clusters_aug") { d =>
+      graft.ext.Dedup.clusterAssignmentStar(
+        Extensions.augmentedDocs(s, dir, perturb = true).select(col("doc_id")),
+        graft.ext.Dedup.indexCandidatePairs(s.read.parquet(idx), "doc_id"),
+        "doc_id").write.parquet(d)
+    }
+  }
+
   /** Build-if-absent the per-document STATS artifact over the augmented
     * perturbed corpus — doc_id, the per-lang Gopher keep flag, the
     * normalized-content md5, n_words, and both quality scores (English
