@@ -102,11 +102,25 @@ object CommitOps {
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
     import spark.implicits._
-    val sizes = files.map(s => (s.getPath.toUri.getPath, s.getLen))
+    // size keys from the SAME normalization as the scan-reported names
+    // (LayoutOps.normFilePath — ADVICE r15: toUri.getPath drops the URI
+    // authority, normFileCol keeps it, so on hdfs/s3 the inner join
+    // matched nothing and a commit silently dropped every appended file)
+    val sizes = files.map(s => (LayoutOps.normFilePath(s.getPath.toString), s.getLen))
       .toDF("__p", "n_bytes")
-    stats.join(broadcast(sizes),
-        LayoutOps.normFileCol(col("file")) === col("__p"))
+    val joined = stats.join(broadcast(sizes),
+        LayoutOps.normFileCol(col("file")) === col("__p"), "left")
       .drop("__p")
+      .localCheckpoint()
+    // loud guard: a stats row whose normalized name matched no listed
+    // file means the two normalizations diverged again — fail the
+    // commit, never write a manifest missing its n_bytes. (Fewer stats
+    // rows than files is legitimate: zero-row data files emit no group.)
+    val unmatched = joined.filter(col("n_bytes").isNull).count()
+    require(unmatched == 0L,
+      s"statFiles: $unmatched stat rows matched no listed file — " +
+        "path normalization mismatch between scan names and FS listing")
+    joined
   }
 
   /** Write `vNew` = `prev` (may be empty) ∪ stats of `newFiles`, and
@@ -217,6 +231,19 @@ object CommitOps {
     val ks = updates.select(col(keyCol).as("__k"))
       .filter(col("__k").isNotNull).distinct().localCheckpoint()
     val nk = ks.count()
+    // loud MERGE-source guards (ADVICE r15, the Delta/Iceberg contract):
+    // a NULL update key can never match (it would silently always
+    // insert), and duplicate update keys would silently commit
+    // duplicated rows where Delta fails on multiple matches. One
+    // aggregate over the updates; nk (distinct) is already materialized.
+    val uStats = updates.agg(
+      count(lit(1)).as("__n"), count(col(keyCol)).as("__nn")).head()
+    require(uStats.getLong(0) == uStats.getLong(1),
+      s"mergeCommit: ${uStats.getLong(0) - uStats.getLong(1)} update rows " +
+        s"have a NULL $keyCol — null keys bypass the match path")
+    require(uStats.getLong(1) == nk,
+      s"mergeCommit: updates carry duplicate $keyCol values " +
+        s"(${uStats.getLong(1)} rows, $nk distinct) — one row per key required")
     val hitFiles =
       if (nk <= LayoutOps.MaxJoinPruneKeys)
         mani.join(broadcast(ks), coalesce(
@@ -275,7 +302,7 @@ object CommitOps {
     require(referenced.size <= LayoutOps.MaxManifestFiles,
       s"vacuumCommits: kept snapshots exceed ${LayoutOps.MaxManifestFiles} files")
     val orphans = LayoutOps.listDataFiles(spark, s"$root/data")
-      .filter(s => !referenced(s.getPath.toUri.getPath))
+      .filter(s => !referenced(LayoutOps.normFilePath(s.getPath.toString)))
     dropManis.foreach(v =>
       fs.delete(new Path(s"${manifestRoot(root)}/v$v"), true): Unit)
     orphans.foreach(s => fs.delete(s.getPath, false): Unit)

@@ -188,6 +188,18 @@ object LayoutOps {
   private[etl] def normFileCol(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
+  /** Driver-side twin of [[normFileCol]] for FileStatus paths. Both
+    * join keys MUST come from the SAME normalization: `toUri.getPath`
+    * drops the URI authority while `normFileCol` keeps it as a path
+    * prefix, so on any filesystem whose URIs carry an authority
+    * (hdfs://nn:8020/x, s3a://bucket/x) the two spellings differ and a
+    * manifest/size/vacuum join silently matches nothing (ADVICE r15).
+    * Local `file:` URIs have no authority, which is why tests never saw
+    * it.
+    */
+  private[etl] def normFilePath(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
   /** Incremental manifest maintenance (VERDICT r14 item 4):
     * [[buildFileManifest]] is a full-rebuild — one whole-table scan per
     * refresh, which at 100 TB makes the manifest stale in practice.
@@ -211,9 +223,9 @@ object LayoutOps {
       .limit(MaxManifestFiles + 1).collect().map(_.getString(0)).toSet
     require(known.size <= MaxManifestFiles,
       s"refreshFileManifest: manifest exceeds $MaxManifestFiles files")
-    val newFiles = current.filter(s => !known(s.getPath.toUri.getPath))
+    val newFiles = current.filter(s => !known(normFilePath(s.getPath.toString)))
     import spark.implicits._
-    val curDf = current.map(_.getPath.toUri.getPath).toDF("__p")
+    val curDf = current.map(s => normFilePath(s.getPath.toString)).toDF("__p")
     val kept = manifest
       .join(broadcast(curDf), normFileCol(col("file")) === col("__p"), "left_semi")
     val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap(c =>

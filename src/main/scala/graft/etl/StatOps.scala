@@ -116,10 +116,29 @@ object StatOps {
     val wRun = Window.partitionBy(col("__pid") +: g: _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts.join(broadcast(offsets), "__pid" +: groupCols)
+    parts.join(broadcast(offsets.transform(renameForNullSafe(groupCols))),
+        nullSafeCond(groupCols))
+      .drop("__opid").drop(groupCols.map(c => s"__og_$c"): _*)
       .withColumn(outCol, sum(col(valueCol)).over(wRun) + col("__off"))
       .drop("__pid")
   }
+
+  /** Offsets-side renames for the null-safe group join below. */
+  private def renameForNullSafe(groupCols: Seq[String])(d: DataFrame): DataFrame =
+    groupCols.foldLeft(d.withColumnRenamed("__pid", "__opid")) {
+      (acc, c) => acc.withColumnRenamed(c, s"__og_$c")
+    }
+
+  /** Null-safe equality on the group columns (ADVICE r15): a plain
+    * using-columns join silently DROPS rows whose group key is NULL,
+    * where the window these prefix-sum ops replace kept them as their
+    * own partition. `<=>` keeps them (null group = its own group, the
+    * window semantics); for non-null keys it plans the identical
+    * broadcast hash join.
+    */
+  private def nullSafeCond(groupCols: Seq[String]): Column =
+    groupCols.map(c => col(c) <=> col(s"__og_$c"))
+      .foldLeft(col("__pid") === col("__opid"))(_ && _)
 
   /** Per-group 1-based row_number without a low-NDV-partition window:
     * `row_number() OVER (PARTITION BY group ORDER BY order)` funnels a
@@ -152,7 +171,9 @@ object StatOps {
     val wRun = Window.partitionBy(col("__pid") +: g: _*)
       .orderBy(orderSorts: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parts.join(broadcast(offsets), "__pid" +: groupCols)
+    parts.join(broadcast(offsets.transform(renameForNullSafe(groupCols))),
+        nullSafeCond(groupCols))
+      .drop("__opid").drop(groupCols.map(c => s"__og_$c"): _*)
       .withColumn(outCol, sum(lit(1L)).over(wRun) + col("__off"))
       .drop("__pid")
   }

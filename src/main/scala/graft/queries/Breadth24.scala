@@ -72,7 +72,10 @@ object Breadth24 {
   /** Versioned orders table staged through TWO append commits
     * ([[graft.etl.CommitOps.appendCommit]] — even keys then odd keys),
     * so the latest snapshot holds the whole table across two commits'
-    * immutable files. Returns the table root.
+    * immutable files. Returns the RUN DIR (ensureRunDir's memo dir);
+    * the commit-protocol table root is `<returned>/table` — passing the
+    * run dir itself to a snapshot reader finds no `_manifests`
+    * (ADVICE r15).
     */
   def ensureOrdersCommits(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
@@ -174,7 +177,9 @@ object Breadth24 {
     * (key-clustered so merge pruning has intervals to cut) and one
     * copy-on-write MERGE commit: the min-custkey customer's orders
     * flip to status 'U' (updates) and re-insert under offset keys as
-    * status 'I' (inserts). Returns the table root.
+    * status 'I' (inserts). Returns the RUN DIR (ensureRunDir's memo
+    * dir); the commit-protocol table root is `<returned>/table`
+    * (ADVICE r15).
     */
   def ensureOrdersMergeCommit(s: org.apache.spark.sql.SparkSession,
       dir: String): String =

@@ -110,7 +110,30 @@ object BenchDetail {
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!preProbe.contains(id)) rdd.unpersist(false)
     }
-    println(f"calib_s $calib%.3f calib_fixed_s $calibFixed%.4f")
+    // Per-query job counter (VERDICT r15 item 3): sub-second medians are
+    // dominated by per-job fixed cost, so a drifting median decomposes as
+    // calib_fixed_s × n_jobs — without the count, adjudication has to
+    // guess (the r15 graph_ppr/cluster-family problem). Counted with a
+    // listener; the bus is async, so the count is read AFTER the rep's
+    // (untimed) unpersist housekeeping and the per-query value is the MAX
+    // over reps — lag can only undercount, never overcount, and the true
+    // count is constant per plan (AQE may vary it by ±1).
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    })
+    // the fixed-overhead probe's own shape (one single-stage job) — the
+    // unit n_jobs multiplies against; emitted in the header
+    val calibFixedJobs = {
+      Thread.sleep(50)
+      val j0 = jobCount.get()
+      spark.range(0, 100000, 1, 32).selectExpr("sum(id % 113) AS s").collect()
+      Thread.sleep(50)
+      jobCount.get() - j0
+    }
+    println(f"calib_s $calib%.3f calib_fixed_s $calibFixed%.4f calib_fixed_n_jobs $calibFixedJobs")
     // a query that crashes must NOT record its (near-zero) failure-path
     // timing — in the committed regression artifact that would read as a
     // dramatic speedup; it records err instead and is excluded from totals
@@ -119,6 +142,7 @@ object BenchDetail {
       else SparkEntry.queries.filter { case (n, _) => filters.exists(n.contains) }
     val rows = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
+      var nJobs = 0
       val times = (1 to reps).map { _ =>
         // snapshot BEFORE the rep so the cleanup below is scoped to the
         // rep's own residue — a future cross-query persisted frame (or a
@@ -126,6 +150,7 @@ object BenchDetail {
         // truncated and unrecoverable once evicted) must survive the
         // loop (ADVICE r11)
         val preexisting = spark.sparkContext.getPersistentRDDs.keySet
+        val jobs0 = jobCount.get()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch {
           case t: Throwable => err = Some(t.getClass.getSimpleName)
@@ -142,27 +167,30 @@ object BenchDetail {
         spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!preexisting.contains(id)) rdd.unpersist(false)
         }
+        nJobs = math.max(nJobs, jobCount.get() - jobs0)
         dt
       }.sorted
-      (name, times.head, times(times.size / 2), err)
+      (name, times.head, times(times.size / 2), nJobs, err)
     }
-    val ok = rows.filter(_._4.isEmpty)
-    println(f"${"query"}%-28s ${"min"}%8s ${"median"}%8s")
-    ok.sortBy(-_._3).foreach { case (n, mn, md, _) => println(f"$n%-28s $mn%8.3f $md%8.3f") }
-    rows.collect { case (n, _, _, Some(e)) => println(f"$n%-28s ERR $e") }
+    val ok = rows.filter(_._5.isEmpty)
+    println(f"${"query"}%-28s ${"min"}%8s ${"median"}%8s ${"jobs"}%5s")
+    ok.sortBy(-_._3).foreach { case (n, mn, md, nj, _) => println(f"$n%-28s $mn%8.3f $md%8.3f $nj%5d") }
+    rows.collect { case (n, _, _, _, Some(e)) => println(f"$n%-28s ERR $e") }
     println(f"TOTAL(median) ${ok.map(_._3).sum}%.2f s  TOTAL(min) ${ok.map(_._2).sum}%.2f s" +
       (if (ok.size < rows.size) s"  (${rows.size - ok.size} ERRORED)" else ""))
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     jsonOut.foreach { path =>
       val qs = rows.sortBy(-_._3).map {
-        case (n, mn, md, None) => s""""$n":{"min":${fmt(mn)},"median":${fmt(md)}}"""
-        case (n, _, _, Some(e)) => s""""$n":{"err":"$e"}"""
+        case (n, mn, md, nj, None) =>
+          s""""$n":{"min":${fmt(mn)},"median":${fmt(md)},"n_jobs":$nj}"""
+        case (n, _, _, _, Some(e)) => s""""$n":{"err":"$e"}"""
       }.mkString(",")
       val json =
         s"""{"reps":$reps,"sf":"$sfDir","cpus":$cpus,""" +
           s""""calib_s":${fmt(calib)},""" +
           s""""calib_fixed_s":${fmt(calibFixed)},""" +
+          s""""calib_fixed_n_jobs":$calibFixedJobs,""" +
           s""""total_median":${fmt(ok.map(_._3).sum)},""" +
           s""""total_min":${fmt(ok.map(_._2).sum)},""" +
           s""""n_err":${rows.size - ok.size},""" +
