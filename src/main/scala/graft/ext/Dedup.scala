@@ -362,19 +362,25 @@ object Dedup {
     // corpus. When it fits the broadcast budget, each propagation round
     // becomes a broadcast join (no shuffle of the edge list); past the
     // budget it falls back to the shuffled join, which is the correct
-    // 100 TB plan. The count is a cheap scan of the checkpointed rows.
-    val smallLabels = labels.count() <= 4000000L // ~16 B/row → ≤ 64 MB
+    // 100 TB plan.
     // Convergence via the monotone-sum invariant: each round takes a
     // componentwise min, so every label is non-increasing and the label
     // SUM strictly decreases until the fixpoint — equal sums ⟺ no label
     // changed. One cheap aggregate over materialized rows per round,
     // replacing a second (labels ⟕ nbrMin) join just to carry a changed
     // flag. DECIMAL(38,0) so a 1e9-vertex × 1e18-id corpus cannot wrap.
+    // The vertex count rides the SAME collect (r16: one setup job, not
+    // two — the n_jobs decomposition showed every collect here is a
+    // fixed-cost job).
     def labelSum(l: DataFrame): java.math.BigDecimal = {
       val v = l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0)
       if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
     }
-    var prevSum = labelSum(labels)
+    val init = labels.agg(count(lit(1)),
+      sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0)
+    val smallLabels = init.getLong(0) <= 4000000L // ~16 B/row → ≤ 64 MB
+    var prevSum =
+      if (init.isNullAt(1)) java.math.BigDecimal.ZERO else init.getDecimal(1)
     var converged = false
     var i = 1
     while (!converged && i <= maxIter) {

@@ -212,12 +212,22 @@ object GraphOps {
     *
     * Scale shape: ranks are one row per node — always the small side —
     * so each round is a broadcast join into the edge table plus one
-    * shuffled sum keyed by dst; the edge table itself never reshuffles
-    * (same key every round, exchange reuse). Nodes without in-links
-    * keep the base term via the left join; dangling-node mass is not
-    * redistributed (the classic simplification — both sides of the
-    * oracle drop it identically). localCheckpoint cuts lineage so the
-    * plan stays flat across rounds.
+    * shuffled sum keyed by dst. Nodes without in-links keep the base
+    * term via the left join; dangling-node mass is not redistributed
+    * (the classic simplification — both sides of the oracle drop it
+    * identically).
+    *
+    * Job shape (optimization r16): while the rank frame is under
+    * `broadcastBudgetRows`, NO per-round localCheckpoint — the rounds
+    * stay one lazy nested plan whose per-round BroadcastExchanges
+    * materialize exactly once inside the caller's single action, and
+    * the identical edges/outdeg subtrees dedup via ReusedExchange. The
+    * measured cost of the old shape was jobs, not data: 51 jobs for 5
+    * rounds on a 25-node graph (BENCHDETAIL_r16_baseline n_jobs), each
+    * ~calib_fixed_s of pure scheduling. Past the budget every round
+    * checkpoints as before — a shuffled-join loop without lineage cuts
+    * would re-execute every prior round per action, which is the wrong
+    * trade at scale.
     */
   def pageRank(edgesRaw: DataFrame, iters: Int, damping: Double = 0.85,
       broadcastBudgetRows: Long = 4000000L): DataFrame = {
@@ -233,25 +243,30 @@ object GraphOps {
       .localCheckpoint()
     val n = nodes.count()
     val base = (1.0 - damping) / n
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+    val small = n <= broadcastBudgetRows
+    // broadcast path: outdeg stays lazy — its BroadcastExchange subtree
+    // is identical every round, so one execution builds it once
+    // (ReusedExchange); shuffled path materializes it once up front
+    val outdegRaw = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = if (small) outdegRaw else outdegRaw.localCheckpoint()
     var ranks = nodes.withColumn("rank", round(lit(1.0) / n, 12))
-      .localCheckpoint()
+    if (!small) ranks = ranks.localCheckpoint()
     for (_ <- 1 to iters) {
-      val r = if (n <= broadcastBudgetRows) broadcast(ranks) else ranks
-      val od = if (n <= broadcastBudgetRows) broadcast(outdeg) else outdeg
+      val r = if (small) broadcast(ranks) else ranks
+      val od = if (small) broadcast(outdeg) else outdeg
       val contribs = edges
         .join(r, col("src") === col("node"))
         .join(od, "src")
         .withColumn("__c", round(col("rank") / col("outdeg"), 12))
         .groupBy(col("dst"))
         .agg(sum(col("__c").cast(dec)).cast("double").as("__in"))
-      ranks = nodes
-        .join(contribs, col("node") === col("dst"), "left")
+      val upd = nodes
+        .join(if (small) broadcast(contribs) else contribs,
+          col("node") === col("dst"), "left")
         .withColumn("rank",
           round(lit(base) + lit(damping) * coalesce(col("__in"), lit(0.0)), 12))
         .select(col("node"), col("rank"))
-        .localCheckpoint()
+      ranks = if (small) upd else upd.localCheckpoint()
     }
     ranks
   }
@@ -266,11 +281,17 @@ object GraphOps {
     * domains) and related-entity retrieval. Same engine-exactness
     * contract as [[pageRank]]: contributions rounded to 12 dp, summed
     * in DECIMAL(38,12) (order-independent), rank frames broadcast
-    * under `broadcastBudgetRows` and shuffle-joined past it,
-    * checkpoint per round so the lineage stays one-round deep. Seeds
+    * under `broadcastBudgetRows` and shuffle-joined past it. Seeds
     * outside the graph are dropped (the teleport mass must be
     * well-defined over reachable nodes); an empty effective seed set
     * is a loud error, never a silent uniform fallback.
+    *
+    * Same job shape as [[pageRank]] (optimization r16): under the
+    * broadcast budget the rounds are one lazy nested plan (no per-round
+    * checkpoint — 61 jobs measured for 5 rounds on the 25-node trade
+    * graph, all scheduling); past it every round checkpoints so the
+    * shuffled loop stays one-round deep. Setup is two jobs: the flagged
+    * node frame's checkpoint and ONE aggregate returning (n, nSeeds).
     */
   def personalizedPageRank(edgesRaw: DataFrame, seedsRaw: DataFrame,
       iters: Int, damping: Double = 0.85,
@@ -280,40 +301,42 @@ object GraphOps {
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
+    val flagged = nodes
+      .join(seedsRaw.select(col("node")).distinct().withColumn("__s", lit(1)),
+        Seq("node"), "left")
       .localCheckpoint()
-    val seeds = seedsRaw.select(col("node")).distinct()
-      .join(nodes, "node").localCheckpoint()
-    val nSeeds = seeds.count()
+    val counts = flagged
+      .agg(count(lit(1)).as("__n"), count(col("__s")).as("__ns")).head()
+    val n = counts.getLong(0)
+    val nSeeds = counts.getLong(1)
     require(nSeeds > 0,
       "personalized PageRank needs at least one seed present in the graph")
-    val n = nodes.count()
     val base = (1.0 - damping) / nSeeds
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
-    val flagged = nodes
-      .join(seeds.withColumn("__s", lit(1)), Seq("node"), "left")
-      .localCheckpoint()
+    val small = n <= broadcastBudgetRows
+    val outdegRaw = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = if (small) outdegRaw else outdegRaw.localCheckpoint()
     var ranks = flagged
       .withColumn("rank", when(col("__s").isNotNull,
         round(lit(1.0 / nSeeds), 12)).otherwise(lit(0.0)))
       .select(col("node"), col("rank"))
-      .localCheckpoint()
+    if (!small) ranks = ranks.localCheckpoint()
     for (_ <- 1 to iters) {
-      val r = if (n <= broadcastBudgetRows) broadcast(ranks) else ranks
-      val od = if (n <= broadcastBudgetRows) broadcast(outdeg) else outdeg
+      val r = if (small) broadcast(ranks) else ranks
+      val od = if (small) broadcast(outdeg) else outdeg
       val contribs = edges
         .join(r, col("src") === col("node"))
         .join(od, "src")
         .withColumn("__c", round(col("rank") / col("outdeg"), 12))
         .groupBy(col("dst"))
         .agg(sum(col("__c").cast(dec)).cast("double").as("__in"))
-      ranks = flagged
-        .join(contribs, col("node") === col("dst"), "left")
+      val upd = flagged
+        .join(if (small) broadcast(contribs) else contribs,
+          col("node") === col("dst"), "left")
         .withColumn("rank", round(
           when(col("__s").isNotNull, lit(base)).otherwise(lit(0.0)) +
             lit(damping) * coalesce(col("__in"), lit(0.0)), 12))
         .select(col("node"), col("rank"))
-        .localCheckpoint()
+      ranks = if (small) upd else upd.localCheckpoint()
     }
     ranks
   }
@@ -347,29 +370,65 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
-    def bc(df: DataFrame): DataFrame =
-      if (n <= broadcastBudgetRows) broadcast(df) else df
-    var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
+    val small = n <= broadcastBudgetRows
+    def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // Job shape (optimization r16). Broadcast path: NO materialization
+    // at all — each half-round's aggregate is consumed ONCE (the L1
+    // normalizer is an unbounded-frame window OVER the aggregate — a
+    // ≤ n-row frame that is about to be broadcast-collected anyway, so
+    // the single-task window adds nothing; the lint exempts
+    // window-over-aggregate), keeping the lazy plan LINEAR in iters.
+    // The two rejected shapes, both measured: per-round full-frame
+    // checkpoints (the r15 code) spent 65 jobs on a 25-node graph, and
+    // a lazy variant that kept the crossJoin normalizer duplicated the
+    // aggregate subtree per consumer — ~4^iters plan growth, slower
+    // than the checkpointed shape (3.3 s vs 1.8 s, all planning).
+    // Shuffled path (n past the broadcast budget): the original
+    // checkpoint-per-half-round loop, unchanged — at that scale the
+    // lineage cut is worth two jobs per round and the normalizer must
+    // not single-task, so it stays the broadcast one-row crossJoin.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    var hub = nodes.withColumn("hub", lit(1.0))
+    if (!small) hub = hub.localCheckpoint()
     var auth = nodes.withColumn("auth", lit(0.0))
     for (_ <- 1 to iters) {
       val aRaw = edges.join(bc(hub), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(round(col("hub"), 12).cast(dec)).cast("double").as("__a"))
-      val aSum = aRaw.agg(sum(col("__a").cast(dec)).cast("double").as("__s"))
-      auth = nodes.join(aRaw, col("node") === col("dst"), "left")
-        .crossJoin(broadcast(aSum))
-        .withColumn("auth", round(coalesce(col("__a"), lit(0.0)) / col("__s"), 12))
-        .select(col("node"), col("auth"))
-        .localCheckpoint()
+      if (small) {
+        val aN = aRaw.withColumn("__s",
+          sum(col("__a").cast(dec)).over(wAll).cast("double"))
+        auth = nodes.join(broadcast(aN), col("node") === col("dst"), "left")
+          .withColumn("auth", when(col("__a").isNull, lit(0.0))
+            .otherwise(round(col("__a") / col("__s"), 12)))
+          .select(col("node"), col("auth"))
+      } else {
+        val aSum = aRaw.agg(sum(col("__a").cast(dec)).cast("double").as("__s"))
+        auth = nodes.join(aRaw, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(aSum))
+          .withColumn("auth", round(coalesce(col("__a"), lit(0.0)) / col("__s"), 12))
+          .select(col("node"), col("auth"))
+          .localCheckpoint()
+      }
       val hRaw = edges.join(bc(auth), col("dst") === col("node"))
         .groupBy(col("src"))
         .agg(sum(round(col("auth"), 12).cast(dec)).cast("double").as("__h"))
-      val hSum = hRaw.agg(sum(col("__h").cast(dec)).cast("double").as("__s2"))
-      hub = nodes.join(hRaw, col("node") === col("src"), "left")
-        .crossJoin(broadcast(hSum))
-        .withColumn("hub", round(coalesce(col("__h"), lit(0.0)) / col("__s2"), 12))
-        .select(col("node"), col("hub"))
-        .localCheckpoint()
+      if (small) {
+        val hN = hRaw.withColumn("__s2",
+          sum(col("__h").cast(dec)).over(wAll).cast("double"))
+        hub = nodes.join(broadcast(hN), col("node") === col("src"), "left")
+          .withColumn("hub", when(col("__h").isNull, lit(0.0))
+            .otherwise(round(col("__h") / col("__s2"), 12)))
+          .select(col("node"), col("hub"))
+      } else {
+        val hSum = hRaw.agg(sum(col("__h").cast(dec)).cast("double").as("__s2"))
+        hub = nodes.join(hRaw, col("node") === col("src"), "left")
+          .crossJoin(broadcast(hSum))
+          .withColumn("hub", round(coalesce(col("__h"), lit(0.0)) / col("__s2"), 12))
+          .select(col("node"), col("hub"))
+          .localCheckpoint()
+      }
     }
     hub.join(auth, "node")
   }

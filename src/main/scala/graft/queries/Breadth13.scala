@@ -91,23 +91,19 @@ object Breadth13 {
     * first thing a corpus owner reads after a dedup run ("is the dup
     * mass a long tail of pairs or one mega-cluster?"): clusters
     * bucketed by next-power-of-two size, with cluster / document /
-    * removable-duplicate counts per bucket. Rides the existing
-    * propose → CC chain; the report itself is one map-side-combined
-    * aggregate over the cluster assignment into a ≤ 21-row frame —
-    * integer shift buckets, no libm (the text_length_buckets
-    * discipline). The oracle replays the identical chain (same
-    * generated MinHash CTEs, recursive-CTE components).
+    * removable-duplicate counts per bucket. Reads the ingest-staged
+    * cluster assignment (`ensureAugClusters` — the ingest dedup pass's
+    * persisted output, VERDICT r15 item 5, the dedup_canonical_quality
+    * pattern); the report itself is one map-side-combined aggregate
+    * over that table into a ≤ 21-row frame — integer shift buckets, no
+    * libm (the text_length_buckets discipline). The oracle replays the
+    * full chain (same generated MinHash CTEs, recursive-CTE
+    * components), so a stale or wrong staged assignment hash-reds here.
     */
   val dedupClusterReport = Q(
     "dedup_cluster_report",
     (s, dir) => {
-      val docs = Extensions.augmentedDocs(s, dir, perturb = true)
-      // propose from the ingest-staged band index (pair-for-pair equal
-      // to re-shingling — see dedup_clusters); the report prices the
-      // CC + bucket aggregate, not a corpus re-shingle
-      val pairs = Dedup.indexCandidatePairs(
-        s.read.parquet(Breadth20.ensureAugBandIndex(s, dir)), "doc_id")
-      val sz = Dedup.clusterAssignment(docs, pairs, "doc_id")
+      val sz = s.read.parquet(Breadth20.ensureAugClusters(s, dir))
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
       val bucketSizes = (0 to 20).map(i => lit(1L << i))
       sz.withColumn("bucket",
