@@ -124,18 +124,28 @@ object EventOps {
       startCol: String, endCol: String, binDays: Int): DataFrame = {
     require(binDays >= 1, s"binDays must be positive, got $binDays")
     def day(c: org.apache.spark.sql.Column) = datediff(c, lit("1970-01-01"))
+    // The start-bin rides each side (scan-side, once per expanded row):
+    // the dedup predicate below needs bin(greatest(sa, sb)), and
+    // floor-division by a positive constant is monotone, so it equals
+    // greatest(bin(sa), bin(sb)) — an int max per candidate instead of
+    // a datediff + division per candidate (the candidate stream is the
+    // expansion's multiple of the fact table; r16 measured the old
+    // per-candidate date math as pure overhead on an identical result).
     def side(suffix: String) = iv.select(
       col(partCol),
       col(idCol).as(s"i$suffix"),
       col(startCol).as(s"s$suffix"),
       col(endCol).as(s"e$suffix"))
+      .withColumn(s"__b0$suffix", (day(col(s"s$suffix")) / binDays).cast("long"))
       .withColumn("__bin", explode(sequence(
-        (day(col(s"s$suffix")) / binDays).cast("long"),
+        col(s"__b0$suffix"),
         (day(col(s"e$suffix")) / binDays).cast("long"))))
-    side("a").join(side("b"), Seq(partCol, "__bin"))
+    // shuffle_hash: both sides are the same expanded fact frame — a
+    // sort-merge join pays two full sorts of the expansion for nothing
+    side("a").join(side("b").hint("shuffle_hash"), Seq(partCol, "__bin"))
       .filter(col("ia") < col("ib") &&
         col("sa") <= col("eb") && col("sb") <= col("ea") &&
-        col("__bin") === (day(greatest(col("sa"), col("sb"))) / binDays).cast("long"))
+        col("__bin") === greatest(col("__b0a"), col("__b0b")))
       .select(col(partCol), col("ia"), col("ib"))
   }
 }

@@ -1049,12 +1049,18 @@ object Dedup {
     .localCheckpoint()
 
   private def guardPosting(pps: Seq[DataFrame], maxPosting: Long): Unit = {
-    def maxLen(f: DataFrame): Long = {
-      val r = f.groupBy(col("__t")).agg(count(lit(1)).as("__len"))
+    // ONE aggregate job over the union of the (already-checkpointed)
+    // posting frames, keyed (batch, token) so each batch's posting
+    // lengths stay separate — the n-collect version spent one fixed-cost
+    // job per batch on a march whose cost is otherwise all scheduling
+    val longest = {
+      val r = pps.zipWithIndex
+        .map { case (f, j) => f.select(lit(j).as("__b"), col("__t")) }
+        .reduce(_ unionByName _)
+        .groupBy(col("__b"), col("__t")).agg(count(lit(1)).as("__len"))
         .agg(max(col("__len"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val longest = pps.map(maxLen).max
     require(longest <= maxPosting,
       s"prefix posting list of length $longest exceeds maxPosting=$maxPosting " +
         "(the within-token candidate join is quadratic in posting length; " +

@@ -323,12 +323,19 @@ object Breadth11 {
           (col("item_id") % 7 + 1).cast("int")))
       val pr = graft.etl.EventOps.intervalOverlapPairs(
         iv, "l_suppkey", "item_id", "s0", "e0", binDays = 16)
-      val np = pr.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_pairs"))
-      val ni = pr.select(col("l_suppkey"), col("ia").as("item_id"))
-        .unionByName(pr.select(col("l_suppkey"), col("ib").as("item_id")))
+      // ONE pass over the pair stream (optimization r16): the old
+      // np ⋈ ni shape consumed `pr` three times, and with no exchange
+      // at pr's top (arithmetic dedup, no distinct) the interval-
+      // expansion join executed three times. Exploding each pair into
+      // its two endpoints makes both stats one aggregate: n_pairs is
+      // count/2 (every pair contributes exactly two rows — exact), the
+      // item count is the same countDistinct.
+      pr.select(col("l_suppkey"),
+          explode(array(col("ia"), col("ib"))).as("item_id"))
         .groupBy(col("l_suppkey"))
-        .agg(countDistinct(col("item_id")).as("n_items_overlapping"))
-      np.join(ni, "l_suppkey").orderBy(col("l_suppkey"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("item_id")).as("n_items_overlapping"))
+        .orderBy(col("l_suppkey"))
     },
     Some("""
       WITH iv AS (SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS item_id,

@@ -39,16 +39,36 @@ object Breadth14 {
           count(lit(1)).as("frequency"),
           Q.moneySum(col("o_totalprice")).as("monetary"))
         .localCheckpoint()
-      def cuts(c: String, tag: String) = StatOps.percentiles(cust, Nil, c,
-        Seq((s"${tag}25", 0.25), (s"${tag}50", 0.5), (s"${tag}75", 0.75)))
+      // ONE metric-tagged CDF pass for all nine cuts (r16): three
+      // separate percentiles() calls each paid a histogram checkpoint +
+      // range-partition sampling + windows — 3× the jobs for cuts that
+      // group cleanly on a metric tag. The unpivot casts to double
+      // exactly as groupedCdf's value cast did, so every interpolated
+      // cut is the identical IEEE value; the 3-row result pivots into
+      // the same 9-scalar broadcast.
+      val cuts9 = {
+        val unpiv = cust.selectExpr(
+          "stack(3, 'r', cast(recency as double), 'f', cast(frequency as double), " +
+            "'m', cast(monetary as double)) AS (__metric, __value)")
+        val per = StatOps.percentiles(unpiv, Seq("__metric"), "__value",
+          Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
+        per.agg(
+          max(when(col("__metric") === "r", col("p25"))).as("r25"),
+          max(when(col("__metric") === "r", col("p50"))).as("r50"),
+          max(when(col("__metric") === "r", col("p75"))).as("r75"),
+          max(when(col("__metric") === "f", col("p25"))).as("f25"),
+          max(when(col("__metric") === "f", col("p50"))).as("f50"),
+          max(when(col("__metric") === "f", col("p75"))).as("f75"),
+          max(when(col("__metric") === "m", col("p25"))).as("m25"),
+          max(when(col("__metric") === "m", col("p50"))).as("m50"),
+          max(when(col("__metric") === "m", col("p75"))).as("m75"))
+      }
       def seg(c: String, tag: String) =
         (lit(1L) + (col(c) > col(s"${tag}25")).cast("long")
           + (col(c) > col(s"${tag}50")).cast("long")
           + (col(c) > col(s"${tag}75")).cast("long")).as(s"${tag}_seg")
       cust
-        .crossJoin(broadcast(cuts("recency", "r")))
-        .crossJoin(broadcast(cuts("frequency", "f")))
-        .crossJoin(broadcast(cuts("monetary", "m")))
+        .crossJoin(broadcast(cuts9))
         .select(col("monetary"), seg("recency", "r"), seg("frequency", "f"),
           seg("monetary", "m"))
         .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))

