@@ -62,6 +62,8 @@ object Bench {
       graft.queries.Breadth8.ensureTfidfPostings(spark, sfDir)
       graft.queries.Breadth12.ensureLinkPostings(spark, sfDir)
       graft.queries.Breadth20.ensureAugBandIndex(spark, sfDir)
+      graft.queries.Breadth20.ensureWinnowPostings(spark, sfDir)
+      graft.queries.Breadth20.ensureAugShingleSets(spark, sfDir)
       graft.queries.Breadth20.ensureAugClusters(spark, sfDir)
       graft.queries.Breadth20.ensureDocStats(spark, sfDir)
       graft.queries.Breadth11.ensurePiiStats(spark, sfDir)

@@ -142,14 +142,16 @@ object CleanOps {
     * explicitly so output is engine-portable.
     */
   def castAllToString(df: DataFrame): DataFrame = {
-    val exprs = df.schema.fields.map { f =>
-      f.dataType match {
-        case DateType => date_format(col(f.name), "yyyy-MM-dd").as(f.name)
-        case TimestampType | TimestampNTZType =>
-          date_format(col(f.name), "yyyy-MM-dd HH:mm:ss").as(f.name)
-        case _ => col(f.name).cast(StringType).as(f.name)
-      }
-    }
+    val exprs = df.schema.fields.map(f => stringify(col(f.name), f.dataType).as(f.name))
     df.select(exprs.toIndexedSeq: _*)
+  }
+
+  /** One column's [[castAllToString]] rule, for callers that stringify
+    * columns of a wider frame in place (the single-join merge).
+    */
+  def stringify(c: Column, dt: DataType): Column = dt match {
+    case DateType => date_format(c, "yyyy-MM-dd")
+    case TimestampType | TimestampNTZType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _ => c.cast(StringType)
   }
 }

@@ -229,7 +229,8 @@ object CommitOps {
     require(mani.columns.contains(s"min_$keyCol"),
       s"mergeCommit needs min_/max_$keyCol stats in the snapshot manifest")
     val ks = updates.select(col(keyCol).as("__k"))
-      .filter(col("__k").isNotNull).distinct().localCheckpoint()
+      .filter(col("__k").isNotNull).distinct()
+      .localCheckpoint(eager = false) // the count materializes
     val nk = ks.count()
     // loud MERGE-source guards (ADVICE r15, the Delta/Iceberg contract):
     // a NULL update key can never match (it would silently always

@@ -298,7 +298,8 @@ object LayoutOps {
       s"dimKeys must be a one-column key frame, got ${dimKeys.columns.mkString(",")}")
     val keys = dimKeys.select(col(dimKeys.columns.head).as("__k"))
       .filter(col("__k").isNotNull).distinct()
-      .limit(MaxJoinPruneKeys + 1).localCheckpoint()
+      .limit(MaxJoinPruneKeys + 1)
+      .localCheckpoint(eager = false) // the count materializes
     require(keys.count() <= MaxJoinPruneKeys,
       s"manifestJoinPrunedRead: dim side exceeds $MaxJoinPruneKeys distinct " +
         "keys — a runtime filter this wide prunes nothing; shuffle-join instead")

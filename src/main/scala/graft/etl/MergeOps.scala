@@ -33,7 +33,19 @@ object MergeOps {
   }
 
   /** U2 — the full merge: semi (J3) ∪ anti (J4), stringified (P20),
-    * sorted by id (O2).
+    * sorted by id (O2), computed as ONE full-outer join.
+    *
+    * `idCol` is the snapshot PK (the reference upsert contract,
+    * log_handler.py:99-128 — one row per id per snapshot), so the
+    * semi ∪ anti decomposition collapses to a per-id classification:
+    * both present and audit-unchanged → the published row; incoming
+    * present otherwise → the incoming row; published only → dropped.
+    * The r15 shape shuffled each snapshot TWICE (change-detect join,
+    * then the semi/anti join against the materialized unchanged-id
+    * set); this shape shuffles each exactly once — the §2.4 "remove
+    * shuffles outright" rewrite — with the same null-sensitive change
+    * predicate (a null audit value means "changed", P22) and the same
+    * lexicographic sort on the stringified id.
     */
   private val log = org.apache.log4j.Logger.getLogger(getClass)
 
@@ -43,17 +55,21 @@ object MergeOps {
     if (a.columns.length != b.columns.length)
       log.warn(s"merge: snapshots have different widths " +
         s"(${a.columns.length} vs ${b.columns.length})")
-    // The unchanged-id set feeds both the semi and the anti join, and
-    // Catalyst does not reuse the subtree (fresh exprIds per reference →
-    // no ReuseExchange): without materialization the A⋈B change-detect
-    // join executes once per consumer. One id-only localCheckpoint —
-    // the standard shape for a reused subplan at scale (ids are ~8 B/row
-    // even when the table is 100 TB).
-    val unchanged = unchangedIds(a, b, idCol, auditCols).localCheckpoint()
-    val kept = a.join(unchanged, Seq(idCol), "left_semi")
-    val newOrModified = b.join(unchanged, Seq(idCol), "left_anti")
-    CleanOps.castAllToString(kept)
-      .unionByName(CleanOps.castAllToString(newOrModified)) // U1
+    val bRen = b.toDF(b.columns.map(c => if (c == idCol) c else c + Sfx).toIndexedSeq: _*)
+    val j = a.withColumn("__in_a", lit(1))
+      .join(bRen.withColumn("__in_b", lit(1)), Seq(idCol), "full_outer")
+    // null-id rows never pair in the join: a-side ones drop (same as
+    // the semi join), b-side ones are kept (same as the anti join)
+    val unchanged = coalesce(col("__in_a") === 1 && col("__in_b") === 1 &&
+      auditCols.map(c => !(col(c) =!= col(c + Sfx))).reduce(_ && _), lit(false))
+    val out = a.columns.map { c =>
+      if (c == idCol) CleanOps.stringify(col(c), j.schema(c).dataType).as(c)
+      else when(unchanged, CleanOps.stringify(col(c), a.schema(c).dataType))
+        .otherwise(CleanOps.stringify(col(c + Sfx), bRen.schema(c + Sfx).dataType))
+        .as(c)
+    }
+    j.filter(unchanged || col("__in_b") === 1)
+      .select(out.toIndexedSeq: _*)
       .orderBy(col(idCol))
   }
 }

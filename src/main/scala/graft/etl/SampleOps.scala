@@ -349,13 +349,22 @@ object SampleOps {
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    // Both checkpoints are lazy: `keyed` feeds the CDF histogram AND the
+    // rank join — without it the caller's scoring scan (often a
+    // regex-heavy quality pass) re-runs once per consumer; groupedCdf's
+    // own eager histogram checkpoint is the first action over it, so it
+    // materializes there at no extra job. `joined` likewise feeds the
+    // whole-interval filter AND the boundary window; one lazy checkpoint
+    // makes the final action compute the join once.
     val keyed = df.filter(!isnan(col(scoreCol).cast("double")))
       .withColumn("__negv", (-col(scoreCol)).cast("double"))
+      .localCheckpoint(eager = false)
     val cdf = StatOps.groupedCdf(
         keyed.select(col(groupCol), col("__negv")), Seq(groupCol), "__negv")
       .select(col(groupCol), col("__v").as("__negv"),
         col("__start"), col("__end"))
     val joined = keyed.join(cdf, Seq(groupCol, "__negv"))
+      .localCheckpoint(eager = false)
     val whole = joined.filter(col("__end") <= k)
     // boundary: the one score per group whose rank interval straddles k;
     // the window partition is exactly that tie-group

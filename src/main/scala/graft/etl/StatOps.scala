@@ -60,7 +60,9 @@ object StatOps {
       .filter(col(valueCol).isNotNull)
       .groupBy(g :+ col(valueCol).cast("double").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+      // lazy (r16): the range partitioner's boundary-sampling job is the
+      // first action over it and materializes the persist
+      .localCheckpoint(eager = false)
     val parts = hist
       .repartitionByRange(g :+ col("__v"): _*)
       .withColumn("__pid", spark_partition_id())
@@ -103,7 +105,7 @@ object StatOps {
     val g = groupCols.map(col)
     // same double-evaluation guard as groupedCdf: the range partitioner
     // samples its input, re-running any non-trivial upstream plan
-    val parts = df.localCheckpoint()
+    val parts = df.localCheckpoint(eager = false)
       .repartitionByRange(g ++ orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
     val partTotals = parts.groupBy(col("__pid") +: g: _*)
@@ -158,7 +160,7 @@ object StatOps {
   def withRowNumber(df: DataFrame, groupCols: Seq[String],
       orderSorts: Seq[Column], outCol: String): DataFrame = {
     val g = groupCols.map(col)
-    val parts = df.localCheckpoint()
+    val parts = df.localCheckpoint(eager = false)
       .repartitionByRange(g ++ orderSorts: _*)
       .withColumn("__pid", spark_partition_id())
     val partCounts = parts.groupBy(col("__pid") +: g: _*)
@@ -295,7 +297,7 @@ object StatOps {
       .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(sum(when(halfCol === 0, 1L).otherwise(0L)).as("__ca"),
         sum(when(halfCol === 1, 1L).otherwise(0L)).as("__cb"))
-      .localCheckpoint() // repartitionByRange samples its input
+      .localCheckpoint(eager = false) // the range-sampling job materializes
     val parts = hist.repartitionByRange(col("__v"))
       .withColumn("__pid", spark_partition_id())
     val partTotals = parts.groupBy(col("__pid"))
@@ -434,7 +436,7 @@ object StatOps {
     val pts = daily.select(col(dateCol),
       datediff(col(dateCol), lit("1970-01-01")).cast("long").as("__x"),
       round(col(valueCol), 9).cast(dec).as("__y"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val a = pts.select(col("__x").as("__xa"), col("__y").as("__ya"))
     val b = pts.select(col("__x").as("__xb"), col("__y").as("__yb"))
     val slopes = a.join(broadcast(b), col("__xa") < col("__xb"))

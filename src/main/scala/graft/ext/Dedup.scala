@@ -356,7 +356,8 @@ object Dedup {
     var labels = e.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
       .select(col("src").as("id"), col("cluster_id"))
-      .localCheckpoint()
+      // lazy: the init (count, sum) collect below is the first action
+      .localCheckpoint(eager = false)
     // The label table is one row per vertex *of the candidate graph* —
     // docs with at least one LSH collision, a small fraction of the
     // corpus. When it fits the broadcast budget, each propagation round
@@ -392,7 +393,7 @@ object Dedup {
           e.join(lbl, e("dst") === lbl("id"))
             .select(e("src").as("id"), lbl("cluster_id").as("cluster_id")))
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // the labelSum collect materializes
       val s = labelSum(updated)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -465,7 +466,8 @@ object Dedup {
     while (i <= maxIter) {
       val s = sym(e)
       val mins = s.groupBy(col("u"))
-        .agg(least(col("u"), min(col("v"))).as("m")).localCheckpoint()
+        .agg(least(col("u"), min(col("v"))).as("m"))
+        .localCheckpoint(eager = false) // the potential collect materializes
       val r = mins.agg(count(lit(1)), sum(col("m").cast("decimal(38,0)"))).collect()(0)
       val stats = (r.getLong(0),
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
@@ -737,16 +739,42 @@ object Dedup {
     * cross-tranche duplicates die in the final distinct), so the
     * oracle is unchanged; graded scales take the single-pass path.
     */
+  /** Distinct k-word shingle-hash sets per doc — the staged-artifact
+    * projection [[containmentPairsFromSets]] serves from.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    withWords(df, textCol, k)
+      .withColumn("__hs", array_distinct(expr(s"graft_shingle_hashes64(__words, $k)")))
+      .select(col(idCol), col("__hs"))
+  }
+
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxDf: Int = 20, k: Int = 3,
       pairBudgetPerPass: Long = 50000000L): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    containmentPairsFromSets(
+      withWords(df, textCol, k)
+        .withColumn("__hs", array_distinct(expr(s"graft_shingle_hashes64(__words, $k)")))
+        .select(col(idCol), col("__hs"))
+        // lazy: the postCount aggregate below is the first action and
+        // materializes the persist (one job, not checkpoint + aggregate)
+        .localCheckpoint(eager = false),
+      idCol, threshold, maxDf, pairBudgetPerPass)
+  }
+
+  /** [[containmentPairs]] from a pre-built (id, __hs distinct-shingle-
+    * hash array) frame — typically an ingest-time parquet artifact (the
+    * `shingleSets` projection): tokenizing + hashing the corpus is the
+    * dominant cost of the live op and is exactly what an ingest pass
+    * persists once per corpus. Same propose/score/budget machinery.
+    */
+  def containmentPairsFromSets(sets: DataFrame, idCol: String,
+      threshold: Double, maxDf: Int = 20,
+      pairBudgetPerPass: Long = 50000000L): DataFrame = {
     require(pairBudgetPerPass >= 1000L,
       s"pairBudgetPerPass must be at least 1e3, got $pairBudgetPerPass")
-    graft.functions.VectorExpressions.register(df.sparkSession)
-    val sets = withWords(df, textCol, k)
-      .withColumn("__hs", array_distinct(expr(s"graft_shingle_hashes64(__words, $k)")))
-      .select(col(idCol), col("__hs"))
-      .localCheckpoint()
     val posts = sets.select(col(idCol), explode(col("__hs")).as("__h"))
     // One aggregate shuffle gathers each shingle's (distinct) doc list;
     // pair expansion is then scan-side combination generation inside the
@@ -1008,28 +1036,68 @@ object Dedup {
   }
 
   /** Whole-corpus march in ONE call — the shape a replay/backfill job
-    * runs over n batch states: each batch's prefix postings
-    * materialize once (the 2-call-per-batch query shape paid pp(state)
-    * twice), every batch-j emission joins the ACCUMULATED prior
-    * postings, and one verify scores all candidates together. Output ==
-    * the union of pairwise [[prefixPairsOfBatch]] emissions == the
-    * one-shot (Round13Spec pins all three equal).
+    * runs over n batch states. The union over j of [[prefixPairsOfBatch]]
+    * emissions — within(batch j) ∪ cross(batches < j, batch j) — is
+    * exactly the pair set {(x, y) : batch(x) < batch(y)} ∪
+    * {(x, y) : batch(x) = batch(y), x < y}, so the whole march is ONE
+    * batch-tagged posting self-join with that predicate: postings
+    * materialize once for all batches (the per-batch shape unioned the
+    * prior postings into the cross join per batch — O(n²) posting scan
+    * volume over n batches; this is O(n)), one candidate groupBy, one
+    * verify. The (A, B) role assignment of the PPJoin positional stage
+    * is unchanged (A = earlier batch, or same-batch smaller id — the
+    * state side of the per-batch shape). Output == the union of
+    * pairwise [[prefixPairsOfBatch]] emissions == the one-shot
+    * (Round13Spec pins all three equal).
     */
   def prefixPairsMarch(states: Seq[DataFrame], idCol: String,
       threshold: Double, maxPosting: Long = 100000L): DataFrame = {
     require(states.nonEmpty, "at least one batch state is required")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val pps = states.map(prefixPosted(_, idCol, threshold))
-    guardPosting(pps, maxPosting)
-    val cands = pps.zipWithIndex.map { case (dp, j) =>
-      val within = prefixCandsOf(dp, dp, idCol, threshold,
-        col("doc_a") < col("doc_b"))
-      if (j == 0) within
-      else within.unionByName(
-        prefixCandsOf(pps.take(j).reduce(_ unionByName _), dp, idCol,
-          threshold, col("doc_a") =!= col("doc_b")))
-    }.reduce(_ unionByName _).distinct()
+    val tagged = states.zipWithIndex
+      .map { case (st, j) => st.withColumn("__b", lit(j)) }
+      .reduce(_ unionByName _)
+    // lazy checkpoint: the guard aggregate below is the first action and
+    // materializes it — one job, not checkpoint + aggregate
+    val pp = tagged
+      .withColumn("__p", expr(
+        s"slice(__st, 1, size(__st) - cast(ceil($threshold * size(__st)) as int) + 1)"))
+      .select(col(idCol), col("__b"), col("__n"),
+        posexplode(col("__p")).as(Seq("__i0", "__t")))
+      .select(col(idCol), col("__b"), col("__n"), (col("__i0") + 1).as("__i"),
+        col("__t"))
+      .localCheckpoint(eager = false)
+    val longest = {
+      val r = pp.groupBy(col("__b"), col("__t")).agg(count(lit(1)).as("__len"))
+        .agg(max(col("__len"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    require(longest <= maxPosting,
+      s"prefix posting list of length $longest exceeds maxPosting=$maxPosting " +
+        "(the within-token candidate join is quadratic in posting length; " +
+        "raise the bound deliberately or pre-clean degenerate tokens)")
+    val passes = passesOverlap(threshold) _
+    val aSide = pp.select(col(idCol).as("doc_a"), col("__b").as("__ba"),
+      col("__n").as("__na"), col("__i").as("__ia"), col("__t"))
+    val bSide = pp.select(col(idCol).as("doc_b"), col("__b").as("__bb"),
+      col("__n").as("__nb"), col("__i").as("__ib"), col("__t").as("__t2"))
+    val marchCond = (col("__ba") < col("__bb") && col("doc_a") =!= col("doc_b")) ||
+      (col("__ba") === col("__bb") && col("doc_a") < col("doc_b"))
+    val cands = aSide.join(bSide.hint("shuffle_hash"),
+        col("__t") === col("__t2") && marchCond &&
+          least(col("__na"), col("__nb")).cast("double") >=
+            greatest(col("__na"), col("__nb")) * threshold &&
+          passes(least(col("__ia"), col("__ib")) +
+            least(col("__na") - col("__ia"), col("__nb") - col("__ib"))))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("__ia")).as("__i1"), min(col("__ib")).as("__j1"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+      .filter(passes(lit(1) +
+        least(col("__na") - col("__i1"), col("__nb") - col("__j1"))))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
     val sets = states.map(_.select(col(idCol), col("__st")))
       .reduce(_ unionByName _)
     prefixVerify(cands, sets, idCol, threshold)
@@ -1127,7 +1195,7 @@ object Dedup {
       .select(col(idCol), col("__n"),
         posexplode(col("__p")).as(Seq("__i0", "__t")))
       .select(col(idCol), col("__n"), (col("__i0") + 1).as("__i"), col("__t"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // the guard aggregate materializes
     val longest = pp.groupBy(col("__t")).agg(count(lit(1)).as("__len"))
       .agg(max(col("__len"))).head()
     val maxLen = if (longest.isNullAt(0)) 0L else longest.getLong(0)

@@ -43,7 +43,11 @@ object GraphOps {
     // visited set used by the anti join is a lazy union over the
     // already-materialized layers — re-checkpointing the union would
     // copy O(|visited|) rows every round for nothing.
-    var layers = List(sources.select(col("node"), lit(0).as("dist")).localCheckpoint())
+    // checkpoint-then-count sites are LAZY checkpoints (r16): the count
+    // is the first action and materializes the persist — one job per
+    // round, not checkpoint + count
+    var layers = List(sources.select(col("node"), lit(0).as("dist"))
+      .localCheckpoint(eager = false))
     var frontier = layers.head.select(col("node"))
     var frontierRows = layers.head.count()
     var visitedRows = frontierRows
@@ -56,7 +60,7 @@ object GraphOps {
       val next = f.join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(v, Seq("node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       frontierRows = next.count()
       if (frontierRows == 0) exhausted = true
       else {
@@ -136,7 +140,7 @@ object GraphOps {
     var und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var edgeCount = und.count()
     var peel = 0
     var stable = false
@@ -149,7 +153,7 @@ object GraphOps {
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextCount = next.count()
       // isolated nodes never appear in the edge set, so an unchanged
       // edge count means an unchanged degree table — fixpoint
@@ -180,7 +184,11 @@ object GraphOps {
       rounds: Int): DataFrame = {
     require(rounds >= 0)
     val seeded = nodes.join(seeds, Seq("node"), "left")
-    var labels = seeded.localCheckpoint()
+    // lazy checkpoints (r16): each round's label frame is referenced
+    // once by the next round, so the caller's single action walks the
+    // RDD chain materializing each exactly once — the eager variant
+    // paid one job per round for the same persists
+    var labels = seeded.localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
       val nbr = labels.filter(col("label").isNotNull)
         .select(col("node").as("dst"), col("label").as("__nl"))
@@ -193,7 +201,7 @@ object GraphOps {
       labels = seeded
         .join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("__prop")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     labels
   }
@@ -240,7 +248,7 @@ object GraphOps {
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // the count materializes
     val n = nodes.count()
     val base = (1.0 - damping) / n
     val small = n <= broadcastBudgetRows
@@ -304,7 +312,7 @@ object GraphOps {
     val flagged = nodes
       .join(seedsRaw.select(col("node")).distinct().withColumn("__s", lit(1)),
         Seq("node"), "left")
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // the counts head() materializes
     val counts = flagged
       .agg(count(lit(1)).as("__n"), count(col("__s")).as("__ns")).head()
     val n = counts.getLong(0)
@@ -368,7 +376,7 @@ object GraphOps {
     val edges = edgesRaw.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // the count materializes
     val n = nodes.count()
     val small = n <= broadcastBudgetRows
     def bc(df: DataFrame): DataFrame = if (small) broadcast(df) else df

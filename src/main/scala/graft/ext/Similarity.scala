@@ -130,13 +130,15 @@ object Similarity {
       .withColumn("__rn", row_number().over(wRel))
       .filter(col("__rn") <= nCand)
       .select(col("query_id"), col("cand_id"), col("rel"), col("__cv"))
-      .localCheckpoint()
+      // lazy (r16): materialized once by the first round's stage jobs;
+      // the RDD-level persist still cuts lineage and feeds every round
+      .localCheckpoint(eager = false)
     var selected = cand
       .withColumn("__rn", row_number().over(wRel))
       .filter(col("__rn") === 1)
       .select(col("query_id"), col("cand_id"), col("rel"),
         col("rel").as("mmr"), lit(1L).as("step"), col("__cv"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (r <- 2 to k) {
       val sel = selected.select(col("query_id"), col("cand_id").as("__sid"),
         col("__cv").as("__sv"))
@@ -159,7 +161,7 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col("query_id"), col("cand_id"), col("rel"), col("mmr"),
           lit(r.toLong).as("step"), col("__cv"))
-      selected = selected.unionByName(pick).localCheckpoint()
+      selected = selected.unionByName(pick).localCheckpoint(eager = false)
     }
     selected.select(col("query_id"), col("step"), col("cand_id"),
       col("rel"), col("mmr"))

@@ -706,7 +706,7 @@ object TextOps {
       minWlen: Int = 3, maxWlen: Int = 10,
       minStopDistinct: Int = 2): DataFrame =
     gopherFrom(df, idCol, textCol, array(StopEn.map(lit): _*),
-      minWords, maxWords, minWlen, maxWlen, minStopDistinct)
+      minWords, maxWords, minWlen, maxWlen, minStopDistinct, Nil)
 
   /** Per-language Gopher rules: the distinct-stop-word rule checks the
     * ROW'S OWN language's list ([[StopByLang]], broadcast — English
@@ -720,17 +720,25 @@ object TextOps {
       langCol: String,
       minWords: Int = 30, maxWords: Int = 100000,
       minWlen: Int = 3, maxWlen: Int = 10,
-      minStopDistinct: Int = 2): DataFrame =
+      minStopDistinct: Int = 2,
+      carry: Seq[(String, Column)] = Nil): DataFrame =
     gopherFrom(withLangStops(df, langCol), idCol, textCol, col("__st"),
-      minWords, maxWords, minWlen, maxWlen, minStopDistinct)
+      minWords, maxWords, minWlen, maxWlen, minStopDistinct, carry)
 
+  /** `carry` — extra (name, expression) columns evaluated in the SAME
+    * text scan as the rules (e.g. a content hash): a caller that needs
+    * both otherwise pays a second full pass over the corpus text just
+    * to re-derive them (guide §1.2 step 1 — don't compute in two passes
+    * what one projection yields).
+    */
   private def gopherFrom(df: DataFrame, idCol: String, textCol: String,
       stops: Column, minWords: Int, maxWords: Int,
-      minWlen: Int, maxWlen: Int, minStopDistinct: Int): DataFrame = {
+      minWlen: Int, maxWlen: Int, minStopDistinct: Int,
+      carry: Seq[(String, Column)]): DataFrame = {
     val ws = words(col(textCol))
-    df.select(col(idCol), ws.as("__w"),
+    df.select(Seq(col(idCol), ws.as("__w"),
         length(Dedup.normText(col(textCol))).cast("long").as("__nc"),
-        stops.as("__stl"))
+        stops.as("__stl")) ++ carry.map { case (n, c) => c.as(n) }: _*)
       .withColumn("n_words", size(col("__w")).cast("long"))
       .withColumn("n_word_chars", col("__nc") - (col("n_words") - 1))
       .withColumn("mean_wlen",
@@ -1464,8 +1472,13 @@ object TextOps {
     */
   def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame = {
+    // lazy checkpoint: `scored` feeds the threshold CDF AND the bucket
+    // join — without it the whole term-keyed LM pass runs twice; the
+    // percentiles' eager histogram checkpoint is the first action over
+    // it, so it materializes there (narrow per-doc rows) at no extra job
     val scored = lmScore(df, idCol, textCol)
       .join(df.select(col(idCol), col(langCol)), idCol)
+      .localCheckpoint(eager = false)
     val th = graft.etl.StatOps.percentiles(scored, Seq(langCol), "avg_nll",
       Seq(("p33", 1.0 / 3), ("p67", 2.0 / 3)))
     scored.join(broadcast(th), langCol)
@@ -1603,10 +1616,18 @@ object TextOps {
     * Hashes are the md5-60-bit family shared verbatim with the oracle.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, w: Int = 4): DataFrame = {
+      k: Int = 4, w: Int = 4): DataFrame =
     // consumed twice (doc-frequency aggregate + join-back) — the
     // dup-spans/groupedCdf checkpoint lesson
-    val fps = winnowPostings(df, idCol, textCol, k, w).localCheckpoint()
+    winnowFingerprintsFromPostings(
+      winnowPostings(df, idCol, textCol, k, w).localCheckpoint(), idCol)
+
+  /** [[winnowFingerprints]] from a pre-built [[winnowPostings]] frame
+    * (typically an ingest-time parquet artifact — the md5-per-gram
+    * hashing is the dominant cost of the live op and is shared verbatim
+    * by the pair product, so one staged posting frame serves both).
+    */
+  def winnowFingerprintsFromPostings(fps: DataFrame, idCol: String): DataFrame = {
     val dfreq = fps.groupBy(col("__fp"))
       .agg(countDistinct(col(idCol)).as("__nd"))
     fps.join(dfreq, Seq("__fp"))
@@ -1652,10 +1673,18 @@ object TextOps {
     * in the corpus; df=1 fingerprints skip the join entirely.
     */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-      minShared: Int, maxDf: Int = 20, k: Int = 4, w: Int = 4): DataFrame = {
+      minShared: Int, maxDf: Int = 20, k: Int = 4, w: Int = 4): DataFrame =
+    winnowPairsFromPostings(
+      winnowPostings(df, idCol, textCol, k, w).localCheckpoint(),
+      idCol, minShared, maxDf)
+
+  /** [[winnowPairs]] from a pre-built [[winnowPostings]] frame (the
+    * staged-artifact twin — see [[winnowFingerprintsFromPostings]]).
+    */
+  def winnowPairsFromPostings(fps: DataFrame, idCol: String,
+      minShared: Int, maxDf: Int = 20): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"need minShared >= 1 and maxDf >= 2, got ($minShared, $maxDf)")
-    val fps = winnowPostings(df, idCol, textCol, k, w).localCheckpoint()
     val totals = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val dfreq = fps.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
     val keep = fps.join(dfreq.filter(col("__df").between(2, maxDf)), "__fp")

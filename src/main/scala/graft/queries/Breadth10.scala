@@ -140,17 +140,26 @@ object Breadth10 {
     (s, dir) => {
       import graft.ext.{Dedup, TextOps}
       val docs = Tables(s, dir, "documents")
-      val q = TextOps.gopherRulesByLang(docs, "doc_id", "text", "lang")
+      // ONE corpus text pass (r16): the gopher flags and the exact-dedup
+      // content hash ride the same scan (`carry`), and the surviving
+      // (doc_id, lang, hash, n_words) frame — narrow, no text —
+      // checkpoints once, so the dedup aggregate, the join-back, the
+      // mixture weights and the epoch explode all read materialized rows
+      // (the r15 shape re-ran the gopher/md5 scan per consumer, 4 full
+      // text passes; same stage ordering: filter before dedup)
+      val surv = TextOps.gopherRulesByLang(docs, "doc_id", "text", "lang",
+          carry = Seq("lang" -> col("lang"),
+            "__h" -> md5(Dedup.normText(col("text")))))
         .filter(col("keep") === 1)
-        .select(col("doc_id"), col("n_words"))
-      val surv = docs.select(col("doc_id"), col("lang"), col("text"))
-        .join(q, "doc_id")
+        .select(col("doc_id"), col("lang"), col("__h"), col("n_words"))
+        .localCheckpoint()
       val keepIds = surv
-        .groupBy(md5(Dedup.normText(col("text"))).as("__h"))
+        .groupBy(col("__h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       val kept = surv.join(keepIds, "doc_id")
         .select(col("doc_id"), col("lang"), col("n_words"))
+        .localCheckpoint(eager = false)
       val wts = graft.etl.SampleOps.temperatureWeights(kept, "lang", alpha = 0.3)
         .select(col("lang"), col("boost"))
       val epochs = graft.etl.SampleOps.epochMaterialize(

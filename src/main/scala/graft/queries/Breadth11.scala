@@ -706,7 +706,8 @@ object Breadth11 {
     (s, dir) => {
       import graft.ext.EntityOps
       val cust = Tables(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-      val recs = erRecordsD3(s, dir)
+      // checkpoint (r16) — the er_multipass_pairs rationale
+      val recs = erRecordsD3(s, dir).localCheckpoint()
       val pred = EntityOps.multiPassNamePairs(recs, "c_custkey", "c_name",
           Seq(expr("right(c_name, 5)"),
             expr("substring(c_name, 1, length(c_name) - 1)")),

@@ -46,7 +46,8 @@ object Breadth21 {
     "er_agreement_pairs",
     (s, dir) =>
       graft.ext.EntityOps.agreementNamePairs(
-          Breadth11.erRecordsD3(s, dir), "c_custkey", "c_name",
+          // checkpoint (r16) — the er_multipass_pairs rationale
+          Breadth11.erRecordsD3(s, dir).localCheckpoint(), "c_custkey", "c_name",
           ErBlockKeys, maxDist = 2, tightDist = 1, minPasses = 2,
           maxBlock = 64)
         .orderBy(col("id_a"), col("id_b")),
@@ -618,9 +619,9 @@ object Breadth21 {
   val dedupWinnowPairs = Q(
     "dedup_winnow_pairs",
     (s, dir) =>
-      graft.ext.TextOps.winnowPairs(
-          Extensions.augmentedDocs(s, dir, perturb = true), "doc_id", "text",
-          minShared = 3, maxDf = 20)
+      graft.ext.TextOps.winnowPairsFromPostings(
+          s.read.parquet(graft.queries.Breadth20.ensureWinnowPostings(s, dir)),
+          "doc_id", minShared = 3, maxDf = 20)
         .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
       WITH ${Extensions.augCte(perturb = true)},

@@ -509,8 +509,9 @@ object Breadth9 {
   val dedupContainment = Q(
     "dedup_containment",
     (s, dir) =>
-      Dedup.containmentPairs(Extensions.augmentedDocs(s, dir, perturb = true),
-          "doc_id", "text", threshold = 0.8)
+      Dedup.containmentPairsFromSets(
+          s.read.parquet(graft.queries.Breadth20.ensureAugShingleSets(s, dir)),
+          "doc_id", threshold = 0.8)
         .orderBy(col("contained"), col("container")),
     Some(s"""
       WITH ${Extensions.augCte(perturb = true)},

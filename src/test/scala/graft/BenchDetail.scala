@@ -44,11 +44,15 @@ object BenchDetail {
       graft.queries.Extensions.ensureAnnTruth(spark, sfDir)
       graft.queries.Extensions.ensureDedupIndex(spark, sfDir)
       graft.queries.Extensions.ensureDedupClusters(spark, sfDir)
+      graft.queries.Extensions.ensurePhashClusters(spark, sfDir)
+      graft.queries.Breadth10.ensureVacuumHistory(spark, sfDir)
       graft.queries.Breadth7.ensureTextIndex(spark, sfDir)
       graft.queries.Breadth11.ensurePrefixRanked(spark, sfDir)
       graft.queries.Breadth8.ensureTfidfPostings(spark, sfDir)
       graft.queries.Breadth12.ensureLinkPostings(spark, sfDir)
       graft.queries.Breadth20.ensureAugBandIndex(spark, sfDir)
+      graft.queries.Breadth20.ensureWinnowPostings(spark, sfDir)
+      graft.queries.Breadth20.ensureAugShingleSets(spark, sfDir)
       graft.queries.Breadth20.ensureAugClusters(spark, sfDir)
       graft.queries.Breadth20.ensureDocStats(spark, sfDir)
       graft.queries.Breadth11.ensurePiiStats(spark, sfDir)

@@ -55,4 +55,49 @@ class Round16Spec extends SparkSpec {
     // the failed merges must not have committed anything
     assert(graft.etl.CommitOps.latestVersion(spark, root) === Some(1L))
   }
+
+  test("winnow fromPostings over a persisted posting frame == live ops") {
+    import graft.ext.TextOps
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "xx the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "a completely different sentence with many unrelated words in this row"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    val dir = freshDir("winnow_fp_") + "/p"
+    TextOps.winnowPostings(docs, "doc_id", "text", k = 4, w = 4)
+      .write.parquet(dir)
+    val staged = spark.read.parquet(dir)
+    val liveFp = TextOps.winnowFingerprints(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().toSeq
+    val stagedFp = TextOps.winnowFingerprintsFromPostings(staged, "doc_id")
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(liveFp === stagedFp && liveFp.nonEmpty)
+    val livePairs = TextOps.winnowPairs(docs, "doc_id", "text",
+        minShared = 1, maxDf = 20)
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    val stagedPairs = TextOps.winnowPairsFromPostings(staged, "doc_id",
+        minShared = 1, maxDf = 20)
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    assert(livePairs === stagedPairs && livePairs.nonEmpty)
+  }
+
+  test("single-join tableUpdated: null-id incoming rows kept, deletes dropped") {
+    import graft.etl.{CleanOps, MergeOps}
+    // exercises the classification branches the orders fixture cannot:
+    // a NULL incoming id (anti-join semantics keep it), a published-only
+    // id (dropped), and a null audit value (counts as changed)
+    val a = Seq((Some(1L), Some("x")), (Some(2L), Some("y")), (Some(3L), Some("z")))
+      .toDF("id", "v")
+    val b = Seq((Some(1L), Some("x")), (Some(2L), None: Option[String]),
+      (None: Option[Long], Some("n"))).toDF("id", "v")
+    val got = MergeOps.tableUpdated(a, b, "id", Seq("v"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSeq
+    // sorted by stringified id, nulls first (Spark ASC NULLS FIRST):
+    // null-id b row kept, id 1 unchanged (a's row), id 2 changed (b's
+    // null-v row), id 3 deleted
+    assert(got === Seq((None, Some("n")), (Some("1"), Some("x")),
+      (Some("2"), None)))
+    assert(CleanOps.castAllToString(a).schema.fields.forall(_.dataType.typeName == "string"))
+  }
 }
