@@ -757,10 +757,7 @@ object Dedup {
     containmentPairsFromSets(
       withWords(df, textCol, k)
         .withColumn("__hs", array_distinct(expr(s"graft_shingle_hashes64(__words, $k)")))
-        .select(col(idCol), col("__hs"))
-        // lazy: the postCount aggregate below is the first action and
-        // materializes the persist (one job, not checkpoint + aggregate)
-        .localCheckpoint(eager = false),
+        .select(col(idCol), col("__hs")),
       idCol, threshold, maxDf, pairBudgetPerPass)
   }
 
@@ -770,11 +767,16 @@ object Dedup {
     * dominant cost of the live op and is exactly what an ingest pass
     * persists once per corpus. Same propose/score/budget machinery.
     */
-  def containmentPairsFromSets(sets: DataFrame, idCol: String,
+  def containmentPairsFromSets(sets0: DataFrame, idCol: String,
       threshold: Double, maxDf: Int = 20,
       pairBudgetPerPass: Long = 50000000L): DataFrame = {
     require(pairBudgetPerPass >= 1000L,
       s"pairBudgetPerPass must be at least 1e3, got $pairBudgetPerPass")
+    // one lazy checkpoint of the set frame: the posting explode, the
+    // budget aggregate and BOTH score join sides read it (4 evaluations
+    // of the caller's hash scan / artifact scan otherwise); the
+    // postCount aggregate below is the first action and materializes it
+    val sets = sets0.localCheckpoint(eager = false)
     val posts = sets.select(col(idCol), explode(col("__hs")).as("__h"))
     // One aggregate shuffle gathers each shingle's (distinct) doc list;
     // pair expansion is then scan-side combination generation inside the
@@ -1055,9 +1057,15 @@ object Dedup {
     require(states.nonEmpty, "at least one batch state is required")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // ONE lazy checkpoint of the tagged (id, batch, __n, __st) base:
+    // the posting explode AND both verify join sides derive from it, so
+    // the batch-state scans run once (the ScratchProfile decomposition
+    // measured the verify's two re-scans as half the query)
     val tagged = states.zipWithIndex
       .map { case (st, j) => st.withColumn("__b", lit(j)) }
       .reduce(_ unionByName _)
+      .select(col(idCol), col("__b"), col("__n"), col("__st"))
+      .localCheckpoint(eager = false)
     // lazy checkpoint: the guard aggregate below is the first action and
     // materializes it — one job, not checkpoint + aggregate
     val pp = tagged
@@ -1098,9 +1106,8 @@ object Dedup {
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()
-    val sets = states.map(_.select(col(idCol), col("__st")))
-      .reduce(_ unionByName _)
-    prefixVerify(cands, sets, idCol, threshold)
+    prefixVerify(cands, tagged.select(col(idCol), col("__st")), idCol,
+      threshold)
   }
 
   /** Prefix postings of a value/rarest-ranked frame: (id, __n, __i
@@ -1187,7 +1194,11 @@ object Dedup {
       threshold: Double, maxPosting: Long = 100000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val prefixed = ranked.withColumn("__p",
+    // one lazy checkpoint of the (id, __n, __st) base — the posting
+    // explode and both verify sides derive from it (march rationale)
+    val base = ranked.select(col(idCol), col("__n"), col("__st"))
+      .localCheckpoint(eager = false)
+    val prefixed = base.withColumn("__p",
       expr(s"slice(__st, 1, size(__st) - cast(ceil($threshold * size(__st)) as int) + 1)"))
     // 1-based token POSITION in the rarest-first total order rides along
     // (posexplode): the PPJoin positional filter below prunes on it
@@ -1241,8 +1252,8 @@ object Dedup {
         least(col("__na") - col("__i1"), col("__nb") - col("__j1"))))
       .select(col("doc_a"), col("doc_b"))
     cand
-      .join(ranked.select(col(idCol).as("doc_a"), col("__st").as("__ta")), "doc_a")
-      .join(ranked.select(col(idCol).as("doc_b"), col("__st").as("__tb")), "doc_b")
+      .join(base.select(col(idCol).as("doc_a"), col("__st").as("__ta")), "doc_a")
+      .join(base.select(col(idCol).as("doc_b"), col("__st").as("__tb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("__ta")) + size(col("__tb")) - col("inter")))
