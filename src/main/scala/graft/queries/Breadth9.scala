@@ -734,7 +734,14 @@ object Breadth9 {
           docs.filter(inSample(col("doc_id"))),
           "doc_id", "text", "lang", threshold = 0.5)
         .select(col("doc_a"), col("doc_b")).withColumn("__t", lit(1L))
-      val proposed = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      // propose from the ingest-staged band index (r16): equal to the
+      // live minhashCandidatePairs pair-for-pair (the spec-pinned
+      // indexCandidatePairs contract the cluster family already serves
+      // from); the eval should price the PROPOSE QUALITY, not re-pay
+      // the corpus shingling the ingest pass already did
+      val proposed = Dedup.indexCandidatePairs(
+          s.read.parquet(graft.queries.Breadth20.ensureAugBandIndex(s, dir)),
+          "doc_id")
         .filter(inSample(col("doc_a")) && inSample(col("doc_b")))
         .withColumn("__p", lit(1L))
       truth.join(proposed, Seq("doc_a", "doc_b"), "full_outer")
