@@ -6,9 +6,9 @@ import org.apache.spark.sql.SparkSession
   * Not part of the registry or test suite; edit freely between runs.
   *   SPARK_GRAFT_SF_DIR=... sbt "Test/runMain graft.ScratchProfile"
   *
-  * Current shape: decompose dedup_incremental_prefix (the r16 slowest
-  * remaining query) into artifact read, posting materialization + guard,
-  * candidate join, verify, and final sort at sf0.1.
+  * Current shape: decompose dedup_containment (the largest remaining
+  * non-by-design tail query at r16 close) into artifact scan, bucket
+  * aggregate, pair expansion + distinct, and verify at sf0.1.
   */
 object ScratchProfile {
   def time[T](label: String)(f: => T): T = {
@@ -29,74 +29,45 @@ object ScratchProfile {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.VectorExpressions.register(spark)
     import org.apache.spark.sql.functions._
-    import graft.ext.Dedup
-    val rankedDir = graft.queries.Breadth11.ensurePrefixRanked(spark, sfDir)
+    val setsDir = graft.queries.Breadth20.ensureAugShingleSets(spark, sfDir)
+    val maxDf = 20
     (1 to 3).foreach { i =>
       time(s"[$i] full query (count)") {
-        graft.SparkEntry.queries("dedup_incremental_prefix")(spark, sfDir).count()
+        graft.SparkEntry.queries("dedup_containment")(spark, sfDir).count()
       }
-      val ranked = spark.read.parquet(rankedDir)
-      val split = Dedup.hash32(col("doc_id").cast("string")) % 4
-      val states = Seq(ranked.filter(split === 0), ranked.filter(split =!= 0))
-      val threshold = 0.5
-      val tagged = states.zipWithIndex
-        .map { case (st, j) => st.withColumn("__b", lit(j)) }
-        .reduce(_ unionByName _)
-      val pp = time(s"[$i] pp materialize + guard") {
-        val p = tagged
-          .withColumn("__p", expr(
-            s"slice(__st, 1, size(__st) - cast(ceil($threshold * size(__st)) as int) + 1)"))
-          .select(col("doc_id"), col("__b"), col("__n"),
-            posexplode(col("__p")).as(Seq("__i0", "__t")))
-          .select(col("doc_id"), col("__b"), col("__n"), (col("__i0") + 1).as("__i"),
-            col("__t"))
+      val sets = spark.read.parquet(setsDir).localCheckpoint(eager = false)
+      time(s"[$i] postCount agg (materializes)") {
+        sets.agg(coalesce(sum(size(col("__hs"))), lit(0L))).collect()
+      }
+      val buckets = sets.select(col("doc_id"), explode(col("__hs")).as("__h"))
+        .groupBy(col("__h"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("__ds"))
+        .filter(size(col("__ds")).between(2, maxDf))
+      val cands = time(s"[$i] buckets + expand + distinct") {
+        val c = buckets.select(explode(expr(
+            """flatten(transform(__ds, (a, i) ->
+                 transform(slice(__ds, i + 2, size(__ds)), b -> struct(a AS doc_a, b AS doc_b))))"""))
+            .as("__p"))
+          .select(col("__p.doc_a"), col("__p.doc_b"))
+          .distinct()
           .localCheckpoint(eager = false)
-        p.groupBy(col("__b"), col("__t")).agg(count(lit(1)).as("__len"))
-          .agg(max(col("__len"))).head()
-        p
+        println(s"    n_cands=${c.count()}")
+        c
       }
-      def passes(bound: org.apache.spark.sql.Column) =
-        bound.cast("double") * (1.0 + threshold) >=
-          (col("__na") + col("__nb")).cast("double") * threshold - 1e-9
-      val aSide = pp.select(col("doc_id").as("doc_a"), col("__b").as("__ba"),
-        col("__n").as("__na"), col("__i").as("__ia"), col("__t"))
-      val bSide = pp.select(col("doc_id").as("doc_b"), col("__b").as("__bb"),
-        col("__n").as("__nb"), col("__i").as("__ib"), col("__t").as("__t2"))
-      val marchCond = (col("__ba") < col("__bb") && col("doc_a") =!= col("doc_b")) ||
-        (col("__ba") === col("__bb") && col("doc_a") < col("doc_b"))
-      val cands = aSide.join(bSide.hint("shuffle_hash"),
-          col("__t") === col("__t2") && marchCond &&
-            least(col("__na"), col("__nb")).cast("double") >=
-              greatest(col("__na"), col("__nb")) * threshold &&
-            passes(least(col("__ia"), col("__ib")) +
-              least(col("__na") - col("__ia"), col("__nb") - col("__ib"))))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(min(col("__ia")).as("__i1"), min(col("__ib")).as("__j1"),
-          first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
-        .filter(passes(lit(1) +
-          least(col("__na") - col("__i1"), col("__nb") - col("__j1"))))
-        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-        .distinct()
-      val candsM = time(s"[$i] candidate join + distinct") {
-        val c = cands.localCheckpoint(eager = false); c.count(); c
-      }
-      val sets = states.map(_.select(col("doc_id"), col("__st")))
-        .reduce(_ unionByName _)
-      time(s"[$i] verify + sort (count)") {
-        candsM
-          .join(sets.select(col("doc_id").as("doc_a"), col("__st").as("__ta")), "doc_a")
-          .join(sets.select(col("doc_id").as("doc_b"), col("__st").as("__tb")), "doc_b")
-          .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))))
-          .withColumn("jaccard", col("inter").cast("double") /
-            (size(col("__ta")) + size(col("__tb")) - col("inter")))
-          .filter(col("jaccard") >= threshold)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
+      time(s"[$i] verify (score joins + filter)") {
+        cands
+          .join(sets.select(col("doc_id").as("doc_a"), col("__hs").as("__ha")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("__hs").as("__hb")), "doc_b")
+          .withColumn("__inter", size(array_intersect(col("__ha"), col("__hb"))))
+          .withColumn("__ca", round(col("__inter").cast("double") / size(col("__ha")), 9))
+          .withColumn("__cb", round(col("__inter").cast("double") / size(col("__hb")), 9))
+          .select(explode(array(
+            struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+              col("__ca").as("containment")),
+            struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+              col("__cb").as("containment")))).as("__d"))
+          .filter(col("__d.containment") >= 0.8)
           .count()
-      }
-      time(s"[$i] one-shot dedup_prefix_filter") {
-        graft.SparkEntry.queries("dedup_prefix_filter")(spark, sfDir).count()
       }
     }
     spark.stop()
