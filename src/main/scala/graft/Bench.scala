@@ -64,6 +64,8 @@ object Bench {
       graft.queries.Breadth20.ensureAugBandIndex(spark, sfDir)
       graft.queries.Breadth20.ensureWinnowPostings(spark, sfDir)
       graft.queries.Breadth20.ensureAugShingleSets(spark, sfDir)
+      graft.queries.Breadth20.ensureAugSimhash(spark, sfDir)
+      graft.queries.Breadth14.ensureSpanPostings(spark, sfDir)
       graft.queries.Breadth20.ensureAugClusters(spark, sfDir)
       graft.queries.Breadth20.ensureDocStats(spark, sfDir)
       graft.queries.Breadth11.ensurePiiStats(spark, sfDir)

@@ -50,11 +50,59 @@ object LayoutOps {
     val dir = s"$layoutRoot/${tag(sfDir)}/$name"
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+    if (!fs.exists(new Path(dir, "_SUCCESS")) ||
+        !fingerprintMatches(spark, sfDir, dir)) {
       if (fs.exists(p)) fs.delete(p, true)
       write(dir)
+      writeFingerprint(spark, sfDir, dir)
     }
     dir
+  }
+
+  /** Staleness guard for derived directories (VERDICT r16 item 7): the
+    * artifact records the fingerprint of the SOURCE tree it was built
+    * from (every file's relative path, length and mtime, hashed), and a
+    * mismatch on a later call — an appended or rewritten corpus —
+    * rebuilds instead of silently serving a stale index. The walk is a
+    * driver-side listing of the source dir (dozens of files locally; a
+    * manifest lookup on a real table format), never a data read.
+    */
+  private def sourceFingerprint(spark: SparkSession, sfDir: String): String = {
+    val p = new Path(sfDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(p.toUri.getPath)
+      entries += s"$rel:${f.getLen}:${f.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(entries.sorted.mkString("\n").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private val FingerprintFile = "_SRC_FINGERPRINT"
+
+  private def fingerprintMatches(spark: SparkSession, sfDir: String,
+      dir: String): Boolean = {
+    val fp = new Path(dir, FingerprintFile)
+    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fp)) return false
+    val in = fs.open(fp)
+    val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    stored == sourceFingerprint(spark, sfDir)
+  }
+
+  private def writeFingerprint(spark: SparkSession, sfDir: String,
+      dir: String): Unit = {
+    val fp = new Path(dir, FingerprintFile)
+    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(fp, true)
+    try out.write(sourceFingerprint(spark, sfDir).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** One unique root per JVM; removed on clean shutdown. Artifacts here
@@ -89,7 +137,8 @@ object LayoutOps {
     val dir = s"$runRoot/${tag(sfDir)}/$name"
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+    if (!fs.exists(new Path(dir, "_SUCCESS")) ||
+        !fingerprintMatches(spark, sfDir, dir)) {
       if (fs.exists(p)) fs.delete(p, true)
       write(dir)
       // Writers that produce no Spark `_SUCCESS` (raw-stream exports)
@@ -98,6 +147,7 @@ object LayoutOps {
       if (!fs.exists(new Path(dir, "_SUCCESS"))) {
         fs.create(new Path(dir, "_SUCCESS")).close()
       }
+      writeFingerprint(spark, sfDir, dir)
     }
     dir
   }

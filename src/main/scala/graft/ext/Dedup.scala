@@ -555,18 +555,28 @@ object Dedup {
     * n² space never materializes.
     */
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    // the banded rows are consumed by both self-join sides: the
+    // checkpoint materializes the simhash kernel's output once (see
+    // minhashCandidatePairs)
+    simhashPairsFromFingerprints(
+      simhash32(df, idCol, textCol).localCheckpoint(), idCol, maxHamming)
+
+  /** [[simhashCandidatePairs]] from a pre-built (id, simhash)
+    * fingerprint frame (typically an ingest-time parquet artifact —
+    * the fingerprint scan is the live op's dominant cost and the
+    * fingerprints are exactly what a crawl-dedup ingest pass persists;
+    * the staged-artifact twin pattern of
+    * [[graft.ext.TextOps.winnowPairsFromPostings]]).
+    */
+  def simhashPairsFromFingerprints(sh: DataFrame, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1 // pigeonhole: 32 bits / 4 bands = 8-bit bytes
-    val sh = simhash32(df, idCol, textCol)
     val bands = sh.select(col(idCol), col("simhash"),
       explode(array((0 until nBands).map(i =>
         struct(lit(i).as("b"),
           shiftright(col("simhash"), i * 8).bitwiseAND(lit(255L)).as("v"))): _*)).as("bd"))
       .select(col(idCol), col("simhash"), col("bd.b").as("__b"), col("bd.v").as("__v"))
-      // materialized once: both self-join sides read the 4-col banded
-      // rows instead of re-running the simhash kernel (see
-      // minhashCandidatePairs)
-      .localCheckpoint()
     val a = bands.select(col(idCol).as("doc_a"), col("simhash").as("__sa"),
       col("__b"), col("__v"))
     val b = bands.select(col(idCol).as("doc_b"), col("simhash").as("__sb"),

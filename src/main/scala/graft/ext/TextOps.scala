@@ -1701,4 +1701,52 @@ object TextOps {
         least(col("__na"), col("__nb")).cast("double"), 9))
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("overlap"))
   }
+
+  /** Sliding word n-gram SPAN postings — one row per span occurrence:
+    * (id, __h) with __h the 60-bit md5-prefix hash of the space-joined
+    * n-word gram. The shared ingest projection of the span-granular
+    * dup metering (`text_dup_spans`): hashing every sliding n-gram is
+    * the dominant cost of the live op and is a pure function of the
+    * corpus, so an ingest pass persists it once (the winnowPostings
+    * recipe) and the counting query reads parquet. Docs under n words
+    * carry no span and are excluded by construction.
+    */
+  def spanPostings(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"span width must be positive, got $n")
+    val grams = (1 to n).map(j => s"__w[i+${j - 1}]").mkString(", ")
+    df.select(col(idCol), words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(__w) - $n),
+            i -> cast(conv(substring(md5(concat_ws(' ', $grams)), 1, 15), 16, 10) AS BIGINT))"""))
+        .as("__h"))
+  }
+
+  /** Per-doc duplicated-span stats from a [[spanPostings]] frame (live
+    * or staged): for every document, the fraction of its spans that
+    * also occur in at least one OTHER document — span-granular
+    * contamination (Lee et al. exact-substring metering). Entirely
+    * linear: hash-keyed doc-frequency aggregate + one join-back +
+    * per-doc aggregate; no pair is ever listed.
+    */
+  def dupSpanStatsFromPostings(postings: DataFrame, idCol: String): DataFrame = {
+    val dfreq = postings.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__ndocs"))
+    postings.join(dfreq, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("__ndocs") >= 2).cast("long")).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_spans").cast("double"), 9))
+  }
+
+  /** Live twin of the staged span-counting path: hash + count in one
+    * query (the posting frame is consumed twice — doc-frequency
+    * aggregate + join-back — hence the checkpoint).
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    dupSpanStatsFromPostings(
+      spanPostings(df, idCol, textCol, n).localCheckpoint(), idCol)
 }

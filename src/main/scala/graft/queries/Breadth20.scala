@@ -426,6 +426,23 @@ object Breadth20 {
         k = 3).write.parquet(d)
     }
 
+  /** Build-if-absent the persisted 32-bit SimHash fingerprints over the
+    * AUGMENTED perturbed corpus — [[graft.ext.Dedup.simhash32]], the
+    * crawl-dedup ingest fingerprint table (r17): tokenizing + hashing
+    * the corpus was `dedup_simhash_pairs`' dominant cost, and the
+    * fingerprint column is exactly what the ingest pass persists next
+    * to the band index. The banding self-join + exact hamming verify
+    * stay in the query; the oracle replays the full simhash chain from
+    * raw text.
+    */
+  def ensureAugSimhash(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "simhash_aug") { d =>
+      graft.ext.Dedup.simhash32(
+        Extensions.augmentedDocs(s, dir, perturb = true), "doc_id", "text")
+        .write.parquet(d)
+    }
+
   /** Build-if-absent the persisted AUG-corpus cluster assignment — the
     * ingest dedup pass's output table (min-id cluster label per doc),
     * computed ONCE from the staged band index by the O(log n) star

