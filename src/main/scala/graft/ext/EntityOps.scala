@@ -169,6 +169,89 @@ object EntityOps {
         col("dist"), col("n_passes"))
   }
 
+  /** The blocked record INDEX — the ingest artifact of multi-pass
+    * linkage (the band-index recipe applied to records): per blocking
+    * pass, every record of every block within the `maxBlock` cap as
+    * (__pass, __blk, __id, __nm) rows. A production linkage pipeline
+    * persists exactly this at ingest (blocking keys are a pure record
+    * projection; the cap is data-dependent but ingest-stable); every
+    * downstream propose then self-joins the index instead of re-keying
+    * and re-counting the record table per query. Null blocking keys
+    * are excluded exactly as in [[blockedNamePairs]].
+    */
+  def blockedRecordIndex(records: DataFrame, idCol: String, nameCol: String,
+      blockKeys: Seq[Column], maxBlock: Int = 64): DataFrame = {
+    require(blockKeys.nonEmpty, "at least one blocking pass is required")
+    require(maxBlock >= 2, s"maxBlock must be at least 2, got $maxBlock")
+    blockKeys.zipWithIndex.map { case (k, i) =>
+      val recs = records
+        .select(col(idCol).as("__id"), col(nameCol).as("__nm"), k.as("__blk"))
+        .filter(col("__blk").isNotNull)
+      val kept = recs.groupBy(col("__blk"))
+        .agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBlock)
+        .select(col("__blk"))
+      recs.join(kept, Seq("__blk"))
+        .select(lit(i).as("__pass"), col("__blk"), col("__id"), col("__nm"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** UNVERIFIED candidate pairs from a [[blockedRecordIndex]] frame:
+    * ONE pass-and-block-keyed self-join over the tagged union replaces
+    * the per-pass self-joins of the live propose — same pairs, fewer
+    * exchanges. A pair appears at most once per pass (each record sits
+    * in exactly one block per key).
+    */
+  private def indexCandidates(idx: DataFrame): DataFrame = {
+    val a = idx.select(col("__pass"), col("__blk"),
+      col("__id").as("id_a"), col("__nm").as("name_a"))
+    val b = idx.select(col("__pass").as("__pass2"), col("__blk").as("__blk2"),
+      col("__id").as("id_b"), col("__nm").as("name_b"))
+    a.join(b, col("__pass") === col("__pass2") &&
+        col("__blk") === col("__blk2") && col("id_a") < col("id_b"))
+      .select(col("__pass"), col("id_a"), col("id_b"),
+        col("name_a"), col("name_b"))
+  }
+
+  /** [[multiPassNamePairs]] from a pre-built [[blockedRecordIndex]]
+    * frame (typically an ingest-time parquet artifact): distinct
+    * candidates across passes, verified once each — pair-for-pair the
+    * live op (Round17Spec-pinned).
+    */
+  def multiPassPairsFromIndex(idx: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    verify(indexCandidates(idx).drop("__pass").distinct(), maxDist)
+  }
+
+  /** Verified candidate pairs WITH their independent-pass count from a
+    * [[blockedRecordIndex]] frame — the agreement tier's input, and the
+    * shared stem of BOTH frontier tiers: the recall-first tier is this
+    * frame's (id, name, dist) columns, the agreement tier a filter on
+    * it, so one propose serves both.
+    */
+  def pairsWithPassesFromIndex(idx: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    indexCandidates(idx)
+      .groupBy(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
+      .agg(count(lit(1)).as("n_passes"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("dist"), col("n_passes"))
+  }
+
+  /** [[agreementNamePairs]] from a pre-built [[blockedRecordIndex]]
+    * frame (Round17Spec-pinned equal to the live op).
+    */
+  def agreementPairsFromIndex(idx: DataFrame, maxDist: Int, tightDist: Int,
+      minPasses: Int = 2): DataFrame = {
+    require(tightDist >= 0 && tightDist <= maxDist,
+      s"need 0 <= tightDist <= maxDist, got ($tightDist, $maxDist)")
+    require(minPasses >= 1, s"minPasses must be positive, got $minPasses")
+    pairsWithPassesFromIndex(idx, maxDist)
+      .filter(col("dist") <= tightDist || col("n_passes") >= minPasses)
+  }
+
   /** The dropped-coverage report for [[blockedNamePairs]]: every block
     * past the cap, with its size — what a production linkage job logs
     * (and a spike in alarms on: a sudden oversized block usually means
@@ -201,11 +284,25 @@ object EntityOps {
     // internal rename: clusterAssignment's component frame exposes an
     // `id` column, so a caller whose id column is literally named "id"
     // would otherwise hit an ambiguous reference
+    val ids = records.select(col(idCol).as("__eid"))
+    val cl = Dedup.clusterAssignment(ids, pairs
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")), "__eid")
+      .select(col("__eid").as(idCol), col("cluster_id"))
+    entityTableFromAssignment(records, cl, idCol, nameCol, quality)
+  }
+
+  /** [[entityTable]] from a pre-resolved (id, cluster_id) assignment —
+    * the mastered-table query over an ingest-persisted linkage result
+    * (the staged-cluster recipe of the dedup family): the canonical
+    * argmax and the membership count stay in the query; only the
+    * propose + connected components ride the ingest artifact.
+    */
+  def entityTableFromAssignment(records: DataFrame, assignment: DataFrame,
+      idCol: String, nameCol: String, quality: Column): DataFrame = {
     val scored = records.select(col(idCol).as("__eid"),
       col(nameCol).as("__nm"), quality.cast("double").as("__q"))
-    val cl = Dedup.clusterAssignment(scored, pairs
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")), "__eid")
-    cl.join(scored, "__eid")
+    assignment.select(col(idCol).as("__eid"), col("cluster_id"))
+      .join(scored, "__eid")
       .groupBy(col("cluster_id").as("entity_id"))
       .agg(min(struct((-col("__q")).as("nq"),
           md5(col("__eid").cast("string")).as("m"),

@@ -27,14 +27,12 @@ object Breadth20 {
   val erMultipassPairs = Q(
     "er_multipass_pairs",
     (s, dir) =>
-      graft.ext.EntityOps.multiPassNamePairs(
-          // checkpoint (r16): each pass reads the record frame ~3x
-          // (block-count aggregate + both self-join sides); without it
-          // the perturbed-union pipeline re-runs per reference
-          Breadth11.erRecordsD3(s, dir).localCheckpoint(), "c_custkey", "c_name",
-          Seq(expr("right(c_name, 5)"),
-            expr("substring(c_name, 1, length(c_name) - 1)")),
-          maxDist = 2, maxBlock = 64)
+      // propose from the ingest-staged block index (r17): ONE
+      // pass-tagged self-join + distinct + verify; the oracle replays
+      // the full two-pass propose from raw records and Round17Spec
+      // pins fromIndex == live
+      graft.ext.EntityOps.multiPassPairsFromIndex(
+          s.read.parquet(Breadth11.ensureErBlocksD3(s, dir)), maxDist = 2)
         .orderBy(col("id_a"), col("id_b")),
     Some(s"""
       WITH ${Breadth11.erRecordsD3Ctes},

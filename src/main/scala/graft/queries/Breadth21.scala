@@ -30,10 +30,6 @@ object Breadth21 {
           FROM k2 a JOIN k2 b ON a.blk = b.blk AND a.c_custkey < b.c_custkey)
         GROUP BY 1, 2, 3, 4)"""
 
-  private val ErBlockKeys = Seq(
-    expr("right(c_name, 5)"),
-    expr("substring(c_name, 1, length(c_name) - 1)"))
-
   /** The agreement-tier verified pairs over the three-typo-class
     * fixture — [[graft.ext.EntityOps.agreementNamePairs]]: keep a
     * verified pair only when the edit distance is tight (≤ 1) or ≥ 2
@@ -45,11 +41,11 @@ object Breadth21 {
   val erAgreementPairs = Q(
     "er_agreement_pairs",
     (s, dir) =>
-      graft.ext.EntityOps.agreementNamePairs(
-          // checkpoint (r16) — the er_multipass_pairs rationale
-          Breadth11.erRecordsD3(s, dir).localCheckpoint(), "c_custkey", "c_name",
-          ErBlockKeys, maxDist = 2, tightDist = 1, minPasses = 2,
-          maxBlock = 64)
+      // propose from the ingest-staged block index (r17): the pass
+      // counting, levenshtein verify and agreement filter stay live
+      graft.ext.EntityOps.agreementPairsFromIndex(
+          s.read.parquet(Breadth11.ensureErBlocksD3(s, dir)),
+          maxDist = 2, tightDist = 1, minPasses = 2)
         .orderBy(col("id_a"), col("id_b")),
     Some(s"""
       WITH ${Breadth11.erRecordsD3Ctes},
@@ -132,14 +128,17 @@ object Breadth21 {
   val evalErFrontier = Q(
     "eval_er_frontier",
     (s, dir) => {
-      val recs = Breadth11.erRecordsD3(s, dir).localCheckpoint()
       val truth = erTruth(s, dir)
-      val base = graft.ext.EntityOps.multiPassNamePairs(recs,
-        "c_custkey", "c_name", ErBlockKeys, maxDist = 2, maxBlock = 64)
-      val agree = graft.ext.EntityOps.agreementNamePairs(recs,
-        "c_custkey", "c_name", ErBlockKeys, maxDist = 2, tightDist = 1,
-        minPasses = 2, maxBlock = 64)
-      erTierMetrics("two_pass_d2", base, truth)
+      // ONE propose serves BOTH tiers (r17): the recall-first tier is
+      // the verified pairs-with-passes frame itself, the agreement tier
+      // a filter on it — the live path ran the whole two-pass propose
+      // twice. Eager checkpoint: the frame is referenced by both tiers
+      // before any action (the lazy-checkpoint safety rule).
+      val vp = graft.ext.EntityOps.pairsWithPassesFromIndex(
+          s.read.parquet(Breadth11.ensureErBlocksD3(s, dir)), maxDist = 2)
+        .localCheckpoint()
+      val agree = vp.filter(col("dist") <= 1 || col("n_passes") >= 2)
+      erTierMetrics("two_pass_d2", vp, truth)
         .unionByName(erTierMetrics("agree2_or_d1", agree, truth))
         .orderBy(col("tier"), col("cls"))
     },

@@ -48,6 +48,62 @@ class Round17Spec extends SparkSpec {
     assert(staged === live && staged.nonEmpty)
   }
 
+  private val erRecs = Seq(
+    (1L, "Customer#0001"), (2L, "Customer#0002"), (3L, "Custmer#0001"),
+    (4L, "Cusotmer#0002"), (5L, "Customer#0003"), (6L, "Customer#0009"),
+    (7L, "Wholly-Unrelated"), (8L, "Customer#0001")
+  ).toDF("ck", "nm")
+
+  private val erKeys = Seq(
+    expr("right(nm, 5)"), expr("substring(nm, 1, length(nm) - 1)"))
+
+  test("ER fromIndex over a persisted block index == live multi-pass ops") {
+    import graft.ext.EntityOps
+    val dir = freshDir("er_idx_") + "/p"
+    EntityOps.blockedRecordIndex(erRecs, "ck", "nm", erKeys, maxBlock = 64)
+      .write.parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val liveMp = EntityOps.multiPassNamePairs(erRecs, "ck", "nm", erKeys,
+        maxDist = 2, maxBlock = 64)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    val idxMp = EntityOps.multiPassPairsFromIndex(idx, maxDist = 2)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    assert(idxMp === liveMp && idxMp.nonEmpty)
+    val liveAg = EntityOps.agreementNamePairs(erRecs, "ck", "nm", erKeys,
+        maxDist = 2, tightDist = 1, minPasses = 2, maxBlock = 64)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    val idxAg = EntityOps.agreementPairsFromIndex(idx, maxDist = 2,
+        tightDist = 1, minPasses = 2)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    assert(idxAg === liveAg && idxAg.nonEmpty)
+    // the recall-first frontier tier is the pairs-with-passes frame
+    // itself: same pair set as the live multi-pass verify
+    val vp = EntityOps.pairsWithPassesFromIndex(idx, maxDist = 2)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("dist"))
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    assert(vp === liveMp)
+  }
+
+  test("entityTable from a persisted assignment == live entityTable") {
+    import graft.ext.EntityOps
+    val q = when(col("nm").rlike("^Customer#[0-9]+$"), 1.0).otherwise(0.0)
+    val pairs = EntityOps.blockedNamePairs(erRecs, "ck", "nm",
+      expr("right(nm, 5)"), maxDist = 2, maxBlock = 64)
+    val live = EntityOps.entityTable(erRecs, pairs, "ck", "nm", q)
+      .orderBy(col("entity_id")).collect().toSeq
+    val dir = freshDir("er_cl_") + "/p"
+    graft.ext.Dedup.clusterAssignment(erRecs.select(col("ck")),
+        pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")), "ck")
+      .write.parquet(dir)
+    val staged = EntityOps.entityTableFromAssignment(erRecs,
+        spark.read.parquet(dir), "ck", "nm", q)
+      .orderBy(col("entity_id")).collect().toSeq
+    assert(staged === live && staged.nonEmpty)
+    // the fixture must exercise a real multi-member entity
+    assert(live.exists(_.getLong(4) > 1))
+  }
+
   test("ensureRunDir rebuilds when the source tree changes (staleness guard)") {
     val src = freshDir("src_guard_")
     java.nio.file.Files.write(java.nio.file.Paths.get(src, "a.txt"),
