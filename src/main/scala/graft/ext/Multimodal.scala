@@ -319,19 +319,19 @@ object Multimodal {
     */
   def frameEnergy(df: DataFrame, idCol: String, textCol: String,
       frame: Int = 64): DataFrame = {
+    // fused kernel (r17): the HOF form re-sliced the chunk per position
+    // (O(frame²) char scans/window, a lambda object per byte) and its
+    // consumers evaluated it per reference — see
+    // [[graft.functions.FrameEnergies]]; ExtOpsSpec pins kernel == HOF
+    graft.functions.VectorExpressions.register(df.sparkSession)
     df.filter(length(col(textCol)) > 0)
       .select(col(idCol), posexplode(expr(
-        s"""transform(sequence(0, int(ceil(length($textCol) / $frame.0)) - 1),
-            i -> substring($textCol, i * $frame + 1, $frame))"""))
-        .as(Seq("frame_no", "__chunk")))
-      .withColumn("n_samples", length(col("__chunk")).cast("long"))
-      .withColumn("energy", expr(
-        """aggregate(transform(sequence(1, length(__chunk)),
-             p -> ascii(substring(__chunk, p, 1)) * ascii(substring(__chunk, p, 1))),
-           0L, (a, x) -> a + cast(x as bigint))"""))
+        s"graft_frame_energies($textCol, $frame)"))
+        .as(Seq("frame_no", "__fe")))
       .select(col(idCol), col("frame_no").cast("long").as("frame_no"),
-        col("n_samples"), col("energy"),
-        round(sqrt(col("energy").cast("double") / col("n_samples")), 9).as("rms"))
+        col("__fe.n_samples").as("n_samples"), col("__fe.energy").as("energy"),
+        round(sqrt(col("__fe.energy").cast("double") / col("__fe.n_samples")), 9)
+          .as("rms"))
   }
 
   /** Scene-change segmentation over the windowed byte-stream energy:

@@ -1032,6 +1032,9 @@ object VectorExpressions {
       "graft_byte_phash", exprs => BytePHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_sign_word", exprs => SignWord64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_frame_energies",
+      exprs => FrameEnergies(exprs(0), intArg(exprs(1))), "scala_udf")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain as the
     // engine of its runtime-bloom join optimization but does NOT expose
     // them in the public registry; graft's bloom-prefiltered semi join
@@ -1068,6 +1071,69 @@ object VectorExpressions {
   * (negsim, cid) tie rule, NaN sims ordered greatest (Spark's double
   * ordering) so zero-norm inputs degrade identically.
   */
+/** Per-frame byte-stream energy in ONE codegen'd pass: text →
+  * array<struct<n_samples, energy>> over non-overlapping `frame`-char
+  * windows, energy = Σ codepoint² (exact integer, order-free). The HOF
+  * formulation (`aggregate(transform(sequence(1, length(chunk)), p ->
+  * ascii(substring(chunk, p, 1))²)))`) re-slices the chunk per
+  * position — O(frame²) char scans per window plus a lambda object per
+  * byte, and the silence filter evaluated the whole tree twice (the
+  * §4.4 pushed-filter duplication) — the measured ~8× gap between the
+  * media scan and its keyframe/silence consumers. Semantics are
+  * identical: `substring` counts codepoints and `ascii` returns the
+  * codepoint value, so the kernel walks codepoints.
+  */
+case class FrameEnergies(child: Expression, frame: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("n_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_frame_energies expects string, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    FrameEnergies.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], frame)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FrameEnergies.compute($c, $frame)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FrameEnergies {
+  def compute(str: org.apache.spark.unsafe.types.UTF8String,
+      frame: Int): ArrayData = {
+    val cps = str.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val nFrames = (n + frame - 1) / frame
+    val rows = new Array[Any](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val start = f * frame
+      val end = math.min(start + frame, n)
+      var e = 0L
+      var i = start
+      while (i < end) {
+        val c = cps(i).toLong
+        e += c * c
+        i += 1
+      }
+      rows(f) = org.apache.spark.sql.catalyst.InternalRow((end - start).toLong, e)
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
 case class CentroidTopK(child: Expression, ids: Array[Long],
     vecs: Array[Array[Double]], k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

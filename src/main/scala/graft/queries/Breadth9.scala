@@ -896,12 +896,20 @@ object Breadth9 {
   val q62BasketPairs = Q(
     "q62_basket_pairs",
     (s, dir) => {
+      // EAGER checkpoints (r17): `li` feeds three consumers and
+      // `partCounts` both marginal joins — without them the plan ran
+      // FOUR lineitem scans + three distinct shuffles (no
+      // ReusedExchange: the consumers' aggregates optimize to
+      // non-identical subtrees). Eager, not lazy: both frames are
+      // multiply referenced before the first action (the safety rule).
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint()
       val nOrders = li.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("__n_orders"))
       val partCounts = li.groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("__cnt"))
+        .localCheckpoint()
       val baskets = li.groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
         .filter(size(col("__ps")) >= 2)

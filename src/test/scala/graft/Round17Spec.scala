@@ -104,6 +104,29 @@ class Round17Spec extends SparkSpec {
     assert(live.exists(_.getLong(4) > 1))
   }
 
+  test("graft_frame_energies kernel == the HOF ascii/substring form") {
+    graft.functions.VectorExpressions.register(spark)
+    // partial last frame, exactly-one-frame, and a non-ASCII codepoint
+    // (é = 233, ✓ = 10003) to pin codepoint — not byte — semantics
+    val df = Seq(
+      "abcdefgh", "abc", "a", "café ✓ done",
+      ("xy" * 100) + "z"
+    ).toDF("text").filter(length(col("text")) > 0)
+    val kern = df.select(posexplode(expr("graft_frame_energies(text, 8)"))
+        .as(Seq("frame_no", "fe")))
+      .select(col("frame_no"), col("fe.n_samples"), col("fe.energy"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val hof = df.select(posexplode(expr(
+        """transform(sequence(0, int(ceil(length(text) / 8.0)) - 1),
+           i -> substring(text, i * 8 + 1, 8))""")).as(Seq("frame_no", "chunk")))
+      .select(col("frame_no"), length(col("chunk")).cast("long"),
+        expr("""aggregate(transform(sequence(1, length(chunk)),
+             p -> ascii(substring(chunk, p, 1)) * ascii(substring(chunk, p, 1))),
+           0L, (a, x) -> a + cast(x as bigint))"""))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(kern === hof && kern.nonEmpty)
+  }
+
   test("ensureRunDir rebuilds when the source tree changes (staleness guard)") {
     val src = freshDir("src_guard_")
     java.nio.file.Files.write(java.nio.file.Paths.get(src, "a.txt"),
