@@ -70,6 +70,7 @@ object Bench {
       graft.queries.Breadth20.ensureDocStats(spark, sfDir)
       graft.queries.Breadth11.ensurePiiStats(spark, sfDir)
       graft.queries.Breadth11.ensureErClusters(spark, sfDir)
+      graft.queries.Breadth10.ensureDocLengths(spark, sfDir)
       graft.queries.Breadth11.ensureErBlocksD3(spark, sfDir)
       graft.queries.Breadth8.ensureSplitFingerprints(spark, sfDir)
       graft.queries.Breadth23.ensureOrdersManifest(spark, sfDir)

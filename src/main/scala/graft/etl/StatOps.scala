@@ -217,6 +217,48 @@ object StatOps {
     folded.select(groupCols.map(col) ++ out: _*)
   }
 
+  /** Exact interpolated percentiles over a PROVABLY BOUNDED frame —
+    * [[percentiles]]' little sibling (r17): a single-partition sort
+    * window ranks the rows and the IDENTICAL interpolation expression
+    * reads the bracketing indexes, so the result is bit-for-bit the
+    * distributed-CDF path's at a fraction of its job count. ONLY for
+    * frames bounded by construction (a daily series, its day-pair
+    * slopes — anything the caller already broadcasts); corpus-scale
+    * columns stay on [[percentiles]], whose prefix-sum machinery is
+    * the 100 TB plan.
+    */
+  def boundedPercentiles(df: DataFrame, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+    val w = Window.orderBy(col("__v"))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val aggs = ps.flatMap { case (name, p) =>
+      val r = lit(p) * (col("__n") - 1).cast("double")
+      val lo = floor(r)
+      val hi = ceil(r)
+      Seq(
+        max(when(col("__rn") === lo, col("__v"))).as(s"__lo_$name"),
+        max(when(col("__rn") === hi, col("__v"))).as(s"__hi_$name"),
+        max(r).as(s"__r_$name"))
+    }
+    val folded = ranked.groupBy().agg(aggs.head, aggs.tail: _*)
+    val out = ps.map { case (name, _) =>
+      val r = col(s"__r_$name")
+      val lo = floor(r)
+      val hi = ceil(r)
+      when(lo === hi, col(s"__lo_$name"))
+        .otherwise((hi - r) * col(s"__lo_$name") + (r - lo) * col(s"__hi_$name"))
+        .as(name)
+    }
+    folded.select(out: _*)
+  }
+
   /** Pairwise Welch two-sample t-test across the groups of `groupCol`,
     * computed entirely from per-group sufficient statistics — the A/B
     * experiment readout (did arm B's metric move?) as ONE map-side-
@@ -436,19 +478,27 @@ object StatOps {
     val pts = daily.select(col(dateCol),
       datediff(col(dateCol), lit("1970-01-01")).cast("long").as("__x"),
       round(col(valueCol), 9).cast(dec).as("__y"))
-      .localCheckpoint(eager = false)
+      // eager (r17): four references (both slope sides, residuals, the
+      // final projection) and — with boundedPercentiles — no early
+      // materializing action left inside the percentile calls
+      .localCheckpoint()
     val a = pts.select(col("__x").as("__xa"), col("__y").as("__ya"))
     val b = pts.select(col("__x").as("__xb"), col("__y").as("__yb"))
     val slopes = a.join(broadcast(b), col("__xa") < col("__xb"))
       .select(round((col("__yb") - col("__ya")).cast("double") /
         (col("__xb") - col("__xa")).cast("double"), 9).as("__s"))
     val nP = slopes.agg(count(lit(1)).as("n_pairs"))
-    val med = percentiles(slopes, Nil, "__s", Seq("ts_slope" -> 0.5))
+    // boundedPercentiles (r17): the slope and residual frames are
+    // bounded by construction (day pairs / days — the same argument
+    // that already broadcasts them), so the full distributed-CDF
+    // machinery (2× checkpoint + range partition + offset windows) is
+    // pure job overhead here; the interpolation is expression-identical
+    val med = boundedPercentiles(slopes, "__s", Seq("ts_slope" -> 0.5))
       .crossJoin(broadcast(nP))
     val resid = pts.crossJoin(broadcast(med))
       .select(round(col("__y").cast("double") -
         col("ts_slope") * col("__x").cast("double"), 9).as("__r"))
-    val icept = percentiles(resid, Nil, "__r", Seq("ts_intercept" -> 0.5))
+    val icept = boundedPercentiles(resid, "__r", Seq("ts_intercept" -> 0.5))
     pts.crossJoin(broadcast(med)).crossJoin(broadcast(icept))
       .select(col(dateCol), col("__y").cast("double").as("total"),
         col("n_pairs"), col("ts_slope"), col("ts_intercept"),

